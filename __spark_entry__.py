@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()``/``oracle_sql()`` pair every implemented operator from
+SURVEY.md §2 with a DuckDB oracle for the correctness gate.
 """
 
 from __future__ import annotations
@@ -13,26 +11,37 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from greenplum_cdc_spark.plans import tpch
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return tpch.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # B. OLAP layer
+        "q1_pricing_summary": tpch.q1_pricing_summary,
+        "q3_shipping_priority": tpch.q3_shipping_priority,
+        "q5_supplier_volume": tpch.q5_supplier_volume,
+        "q10_returned_items": tpch.q10_returned_items,
+        "topk_per_group": tpch.topk_per_group,
+        "grouping_sets_agg": tpch.grouping_sets_agg,
+        "json_extract_props": tpch.json_extract_props,
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each ``queries()`` key."""
+    return {
+        "q1_pricing_summary": tpch.Q1_SQL,
+        "q3_shipping_priority": tpch.Q3_SQL,
+        "q5_supplier_volume": tpch.Q5_SQL,
+        "q10_returned_items": tpch.Q10_SQL,
+        "topk_per_group": tpch.TOPK_SQL,
+        "grouping_sets_agg": tpch.GROUPING_SETS_SQL,
+        "json_extract_props": tpch.JSON_EXTRACT_SQL,
+    }

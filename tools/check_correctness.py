@@ -1,0 +1,135 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark AND its
+``oracle_sql()`` on DuckDB at sf0.01, then compares row count, column
+names, and order-insensitive values (columns sorted by name, rows sorted).
+Exact equality is required for non-floats; floats must match to 1e-9
+relative (we design queries to be bit-identical — see plans/tpch.py).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from greenplum_cdc_spark.io import TABLES  # noqa: E402
+from greenplum_cdc_spark.session import get_spark  # noqa: E402
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return v
+    return v
+
+
+def _values_match(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        if a == b:
+            return True
+        return abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+def compare(spark_rows, spark_cols, duck_rows, duck_cols, name):
+    problems = []
+    if len(spark_rows) != len(duck_rows):
+        problems.append(f"row count: spark={len(spark_rows)} duck={len(duck_rows)}")
+    if sorted(spark_cols) != sorted(duck_cols):
+        problems.append(f"columns: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+    if problems:
+        return problems
+
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    dorder = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+
+    def keyify(rows, idx):
+        return sorted(
+            tuple(repr(_norm(r[i])) for i in idx) for r in rows
+        )
+
+    skeys = keyify(spark_rows, order)
+    dkeys = keyify(duck_rows, dorder)
+    exact = skeys == dkeys
+    if exact:
+        return []
+
+    # Fall back to tolerant float compare to distinguish "bit mismatch"
+    # from "real mismatch".
+    srows = sorted(spark_rows, key=lambda r: tuple(repr(_norm(r[i])) for i in order))
+    drows = sorted(duck_rows, key=lambda r: tuple(repr(_norm(r[i])) for i in dorder))
+    n_bad = 0
+    first_bad = None
+    for sr, dr in zip(srows, drows):
+        for i, j in zip(order, dorder):
+            if not _values_match(sr[i], dr[j]):
+                n_bad += 1
+                if first_bad is None:
+                    first_bad = (spark_cols[i], sr[i], dr[j])
+                break
+    if n_bad:
+        problems.append(f"{n_bad} mismatched rows; first: col={first_bad[0]} spark={first_bad[1]!r} duck={first_bad[2]!r}")
+    else:
+        problems.append("values equal within 1e-9 but NOT bit-identical (driver hash may fail)")
+    return problems
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = set(a for a in args if "/" not in a)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    spark = get_spark("correctness-check")
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    n_pass = n_fail = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_cols = sdf.columns
+            spark_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(spark_rows)} rows)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(spark_rows, spark_cols, duck_rows, duck_cols, name)
+        if problems:
+            n_fail += 1
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(spark_rows)} rows)")
+    print(f"\n{n_pass} passed, {n_fail} failed, {len(queries)} total")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
