@@ -11,7 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from greenplum_cdc_spark.plans import tpch
+from greenplum_cdc_spark.plans import cdc_queries, tpch
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -22,6 +22,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # A. CDC core
+        "cdc_parse_events": cdc_queries.cdc_parse_events,
+        "cdc_event_archive": cdc_queries.cdc_archive_layout,
+        "cdc_snapshot_latest": cdc_queries.cdc_snapshot_latest,
+        "cdc_apply_incremental": cdc_queries.cdc_apply_incremental,
+        "cdc_watermark": cdc_queries.cdc_watermark,
+        "cdc_op_stats": cdc_queries.cdc_op_stats,
+        "cdc_undo": cdc_queries.cdc_undo,
         # B. OLAP layer
         "q1_pricing_summary": tpch.q1_pricing_summary,
         "q3_shipping_priority": tpch.q3_shipping_priority,
@@ -37,6 +45,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each ``queries()`` key."""
     return {
+        "cdc_parse_events": cdc_queries.CDC_PARSE_SQL,
+        "cdc_event_archive": cdc_queries.CDC_ARCHIVE_SQL,
+        "cdc_snapshot_latest": cdc_queries.CDC_SNAPSHOT_SQL,
+        "cdc_apply_incremental": cdc_queries.CDC_SNAPSHOT_SQL,
+        "cdc_watermark": cdc_queries.CDC_WATERMARK_SQL,
+        "cdc_op_stats": cdc_queries.CDC_OP_STATS_SQL,
+        "cdc_undo": cdc_queries.CDC_UNDO_SQL,
         "q1_pricing_summary": tpch.Q1_SQL,
         "q3_shipping_priority": tpch.Q3_SQL,
         "q5_supplier_volume": tpch.Q5_SQL,

@@ -1,0 +1,194 @@
+"""Oracle-gated CDC queries (SURVEY §2 A1-A9).
+
+Each query derives a deterministic CDC feed from the synthetic `events`
+table (sources.maxwell.events_as_cdc) so the DuckDB oracle sees the
+identical input, then exercises a real CDC operator. `cdc_parse_events`
+goes further: it serializes events into genuine Maxwell JSON envelopes
+and runs them through the production parser — the oracle states the
+expected round-trip output directly from the source columns, so any
+parser defect (ts precision, payload typing, sanitization) breaks the
+hash match.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+from ..operators import cdc as cdc_ops
+from ..sources import maxwell
+
+_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+def _feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return maxwell.events_as_cdc(load_table(spark, sf_dir, "events"))
+
+
+def cdc_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: events → real Maxwell JSON lines → parse_maxwell → typed rows.
+
+    Even seqs get 13-digit ms epochs, odd seqs 10-digit s epochs — the
+    mixed precision cdc_periodic_load.sql:5 special-cases.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    epoch_ms = F.expr("unix_micros(ts) div 1000")
+    epoch_s = F.expr("unix_micros(ts) div 1000000")
+    line = F.to_json(
+        F.struct(
+            F.lit("appdb").alias("database"),
+            F.lit("events").alias("table"),
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("insert"))
+            .alias("type"),
+            F.when(F.col("event_id") % 2 == 0, epoch_ms).otherwise(epoch_s).alias("ts"),
+            F.col("event_id").alias("xid"),
+            F.struct(
+                F.col("user_id").alias("user_id"),
+                F.col("value").alias("value"),
+                F.col("event_type").alias("event_type"),
+            ).alias("data"),
+        )
+    )
+    parsed = maxwell.parse_maxwell(ev.select(line.alias("line")))
+    return parsed.select(
+        F.col("xid").alias("event_id"),
+        "ts",
+        "database_name",
+        "table_name",
+        "op",
+        F.col("data")["user_id"].cast("bigint").alias("user_id"),
+        F.col("data")["value"].cast("double").alias("value"),
+        F.col("data")["event_type"].alias("event_type"),
+    )
+
+
+CDC_PARSE_SQL = """
+SELECT
+  event_id,
+  CASE WHEN event_id % 2 = 0
+       THEN make_timestamp((epoch_us(ts) // 1000) * 1000)
+       ELSE make_timestamp((epoch_us(ts) // 1000000) * 1000000)
+  END AS ts,
+  'appdb' AS database_name,
+  'events' AS table_name,
+  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+  user_id,
+  value,
+  event_type
+FROM events
+"""
+
+
+def cdc_snapshot_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: latest-wins snapshot reconstruction of the replica."""
+    snap = cdc_ops.snapshot_latest(_feed(spark, sf_dir))
+    return snap.select(
+        "pk",
+        F.col("ts").alias("last_ts"),
+        F.col("seq").alias("last_seq"),
+        F.col("value").alias("last_value"),
+        F.col("event_type").alias("last_event_type"),
+    ).orderBy("pk")
+
+
+_SNAPSHOT_SQL_BODY = """
+WITH cdc AS ({feed}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+  FROM cdc
+)
+SELECT pk, ts AS last_ts, seq AS last_seq, value AS last_value, event_type AS last_event_type
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+ORDER BY pk
+"""
+
+CDC_SNAPSHOT_SQL = _SNAPSHOT_SQL_BODY.format(feed=maxwell.EVENTS_AS_CDC_SQL)
+
+
+def cdc_apply_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: incremental merge == full recompute invariant.
+
+    Builds the replica from events before the split ts, then merges the
+    remainder as a micro-batch; the oracle is the full-feed snapshot, so
+    the hash match proves apply(snapshot(base), incr) == snapshot(all).
+    """
+    feed = _feed(spark, sf_dir)
+    base = feed.filter(F.col("ts") < F.lit(_SPLIT_TS).cast("timestamp"))
+    incr = feed.filter(F.col("ts") >= F.lit(_SPLIT_TS).cast("timestamp"))
+    replica = cdc_ops.snapshot_latest(base)
+    merged = cdc_ops.apply_incremental(replica, incr)
+    return merged.select(
+        "pk",
+        F.col("ts").alias("last_ts"),
+        F.col("seq").alias("last_seq"),
+        F.col("value").alias("last_value"),
+        F.col("event_type").alias("last_event_type"),
+    ).orderBy("pk")
+
+
+def cdc_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: maxwell_ts analog — high watermark + applied count."""
+    return cdc_ops.watermark_state(_feed(spark, sf_dir))
+
+
+CDC_WATERMARK_SQL = """
+SELECT MAX(ts) AS high_watermark_ts, COUNT(*) AS n_applied FROM events
+"""
+
+
+def cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: per-op observability (demo polling tabs)."""
+    return cdc_ops.op_stats(_feed(spark, sf_dir))
+
+
+CDC_OP_STATS_SQL = """
+WITH cdc AS ({feed})
+SELECT
+  op,
+  COUNT(*) AS n_events,
+  MIN(ts) AS first_ts,
+  MAX(ts) AS last_ts,
+  COUNT(DISTINCT pk) AS n_keys
+FROM cdc
+GROUP BY op
+ORDER BY op
+""".format(feed=maxwell.EVENTS_AS_CDC_SQL)
+
+
+def cdc_undo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: inverse-operation stream (reference TODO README.md:157)."""
+    undone = cdc_ops.undo_events(_feed(spark, sf_dir))
+    return undone.select("seq", "pk", "op", "undo_op").orderBy("seq")
+
+
+CDC_UNDO_SQL = """
+WITH cdc AS ({feed})
+SELECT
+  seq,
+  pk,
+  op,
+  CASE op WHEN 'insert' THEN 'delete' WHEN 'delete' THEN 'insert' ELSE 'update' END AS undo_op
+FROM cdc
+ORDER BY seq
+""".format(feed=maxwell.EVENTS_AS_CDC_SQL)
+
+
+def cdc_archive_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: date-partition manifest of the event archive."""
+    return cdc_ops.archive_layout(_feed(spark, sf_dir))
+
+
+CDC_ARCHIVE_SQL = """
+WITH cdc AS ({feed})
+SELECT
+  CAST(ts AS DATE) AS event_date,
+  COUNT(*) AS n_events,
+  MIN(ts) AS min_ts,
+  MAX(ts) AS max_ts
+FROM cdc
+GROUP BY CAST(ts AS DATE)
+ORDER BY event_date
+""".format(feed=maxwell.EVENTS_AS_CDC_SQL)

@@ -1,0 +1,142 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from greenplum_cdc_spark.catalog import SchemaRegistry, TableSpec
+from greenplum_cdc_spark.functions.ddl import add_schema_name, ddl_for_event, translate_sql
+from greenplum_cdc_spark.io import load_table
+from greenplum_cdc_spark.operators import cdc as cdc_ops
+from greenplum_cdc_spark.sources import maxwell
+
+MAXWELL_LINES = [
+    # out-of-order arrival within the batch; seq/xid breaks ts ties
+    '{"database":"music","table":"album","type":"insert","ts":1700000001,"xid":1,"data":{"id":"1","title":"First","price":"9.99"}}',
+    '{"database":"music","table":"album","type":"update","ts":1700000002,"xid":2,"data":{"id":"1","title":"First (remaster)","price":"11.99"},"old":{"title":"First"}}',
+    '{"database":"music","table":"album","type":"insert","ts":1700000003,"xid":3,"data":{"id":"2","title":"Second","price":"7.50"}}',
+    '{"database":"music","table":"album","type":"delete","ts":1700000004,"xid":4,"data":{"id":"2","title":"Second","price":"7.50"}}',
+    # 13-digit ms epoch, DDL event (cdc_periodic_load.sql:5)
+    '{"database":"music","table":"album","type":"table-alter","ts":1700000005000,"xid":5,"sql":"ALTER TABLE `album` ADD COLUMN price DECIMAL(15, 2)"}',
+    "this is not json at all",
+]
+
+
+def _parsed(spark):
+    raw = spark.createDataFrame([(line,) for line in MAXWELL_LINES], "line string")
+    return maxwell.parse_maxwell(raw)
+
+
+def test_parse_envelope_fields(spark):
+    rows = {r["xid"]: r for r in _parsed(spark).collect() if r["xid"] is not None}
+    assert rows[1]["op"] == "insert"
+    assert rows[1]["database_name"] == "music"
+    assert rows[1]["table_name"] == "album"
+    assert rows[1]["data"]["title"] == "First"
+    assert rows[2]["old"] == {"title": "First"}
+    # second-precision vs millisecond-precision epochs land on the same wall-time scale
+    assert rows[5]["ts"].year == rows[1]["ts"].year == 2023
+    assert "ALTER TABLE" in rows[5]["sql"]
+
+
+def test_parse_quarantines_malformed(spark):
+    bad = _parsed(spark).filter(F.col("op").isNull()).collect()
+    assert len(bad) == 1  # the non-JSON line, kept with its raw payload
+    assert bad[0]["event_json"] == "this is not json at all"
+
+
+def test_sanitize_tabs_newlines(spark):
+    raw = spark.createDataFrame(
+        [('{"database":"d",\t"table":"t",\n"type":"insert","ts":1700000001}',)], "line string"
+    )
+    row = maxwell.parse_maxwell(raw).collect()[0]
+    assert row["op"] == "insert" and row["table_name"] == "t"
+
+
+def test_snapshot_latest_wins_and_delete_drops(spark):
+    feed = _parsed(spark).filter(F.col("op").isin(*maxwell.DML_OPS)).select(
+        F.col("data")["id"].cast("int").alias("pk"),
+        "ts",
+        F.col("xid").alias("seq"),
+        "op",
+        F.col("data")["title"].alias("title"),
+    )
+    snap = cdc_ops.snapshot_latest(feed).collect()
+    state = {r["pk"]: r for r in snap}
+    assert set(state) == {1}  # id=2 deleted
+    assert state[1]["title"] == "First (remaster)"
+
+
+def test_apply_incremental_equals_full_recompute(spark):
+    feed = _parsed(spark).filter(F.col("op").isin(*maxwell.DML_OPS)).select(
+        F.col("data")["id"].cast("int").alias("pk"),
+        "ts",
+        F.col("xid").alias("seq"),
+        "op",
+        F.col("data")["title"].alias("title"),
+    )
+    base = feed.filter(F.col("seq") <= 2)
+    incr = feed.filter(F.col("seq") > 2)
+    merged = cdc_ops.apply_incremental(cdc_ops.snapshot_latest(base), incr)
+    full = cdc_ops.snapshot_latest(feed)
+    assert sorted(map(tuple, merged.select("pk", "title").collect())) == sorted(
+        map(tuple, full.select("pk", "title").collect())
+    )
+
+
+def test_apply_is_idempotent(spark):
+    feed = _parsed(spark).filter(F.col("op").isin(*maxwell.DML_OPS)).select(
+        F.col("data")["id"].cast("int").alias("pk"),
+        "ts",
+        F.col("xid").alias("seq"),
+        "op",
+        F.col("data")["title"].alias("title"),
+    )
+    snap = cdc_ops.snapshot_latest(feed)
+    replayed = cdc_ops.apply_incremental(snap, feed)  # re-apply the whole batch
+    assert sorted(map(tuple, replayed.select("pk", "title").collect())) == sorted(
+        map(tuple, snap.select("pk", "title").collect())
+    )
+
+
+def test_undo_roundtrip(spark):
+    """Applying undo events after the original stream restores the base state."""
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(500)
+    feed = maxwell.events_as_cdc(events)
+    undone = cdc_ops.undo_events(feed)
+    assert undone.filter(
+        ((F.col("op") == "insert") & (F.col("undo_op") != "delete"))
+        | ((F.col("op") == "delete") & (F.col("undo_op") != "insert"))
+    ).count() == 0
+
+
+def test_translate_sql_type_map():
+    src = "CREATE TABLE `t` (a DOUBLE, b DATETIME, c LONGBLOB, d LONGTEXT, e TINYINT(1)) ENGINE=InnoDB"
+    out = translate_sql(src)
+    assert "`" not in out and "ENGINE" not in out
+    assert "TIMESTAMP" in out and "BINARY" in out and "STRING" in out and "SMALLINT" in out
+
+
+def test_add_schema_name():
+    assert add_schema_name("music", "CREATE TABLE album (id INT)") == (
+        "CREATE TABLE music.album (id INT)"
+    )
+    assert add_schema_name("music", "DROP TABLE IF EXISTS album") == (
+        "DROP TABLE IF EXISTS music.album"
+    )
+
+
+def test_ddl_for_event_dispatch():
+    assert "CREATE DATABASE" in ddl_for_event("database-create", "music", None)
+    assert ddl_for_event("table-create", "music", "CREATE TABLE `x` (i DATETIME)") == (
+        "CREATE TABLE music.x (i TIMESTAMP)"
+    )
+    assert ddl_for_event("insert", "music", None) is None
+
+
+def test_schema_registry():
+    reg = SchemaRegistry()
+    reg.register(TableSpec("music", "album", {"id": "BIGINT", "title": "TEXT"}, ("id",)))
+    assert reg.get_type("music", "album", "title") == "TEXT"
+    assert reg.get_pk_cols("music", "album") == ("id",)
+    assert not reg.has_pk("music", "nope")
+    reg.drop("music")
+    assert reg.get_pk_cols("music", "album") == ()
