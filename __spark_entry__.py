@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from greenplum_cdc_spark.plans import cdc_queries, tpch
+from greenplum_cdc_spark.streaming import pipeline as streaming_pipeline
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,6 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_watermark": cdc_queries.cdc_watermark,
         "cdc_op_stats": cdc_queries.cdc_op_stats,
         "cdc_undo": cdc_queries.cdc_undo,
+        "stream_windowed_counts": streaming_pipeline.stream_windowed_counts,
         # B. OLAP layer
         "q1_pricing_summary": tpch.q1_pricing_summary,
         "q3_shipping_priority": tpch.q3_shipping_priority,
@@ -52,6 +54,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_watermark": cdc_queries.CDC_WATERMARK_SQL,
         "cdc_op_stats": cdc_queries.CDC_OP_STATS_SQL,
         "cdc_undo": cdc_queries.CDC_UNDO_SQL,
+        "stream_windowed_counts": streaming_pipeline.STREAM_WINDOWED_SQL,
         "q1_pricing_summary": tpch.Q1_SQL,
         "q3_shipping_priority": tpch.Q3_SQL,
         "q5_supplier_volume": tpch.Q5_SQL,

@@ -1,0 +1,188 @@
+"""Structured Streaming CDC pipeline (SURVEY §2 A10-A11).
+
+The reference's runtime loop is a shell `while true; do psql -f
+cdc_periodic_load.sql; sleep 5; done` (README.md:85-92): poll the bus,
+append to the archive, apply to replicas, advance the watermark. Here
+that loop IS the engine: `readStream` (file source standing in for the
+RabbitMQ consumer — on a cluster this would be the Kafka source with
+identical downstream code) → `parse_maxwell` → `foreachBatch` merge.
+
+Replica storage uses versioned parquet directories with a `_LATEST`
+pointer — the same commit-pointer idea Delta/Iceberg use, minimal form:
+a batch writes `v=<n+1>/` then flips the pointer, so readers never see a
+half-written replica and the pipeline survives a mid-write crash (the
+pointer still names the old complete version).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.cdc import apply_incremental, snapshot_latest, write_archive
+from ..sources.maxwell import DML_OPS, parse_maxwell
+
+
+class ReplicaStore:
+    """Versioned parquet replica with an atomic `_LATEST` pointer."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_LATEST")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._pointer()) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def read(self) -> DataFrame | None:
+        v = self.current_version()
+        if v == 0:
+            return None
+        return self.spark.read.parquet(os.path.join(self.path, f"v={v}"))
+
+    def commit(self, df: DataFrame) -> int:
+        v = self.current_version() + 1
+        df.write.mode("overwrite").parquet(os.path.join(self.path, f"v={v}"))
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._pointer())  # atomic pointer flip
+        return v
+
+
+class CDCPipeline:
+    """File/Kafka-agnostic Maxwell stream → replica + archive + watermark."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        replica_path: str,
+        archive_path: str | None = None,
+        key_cols: tuple[str, ...] = ("pk",),
+    ):
+        self.spark = spark
+        self.store = ReplicaStore(spark, replica_path)
+        self.archive_path = archive_path
+        self.key_cols = key_cols
+
+    def _typed_feed(self, parsed: DataFrame) -> DataFrame:
+        """Project the generic Maxwell payload into the replica's shape.
+
+        Default demo shape (Spring Music `album` — README.md:93-137):
+        pk from data['id']; remaining payload kept as the map. Custom
+        deployments subclass / swap this projection using the
+        SchemaRegistry's typed schema.
+        """
+        return parsed.filter(F.col("op").isin(*DML_OPS)).select(
+            F.col("data")["id"].cast("bigint").alias("pk"),
+            "ts",
+            F.col("xid").alias("seq"),
+            "op",
+            "data",
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """foreachBatch body — the cdc_periodic_load.sql micro-batch."""
+        parsed = parse_maxwell(batch)
+        if self.archive_path:
+            write_archive(parsed.filter(F.col("op").isNotNull()), self.archive_path)
+        feed = self._typed_feed(parsed)
+        replica = self.store.read()
+        if replica is None:
+            merged = snapshot_latest(feed, key_cols=self.key_cols)
+        else:
+            merged = apply_incremental(replica, feed, key_cols=self.key_cols)
+        self.store.commit(merged)
+
+    def run_available(self, input_path: str, checkpoint: str) -> None:
+        """Drain everything currently in the source, then stop — the
+        batch-mode analog of the reference's polling loop iteration."""
+        raw = self.spark.readStream.format("text").load(input_path).withColumnRenamed(
+            "value", "line"
+        )
+        q = (
+            raw.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def watermark(self) -> DataFrame | None:
+        """High watermark of the applied replica (`maxwell_ts` analog)."""
+        replica = self.store.read()
+        if replica is None:
+            return None
+        return replica.agg(
+            F.max("ts").alias("high_watermark_ts"), F.count("*").alias("n_rows")
+        )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic `events` table as a stream (file-source replay)."""
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # The file stream source wants a directory; glob-filter down to the
+    # one table file.
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for field in stream.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: watermarked tumbling-window counts, drained via availableNow.
+
+    Runs a REAL streaming query (memory sink, complete mode) and returns
+    its final result table — so the oracle comparison proves the
+    streaming aggregation converges to the batch answer.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = "windowed_counts_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+STREAM_WINDOWED_SQL = """
+SELECT
+  date_trunc('hour', ts) AS hour_start,
+  event_type,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY hour_start, event_type
+"""

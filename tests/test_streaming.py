@@ -1,0 +1,86 @@
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from greenplum_cdc_spark.streaming.pipeline import (
+    CDCPipeline,
+    ReplicaStore,
+    stream_windowed_counts,
+)
+
+BATCH1 = [
+    '{"database":"music","table":"album","type":"insert","ts":1700000001,"xid":1,"data":{"id":"1","title":"First"}}',
+    '{"database":"music","table":"album","type":"insert","ts":1700000002,"xid":2,"data":{"id":"2","title":"Second"}}',
+    '{"database":"music","table":"album","type":"update","ts":1700000003,"xid":3,"data":{"id":"1","title":"First v2"},"old":{"title":"First"}}',
+]
+BATCH2 = [
+    '{"database":"music","table":"album","type":"delete","ts":1700000004,"xid":4,"data":{"id":"2","title":"Second"}}',
+    '{"database":"music","table":"album","type":"insert","ts":1700000005,"xid":5,"data":{"id":"3","title":"Third"}}',
+]
+
+
+def _write_lines(path: str, name: str, lines):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_pipeline_end_to_end(spark, tmp_path):
+    inbox = str(tmp_path / "inbox")
+    pipe = CDCPipeline(
+        spark,
+        replica_path=str(tmp_path / "replica"),
+        archive_path=str(tmp_path / "archive"),
+    )
+
+    _write_lines(inbox, "b1.json", BATCH1)
+    pipe.run_available(inbox, str(tmp_path / "ckpt1"))
+    state = {r["pk"]: r["data"]["title"] for r in pipe.store.read().collect()}
+    assert state == {1: "First v2", 2: "Second"}
+
+    # second poll cycle: new file lands, same inbox, fresh checkpoint dir
+    # is NOT used — the stream must only pick up the delta
+    _write_lines(inbox, "b2.json", BATCH2)
+    pipe.run_available(inbox, str(tmp_path / "ckpt1"))
+    state = {r["pk"]: r["data"]["title"] for r in pipe.store.read().collect()}
+    assert state == {1: "First v2", 3: "Third"}
+
+    wm = pipe.watermark().collect()[0]
+    assert wm["n_rows"] == 2
+    assert wm["high_watermark_ts"].year == 2023
+
+    # archive got every event, date-partitioned
+    archived = spark.read.parquet(str(tmp_path / "archive"))
+    assert archived.count() == 5
+    assert "event_date" in archived.columns
+
+
+def test_replica_store_versioning(spark, tmp_path):
+    store = ReplicaStore(spark, str(tmp_path / "rep"))
+    assert store.read() is None
+    df = spark.createDataFrame([(1, "a")], "pk bigint, v string")
+    assert store.commit(df) == 1
+    assert store.commit(df.withColumn("v", F.lit("b"))) == 2
+    assert store.current_version() == 2
+    assert store.read().collect()[0]["v"] == "b"
+
+
+@pytest.mark.slow
+def test_stream_windowed_counts_matches_batch(spark, sf_dir):
+    out = stream_windowed_counts(spark, sf_dir)
+    got = {(r["hour_start"], r["event_type"]): r["n_events"] for r in out.collect()}
+    from greenplum_cdc_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exp = {
+        (r["hour_start"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exp
