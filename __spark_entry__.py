@@ -11,6 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from greenplum_cdc_spark.operators import dedup, multimodal, similarity, text, timeseries
 from greenplum_cdc_spark.plans import cdc_queries, tpch
 from greenplum_cdc_spark.streaming import pipeline as streaming_pipeline
 
@@ -40,6 +41,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": tpch.topk_per_group,
         "grouping_sets_agg": tpch.grouping_sets_agg,
         "json_extract_props": tpch.json_extract_props,
+        "events_time_rollup": timeseries.events_time_rollup,
+        "events_sessionize": timeseries.events_sessionize,
+        "asof_join_orders": timeseries.asof_join_orders,
+        # C. training-data pipeline
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+        "dedup_embedding": similarity.dedup_embedding,
+        "knn_cosine_bruteforce": similarity.knn_cosine_bruteforce,
+        "knn_lsh": similarity.knn_lsh,
+        "lang_id": text.lang_id,
+        "quality_score": text.quality_score,
+        "token_count": text.token_count,
+        "doc_fingerprint": text.doc_fingerprint,
+        "multimodal_meta": multimodal.multimodal_meta,
     }
     return q
 
@@ -62,4 +79,19 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": tpch.TOPK_SQL,
         "grouping_sets_agg": tpch.GROUPING_SETS_SQL,
         "json_extract_props": tpch.JSON_EXTRACT_SQL,
+        "events_time_rollup": timeseries.TIME_ROLLUP_SQL,
+        "events_sessionize": timeseries.SESSIONIZE_SQL,
+        "asof_join_orders": timeseries.ASOF_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "dedup_minhash_lsh": dedup.DEDUP_MINHASH_SQL,
+        "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,
+        "dedup_ngram_jaccard": dedup.DEDUP_JACCARD_SQL,
+        "dedup_embedding": similarity.DEDUP_EMBEDDING_SQL,
+        "knn_cosine_bruteforce": similarity.KNN_BRUTEFORCE_SQL,
+        "knn_lsh": similarity.KNN_LSH_SQL,
+        "lang_id": text.LANG_ID_SQL,
+        "quality_score": text.QUALITY_SQL,
+        "token_count": text.TOKEN_COUNT_SQL,
+        "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
+        "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
     }

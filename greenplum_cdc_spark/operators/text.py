@@ -1,0 +1,256 @@
+"""Text-analysis operators for corpus curation (SURVEY §2 C8-C11).
+
+All pure built-in expressions (split / regexp_extract_all / conditional
+aggregation) — whole-stage codegen end to end, no Python in the hot
+path. Each op has an exact DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..io import load_table
+
+# Tiny deterministic stopword lists per language for the heuristic
+# classifier. With the synthetic corpus these mostly exercise the
+# machinery (scores, argmax, tie-breaks), which is the point.
+STOPWORDS = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "a", "of", "and", "is", "to"),
+    "es": ("el", "la", "de", "y", "es", "no"),
+    "fr": ("le", "la", "de", "et", "est", "ne"),
+}
+
+EN_STOP = STOPWORDS["en"]
+
+
+def _tok(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+
+
+_TOK_SQL = """
+tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+  FROM documents
+),
+tok2 AS (SELECT * FROM tok WHERE w <> '')
+"""
+
+
+def _inlist(vals: tuple[str, ...]) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: stopword-hit language identification with deterministic
+    argmax (score desc, language code asc; all-zero → 'und')."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tok(docs)
+    hits = tok.groupBy("doc_id", "lang").agg(
+        *[
+            F.sum(F.when(F.col("w").isin(*words), 1).otherwise(0)).alias(f"{code}_hits")
+            for code, words in STOPWORDS.items()
+        ]
+    )
+    # argmax with ties broken by language-code order (de < en < es < fr)
+    pred = F.expr(
+        "CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'und' "
+        "WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de' "
+        "WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en' "
+        "WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END"
+    )
+    return (
+        hits.withColumn("pred_lang", pred)
+        .withColumn(
+            "is_correct", (F.col("pred_lang") == F.col("lang")).cast("int")
+        )
+        .select(
+            "doc_id", "lang", "pred_lang", "is_correct",
+            "de_hits", "en_hits", "es_hits", "fr_hits",
+        )
+        .orderBy("doc_id")
+    )
+
+
+LANG_ID_SQL = f"""
+WITH {_TOK_SQL.strip()},
+hits AS (
+  SELECT doc_id, lang,
+         SUM(CASE WHEN w IN ({_inlist(STOPWORDS["de"])}) THEN 1 ELSE 0 END) AS de_hits,
+         SUM(CASE WHEN w IN ({_inlist(STOPWORDS["en"])}) THEN 1 ELSE 0 END) AS en_hits,
+         SUM(CASE WHEN w IN ({_inlist(STOPWORDS["es"])}) THEN 1 ELSE 0 END) AS es_hits,
+         SUM(CASE WHEN w IN ({_inlist(STOPWORDS["fr"])}) THEN 1 ELSE 0 END) AS fr_hits
+  FROM tok2
+  GROUP BY doc_id, lang
+)
+SELECT doc_id, lang,
+       CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'und'
+            WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+            WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+            WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END AS pred_lang,
+       CAST(CASE WHEN lang = CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'und'
+            WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+            WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+            WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END THEN 1 ELSE 0 END AS INT) AS is_correct,
+       de_hits, en_hits, es_hits, fr_hits
+FROM hits
+ORDER BY doc_id
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: heuristic quality scoring — length band, stopword ratio,
+    non-alpha ratio combined into [0,1]."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tok(docs)
+    stats = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.col("w").isin(*EN_STOP), 1).otherwise(0)).alias("n_stop"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_raw"),
+        F.size(F.expr("regexp_extract_all(text, '[^a-z0-9 ]', 0)")).alias("n_nonalpha"),
+    )
+    joined = base.join(stats, "doc_id")
+    stop_ratio = F.round(F.col("n_stop") / F.col("n_tokens"), 6)
+    nonalpha_ratio = F.round(F.col("n_nonalpha") / F.col("n_chars_raw"), 6)
+    length_score = F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+    score = F.round(length_score * (1.0 - stop_ratio * 0.5) * (1.0 - nonalpha_ratio), 6)
+    return (
+        joined.withColumn("stop_ratio", stop_ratio)
+        .withColumn("nonalpha_ratio", nonalpha_ratio)
+        .withColumn("quality", score)
+        .withColumn("is_quality", (F.col("quality") >= 0.5).cast("int"))
+        .select(
+            "doc_id", "n_tokens", "n_stop", "stop_ratio", "nonalpha_ratio",
+            "quality", "is_quality",
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUALITY_SQL = f"""
+WITH {_TOK_SQL.strip()},
+stats AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN w IN ({_inlist(EN_STOP)}) THEN 1 ELSE 0 END) AS n_stop
+  FROM tok2 GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, length(text) AS n_chars_raw,
+         len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_nonalpha
+  FROM documents
+)
+SELECT b.doc_id, n_tokens, n_stop,
+       ROUND(n_stop / n_tokens, 6) AS stop_ratio,
+       ROUND(n_nonalpha / n_chars_raw, 6) AS nonalpha_ratio,
+       ROUND(least(1.0, n_tokens / 100.0)
+             * (1.0 - ROUND(n_stop / n_tokens, 6) * 0.5)
+             * (1.0 - ROUND(n_nonalpha / n_chars_raw, 6)), 6) AS quality,
+       CAST(ROUND(least(1.0, n_tokens / 100.0)
+             * (1.0 - ROUND(n_stop / n_tokens, 6) * 0.5)
+             * (1.0 - ROUND(n_nonalpha / n_chars_raw, 6)), 6) >= 0.5 AS INT) AS is_quality
+FROM base b JOIN stats s ON b.doc_id = s.doc_id
+ORDER BY b.doc_id
+"""
+
+# BPE-ish pretokenizer: letter runs, digit runs, single non-space symbols.
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: whitespace + BPE-ish regex token counting."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)"))
+    return (
+        docs.select(
+            "doc_id",
+            ws.alias("n_ws_tokens"),
+            bpe.alias("n_bpe_tokens"),
+            F.length("text").alias("n_chars_raw"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.round(F.col("n_chars_raw") / F.col("n_ws_tokens"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+       length(text) AS n_chars_raw,
+       ROUND(length(text) / len(list_filter(string_split(text, ' '), x -> x <> '')), 6)
+         AS chars_per_token
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: content-defined document fingerprinting.
+
+    md5 over word 4-gram rolling windows; the fingerprint keeps the
+    min/max digest plus a winnowed digest (min over the ~1/16 sample of
+    digests starting with '0') — robust to small edits, stable across
+    engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    ).filter(F.col("w") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", "w", F.lead("w", 1).over(w), F.lead("w", 2).over(w), F.lead("w", 3).over(w)
+    )
+    grams = (
+        tok.withColumn("w3", F.lead("w", 3).over(w))
+        .withColumn("g", gram)
+        .filter(F.col("w3").isNotNull())
+        .withColumn("h", F.md5("g"))
+    )
+    return (
+        grams.groupBy("doc_id")
+        .agg(
+            F.min("h").alias("fp_min"),
+            F.max("h").alias("fp_max"),
+            F.countDistinct("h").alias("n_grams"),
+            F.min(F.when(F.col("h").startswith("0"), F.col("h"))).alias("fp_winnow"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  FROM documents
+),
+tok2 AS (SELECT * FROM tok WHERE w <> ''),
+grams AS (
+  SELECT doc_id,
+         md5(w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win
+               || ' ' || LEAD(w, 3) OVER win) AS h,
+         LEAD(w, 3) OVER win AS w3
+  FROM tok2
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT doc_id,
+       MIN(h) AS fp_min,
+       MAX(h) AS fp_max,
+       COUNT(DISTINCT h) AS n_grams,
+       MIN(CASE WHEN h LIKE '0%' THEN h END) AS fp_winnow
+FROM grams
+WHERE w3 IS NOT NULL
+GROUP BY doc_id
+ORDER BY doc_id
+"""

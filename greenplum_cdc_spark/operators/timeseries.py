@@ -1,0 +1,189 @@
+"""Time-series operators over the replicated event stream (SURVEY §2
+B6/B7/B9) — the analytics Greenplum's ts-RANGE-partitioned archive
+(maxwell_gpdb.sql:25-31) exists to serve.
+
+Scale notes: every operator here shuffles exactly once on the entity
+key (or the time bucket), then works sort-locally within partitions —
+the pattern that holds at 100 TB because each key's history is
+processed by one task without driver involvement. Hot keys: salt the
+entity key upstream or rely on AQE skew splitting.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..io import load_table
+
+
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6: hourly rollup (time_bucket analog) with exact value sums."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("bucket_ts")
+    )
+
+
+TIME_ROLLUP_SQL = """
+SELECT
+  date_trunc('hour', ts) AS bucket_ts,
+  COUNT(*) AS n_events,
+  COUNT(DISTINCT user_id) AS n_users,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS sum_value,
+  MAX(value) AS max_value
+FROM events
+GROUP BY date_trunc('hour', ts)
+ORDER BY bucket_ts
+"""
+
+_GAP_MINUTES = 30
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: gap-based sessionization (30-min inactivity closes a session).
+
+    lag → gap flag → running sum = session index: two window passes over
+    ONE shuffle on user_id (both windows share the partitioning).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap.isNull() | (gap > _GAP_MINUTES * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessions = (
+        ev.withColumn("is_new", new_session)
+        .withColumn("session_idx", F.sum("is_new").over(w))
+    )
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT
+    user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_GAP_MINUTES} * 60 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+def asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9: as-of join — each event matched to the user's most recent
+    order at event time.
+
+    Spark lacks a native ASOF JOIN; the scalable composition is the
+    union-staircase: union both sides keyed and time-ordered, then
+    `last(..., ignorenulls)` carries the latest order forward onto each
+    event row. One shuffle on the key, sort-local within partitions —
+    no range cross-join blowup at 100 TB. (DuckDB's native ASOF JOIN is
+    the oracle.)
+
+    Event times are remapped into the orders era (deterministically from
+    event_id) so the staircase actually steps; orders are pre-deduped to
+    one row per (custkey, orderdate) to make the match unique.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("k"),
+        F.expr(
+            "timestampadd(DAY, CAST(event_id % 2500 AS INT), TIMESTAMP '1995-01-01 00:00:00')"
+        ).alias("at_ts"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), F.col("o_orderdate"))
+        .agg(F.max("o_orderkey").alias("matched_orderkey"))
+    )
+    o_side = orders.select(
+        "k",
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("timestamp").alias("at_ts"),
+        F.lit(1).alias("is_order"),
+        F.col("o_orderdate").alias("ord_date"),
+        "matched_orderkey",
+    )
+    e_side = ev.select(
+        "k",
+        F.col("at_ts").alias("t"),
+        "event_id",
+        "at_ts",
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("timestamp").alias("ord_date"),
+        F.lit(None).cast("bigint").alias("matched_orderkey"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("is_order").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o_side.unionByName(e_side)
+        .withColumn("m_key", F.last("matched_orderkey", ignorenulls=True).over(w))
+        .withColumn("m_date", F.last("ord_date", ignorenulls=True).over(w))
+        .filter(F.col("is_order") == 0)
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            "at_ts",
+            F.col("m_date").alias("matched_orderdate"),
+            F.col("m_key").alias("matched_orderkey"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id AS k,
+         TIMESTAMP '1995-01-01 00:00:00' + (event_id % 2500) * INTERVAL 1 DAY AS at_ts
+  FROM events
+),
+ord AS (
+  SELECT o_custkey AS k, o_orderdate, MAX(o_orderkey) AS matched_orderkey
+  FROM orders
+  GROUP BY o_custkey, o_orderdate
+)
+SELECT
+  ev.event_id,
+  ev.k AS user_id,
+  ev.at_ts,
+  ord.o_orderdate AS matched_orderdate,
+  ord.matched_orderkey
+FROM ev
+ASOF LEFT JOIN ord
+  ON ev.k = ord.k AND ev.at_ts >= ord.o_orderdate
+ORDER BY ev.event_id
+"""

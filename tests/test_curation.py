@@ -1,0 +1,109 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from greenplum_cdc_spark.operators import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_exact_covers_all_docs(spark):
+    out = dedup.dedup_exact(spark, SF)
+    from greenplum_cdc_spark.io import load_table
+
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == load_table(
+        spark, SF, "documents"
+    ).count()
+
+
+def test_minhash_pairs_valid(spark):
+    rows = dedup.dedup_minhash_lsh(spark, SF).collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 1 <= r["n_bands"] <= dedup.N_BANDS
+
+
+def test_minhash_finds_jaccard_pairs(spark):
+    """High-Jaccard pairs should mostly surface as LSH candidates."""
+    jac = {(r["doc_a"], r["doc_b"]) for r in dedup.dedup_ngram_jaccard(spark, SF).collect()}
+    lsh = {(r["doc_a"], r["doc_b"]) for r in dedup.dedup_minhash_lsh(spark, SF).collect()}
+    strong = {p for p in jac}
+    if strong:
+        assert len(strong & lsh) / len(strong) >= 0.5
+
+
+def test_simhash_shape_and_similarity(spark):
+    rows = dedup.dedup_simhash(spark, SF).collect()
+    assert all(len(r["simhash"]) == 64 and set(r["simhash"]) <= {"0", "1"} for r in rows)
+
+
+def test_jaccard_threshold(spark):
+    rows = dedup.dedup_ngram_jaccard(spark, SF).collect()
+    assert all(r["jaccard"] >= dedup.JACCARD_THRESHOLD for r in rows)
+
+
+def test_knn_topk(spark):
+    rows = similarity.knn_cosine_bruteforce(spark, SF).collect()
+    from collections import Counter
+
+    per = Counter(r["query_id"] for r in rows)
+    assert all(v <= similarity.TOPK for v in per.values())
+    for r in rows:
+        assert -1.0001 <= r["cos_sim"] <= 1.0001
+        assert r["neighbor_id"] != r["query_id"]
+
+
+def test_knn_lsh_buckets(spark):
+    rows = similarity.knn_lsh(spark, SF).collect()
+    assert all(len(r["bucket"]) == similarity.N_PLANES for r in rows)
+    from collections import Counter
+
+    sizes = Counter(r["bucket"] for r in rows)
+    for r in rows:
+        assert r["n_in_bucket"] == sizes[r["bucket"]]
+
+
+def test_lang_id_deterministic_argmax(spark):
+    rows = text.lang_id(spark, SF).collect()
+    assert all(r["pred_lang"] in ("de", "en", "es", "fr", "und") for r in rows)
+
+
+def test_quality_score_bounds(spark):
+    rows = text.quality_score(spark, SF).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+    assert all(0.0 <= r["stop_ratio"] <= 1.0 for r in rows)
+
+
+def test_token_count_consistency(spark):
+    rows = text.token_count(spark, SF).collect()
+    for r in rows:
+        assert r["n_bpe_tokens"] >= r["n_ws_tokens"] > 0
+
+
+def test_multimodal_features_via_arrow(spark):
+    media = multimodal.media_table(spark, SF)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == media.count()
+    for f in feats[:10]:
+        assert f["byte_len"] > 0
+        assert len(f["checksum"]) == 32
+        assert 0 < f["mean_byte"] < 256
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    media = multimodal.media_table(spark, SF).limit(2)
+    with pytest.raises(Exception) as exc:
+        multimodal.extract_features(media, decode_stub=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "real media decode" in str(exc.value)
+
+
+def test_frame_sample_counts(spark):
+    media = multimodal.media_table(spark, SF)
+    out = multimodal.frame_sample(media, every_k=4)
+    joined = (
+        out.groupBy("doc_id", "n_frames").agg(F.count("*").alias("n"))
+        .withColumn("expected", F.ceil(F.col("n_frames") / 4))
+        .collect()
+    )
+    assert joined and all(r["n"] == r["expected"] for r in joined)
