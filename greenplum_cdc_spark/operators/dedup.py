@@ -19,7 +19,7 @@ Scale design:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from ..io import load_table
 
@@ -48,42 +48,44 @@ ORDER BY keeper_doc_id
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
-    return docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    ).filter(F.col("w") != "")
+    """Non-empty whitespace tokens — pure map-side (array filter + explode)."""
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    return docs.select("doc_id", F.explode(toks).alias("w"))
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
-    """Word 3-gram shingles via lead windows — one shuffle on doc_id."""
-    tok = _tokens(docs)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = F.concat_ws(" ", "w", F.lead("w", 1).over(w), F.lead("w", 2).over(w))
-    n_lead = SHINGLE_WORDS - 1
+    """Word 3-gram shingles, computed array-side — NO window, NO shuffle.
+
+    ``transform`` over the token array builds all shingles map-side; the
+    old lead-window formulation forced a shuffle+sort per doc, which at
+    100 TB is a full extra stage on the widest table.
+    """
+    k = SHINGLE_WORDS
+    sh_arr = F.expr(
+        f"CASE WHEN size(toks) >= {k} THEN "
+        f"transform(sequence(0, size(toks) - {k}), "
+        f"i -> concat_ws(' ', {', '.join(f'toks[i + {j}]' for j in range(k))})) "
+        "ELSE array() END"
+    )
     return (
-        tok.withColumn("w2", F.lead("w", n_lead).over(w))
-        .withColumn("sh", sh)
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", "sh")
+        docs.withColumn("toks", F.filter(F.split("text", " "), lambda w: w != ""))
+        .select("doc_id", F.explode(sh_arr).alias("sh"))
     )
 
 
-# DuckDB twin of _tokens/_shingles (zipped unnest gives posexplode).
-_SHINGLES_SQL = """
+# DuckDB twin: list comprehension over the filtered token list
+# (1-based; range end-exclusive, empty when len(toks) < 3).
+_SHINGLES_SQL = f"""
 tok AS (
-  SELECT doc_id,
-         unnest(string_split(text, ' ')) AS w,
-         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
   FROM documents
 ),
-tok2 AS (SELECT * FROM tok WHERE w <> ''),
-sh AS (
+shingles AS (
   SELECT doc_id,
-         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS sh,
-         LEAD(w, 2) OVER win AS w2
-  FROM tok2
-  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
-),
-shingles AS (SELECT doc_id, sh FROM sh WHERE w2 IS NOT NULL)
+         unnest([{" || ' ' || ".join(f"toks[i + {j}]" if j else "toks[i]" for j in range(SHINGLE_WORDS))}
+                 FOR i IN range(1, len(toks) - {SHINGLE_WORDS - 2})]) AS sh
+  FROM tok
+)
 """
 
 
@@ -96,13 +98,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(N_HASHES)])).alias("seed")
-    hashed = sh.select("doc_id", seeds, "sh").withColumn(
-        "h", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")))
+    # Two md5s per shingle, each sliced into four 8-hex (32-bit) hash
+    # values -> an 8-hash MinHash family with NO seed-explode (the old
+    # formulation multiplied the shingle relation 8x and ran 8 md5s per
+    # shingle). min() over fixed-width lowercase hex == numeric min.
+    hashed = sh.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("0:"), F.col("sh"))).alias("d0"),
+        F.md5(F.concat(F.lit("1:"), F.col("sh"))).alias("d1"),
     )
     sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.when(F.col("seed") == i, F.col("h"))).alias(f"h{i}")
+            F.min(F.substring(f"d{i // 4}", 1 + 8 * (i % 4), 8)).alias(f"h{i}")
             for i in range(N_HASHES)
         ]
     )
@@ -135,7 +142,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     mins = ",\n         ".join(
-        f"MIN(CASE WHEN seed = {i} THEN h END) AS h{i}" for i in range(N_HASHES)
+        f"MIN(substr(d{i // 4}, {1 + 8 * (i % 4)}, 8)) AS h{i}" for i in range(N_HASHES)
     )
     rows_per_band = N_HASHES // N_BANDS
     bands = ",\n         ".join(
@@ -152,8 +159,8 @@ def _minhash_sql() -> str:
     return f"""
 WITH {_SHINGLES_SQL.strip().lstrip()},
 hashed AS (
-  SELECT doc_id, seed, md5(CAST(seed AS VARCHAR) || ':' || sh) AS h
-  FROM shingles, unnest(range(0, {N_HASHES})) AS t(seed)
+  SELECT doc_id, md5('0:' || sh) AS d0, md5('1:' || sh) AS d1
+  FROM shingles
 ),
 sig AS (
   SELECT doc_id,
@@ -191,66 +198,57 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = _tokens(docs).withColumn("h", F.md5("w"))
-    bits = F.explode(F.array(*[F.lit(b) for b in range(64)])).alias("b")
-    tb = tok.select("doc_id", "h", bits)
+    # 16 nibble columns once per token, then 64 map-side partial SUMs in
+    # ONE groupBy — the old formulation exploded 64 bit-rows per token
+    # (64x the shuffle width). vote sum = 2*sum(bitval) - n_tokens.
     # Pure integer ops only: DuckDB CAST(double AS INT) rounds while
     # Spark truncates, so float division here would skew bits.
-    nib = "(instr('0123456789abcdef', substr(h, CAST(b div 4 AS INT) + 1, 1)) - 1)"
-    bitval = F.expr(
-        f"CASE b % 4 WHEN 0 THEN {nib} % 2"
-        f" WHEN 1 THEN ({nib} div 2) % 2"
-        f" WHEN 2 THEN ({nib} div 4) % 2"
-        f" ELSE ({nib} div 8) % 2 END"
-    )
-    votes = (
-        tb.withColumn("vote", F.when(bitval == 1, F.lit(1)).otherwise(F.lit(-1)))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("v"))
-        .withColumn("fbit", F.when(F.col("v") > 0, F.lit("1")).otherwise(F.lit("0")))
-    )
-    return (
-        votes.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("b", "fbit"))),
-                    lambda x: x["fbit"],
-                ),
-                "",
-            ).alias("simhash")
-        )
-        .orderBy("doc_id")
-    )
+    nibs = {
+        f"n{k}": F.expr(f"instr('0123456789abcdef', substr(h, {k + 1}, 1)) - 1")
+        for k in range(16)
+    }
+    tb = tok.withColumns(nibs)
+    sums = [
+        F.sum(F.expr(f"(n{b // 4} div {2 ** (b % 4)}) % 2")).alias(f"s{b}")
+        for b in range(64)
+    ]
+    votes = tb.groupBy("doc_id").agg(*sums, F.count("*").alias("cnt"))
+    fbits = [
+        F.when(2 * F.col(f"s{b}") - F.col("cnt") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for b in range(64)
+    ]
+    return votes.select("doc_id", F.concat(*fbits).alias("simhash")).orderBy("doc_id")
 
 
-DEDUP_SIMHASH_SQL = """
+def _simhash_sql() -> str:
+    nib = "(instr('0123456789abcdef', substr(h, {k}, 1)) - 1)"
+    sums = ",\n         ".join(
+        f"SUM(({nib.format(k=b // 4 + 1)} // {2 ** (b % 4)}) % 2) AS s{b}"
+        for b in range(64)
+    )
+    fbits = " || ".join(
+        f"CASE WHEN 2 * s{b} - cnt > 0 THEN '1' ELSE '0' END" for b in range(64)
+    )
+    return f"""
 WITH tok AS (
-  SELECT doc_id,
-         unnest(string_split(text, ' ')) AS w
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
   FROM documents
 ),
-tokh AS (SELECT doc_id, md5(w) AS h FROM tok WHERE w <> ''),
-tb AS (
-  SELECT doc_id, h, unnest(range(0, 64)) AS b FROM tokh
-),
+tokh AS (SELECT doc_id, md5(w) AS h FROM tok),
 votes AS (
-  SELECT doc_id, b,
-         SUM(CASE WHEN
-           CASE b % 4
-             WHEN 0 THEN (instr('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1) % 2
-             WHEN 1 THEN ((instr('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1) // 2) % 2
-             WHEN 2 THEN ((instr('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1) // 4) % 2
-             ELSE ((instr('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1) // 8) % 2
-           END = 1 THEN 1 ELSE -1 END) AS v
-  FROM tb
-  GROUP BY doc_id, b
+  SELECT doc_id,
+         {sums},
+         COUNT(*) AS cnt
+  FROM tokh
+  GROUP BY doc_id
 )
-SELECT doc_id,
-       string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+SELECT doc_id, {fbits} AS simhash
 FROM votes
-GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

