@@ -32,6 +32,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_watermark": cdc_queries.cdc_watermark,
         "cdc_op_stats": cdc_queries.cdc_op_stats,
         "cdc_undo": cdc_queries.cdc_undo,
+        "cdc_ddl_translate": cdc_queries.cdc_ddl_translate,
+        "cdc_schema_registry": cdc_queries.cdc_schema_registry,
+        "stream_cdc_pipeline": streaming_pipeline.stream_cdc_pipeline,
         "stream_windowed_counts": streaming_pipeline.stream_windowed_counts,
         # B. OLAP layer
         "q1_pricing_summary": tpch.q1_pricing_summary,
@@ -41,9 +44,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": tpch.topk_per_group,
         "grouping_sets_agg": tpch.grouping_sets_agg,
         "json_extract_props": tpch.json_extract_props,
+        "q2_min_cost_supplier": tpch.q2_min_cost_supplier,
+        "q4_order_priority": tpch.q4_order_priority,
+        "q6_forecast_revenue": tpch.q6_forecast_revenue,
+        "q7_volume_shipping": tpch.q7_volume_shipping,
+        "q8_market_share": tpch.q8_market_share,
+        "q9_product_profit": tpch.q9_product_profit,
+        "q13_customer_distribution": tpch.q13_customer_distribution,
+        "q14_promo_effect": tpch.q14_promo_effect,
+        "q15_top_supplier": tpch.q15_top_supplier,
+        "q16_parts_supplier_cnt": tpch.q16_parts_supplier_cnt,
+        "q17_small_qty_revenue": tpch.q17_small_qty_revenue,
+        "q18_large_volume": tpch.q18_large_volume,
+        "q19_discounted_revenue": tpch.q19_discounted_revenue,
+        "q22_sales_opportunity": tpch.q22_sales_opportunity,
         "events_time_rollup": timeseries.events_time_rollup,
         "events_sessionize": timeseries.events_sessionize,
         "asof_join_orders": timeseries.asof_join_orders,
+        "running_total_by_user": timeseries.running_total_by_user,
+        "moving_avg_daily": timeseries.moving_avg_daily,
         # C. training-data pipeline
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -71,6 +90,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_watermark": cdc_queries.CDC_WATERMARK_SQL,
         "cdc_op_stats": cdc_queries.CDC_OP_STATS_SQL,
         "cdc_undo": cdc_queries.CDC_UNDO_SQL,
+        "cdc_ddl_translate": cdc_queries.CDC_DDL_SQL,
+        "cdc_schema_registry": cdc_queries.CDC_REGISTRY_SQL,
+        "stream_cdc_pipeline": streaming_pipeline.STREAM_CDC_SQL,
         "stream_windowed_counts": streaming_pipeline.STREAM_WINDOWED_SQL,
         "q1_pricing_summary": tpch.Q1_SQL,
         "q3_shipping_priority": tpch.Q3_SQL,
@@ -79,9 +101,25 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": tpch.TOPK_SQL,
         "grouping_sets_agg": tpch.GROUPING_SETS_SQL,
         "json_extract_props": tpch.JSON_EXTRACT_SQL,
+        "q2_min_cost_supplier": tpch.Q2_SQL,
+        "q4_order_priority": tpch.Q4_SQL,
+        "q6_forecast_revenue": tpch.Q6_SQL,
+        "q7_volume_shipping": tpch.Q7_SQL,
+        "q8_market_share": tpch.Q8_SQL,
+        "q9_product_profit": tpch.Q9_SQL,
+        "q13_customer_distribution": tpch.Q13_SQL,
+        "q14_promo_effect": tpch.Q14_SQL,
+        "q15_top_supplier": tpch.Q15_SQL,
+        "q16_parts_supplier_cnt": tpch.Q16_SQL,
+        "q17_small_qty_revenue": tpch.Q17_SQL,
+        "q18_large_volume": tpch.Q18_SQL,
+        "q19_discounted_revenue": tpch.Q19_SQL,
+        "q22_sales_opportunity": tpch.Q22_SQL,
         "events_time_rollup": timeseries.TIME_ROLLUP_SQL,
         "events_sessionize": timeseries.SESSIONIZE_SQL,
         "asof_join_orders": timeseries.ASOF_SQL,
+        "running_total_by_user": timeseries.RUNNING_TOTAL_SQL,
+        "moving_avg_daily": timeseries.MOVING_AVG_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": dedup.DEDUP_MINHASH_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,

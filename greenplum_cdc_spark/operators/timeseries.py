@@ -187,3 +187,82 @@ ASOF LEFT JOIN ord
   ON ev.k = ord.k AND ev.at_ts >= ord.o_orderdate
 ORDER BY ev.event_id
 """
+
+
+def running_total_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25: per-user running value total over the event stream.
+
+    One shuffle on user_id; the prefix sum is DECIMAL (order-insensitive,
+    exact) so results are identical at any partition count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")).over(wsum), 4)
+            .cast("double")
+            .alias("running_value"),
+            F.row_number().over(w).alias("running_n"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+RUNNING_TOTAL_SQL = """
+SELECT user_id, ts, event_id,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) AS DOUBLE) AS running_value,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS running_n
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+def moving_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26: daily value rollup + 7-day trailing moving average.
+
+    Two-level plan: the wide shuffle happens at day grain (tiny), then
+    the trailing window runs over the day-grain frame — the pattern that
+    keeps moving averages cheap no matter how large the raw stream is.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("dsum"),
+        F.count("*").alias("n_events"),
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            "n_events",
+            F.round("dsum", 4).cast("double").alias("day_value"),
+            F.round(
+                F.round(F.sum("dsum").over(w7), 4).cast("double")
+                / F.count("*").over(w7),
+                4,
+            ).alias("moving_avg_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+MOVING_AVG_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         SUM(CAST(value AS DECIMAL(12,2))) AS dsum,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP)
+)
+SELECT day, n_events,
+       CAST(ROUND(dsum, 4) AS DOUBLE) AS day_value,
+       ROUND(CAST(ROUND(SUM(dsum) OVER w7, 4) AS DOUBLE)
+             / COUNT(*) OVER w7, 4) AS moving_avg_7d
+FROM daily
+WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY day
+"""

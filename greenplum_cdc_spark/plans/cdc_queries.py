@@ -192,3 +192,145 @@ FROM cdc
 GROUP BY CAST(ts AS DATE)
 ORDER BY event_date
 """.format(feed=maxwell.EVENTS_AS_CDC_SQL)
+
+
+_DDL_TEMPLATE = (
+    "CREATE TABLE `{t}` (id BIGINT, created DATETIME, payload LONGBLOB, "
+    "note LONGTEXT, flag TINYINT(1), val DOUBLE) ENGINE=InnoDB"
+)
+
+
+def cdc_ddl_translate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: MySQL→Spark-SQL DDL translation over a deterministic DDL feed.
+
+    One synthetic MySQL CREATE TABLE per nation row runs through the REAL
+    ``functions.ddl`` pipeline (translate_sql + add_schema_name, i.e.
+    `translate_sql`/`add_schema_name` of cdc_plpgsql_functions.sql:8-57);
+    the oracle re-states the rewrites with SQL string functions, so any
+    drift in the type map / ENGINE-strip / backtick-strip breaks the
+    hash. DDL streams are tiny (driver-side in the reference too), so a
+    per-row Python UDF is fine here — this is NOT a fact-table hot path.
+    """
+    from ..functions import ddl as ddlmod
+
+    @F.udf("string")
+    def translate_udf(table):
+        raw = _DDL_TEMPLATE.format(t=table)
+        return ddlmod.add_schema_name("appdb", ddlmod.translate_sql(raw))
+
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.select(
+            F.col("n_name").alias("src_table"),
+            translate_udf(F.col("n_name")).alias("translated_sql"),
+        )
+        .orderBy("src_table")
+    )
+
+
+CDC_DDL_SQL = f"""
+WITH raw AS (
+  SELECT n_name AS src_table,
+         'CREATE TABLE `' || n_name || '` (id BIGINT, created DATETIME, payload LONGBLOB, note LONGTEXT, flag TINYINT(1), val DOUBLE) ENGINE=InnoDB' AS sql
+  FROM nation
+)
+SELECT src_table,
+       regexp_replace(
+         replace(
+           replace(
+             replace(
+               replace(
+                 replace(regexp_replace(sql, 'ENGINE\\s*=\\s*\\S+', ''), '`', ''),
+               'TINYINT(1)', 'SMALLINT'),
+             'DATETIME', 'TIMESTAMP'),
+           'LONGBLOB', 'BINARY'),
+         'LONGTEXT', 'STRING'),
+       '^CREATE TABLE ', 'CREATE TABLE appdb.') AS translated_sql
+FROM raw
+ORDER BY src_table
+"""
+
+
+def _demo_registry():
+    """The replicated-table catalog the apply path consults (A8) — the
+    Spring Music demo table (README.md:93-137) plus the CDC feed shape."""
+    from ..catalog import SchemaRegistry, TableSpec
+
+    reg = SchemaRegistry()
+    reg.register(
+        TableSpec(
+            "music",
+            "album",
+            {
+                "id": "BIGINT",
+                "title": "TEXT",
+                "artist": "TEXT",
+                "release_year": "INT",
+                "created": "TIMESTAMP",
+            },
+            ("id",),
+        )
+    )
+    reg.register(
+        TableSpec(
+            "appdb",
+            "events",
+            {
+                "event_id": "BIGINT",
+                "ts": "TIMESTAMP",
+                "user_id": "BIGINT",
+                "event_type": "TEXT",
+                "value": "DOUBLE",
+            },
+            ("event_id",),
+        )
+    )
+    return reg
+
+
+def cdc_schema_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: the registry's answer surface — one row per column, with the
+    resolved type (get_type) and PK membership (get_pk_cols).
+
+    The rows are produced THROUGH the registry API, so a lookup bug
+    changes the output; the oracle states the expected catalog literally.
+    """
+    reg = _demo_registry()
+    rows = []
+    for spec in reg.tables.values():
+        for i, col in enumerate(spec.columns):
+            rows.append(
+                (
+                    spec.database,
+                    spec.table,
+                    col,
+                    reg.get_type(spec.database, spec.table, col),
+                    int(col in reg.get_pk_cols(spec.database, spec.table)),
+                    i + 1,
+                )
+            )
+    return spark.createDataFrame(
+        sorted(rows),
+        "database_name string, table_name string, col_name string,"
+        " col_type string, is_pk int, ordinal int",
+    ).orderBy("database_name", "table_name", "ordinal")
+
+
+def _registry_values_sql() -> str:
+    reg = _demo_registry()
+    rows = []
+    for spec in reg.tables.values():
+        for i, col in enumerate(spec.columns):
+            rows.append(
+                f"('{spec.database}', '{spec.table}', '{col}',"
+                f" '{spec.columns[col]}', {int(col in spec.pk_cols)}, {i + 1})"
+            )
+    return (
+        "SELECT * FROM (VALUES\n  "
+        + ",\n  ".join(sorted(rows))
+        + "\n) AS t(database_name, table_name, col_name, col_type, is_pk, ordinal)\n"
+        "ORDER BY database_name, table_name, ordinal"
+    )
+
+
+CDC_REGISTRY_SQL = _registry_values_sql()

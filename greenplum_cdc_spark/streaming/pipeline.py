@@ -186,3 +186,82 @@ FROM events
 GROUP BY date_trunc('hour', ts), event_type
 ORDER BY hour_start, event_type
 """
+
+
+def stream_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: the WHOLE reference loop end-to-end, as one checkable query.
+
+    events → genuine Maxwell JSON lines on disk → `readStream` text
+    source → parse → foreachBatch(merge) into the versioned replica →
+    read the final replica back. Mirrors README.md:85-92's
+    poll/load/apply loop with real Structured Streaming machinery.
+
+    The final replica equals the latest-wins snapshot of the feed, so
+    the DuckDB oracle can state it directly — a full-pipeline (not just
+    rows-only) correctness check.
+    """
+    import shutil
+    import tempfile
+
+    from ..io import load_table
+
+    base = tempfile.mkdtemp(prefix="cdc_e2e_")
+    in_dir, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
+    replica_dir = os.path.join(base, "replica")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        line = F.to_json(
+            F.struct(
+                F.lit("appdb").alias("database"),
+                F.lit("events").alias("table"),
+                F.when(F.col("event_type") == "error", F.lit("delete"))
+                .otherwise(F.lit("insert"))
+                .alias("type"),
+                F.expr("unix_micros(ts) div 1000").alias("ts"),
+                F.col("event_id").alias("xid"),
+                F.struct(
+                    F.col("user_id").alias("id"),
+                    F.col("value").alias("value"),
+                    F.col("event_type").alias("event_type"),
+                ).alias("data"),
+            )
+        )
+        ev.select(line.alias("line")).write.mode("overwrite").text(in_dir)
+
+        pipe = CDCPipeline(spark, replica_dir, key_cols=("pk",))
+        pipe.run_available(in_dir, ckpt)
+        replica = pipe.store.read()
+        out = replica.select(
+            "pk",
+            F.col("ts").alias("last_ts"),
+            F.col("seq").alias("last_seq"),
+            F.col("data")["value"].cast("double").alias("last_value"),
+            F.col("data")["event_type"].alias("last_event_type"),
+        ).orderBy("pk")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# Maxwell ms-epoch serialization truncates ts to milliseconds, and the
+# replica keeps the latest row per pk ordered by (ts_ms, xid).
+STREAM_CDC_SQL = """
+WITH cdc AS (
+  SELECT user_id AS pk,
+         make_timestamp((epoch_us(ts) // 1000) * 1000) AS ts,
+         event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+         value, event_type
+  FROM events
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+  FROM cdc
+)
+SELECT pk, ts AS last_ts, seq AS last_seq, value AS last_value,
+       event_type AS last_event_type
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+ORDER BY pk
+"""

@@ -140,3 +140,23 @@ def test_schema_registry():
     assert not reg.has_pk("music", "nope")
     reg.drop("music")
     assert reg.get_pk_cols("music", "album") == ()
+
+
+def test_cdc_ddl_translate_query(spark, sf_dir):
+    from greenplum_cdc_spark.plans import cdc_queries
+
+    rows = cdc_queries.cdc_ddl_translate(spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        s = r["translated_sql"]
+        assert "ENGINE" not in s and "`" not in s
+        assert "TIMESTAMP" in s and "BINARY" in s and "SMALLINT" in s
+        assert s.startswith("CREATE TABLE appdb.")
+
+
+def test_cdc_schema_registry_query(spark, sf_dir):
+    from greenplum_cdc_spark.plans import cdc_queries
+
+    rows = cdc_queries.cdc_schema_registry(spark, sf_dir).collect()
+    pks = [(r["table_name"], r["col_name"]) for r in rows if r["is_pk"] == 1]
+    assert ("album", "id") in pks and ("events", "event_id") in pks

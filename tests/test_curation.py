@@ -107,3 +107,24 @@ def test_frame_sample_counts(spark):
         .collect()
     )
     assert joined and all(r["n"] == r["expected"] for r in joined)
+
+
+def test_running_total_monotone_per_user(spark, sf_dir):
+    from greenplum_cdc_spark.operators import timeseries
+
+    rows = timeseries.running_total_by_user(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        prev = by_user.get(r["user_id"], 0)
+        assert r["running_n"] == prev + 1
+        by_user[r["user_id"]] = r["running_n"]
+
+
+def test_moving_avg_window_bounds(spark, sf_dir):
+    from greenplum_cdc_spark.operators import timeseries
+
+    rows = timeseries.moving_avg_daily(spark, sf_dir).collect()
+    assert rows == sorted(rows, key=lambda r: r["day"])
+    # first day's moving avg == its own day value
+    if rows:
+        assert abs(rows[0]["moving_avg_7d"] - rows[0]["day_value"]) < 1e-6

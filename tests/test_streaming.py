@@ -84,3 +84,14 @@ def test_stream_windowed_counts_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_stream_cdc_pipeline_query_matches_snapshot(spark, sf_dir):
+    """A10 e2e equals the batch latest-wins snapshot of the same feed."""
+    from greenplum_cdc_spark.plans import cdc_queries
+    from greenplum_cdc_spark.streaming import pipeline as sp
+
+    e2e = sp.stream_cdc_pipeline(spark, sf_dir).collect()
+    snap = cdc_queries.cdc_snapshot_latest(spark, sf_dir).collect()
+    assert [r["pk"] for r in e2e] == [r["pk"] for r in snap]
+    assert [r["last_seq"] for r in e2e] == [r["last_seq"] for r in snap]

@@ -69,3 +69,46 @@ def test_json_extract(spark, sf_dir):
     assert {r["event_type"] for r in rows} <= {"click", "view", "error", "purchase", "signup"}
     for r in rows:
         assert r["min_k"] is not None and r["min_k"] <= r["max_k"]
+
+
+def test_q6_single_row_revenue(spark, sf_dir):
+    out = tpch.q6_forecast_revenue(spark, sf_dir).collect()
+    assert len(out) == 1
+    assert out[0]["revenue"] is None or out[0]["revenue"] >= 0
+
+
+def test_q4_semi_join_counts_bounded_by_orders(spark, sf_dir):
+    rows = tpch.q4_order_priority(spark, sf_dir).collect()
+    n_orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .count()
+    )
+    assert sum(r["order_count"] for r in rows) <= n_orders
+
+
+def test_q13_distribution_counts_all_customers(spark, sf_dir):
+    rows = tpch.q13_customer_distribution(spark, sf_dir).collect()
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["custdist"] for r in rows) == n_cust
+
+
+def test_q15_top_supplier_is_argmax(spark, sf_dir):
+    rows = tpch.q15_top_supplier(spark, sf_dir).collect()
+    assert len(rows) >= 1
+    revs = {r["total_revenue"] for r in rows}
+    assert len(revs) == 1  # all returned suppliers tie at the max
+
+
+def test_q18_all_above_threshold(spark, sf_dir):
+    rows = tpch.q18_large_volume(spark, sf_dir).collect()
+    assert all(r["sum_qty"] > 300 for r in rows)
+
+
+def test_q2_one_row_per_part(spark, sf_dir):
+    rows = tpch.q2_min_cost_supplier(spark, sf_dir).collect()
+    parts = [r["p_partkey"] for r in rows]
+    assert len(parts) == len(set(parts))
