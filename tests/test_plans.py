@@ -1,0 +1,82 @@
+"""Plan assertions (SURVEY §5.5): the physical plans must keep the
+shapes the 100 TB design depends on — broadcast dims, pushed filters,
+pruned scans, codegen'd hot paths. A regression here can pass every
+correctness check and still be 100x slower at scale.
+"""
+
+from __future__ import annotations
+
+from greenplum_cdc_spark.operators import dedup, similarity
+from greenplum_cdc_spark.plans import tpch
+
+
+def _formatted_plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q5_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = _formatted_plan(spark, tpch.q5_supplier_volume(spark, sf_dir))
+    # 5 dims (orders auto-broadcasts at small SF too) -> at least 4
+    # BroadcastHashJoins and NO shuffle-based join anywhere.
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_q5_filters_reach_scans(spark, sf_dir):
+    plan = _formatted_plan(spark, tpch.q5_supplier_volume(spark, sf_dir))
+    assert "EqualTo(r_name,ASIA)" in plan  # region filter at the scan
+    assert "GreaterThanOrEqual(o_orderdate," in plan  # date range at the scan
+
+
+def test_q1_scan_is_pruned(spark, sf_dir):
+    plan = _formatted_plan(spark, tpch.q1_pricing_summary(spark, sf_dir))
+    # lineitem has 11 columns; Q1 must read only the 7 it needs.
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and "l_orderkey" not in read[0] and "l_partkey" not in read[0]
+    assert "LessThanOrEqual(l_shipdate," in plan
+
+
+def test_q3_pushes_all_three_filters(spark, sf_dir):
+    plan = _formatted_plan(spark, tpch.q3_shipping_priority(spark, sf_dir))
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate," in plan
+    assert "GreaterThan(l_shipdate," in plan
+
+
+def test_q4_uses_semi_join(spark, sf_dir):
+    plan = _formatted_plan(spark, tpch.q4_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_q22_uses_anti_join(spark, sf_dir):
+    plan = _formatted_plan(spark, tpch.q22_sales_opportunity(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_minhash_has_no_window_exchange_before_agg(spark, sf_dir):
+    """Shingling must stay map-side: exactly the aggregate exchanges, no
+    window sort-exchange from the old lead-window formulation."""
+    plan = _formatted_plan(spark, dedup.dedup_minhash_lsh(spark, sf_dir))
+    assert "Window" not in plan
+
+
+def test_knn_lsh_signature_is_shuffle_free_until_bucket_count(spark, sf_dir):
+    import re
+
+    plan = _formatted_plan(spark, similarity.knn_lsh(spark, sf_dir))
+    # signature computation is map-side; the only exchanges are for the
+    # bucket-occupancy window + final sort
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges <= 2
+
+
+def test_exact_dedup_is_single_shuffle(spark, sf_dir):
+    import re
+
+    plan = _formatted_plan(spark, dedup.dedup_exact(spark, sf_dir))
+    # partial agg -> one hash exchange -> final agg (plus the orderBy's
+    # range exchange)
+    assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.MULTILINE)) == 2
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) <= 2
