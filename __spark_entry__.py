@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": text.quality_score,
         "token_count": text.token_count,
         "doc_fingerprint": text.doc_fingerprint,
+        "text_normalize": text.text_normalize,
+        "deterministic_sample": text.deterministic_sample,
         "multimodal_meta": multimodal.multimodal_meta,
     }
     return q
@@ -131,5 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": text.QUALITY_SQL,
         "token_count": text.TOKEN_COUNT_SQL,
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
+        "text_normalize": text.TEXT_NORMALIZE_SQL,
+        "deterministic_sample": text.DETERMINISTIC_SAMPLE_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
     }

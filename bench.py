@@ -23,9 +23,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session startup.
+    # Warm the JVM + parquet footers + JSON codegen + Python workers once
+    # so per-query numbers measure the query, not session startup.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    import pyspark.sql.functions as F
+
+    warm = spark.range(1000).select(
+        F.to_json(F.struct("id")).alias("j")
+    )
+    warm.select(F.from_json("j", "id bigint")).count()
+    warm.mapInPandas(lambda it: it, schema="j string").count()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():

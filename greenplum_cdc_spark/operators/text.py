@@ -248,3 +248,68 @@ FROM grams
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13: canonical text normalization — lowercase, strip non-alnum to
+    space, collapse whitespace, trim. The standard pre-dedup transform;
+    pure JVM expressions, fully codegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9 ]", " "), " +", " "
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            norm.alias("norm_text"),
+            F.length(norm).alias("norm_len"),
+            F.md5(norm).alias("norm_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_NORMALIZE_SQL = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+       length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_len,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+FROM documents
+ORDER BY doc_id
+"""
+
+# Deterministic sample: md5 is a uniform hash, and fixed-width lowercase
+# hex orders lexicographically == numerically, so thresholding the first
+# 8 hex chars keeps ~rate of rows — same rows on EVERY engine and every
+# cluster size, unlike rand()-based sampling.
+_SAMPLE_RATE = 0.2
+_SAMPLE_THRESHOLD_HEX = f"{int(_SAMPLE_RATE * 0xFFFFFFFF):08x}"
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14: content-hash Bernoulli sample (reproducible corpus subsets).
+
+    At 100 TB, sampling must be deterministic (re-runs and retries see
+    the same subset) and embarrassingly parallel — a pure map filter on
+    a content hash gives both; rand()-based sampling gives neither.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.concat(F.lit("sample:"), "text")), 1, 8)
+    return (
+        docs.withColumn("hash_bucket", bucket)
+        .filter(F.col("hash_bucket") <= _SAMPLE_THRESHOLD_HEX)
+        .select("doc_id", "hash_bucket", F.col("n_chars").alias("doc_len"))
+        .orderBy("doc_id")
+    )
+
+
+DETERMINISTIC_SAMPLE_SQL = f"""
+SELECT doc_id,
+       substr(md5('sample:' || text), 1, 8) AS hash_bucket,
+       n_chars AS doc_len
+FROM documents
+WHERE substr(md5('sample:' || text), 1, 8) <= '{_SAMPLE_THRESHOLD_HEX}'
+ORDER BY doc_id
+"""

@@ -95,3 +95,19 @@ def test_stream_cdc_pipeline_query_matches_snapshot(spark, sf_dir):
     snap = cdc_queries.cdc_snapshot_latest(spark, sf_dir).collect()
     assert [r["pk"] for r in e2e] == [r["pk"] for r in snap]
     assert [r["last_seq"] for r in e2e] == [r["last_seq"] for r in snap]
+
+
+def test_bus_source_text_kind(spark, tmp_path):
+    """The transport factory yields the uniform one-column `line` frame."""
+    from greenplum_cdc_spark.sources.bus import read_bus_stream
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.txt").write_text('{"database":"d","table":"t","type":"insert"}\n')
+    stream = read_bus_stream(spark, "text", path=str(p))
+    assert stream.isStreaming and stream.columns == ["line"]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_bus_stream(spark, "carrier-pigeon")
