@@ -33,6 +33,15 @@ def main() -> None:
     )
     warm.select(F.from_json("j", "id bigint")).count()
     warm.mapInPandas(lambda it: it, schema="j string").count()
+    # compile the Maxwell envelope parser (complex map-typed from_json)
+    from greenplum_cdc_spark.sources.maxwell import parse_maxwell
+
+    parse_maxwell(
+        spark.createDataFrame(
+            [('{"database":"d","table":"t","type":"insert","ts":1700000000}',)],
+            "line string",
+        )
+    ).count()
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
