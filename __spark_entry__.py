@@ -63,6 +63,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_orders": timeseries.asof_join_orders,
         "running_total_by_user": timeseries.running_total_by_user,
         "moving_avg_daily": timeseries.moving_avg_daily,
+        "value_percentiles": timeseries.value_percentiles,
+        "events_histogram": timeseries.events_histogram,
+        "corr_value_props": timeseries.corr_value_props,
+        "events_pivot_hourly": timeseries.events_pivot_hourly,
         # C. training-data pipeline
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -122,6 +126,10 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_orders": timeseries.ASOF_SQL,
         "running_total_by_user": timeseries.RUNNING_TOTAL_SQL,
         "moving_avg_daily": timeseries.MOVING_AVG_SQL,
+        "value_percentiles": timeseries.VALUE_PERCENTILES_SQL,
+        "events_histogram": timeseries.EVENTS_HISTOGRAM_SQL,
+        "corr_value_props": timeseries.CORR_VALUE_SQL,
+        "events_pivot_hourly": timeseries.EVENTS_PIVOT_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": dedup.DEDUP_MINHASH_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,

@@ -266,3 +266,128 @@ FROM daily
 WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 ORDER BY day
 """
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B27: exact interpolated percentiles per event type.
+
+    Greenplum's percentile_cont analog. Exact percentile needs a per-group
+    sort; at 100 TB swap in approx_percentile (t-digest, mergeable
+    map-side) — kept exact here because the oracle demands exactness.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       ROUND(quantile_cont(value, 0.99), 4) AS p99,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B28: fixed-width value histogram (width_bucket analog).
+
+    Integer bucketing is exact and order-insensitive — safe at any
+    parallelism, unlike float-boundary schemes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50.0).cast("int")
+    return (
+        ev.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
+EVENTS_HISTOGRAM_SQL = """
+SELECT CAST(floor(value / 50.0) AS INT) AS bucket,
+       COUNT(*) AS n_events,
+       ROUND(MIN(value), 2) AS min_value,
+       ROUND(MAX(value), 2) AS max_value
+FROM events
+GROUP BY CAST(floor(value / 50.0) AS INT)
+ORDER BY bucket
+"""
+
+
+def corr_value_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B29: correlation / covariance between the event value and the
+    JSON-extracted props field, per event type (Greenplum stats aggs)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", "k"), 4).alias("corr_vk"),
+            F.round(F.covar_samp("value", "k"), 2).alias("covar_vk"),
+            F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CORR_VALUE_SQL = """
+SELECT event_type,
+       ROUND(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS corr_vk,
+       ROUND(covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS covar_vk,
+       ROUND(stddev_samp(value), 4) AS stddev_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def events_pivot_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B30: hour-of-day x event-type count crosstab via pivot.
+
+    Spark's pivot runs as one grouped agg with a known column list (we
+    pass the values explicitly — never let pivot scan for distinct
+    values at 100 TB).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.withColumn("hour_of_day", F.hour("ts"))
+        .groupBy("hour_of_day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("hour_of_day")
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+       COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0) AS click,
+       COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END), 0) AS error,
+       COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS purchase,
+       COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END), 0) AS signup,
+       COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0) AS view
+FROM events
+GROUP BY CAST(hour(ts) AS INT)
+ORDER BY hour_of_day
+"""

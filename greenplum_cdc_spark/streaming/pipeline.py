@@ -265,3 +265,41 @@ FROM ranked
 WHERE rn = 1 AND op <> 'delete'
 ORDER BY pk
 """
+
+
+class FanoutCDCPipeline(CDCPipeline):
+    """Reference TODO "add a second data target (fan-out)" (README.md:156).
+
+    The merged replica commits to N stores per micro-batch; each sink
+    keeps its own version pointer, so a slow/failed secondary never
+    corrupts the primary (its pointer still names its last complete
+    version, and the next batch re-converges it — merges are
+    deterministic latest-wins, so replay is idempotent).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        replica_paths: list[str],
+        archive_path: str | None = None,
+        key_cols: tuple[str, ...] = ("pk",),
+    ):
+        super().__init__(spark, replica_paths[0], archive_path, key_cols)
+        self.stores = [ReplicaStore(spark, p) for p in replica_paths]
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        parsed = parse_maxwell(batch)
+        if self.archive_path:
+            write_archive(parsed.filter(F.col("op").isNotNull()), self.archive_path)
+        feed = self._typed_feed(parsed)
+        # compute the merge ONCE against the primary, then fan the same
+        # frame out — secondaries are replicas of the replica, not
+        # independent merges (keeps them bit-identical).
+        replica = self.store.read()
+        if replica is None:
+            merged = snapshot_latest(feed, key_cols=self.key_cols)
+        else:
+            merged = apply_incremental(replica, feed, key_cols=self.key_cols)
+        merged = merged.localCheckpoint(eager=True)  # compute once, write N times
+        for store in self.stores:
+            store.commit(merged)

@@ -111,3 +111,34 @@ def test_bus_source_text_kind(spark, tmp_path):
 
     with pytest.raises(ValueError):
         read_bus_stream(spark, "carrier-pigeon")
+
+
+def test_fanout_pipeline_sinks_identical(spark, tmp_path):
+    """Reference TODO: fan-out to a second sink — both replicas equal."""
+    import json
+
+    from greenplum_cdc_spark.streaming.pipeline import FanoutCDCPipeline
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    lines = [
+        {"database": "d", "table": "t", "type": "insert", "ts": 1700000000,
+         "xid": i, "data": {"id": str(i % 3), "v": str(i)}}
+        for i in range(9)
+    ] + [
+        {"database": "d", "table": "t", "type": "delete", "ts": 1700000900,
+         "xid": 99, "data": {"id": "1"}}
+    ]
+    (in_dir / "feed.json").write_text("\n".join(json.dumps(x) for x in lines))
+
+    pipe = FanoutCDCPipeline(
+        spark,
+        [str(tmp_path / "rep_a"), str(tmp_path / "rep_b")],
+        key_cols=("pk",),
+    )
+    pipe.run_available(str(in_dir), str(tmp_path / "ckpt"))
+
+    a = sorted(pipe.stores[0].read().select("pk", "seq").collect())
+    b = sorted(pipe.stores[1].read().select("pk", "seq").collect())
+    assert a == b
+    assert [r["pk"] for r in a] == [0, 2]  # pk=1 deleted last
