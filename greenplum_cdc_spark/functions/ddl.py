@@ -21,7 +21,7 @@ TYPE_MAP = {
 }
 
 _DDL_HEAD = re.compile(
-    r"((?:CREATE|DROP|ALTER)\s+TABLE(?:\s+IF\s+(?:NOT\s+)?EXISTS)?)\s+(\w+)",
+    r"((?:CREATE|DROP|ALTER)\s+TABLE(?:\s+IF\s+(?:NOT\s+)?EXISTS)?)\s+(\w+(?:\.\w+)?)",
     re.IGNORECASE,
 )
 _ENGINE = re.compile(r"\bENGINE\s*=\s*\S+", re.IGNORECASE)
@@ -49,10 +49,23 @@ def translate_sql(sql: str | None) -> str | None:
 
 def add_schema_name(schema: str | None, sql: str | None) -> str | None:
     """Qualify the object of CREATE/DROP/ALTER TABLE with its database —
-    `add_schema_name` (cdc_plpgsql_functions.sql:8-18)."""
+    `add_schema_name` (cdc_plpgsql_functions.sql:8-18).
+
+    Unlike the reference (which qualifies unconditionally), an
+    already-qualified name is left untouched, so replaying a translated
+    statement is idempotent — the apply path replays batches after
+    failures, and double-qualification would corrupt the DDL.
+    """
     if sql is None or schema is None:
         return None
-    return _DDL_HEAD.sub(lambda m: f"{m.group(1)} {schema}.{m.group(2)}", sql, count=1)
+
+    def _repl(m: re.Match) -> str:
+        name = m.group(2)
+        if "." in name:  # already qualified — replay-safe no-op
+            return m.group(0)
+        return f"{m.group(1)} {schema}.{name}"
+
+    return _DDL_HEAD.sub(_repl, sql, count=1)
 
 
 def ddl_for_event(op: str, database: str, sql: str | None) -> str | None:

@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis) for the invariants the CDC apply
+path depends on: order-insensitivity, idempotence of the dialect
+translation, and replay safety (SURVEY §5.3)."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from greenplum_cdc_spark.functions.ddl import add_schema_name, translate_sql
+from greenplum_cdc_spark.operators.cdc import snapshot_latest
+
+_IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+_TYPES = st.sampled_from(
+    ["BIGINT", "INT", "DOUBLE", "DATETIME", "LONGBLOB", "LONGTEXT", "TINYINT(1)", "TEXT"]
+)
+
+
+@given(
+    table=_IDENT,
+    cols=st.lists(st.tuples(_IDENT, _TYPES), min_size=1, max_size=5),
+    backticks=st.booleans(),
+    engine=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_translate_sql_is_idempotent_and_clean(table, cols, backticks, engine):
+    q = "`" if backticks else ""
+    col_sql = ", ".join(f"{q}{c}{q} {t}" for c, t in cols)
+    sql = f"CREATE TABLE {q}{table}{q} ({col_sql})"
+    if engine:
+        sql += " ENGINE=InnoDB"
+    out = translate_sql(sql)
+    # translation is idempotent and never leaves MySQL-isms behind
+    assert translate_sql(out) == out
+    assert "`" not in out and "ENGINE" not in out
+    for mysql_t in ("DATETIME", "LONGBLOB", "LONGTEXT", "TINYINT(1)"):
+        assert mysql_t not in out
+
+
+@given(schema=_IDENT, table=_IDENT)
+@settings(max_examples=100, deadline=None)
+def test_add_schema_name_qualifies_exactly_once(schema, table):
+    sql = f"CREATE TABLE {table} (id BIGINT)"
+    out = add_schema_name(schema, sql)
+    assert out.startswith(f"CREATE TABLE {schema}.{table}")
+    # re-qualifying with the same schema must not double-qualify the
+    # table part (the reference applies it once per event; ours must be
+    # safe under replay of an already-translated statement)
+    assert add_schema_name(schema, out).count(f"{schema}.{schema}.") == 0
+
+
+@st.composite
+def _cdc_feed(draw):
+    n = draw(st.integers(min_value=1, max_value=25))
+    rows = []
+    for seq in range(n):
+        pk = draw(st.integers(min_value=0, max_value=4))
+        ts_off = draw(st.integers(min_value=0, max_value=9))
+        op = draw(st.sampled_from(["insert", "insert", "insert", "delete"]))
+        rows.append((pk, ts_off, seq, op))
+    return rows
+
+
+@given(feed=_cdc_feed(), seed=st.integers(min_value=0, max_value=2**16))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_snapshot_is_input_order_invariant(spark, feed, seed):
+    """Shuffling the arrival order of a CDC batch never changes the
+    snapshot — the latest-wins window depends only on (ts, seq)."""
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            [
+                (pk, f"2024-01-01 00:00:0{t}", seq, op, float(seq), "t")
+                for pk, t, seq, op in rows
+            ],
+            "pk long, ts string, seq long, op string, value double, event_type string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    shuffled = feed[:]
+    random.Random(seed).shuffle(shuffled)
+    a = sorted(snapshot_latest(to_df(feed)).select("pk", "seq").collect())
+    b = sorted(snapshot_latest(to_df(shuffled)).select("pk", "seq").collect())
+    assert a == b
+
+
+@given(feed=_cdc_feed())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_snapshot_never_surfaces_deleted_latest(spark, feed):
+    """A pk whose max-(ts,seq) event is a delete must be absent."""
+    df = spark.createDataFrame(
+        [
+            (pk, f"2024-01-01 00:00:0{t}", seq, op, float(seq), "t")
+            for pk, t, seq, op in feed
+        ],
+        "pk long, ts string, seq long, op string, value double, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    snap = {r["pk"] for r in snapshot_latest(df).collect()}
+    last_op = {}
+    for pk, t, seq, op in sorted(feed, key=lambda r: (r[0], r[1], r[2])):
+        last_op[pk] = op
+    for pk, op in last_op.items():
+        assert (pk in snap) == (op != "delete")
