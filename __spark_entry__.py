@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": text.doc_fingerprint,
         "text_normalize": text.text_normalize,
         "deterministic_sample": text.deterministic_sample,
+        "stratified_sample": text.stratified_sample,
+        "minhash_jaccard_est": dedup.minhash_jaccard_est,
+        "embedding_stats": similarity.embedding_stats,
         "multimodal_meta": multimodal.multimodal_meta,
     }
     return q
@@ -143,5 +146,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": text.DOC_FINGERPRINT_SQL,
         "text_normalize": text.TEXT_NORMALIZE_SQL,
         "deterministic_sample": text.DETERMINISTIC_SAMPLE_SQL,
+        "stratified_sample": text.STRATIFIED_SAMPLE_SQL,
+        "minhash_jaccard_est": dedup.MINHASH_EST_SQL,
+        "embedding_stats": similarity.EMBEDDING_STATS_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
     }

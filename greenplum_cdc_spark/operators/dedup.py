@@ -301,3 +301,74 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
+
+
+def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15: estimated Jaccard from MinHash signature agreement.
+
+    For every LSH candidate pair, the fraction of agreeing minhash
+    values estimates J(A,B) (Broder) — the cheap filter a 100 TB dedup
+    pass applies before any exact verification. Signature join only;
+    never touches the original texts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    hashed = sh.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("0:"), F.col("sh"))).alias("d0"),
+        F.md5(F.concat(F.lit("1:"), F.col("sh"))).alias("d1"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(f"d{i // 4}", 1 + 8 * (i % 4), 8)).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    matches = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            matches.alias("n_match"),
+        )
+        .filter(F.col("n_match") >= N_HASHES // 2)
+        .withColumn("jaccard_est", F.round(F.col("n_match") / F.lit(N_HASHES), 4))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_est_sql() -> str:
+    mins = ",\n         ".join(
+        f"MIN(substr(d{i // 4}, {1 + 8 * (i % 4)}, 8)) AS h{i}" for i in range(N_HASHES)
+    )
+    match_expr = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+    )
+    return f"""
+WITH {_SHINGLES_SQL.strip().lstrip()},
+hashed AS (
+  SELECT doc_id, md5('0:' || sh) AS d0, md5('1:' || sh) AS d1
+  FROM shingles
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed
+  GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       {match_expr} AS n_match,
+       ROUND(({match_expr}) / {N_HASHES}, 4) AS jaccard_est
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE {match_expr} >= {N_HASHES // 2}
+ORDER BY doc_a, doc_b
+"""
+
+
+MINHASH_EST_SQL = _minhash_est_sql()

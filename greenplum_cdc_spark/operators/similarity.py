@@ -233,3 +233,49 @@ ORDER BY vec_id
 
 
 KNN_LSH_SQL = _knn_lsh_sql()
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17: per-label embedding centroids (elementwise mean per dim).
+
+    The corpus-health check of an embedding pipeline (drifted or
+    collapsed clusters show up immediately). Elements are rounded to 6dp
+    then summed as DECIMAL, so the centroid is exact and
+    order-insensitive — a naive double sum would drift run-to-run at
+    1000 partitions.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings")
+    ve = vecs.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("v").cast("double"), 6).cast("decimal(16,6)").alias("rv"),
+    )
+    return (
+        ve.groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("rv"), 6).cast("double").alias("sum_v"),
+            F.round(
+                F.round(F.sum("rv"), 6).cast("double") / F.count("*"), 6
+            ).alias("centroid_v"),
+        )
+        .orderBy("label", "dim")
+    )
+
+
+EMBEDDING_STATS_SQL = """
+WITH ve AS (
+  SELECT label,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(16,6)) AS rv
+  FROM embeddings
+)
+SELECT label, dim, COUNT(*) AS n,
+       CAST(ROUND(SUM(rv), 6) AS DOUBLE) AS sum_v,
+       ROUND(CAST(ROUND(SUM(rv), 6) AS DOUBLE) / COUNT(*), 6) AS centroid_v
+FROM ve
+GROUP BY label, dim
+ORDER BY label, dim
+"""

@@ -313,3 +313,39 @@ FROM documents
 WHERE substr(md5('sample:' || text), 1, 8) <= '{_SAMPLE_THRESHOLD_HEX}'
 ORDER BY doc_id
 """
+
+
+_STRATA_K = 50
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16: per-language stratified sample (top-K per stratum by content
+    hash). Quota sampling keeps class balance in the curated corpus;
+    rank-by-hash makes it deterministic and engine-independent, and one
+    window shuffle on the stratum key is the whole cost at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("strat:"), "text"))
+    w = Window.partitionBy("lang").orderBy(F.col("h"), F.col("doc_id"))
+    return (
+        docs.withColumn("h", h)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _STRATA_K)
+        .select("lang", "rk", "doc_id", F.col("h").alias("sample_hash"))
+        .orderBy("lang", "rk")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang, rk, doc_id, h AS sample_hash
+FROM (
+  SELECT lang, doc_id, md5('strat:' || text) AS h,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5('strat:' || text), doc_id) AS rk
+  FROM documents
+) t
+WHERE rk <= {_STRATA_K}
+ORDER BY lang, rk
+"""

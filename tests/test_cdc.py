@@ -160,3 +160,18 @@ def test_cdc_schema_registry_query(spark, sf_dir):
     rows = cdc_queries.cdc_schema_registry(spark, sf_dir).collect()
     pks = [(r["table_name"], r["col_name"]) for r in rows if r["is_pk"] == 1]
     assert ("album", "id") in pks and ("events", "event_id") in pks
+
+
+def test_pipeline_config_from_env(monkeypatch):
+    from greenplum_cdc_spark.config import PipelineConfig
+
+    monkeypatch.setenv("CDC_BUS_KIND", "kafka")
+    monkeypatch.setenv("CDC_KAFKA_TOPIC", "maxwell_prod")
+    monkeypatch.setenv("CDC_FANOUT_PATHS", "/a,/b")
+    cfg = PipelineConfig.from_env()
+    assert cfg.bus_kind == "kafka"
+    assert cfg.fanout_paths == ("/a", "/b")
+    assert cfg.bus_opts() == {
+        "bootstrap_servers": "localhost:9092",
+        "topic": "maxwell_prod",
+    }

@@ -128,3 +128,31 @@ def test_moving_avg_window_bounds(spark, sf_dir):
     # first day's moving avg == its own day value
     if rows:
         assert abs(rows[0]["moving_avg_7d"] - rows[0]["day_value"]) < 1e-6
+
+
+def test_minhash_est_bounds_and_symmetry_inputs(spark):
+    from greenplum_cdc_spark.operators import dedup
+
+    rows = dedup.minhash_jaccard_est(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0.5 <= r["jaccard_est"] <= 1.0
+
+
+def test_stratified_sample_quota(spark):
+    from greenplum_cdc_spark.operators import text as text_ops
+
+    rows = text_ops.stratified_sample(spark, "/root/testdata/sf0.001").collect()
+    per_lang = {}
+    for r in rows:
+        per_lang[r["lang"]] = max(per_lang.get(r["lang"], 0), r["rk"])
+    assert all(k <= 50 for k in per_lang.values())
+
+
+def test_embedding_stats_dims_complete(spark):
+    from greenplum_cdc_spark.operators import similarity
+
+    rows = similarity.embedding_stats(spark, "/root/testdata/sf0.001").collect()
+    dims = {(r["label"], r["dim"]) for r in rows}
+    labels = {r["label"] for r in rows}
+    assert len(dims) == 64 * len(labels)
