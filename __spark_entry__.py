@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_orders": timeseries.asof_join_orders,
         "running_total_by_user": timeseries.running_total_by_user,
         "moving_avg_daily": timeseries.moving_avg_daily,
+        "salted_hot_key_rollup": timeseries.salted_hot_key_rollup,
         "value_percentiles": timeseries.value_percentiles,
         "events_histogram": timeseries.events_histogram,
         "corr_value_props": timeseries.corr_value_props,
@@ -129,6 +130,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_orders": timeseries.ASOF_SQL,
         "running_total_by_user": timeseries.RUNNING_TOTAL_SQL,
         "moving_avg_daily": timeseries.MOVING_AVG_SQL,
+        "salted_hot_key_rollup": timeseries.SALTED_ROLLUP_SQL,
         "value_percentiles": timeseries.VALUE_PERCENTILES_SQL,
         "events_histogram": timeseries.EVENTS_HISTOGRAM_SQL,
         "corr_value_props": timeseries.CORR_VALUE_SQL,

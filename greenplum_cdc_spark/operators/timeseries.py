@@ -391,3 +391,45 @@ FROM events
 GROUP BY CAST(hour(ts) AS INT)
 ORDER BY hour_of_day
 """
+
+
+_N_SALTS = 8
+
+
+def salted_hot_key_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32: two-phase salted aggregation for skewed keys.
+
+    The skew pattern from SURVEY §6 made concrete: phase 1 aggregates on
+    (key, salt) so a hot key's rows spread over _N_SALTS reducers, phase
+    2 combines the partials on the key alone — the second shuffle moves
+    only |keys| x _N_SALTS rows, not the raw stream. Sums are DECIMAL,
+    so the result is EXACTLY the direct single-phase aggregate; the
+    oracle states the direct aggregate, proving salting changes the
+    execution plan, never the answer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", (F.col("event_id") % _N_SALTS).cast("int"))
+        .groupBy("user_id", "salt")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(F.col("value").cast("decimal(12,2)")).alias("pv"),
+        )
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("pv"), 4).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SALTED_ROLLUP_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
