@@ -324,20 +324,46 @@ def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_HASHES)
         ]
     )
-    a = sig.alias("a")
-    b = sig.alias("b")
+    # candidate pairs come from the banded LSH equi-join (linear-ish),
+    # NEVER an all-pairs signature product — the estimate then runs on
+    # |candidates|, which banding keeps tiny relative to |corpus|^2.
+    rows_per_band = N_HASHES // N_BANDS
+    band_cols = []
+    for b in range(N_BANDS):
+        parts = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat(*parts)).alias(f"b{b}"))
+    banded = sig.select("doc_id", *band_cols)
+    stack_expr = "stack({n}, {args}) as (band_idx, digest)".format(
+        n=N_BANDS, args=", ".join(f"{b}, b{b}" for b in range(N_BANDS))
+    )
+    unpivoted = banded.select("doc_id", F.expr(stack_expr))
+    cand = (
+        unpivoted.alias("x")
+        .join(
+            unpivoted.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.digest") == F.col("y.digest"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"ah{i}") for i in range(N_HASHES)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"bh{i}") for i in range(N_HASHES)]
+    )
     matches = sum(
-        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        F.when(F.col(f"ah{i}") == F.col(f"bh{i}"), 1).otherwise(0)
         for i in range(N_HASHES)
     )
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            matches.alias("n_match"),
-        )
-        .filter(F.col("n_match") >= N_HASHES // 2)
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", matches.alias("n_match"))
         .withColumn("jaccard_est", F.round(F.col("n_match") / F.lit(N_HASHES), 4))
         .orderBy("doc_a", "doc_b")
     )
@@ -347,8 +373,20 @@ def _minhash_est_sql() -> str:
     mins = ",\n         ".join(
         f"MIN(substr(d{i // 4}, {1 + 8 * (i % 4)}, 8)) AS h{i}" for i in range(N_HASHES)
     )
+    rows_per_band = N_HASHES // N_BANDS
+    bands = ",\n         ".join(
+        "md5({parts}) AS b{b}".format(
+            parts=" || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+            b=b,
+        )
+        for b in range(N_BANDS)
+    )
+    unpivot = "\nUNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band_idx, b{b} AS digest FROM banded"
+        for b in range(N_BANDS)
+    )
     match_expr = " + ".join(
-        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES)
     )
     return f"""
 WITH {_SHINGLES_SQL.strip().lstrip()},
@@ -361,12 +399,27 @@ sig AS (
          {mins}
   FROM hashed
   GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id,
+         {bands}
+  FROM sig
+),
+unpivoted AS (
+{unpivot}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM unpivoted x
+  JOIN unpivoted y
+    ON x.band_idx = y.band_idx AND x.digest = y.digest AND x.doc_id < y.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT doc_a, doc_b,
        {match_expr} AS n_match,
        ROUND(({match_expr}) / {N_HASHES}, 4) AS jaccard_est
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-WHERE {match_expr} >= {N_HASHES // 2}
+FROM cand
+JOIN sig sa ON sa.doc_id = doc_a
+JOIN sig sb ON sb.doc_id = doc_b
 ORDER BY doc_a, doc_b
 """
 

@@ -134,9 +134,15 @@ def test_minhash_est_bounds_and_symmetry_inputs(spark):
     from greenplum_cdc_spark.operators import dedup
 
     rows = dedup.minhash_jaccard_est(spark, "/root/testdata/sf0.001").collect()
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash_lsh(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == cand
     for r in rows:
         assert r["doc_a"] < r["doc_b"]
-        assert 0.5 <= r["jaccard_est"] <= 1.0
+        # sharing a band implies >= rows-per-band matching hashes
+        assert 2 / 8 <= r["jaccard_est"] <= 1.0
 
 
 def test_stratified_sample_quota(spark):
