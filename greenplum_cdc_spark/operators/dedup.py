@@ -73,6 +73,25 @@ def _shingles(docs: DataFrame) -> DataFrame:
     )
 
 
+def _distinct_shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, sh-exploded) with per-doc dedup done ARRAY-SIDE:
+    array_distinct before the explode keeps both the shingle-set and its
+    size map-local — the `.distinct()` + groupBy-count formulation costs
+    two full shuffles of the widest relation at 100 TB."""
+    k = SHINGLE_WORDS
+    sh_arr = F.expr(
+        f"CASE WHEN size(toks) >= {k} THEN "
+        f"array_distinct(transform(sequence(0, size(toks) - {k}), "
+        f"i -> concat_ws(' ', {', '.join(f'toks[i + {j}]' for j in range(k))}))) "
+        "ELSE array() END"
+    )
+    return (
+        docs.withColumn("toks", F.filter(F.split("text", " "), lambda w: w != ""))
+        .withColumn("dsh", sh_arr)
+        .select("doc_id", F.size("dsh").alias("n_sh"), F.explode("dsh").alias("sh"))
+    )
+
+
 # DuckDB twin: list comprehension over the filtered token list
 # (1-based; range end-exclusive, empty when len(toks) < 3).
 _SHINGLES_SQL = f"""
@@ -258,21 +277,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes), then |A∩B| / (|A|+|B|-|A∩B|).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh = _distinct_shingle_sets(docs)
     a = sh.alias("a")
     b = sh.alias("b")
+    # n_sh is functionally dependent on doc_id, so grouping by it rides
+    # along free — no size-lookup joins, ONE shuffle for the whole op
+    # after the equi-join on the shingle.
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
