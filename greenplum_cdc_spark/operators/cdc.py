@@ -145,3 +145,34 @@ def write_archive(cdc: DataFrame, path: str, ts_col: str = "ts") -> None:
         .partitionBy("event_date")
         .parquet(path)
     )
+
+
+def normalize_pk_changes(
+    feed: DataFrame,
+    pk_col: str = "pk",
+    old_pk_col: str = "old_pk",
+    op_col: str = "op",
+) -> DataFrame:
+    """Expand PK-changing UPDATEs into delete(old_pk) + upsert(new_pk).
+
+    Maxwell updates carry the prior row in `old`; the reference's UPDATE
+    targets the OLD key (`process_events` builds WHERE from old values,
+    cdc_plpgsql_functions.sql:162-190), so an update that moves a row to
+    a new PK must remove the old row. The emitted delete shares the
+    event's (ts, seq) with `subseq=0` ordering it just before the upsert
+    (`subseq=1`), keeping the replay total order deterministic — pass
+    order_cols=(ts, seq, subseq) to the snapshot/apply window.
+    """
+    has_change = (
+        (F.col(op_col) == "update")
+        & F.col(old_pk_col).isNotNull()
+        & (F.col(old_pk_col) != F.col(pk_col))
+    )
+    base = feed.withColumn("subseq", F.lit(1))
+    deletes = (
+        feed.filter(has_change)
+        .withColumn(pk_col, F.col(old_pk_col))
+        .withColumn(op_col, F.lit("delete"))
+        .withColumn("subseq", F.lit(0))
+    )
+    return base.unionByName(deletes)

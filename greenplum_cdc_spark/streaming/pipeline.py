@@ -21,8 +21,17 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.cdc import apply_incremental, snapshot_latest, write_archive
+from ..operators.cdc import (
+    apply_incremental,
+    normalize_pk_changes,
+    snapshot_latest,
+    watermark_state,
+    write_archive,
+)
 from ..sources.maxwell import DML_OPS, parse_maxwell
+
+# replay total order: PK-change deletes (subseq=0) precede their upsert
+_ORDER_COLS = ("ts", "seq", "subseq")
 
 
 class ReplicaStore:
@@ -82,13 +91,17 @@ class CDCPipeline:
         deployments subclass / swap this projection using the
         SchemaRegistry's typed schema.
         """
-        return parsed.filter(F.col("op").isin(*DML_OPS)).select(
+        typed = parsed.filter(F.col("op").isin(*DML_OPS)).select(
             F.col("data")["id"].cast("bigint").alias("pk"),
+            F.col("old")["id"].cast("bigint").alias("old_pk"),
             "ts",
             F.col("xid").alias("seq"),
             "op",
             "data",
         )
+        # PK-changing updates → delete(old)+upsert(new), like the
+        # reference's old-keyed UPDATE (cdc_plpgsql_functions.sql:162-190)
+        return normalize_pk_changes(typed).drop("old_pk")
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         """foreachBatch body — the cdc_periodic_load.sql micro-batch."""
@@ -98,10 +111,22 @@ class CDCPipeline:
         feed = self._typed_feed(parsed)
         replica = self.store.read()
         if replica is None:
-            merged = snapshot_latest(feed, key_cols=self.key_cols)
+            merged = snapshot_latest(feed, key_cols=self.key_cols, order_cols=_ORDER_COLS)
         else:
-            merged = apply_incremental(replica, feed, key_cols=self.key_cols)
+            merged = apply_incremental(
+                replica, feed, key_cols=self.key_cols, order_cols=_ORDER_COLS
+            )
         self.store.commit(merged)
+        self._commit_watermark()
+
+    def _commit_watermark(self) -> None:
+        """Persist the `maxwell_ts` analog next to the replica after every
+        batch (cdc_plpgsql_functions.sql:233-238 updates it per load)."""
+        replica = self.store.read()
+        if replica is not None:
+            watermark_state(replica).write.mode("overwrite").parquet(
+                os.path.join(self.store.path, "_watermark")
+            )
 
     def run_available(self, input_path: str, checkpoint: str) -> None:
         """Drain everything currently in the source, then stop — the
@@ -297,9 +322,11 @@ class FanoutCDCPipeline(CDCPipeline):
         # independent merges (keeps them bit-identical).
         replica = self.store.read()
         if replica is None:
-            merged = snapshot_latest(feed, key_cols=self.key_cols)
+            merged = snapshot_latest(feed, key_cols=self.key_cols, order_cols=_ORDER_COLS)
         else:
-            merged = apply_incremental(replica, feed, key_cols=self.key_cols)
+            merged = apply_incremental(
+                replica, feed, key_cols=self.key_cols, order_cols=_ORDER_COLS
+            )
         merged = merged.localCheckpoint(eager=True)  # compute once, write N times
         for store in self.stores:
             store.commit(merged)

@@ -175,3 +175,37 @@ def test_pipeline_config_from_env(monkeypatch):
         "bootstrap_servers": "localhost:9092",
         "topic": "maxwell_prod",
     }
+
+
+def test_normalize_pk_changes_moves_row(spark):
+    from greenplum_cdc_spark.operators.cdc import normalize_pk_changes, snapshot_latest
+
+    feed = spark.createDataFrame(
+        [
+            (1, None, "2024-01-01 00:00:01", 1, "insert", 10.0),
+            (2, 1, "2024-01-01 00:00:02", 2, "update", 20.0),  # pk 1 -> 2
+        ],
+        "pk long, old_pk long, ts string, seq long, op string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    norm = normalize_pk_changes(feed)
+    snap = snapshot_latest(norm, order_cols=("ts", "seq", "subseq"))
+    rows = {r["pk"]: r for r in snap.collect()}
+    assert set(rows) == {2}  # old pk removed, new pk live
+    assert rows[2]["value"] == 20.0
+
+
+def test_normalize_pk_changes_same_pk_update_untouched(spark):
+    from greenplum_cdc_spark.operators.cdc import normalize_pk_changes, snapshot_latest
+
+    feed = spark.createDataFrame(
+        [
+            (1, None, "2024-01-01 00:00:01", 1, "insert", 10.0),
+            (1, 1, "2024-01-01 00:00:02", 2, "update", 30.0),
+        ],
+        "pk long, old_pk long, ts string, seq long, op string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    snap = snapshot_latest(
+        normalize_pk_changes(feed), order_cols=("ts", "seq", "subseq")
+    )
+    rows = snap.collect()
+    assert len(rows) == 1 and rows[0]["value"] == 30.0

@@ -142,3 +142,31 @@ def test_fanout_pipeline_sinks_identical(spark, tmp_path):
     b = sorted(pipe.stores[1].read().select("pk", "seq").collect())
     assert a == b
     assert [r["pk"] for r in a] == [0, 2]  # pk=1 deleted last
+
+
+def test_pipeline_pk_change_and_watermark(spark, tmp_path):
+    """A Maxwell update that changes the PK moves the row (old key
+    deleted), and the maxwell_ts-analog watermark is persisted."""
+    import json
+    import os
+
+    from greenplum_cdc_spark.streaming.pipeline import CDCPipeline
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    lines = [
+        {"database": "d", "table": "t", "type": "insert", "ts": 1700000000,
+         "xid": 1, "data": {"id": "1", "v": "a"}},
+        {"database": "d", "table": "t", "type": "update", "ts": 1700000100,
+         "xid": 2, "data": {"id": "2", "v": "a"}, "old": {"id": "1"}},
+    ]
+    (in_dir / "feed.json").write_text("\n".join(json.dumps(x) for x in lines))
+
+    pipe = CDCPipeline(spark, str(tmp_path / "rep"), key_cols=("pk",))
+    pipe.run_available(str(in_dir), str(tmp_path / "ckpt"))
+    pks = [r["pk"] for r in pipe.store.read().select("pk").collect()]
+    assert pks == [2]
+
+    wm_path = os.path.join(str(tmp_path / "rep"), "_watermark")
+    wm = spark.read.parquet(wm_path).collect()
+    assert len(wm) == 1 and wm[0]["n_applied"] == 1
