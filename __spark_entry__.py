@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": tpch.q7_volume_shipping,
         "q8_market_share": tpch.q8_market_share,
         "q9_product_profit": tpch.q9_product_profit,
+        "q11_important_parts": tpch.q11_important_parts,
+        "q12_priority_shipping": tpch.q12_priority_shipping,
         "q13_customer_distribution": tpch.q13_customer_distribution,
         "q14_promo_effect": tpch.q14_promo_effect,
         "q15_top_supplier": tpch.q15_top_supplier,
@@ -117,6 +119,8 @@ def oracle_sql() -> dict[str, str]:
         "q7_volume_shipping": tpch.Q7_SQL,
         "q8_market_share": tpch.Q8_SQL,
         "q9_product_profit": tpch.Q9_SQL,
+        "q11_important_parts": tpch.Q11_SQL,
+        "q12_priority_shipping": tpch.Q12_SQL,
         "q13_customer_distribution": tpch.Q13_SQL,
         "q14_promo_effect": tpch.Q14_SQL,
         "q15_top_supplier": tpch.Q15_SQL,

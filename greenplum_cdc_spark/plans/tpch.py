@@ -940,3 +940,78 @@ FROM (
 WHERE rn = 1
 ORDER BY p_partkey
 """
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted — no partsupp): parts whose shipped value
+    exceeds a fixed fraction of total shipped value (B33).
+
+    The classic scalar-subquery HAVING: the 1-row global total broadcast
+    against the per-part aggregate — both aggregates share one scan
+    lineage, no second pass at scale.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    val = _money("l_extendedprice")
+    per_part = li.groupBy("l_partkey").agg(_dsum(val, "part_value"))
+    total = per_part.agg(
+        F.round(F.sum(F.col("part_value").cast(_DEC)), 4)
+        .cast("double")
+        .alias("total_value")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > 0.0008 * F.col("total_value"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS part_value
+  FROM lineitem
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE part_value > 0.0008 * (
+  SELECT CAST(ROUND(SUM(CAST(part_value AS DECIMAL(12,4))), 4) AS DOUBLE) FROM per_part
+)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted — no shipmode): per linestatus, counts of
+    critical vs normal order priorities in a ship-date year (B34)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
