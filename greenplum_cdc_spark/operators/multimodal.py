@@ -138,3 +138,54 @@ SELECT doc_id, media_type,
 FROM media
 ORDER BY doc_id
 """
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, media_type string, width int, height int,"
+    " out_width int, out_height int, scale double, resized_checksum string"
+)
+
+
+def resize_media(
+    media: DataFrame, max_w: int = 224, max_h: int = 224, decode_stub: bool = True
+) -> DataFrame:
+    """Arrow-batched aspect-preserving resize (STUBBED decode).
+
+    Computes the real output geometry (fit-within box, never upscale)
+    and a deterministic checksum standing in for resized bytes; with a
+    real decoder the same UDF body would call PIL/ffmpeg and emit the
+    resized payload instead. Geometry math is exact integers, so this
+    stub is fully testable.
+    """
+
+    def _resize(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real resize requires PIL/ffmpeg; install and replace this branch"
+                )
+            scale = (max_w / pdf["width"]).combine(max_h / pdf["height"], min).clip(upper=1.0)
+            out_w = (pdf["width"] * scale).apply(lambda x: max(int(x), 1))
+            out_h = (pdf["height"] * scale).apply(lambda x: max(int(x), 1))
+            checksum = [
+                hashlib.md5(bytes(p) + f":{w}x{h}".encode()).hexdigest()
+                for p, w, h in zip(pdf["payload"], out_w, out_h)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "scale": scale.round(6),
+                    "resized_checksum": checksum,
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZE_SCHEMA)

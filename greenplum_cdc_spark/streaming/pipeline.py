@@ -52,11 +52,17 @@ class ReplicaStore:
         except (FileNotFoundError, ValueError):
             return 0
 
-    def read(self) -> DataFrame | None:
-        v = self.current_version()
-        if v == 0:
-            return None
-        return self.spark.read.parquet(os.path.join(self.path, f"v={v}"))
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Current replica, or time-travel to an earlier `version` —
+        reading version N-1 IS the batch-level undo the reference's TODO
+        asks for (README.md:157): every micro-batch commit is preserved
+        until vacuumed, so any past consistent state can be queried or
+        restored (`commit(store.read(version=n))`)."""
+        v = self.current_version() if version is None else version
+        p = os.path.join(self.path, f"v={v}")
+        if v <= 0 or v > self.current_version() or not os.path.isdir(p):
+            return None  # unknown or vacuumed version
+        return self.spark.read.parquet(p)
 
     def commit(self, df: DataFrame) -> int:
         v = self.current_version() + 1
@@ -66,6 +72,30 @@ class ReplicaStore:
             f.write(str(v))
         os.replace(tmp, self._pointer())  # atomic pointer flip
         return v
+
+    def history(self) -> list[dict]:
+        """Commit manifest: one entry per retained version (the minimal
+        analog of a lakehouse table's DESCRIBE HISTORY)."""
+        out = []
+        for v in range(1, self.current_version() + 1):
+            p = os.path.join(self.path, f"v={v}")
+            if os.path.isdir(p):
+                out.append({"version": v, "is_current": v == self.current_version()})
+        return out
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest `keep_last` versions; never the
+        current one. Returns the removed version numbers."""
+        import shutil
+
+        cur = self.current_version()
+        removed = []
+        for v in range(1, max(cur - keep_last + 1, 1)):
+            p = os.path.join(self.path, f"v={v}")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+                removed.append(v)
+        return removed
 
 
 class CDCPipeline:

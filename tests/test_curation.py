@@ -162,3 +162,42 @@ def test_embedding_stats_dims_complete(spark):
     dims = {(r["label"], r["dim"]) for r in rows}
     labels = {r["label"] for r in rows}
     assert len(dims) == 64 * len(labels)
+
+
+def test_replica_time_travel_and_vacuum(spark, tmp_path):
+    from greenplum_cdc_spark.streaming.pipeline import ReplicaStore
+
+    store = ReplicaStore(spark, str(tmp_path / "rep"))
+    for i in range(3):
+        store.commit(spark.range(i + 1).withColumnRenamed("id", "pk"))
+    assert store.read().count() == 3
+    assert store.read(version=1).count() == 1  # time travel == undo
+    assert [h["version"] for h in store.history()] == [1, 2, 3]
+    removed = store.vacuum(keep_last=2)
+    assert removed == [1]
+    assert store.read(version=1) is None  # vacuumed
+    assert store.read().count() == 3  # current untouched
+
+
+def test_resize_media_geometry(spark):
+    from greenplum_cdc_spark.operators import multimodal
+
+    media = multimodal.media_table(spark, "/root/testdata/sf0.001")
+    rows = multimodal.resize_media(media, max_w=100, max_h=100).collect()
+    assert len(rows) == media.count()
+    for r in rows:
+        assert 1 <= r["out_width"] <= 100 and 1 <= r["out_height"] <= 100
+        assert r["scale"] <= 1.0
+        # aspect preserved within integer truncation
+        if r["scale"] < 1.0:
+            assert max(r["out_width"], r["out_height"]) >= 99 or min(r["width"], r["height"]) < 100
+
+
+def test_resize_media_real_decode_stubbed(spark):
+    import pytest
+
+    from greenplum_cdc_spark.operators import multimodal
+
+    media = multimodal.media_table(spark, "/root/testdata/sf0.001")
+    with pytest.raises(Exception):
+        multimodal.resize_media(media, decode_stub=False).collect()
