@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from greenplum_cdc_spark.operators import dedup, multimodal, similarity, text, timeseries
 from greenplum_cdc_spark.plans import cdc_queries, tpch
 from greenplum_cdc_spark.streaming import pipeline as streaming_pipeline
+from greenplum_cdc_spark.streaming import stateful as streaming_stateful
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -36,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_registry": cdc_queries.cdc_schema_registry,
         "stream_cdc_pipeline": streaming_pipeline.stream_cdc_pipeline,
         "stream_windowed_counts": streaming_pipeline.stream_windowed_counts,
+        "stream_dedup_stateful": streaming_stateful.stream_dedup_query,
         # B. OLAP layer
         "q1_pricing_summary": tpch.q1_pricing_summary,
         "q3_shipping_priority": tpch.q3_shipping_priority,
@@ -106,6 +108,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_schema_registry": cdc_queries.CDC_REGISTRY_SQL,
         "stream_cdc_pipeline": streaming_pipeline.STREAM_CDC_SQL,
         "stream_windowed_counts": streaming_pipeline.STREAM_WINDOWED_SQL,
+        "stream_dedup_stateful": streaming_stateful.STREAM_DEDUP_SQL,
         "q1_pricing_summary": tpch.Q1_SQL,
         "q3_shipping_priority": tpch.Q3_SQL,
         "q5_supplier_volume": tpch.Q5_SQL,

@@ -170,3 +170,43 @@ def test_pipeline_pk_change_and_watermark(spark, tmp_path):
     wm_path = os.path.join(str(tmp_path / "rep"), "_watermark")
     wm = spark.read.parquet(wm_path).collect()
     assert len(wm) == 1 and wm[0]["n_applied"] == 1
+
+
+def test_stateful_stream_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: a hash emits once EVER, across batches."""
+    import json
+
+    from greenplum_cdc_spark.streaming.stateful import run_stream_dedup
+
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    # batch 1: two distinct texts, one duplicated within the batch
+    (in_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(x)
+            for x in [
+                {"doc_id": 1, "text": "alpha"},
+                {"doc_id": 2, "text": "beta"},
+                {"doc_id": 3, "text": "alpha"},
+            ]
+        )
+    )
+    rows1 = {r["first_doc_id"]: r for r in run_stream_dedup(spark, str(in_dir), ckpt, out).collect()}
+    assert set(rows1) == {1, 2}
+    assert rows1[1]["n_new_in_batch"] == 2  # in-batch duplicate folded
+
+    # batch 2: replay of alpha + one new text -> only the new one emits
+    (in_dir / "b2.json").write_text(
+        "\n".join(
+            json.dumps(x)
+            for x in [
+                {"doc_id": 4, "text": "alpha"},
+                {"doc_id": 5, "text": "gamma"},
+            ]
+        )
+    )
+    rows2 = {r["first_doc_id"]: r for r in run_stream_dedup(spark, str(in_dir), ckpt, out).collect()}
+    assert set(rows2) == {1, 2, 5}  # alpha replay suppressed by state
