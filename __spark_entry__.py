@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_sample": text.deterministic_sample,
         "stratified_sample": text.stratified_sample,
         "minhash_jaccard_est": dedup.minhash_jaccard_est,
+        "dedup_incremental": dedup.dedup_incremental,
+        "vocab_stats": text.vocab_stats,
         "embedding_stats": similarity.embedding_stats,
         "multimodal_meta": multimodal.multimodal_meta,
     }
@@ -157,6 +159,8 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_sample": text.DETERMINISTIC_SAMPLE_SQL,
         "stratified_sample": text.STRATIFIED_SAMPLE_SQL,
         "minhash_jaccard_est": dedup.MINHASH_EST_SQL,
+        "dedup_incremental": dedup.DEDUP_INCREMENTAL_SQL,
+        "vocab_stats": text.VOCAB_STATS_SQL,
         "embedding_stats": similarity.EMBEDDING_STATS_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
     }

@@ -447,3 +447,48 @@ ORDER BY doc_a, doc_b
 
 
 MINHASH_EST_SQL = _minhash_est_sql()
+
+
+_INCR_SPLIT = 250  # doc_id boundary: history < split <= new batch
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19: dedup a NEW batch against the historical corpus.
+
+    The steady-state shape of a production ingestion pipeline: the
+    historical side reduces to its distinct hash set (tiny vs the raw
+    corpus), the new batch anti-joins against it, then dedups within
+    itself. At 100 TB the hash set is the only thing that needs to
+    persist between runs — this is the batch analog of the
+    `applyInPandasWithState` streaming dedup (stateful.py).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.filter(F.col("doc_id") < _INCR_SPLIT)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    new = docs.filter(F.col("doc_id") >= _INCR_SPLIT).select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    return (
+        new.join(hist, "text_hash", "left_anti")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("keeper_doc_id")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH hist AS (
+  SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id < {_INCR_SPLIT}
+),
+new_batch AS (
+  SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id >= {_INCR_SPLIT}
+)
+SELECT text_hash, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM new_batch
+WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.text_hash = new_batch.text_hash)
+GROUP BY text_hash
+ORDER BY keeper_doc_id
+"""

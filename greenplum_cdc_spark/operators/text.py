@@ -349,3 +349,44 @@ FROM (
 WHERE rk <= {_STRATA_K}
 ORDER BY lang, rk
 """
+
+
+_VOCAB_MIN_DF = 5
+
+
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20: corpus vocabulary statistics — per-term document frequency,
+    collection term frequency, and IDF (the inputs to any tf-idf /
+    quality-filter stage). One explode + one agg; min-df pruning bounds
+    the output the way a real vocab build does.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tok = _tok(docs)
+    return (
+        tok.groupBy(F.col("w").alias("term"))
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("tf"),
+        )
+        .filter(F.col("df") >= _VOCAB_MIN_DF)
+        .withColumn("idf", F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6))
+        .orderBy("term")
+    )
+
+
+VOCAB_STATS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+  FROM documents
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT w AS term,
+       COUNT(DISTINCT doc_id) AS df,
+       COUNT(*) AS tf,
+       ROUND(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / COUNT(DISTINCT doc_id)), 6) AS idf
+FROM tok
+GROUP BY w
+HAVING COUNT(DISTINCT doc_id) >= {_VOCAB_MIN_DF}
+ORDER BY term
+"""
