@@ -73,22 +73,39 @@ def _shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def _distinct_shingle_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, n_sh, sh-exploded) with per-doc dedup done ARRAY-SIDE:
-    array_distinct before the explode keeps both the shingle-set and its
-    size map-local — the `.distinct()` + groupBy-count formulation costs
-    two full shuffles of the widest relation at 100 TB."""
+def _distinct_sh_expr() -> str:
+    """SQL expr for the per-doc DISTINCT shingle array (map-side)."""
     k = SHINGLE_WORDS
-    sh_arr = F.expr(
+    return (
         f"CASE WHEN size(toks) >= {k} THEN "
         f"array_distinct(transform(sequence(0, size(toks) - {k}), "
         f"i -> concat_ws(' ', {', '.join(f'toks[i + {j}]' for j in range(k))}))) "
         "ELSE array() END"
     )
-    return (
-        docs.withColumn("toks", F.filter(F.split("text", " "), lambda w: w != ""))
-        .withColumn("dsh", sh_arr)
-        .select("doc_id", F.size("dsh").alias("n_sh"), F.explode("dsh").alias("sh"))
+
+
+def _with_toks(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("toks", F.filter(F.split("text", " "), lambda w: w != ""))
+
+
+def _distinct_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) with per-doc dedup done ARRAY-SIDE — pure map stage.
+
+    NOTE: deliberately explode-ONLY. Emitting `size(dsh)` from the same
+    projection makes Catalyst inline the array expression into both
+    uses and recompute array_distinct(transform(...)) PER EXPLODED ROW
+    (~14x slower measured); sizes come from a separate scan instead.
+    """
+    return _with_toks(docs).select(
+        "doc_id", F.explode(F.expr(_distinct_sh_expr())).alias("sh")
+    )
+
+
+def _shingle_set_sizes(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_sh) — one row per doc, computed map-side on its own
+    scan (cheap, parallel; scan cost << one shuffle of the shingles)."""
+    return _with_toks(docs).select(
+        "doc_id", F.size(F.expr(_distinct_sh_expr())).alias("n_sh")
     )
 
 
@@ -277,24 +294,24 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes), then |A∩B| / (|A|+|B|-|A∩B|).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = _distinct_shingle_sets(docs)
+    # shuffle_hash hint: the exploded shingle relation inherits the tiny
+    # size estimate of `documents`, so Spark would BROADCAST the full
+    # shingle relation — fine at sf-small, OOM at cluster scale.
+    sh = _distinct_shingles(docs).hint("shuffle_hash")
     a = sh.alias("a")
     b = sh.alias("b")
-    # n_sh is functionally dependent on doc_id, so grouping by it rides
-    # along free — no size-lookup joins, ONE shuffle for the whole op
-    # after the equi-join on the shingle.
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )
+    sizes = _shingle_set_sizes(docs)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.withColumn(
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
