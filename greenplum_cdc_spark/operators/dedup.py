@@ -294,23 +294,54 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes), then |A∩B| / (|A|+|B|-|A∩B|).
     """
     docs = load_table(spark, sf_dir, "documents")
-    # shuffle_hash hint: the exploded shingle relation inherits the tiny
-    # size estimate of `documents`, so Spark would BROADCAST the full
-    # shingle relation — fine at sf-small, OOM at cluster scale.
-    sh = _distinct_shingles(docs).hint("shuffle_hash")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
+    sh = _distinct_shingles(docs)
+    # ---- prefix filtering (AllPairs/PPJoin) — the exact-join scale fix.
+    # A naive self-join on the shingle pays sum(bucket^2) over shingle
+    # buckets: common shingles make it quadratic in corpus size (measured
+    # 37x wall at 10x data). Instead, order each doc's shingle set by
+    # global rarity; any pair with J >= tau MUST share one of each doc's
+    # first n - ceil(tau*n) + 1 rarest shingles (else the intersection
+    # is provably too small), so candidates come from joining only those
+    # prefixes against the full relation — rare shingles, tiny buckets.
+    # Verification is exact via array_intersect on the full sets, so the
+    # OUTPUT is identical to the naive join (same oracle).
+    df_tbl = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    shdf = sh.join(df_tbl, "sh").hint("shuffle_hash")
+    docsets = (
+        shdf.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("ord"))
+        .select(
+            "doc_id",
+            F.expr("transform(ord, x -> x.sh)").alias("arr"),
+            F.size("ord").alias("n"),
+        )
     )
-    sizes = _shingle_set_sizes(docs)
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    tau_num, tau_den = int(JACCARD_THRESHOLD * 100), 100
+    # prefix length n - ceil(tau*n) + 1, in exact integer math
+    plen_sql = f"n - ((n * {tau_num} + {tau_den - 1}) div {tau_den}) + 1"
+    prefixes = docsets.select(
+        "doc_id", F.explode(F.expr(f"slice(arr, 1, {plen_sql})")).alias("sh")
+    )
+    cand = (
+        prefixes.alias("p")
+        .join(sh.alias("f"), "sh")
+        .filter(F.col("p.doc_id") != F.col("f.doc_id"))
+        .select(
+            F.least("p.doc_id", "f.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "f.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    va = docsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"), F.col("n").alias("n_a")
+    )
+    vb = docsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"), F.col("n").alias("n_b")
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
         .withColumn(
             "jaccard",
             F.round(

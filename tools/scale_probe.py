@@ -1,0 +1,90 @@
+"""Scaling probe: run key operators at 1x and 10x data and report the
+wall-time ratio. A linear-ish operator shows ratio ~10 (or less, when
+fixed overheads dominate at 1x); a quadratic one shows ~100 and fails
+the 100 TB design review.
+
+Synthesizes the 10x inputs by unioning shifted copies of the sf0.1
+tables into /tmp (never touches /root/testdata). Usage:
+
+    python tools/scale_probe.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from greenplum_cdc_spark.io import load_table  # noqa: E402
+from greenplum_cdc_spark.operators import dedup, text, timeseries  # noqa: E402
+from greenplum_cdc_spark.session import get_spark  # noqa: E402
+
+MULT = 10
+
+
+def synthesize(spark, sf_dir: str, out_dir: str) -> None:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    copies = None
+    for i in range(MULT):
+        # shift ids; salt the text of non-first copies so dedup sees
+        # mostly-distinct docs (pure duplication would be trivially easy)
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+        if i:
+            # salt EVERY token so copies are distinct documents: the
+            # probe must measure corpus-size scaling at a constant
+            # duplicate rate, not an answer-size explosion (10 mutual
+            # near-dups per doc makes the true pair count itself ~100x).
+            c = c.withColumn("text", F.regexp_replace("text", " ", f"{i} "))
+        copies = c if copies is None else copies.unionByName(c)
+    copies.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    ev = load_table(spark, sf_dir, "events")
+    n_ev = ev.count()
+    stack = None
+    for i in range(MULT):
+        c = ev.withColumn("event_id", F.col("event_id") + F.lit(i * n_ev))
+        stack = c if stack is None else stack.unionByName(c)
+    stack.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+
+
+def timed(fn, spark, d) -> float:
+    t0 = time.perf_counter()
+    fn(spark, d).write.mode("overwrite").format("noop").save()
+    return round(time.perf_counter() - t0, 2)
+
+
+OPS = {
+    "dedup_exact": dedup.dedup_exact,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+    "dedup_simhash": dedup.dedup_simhash,
+    "doc_fingerprint": text.doc_fingerprint,
+    "token_count": text.token_count,
+    "events_sessionize": timeseries.events_sessionize,
+    "salted_hot_key_rollup": timeseries.salted_hot_key_rollup,
+    "running_total_by_user": timeseries.running_total_by_user,
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big_dir = "/tmp/scale_probe_10x"
+    spark = get_spark("scale-probe")
+    synthesize(spark, sf_dir, big_dir)
+    print(f"op,t_1x_s,t_{MULT}x_s,ratio")
+    for name, fn in OPS.items():
+        timed(fn, spark, sf_dir)  # warm plan/code paths
+        t1 = timed(fn, spark, sf_dir)
+        t10 = timed(fn, spark, big_dir)
+        print(f"{name},{t1},{t10},{round(t10 / max(t1, 0.01), 1)}")
+    shutil.rmtree(big_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
