@@ -84,21 +84,24 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score(batches):
         ids, m, norms = bc.value
+        block = 1024  # bounds the cos block to block x |corpus| doubles
         for pdf in batches:
-            if pdf.empty:
-                continue
-            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            a_ids = pdf["vec_id"].to_numpy()
-            a_norms = np.sqrt(np.einsum("ij,ij->i", a, a))
-            cos = (a @ m.T) / np.outer(a_norms, norms)
-            ai, bj = np.nonzero((cos >= NEARDUP_COS) & (a_ids[:, None] < ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": ids[bj],
-                    "cos_sim": np.round(cos[ai, bj], 6),
-                }
-            )
+            for lo in range(0, len(pdf), block):
+                sub = pdf.iloc[lo : lo + block]
+                a = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+                a_ids = sub["vec_id"].to_numpy()
+                a_norms = np.sqrt(np.einsum("ij,ij->i", a, a))
+                cos = (a @ m.T) / np.outer(a_norms, norms)
+                ai, bj = np.nonzero(
+                    (cos >= NEARDUP_COS) & (a_ids[:, None] < ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "vec_a": a_ids[ai],
+                        "vec_b": ids[bj],
+                        "cos_sim": np.round(cos[ai, bj], 6),
+                    }
+                )
 
     schema = "vec_a bigint, vec_b bigint, cos_sim double"
     return vecs.mapInPandas(score, schema=schema).orderBy("vec_a", "vec_b")

@@ -52,6 +52,23 @@ def synthesize(spark, sf_dir: str, out_dir: str) -> None:
         stack = c if stack is None else stack.unionByName(c)
     stack.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
 
+    vecs = load_table(spark, sf_dir, "embeddings")
+    n_vec = vecs.count()
+    vstack = None
+    for i in range(MULT):
+        c = vecs.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_vec))
+        if i:
+            # rotate one dim so copies are distinct vectors
+            c = c.withColumn(
+                "embedding",
+                F.expr(
+                    f"transform(embedding, (x, j) -> CASE WHEN j = {i % 64} "
+                    "THEN CAST(-x AS FLOAT) ELSE x END)"
+                ),
+            )
+        vstack = c if vstack is None else vstack.unionByName(c)
+    vstack.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
 
 def timed(fn, spark, d) -> float:
     t0 = time.perf_counter()
@@ -63,13 +80,28 @@ OPS = {
     "dedup_exact": dedup.dedup_exact,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_ngram_jaccard": dedup.dedup_ngram_jaccard,
+    "minhash_jaccard_est": dedup.minhash_jaccard_est,
     "dedup_simhash": dedup.dedup_simhash,
     "doc_fingerprint": text.doc_fingerprint,
     "token_count": text.token_count,
+    "vocab_stats": text.vocab_stats,
     "events_sessionize": timeseries.events_sessionize,
     "salted_hot_key_rollup": timeseries.salted_hot_key_rollup,
     "running_total_by_user": timeseries.running_total_by_user,
 }
+
+
+def _late_ops():
+    from greenplum_cdc_spark.operators import similarity
+    from greenplum_cdc_spark.plans import cdc_queries
+
+    return {
+        "cdc_parse_events": cdc_queries.cdc_parse_events,
+        "cdc_snapshot_latest": cdc_queries.cdc_snapshot_latest,
+        "knn_lsh": similarity.knn_lsh,
+        "embedding_stats": similarity.embedding_stats,
+        "dedup_embedding": similarity.dedup_embedding,
+    }
 
 
 def main() -> None:
@@ -78,7 +110,7 @@ def main() -> None:
     spark = get_spark("scale-probe")
     synthesize(spark, sf_dir, big_dir)
     print(f"op,t_1x_s,t_{MULT}x_s,ratio")
-    for name, fn in OPS.items():
+    for name, fn in {**OPS, **_late_ops()}.items():
         timed(fn, spark, sf_dir)  # warm plan/code paths
         t1 = timed(fn, spark, sf_dir)
         t10 = timed(fn, spark, big_dir)
