@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_watermark": cdc_queries.cdc_watermark,
         "cdc_op_stats": cdc_queries.cdc_op_stats,
         "cdc_undo": cdc_queries.cdc_undo,
+        "cdc_archive_replay": cdc_queries.cdc_archive_replay,
         "cdc_ddl_translate": cdc_queries.cdc_ddl_translate,
         "cdc_schema_registry": cdc_queries.cdc_schema_registry,
         "stream_cdc_pipeline": streaming_pipeline.stream_cdc_pipeline,
@@ -72,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_histogram": timeseries.events_histogram,
         "corr_value_props": timeseries.corr_value_props,
         "events_pivot_hourly": timeseries.events_pivot_hourly,
+        "user_retention_cohorts": timeseries.user_retention_cohorts,
+        "funnel_analysis": timeseries.funnel_analysis,
         # C. training-data pipeline
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -106,6 +109,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_watermark": cdc_queries.CDC_WATERMARK_SQL,
         "cdc_op_stats": cdc_queries.CDC_OP_STATS_SQL,
         "cdc_undo": cdc_queries.CDC_UNDO_SQL,
+        "cdc_archive_replay": cdc_queries.CDC_REPLAY_SQL,
         "cdc_ddl_translate": cdc_queries.CDC_DDL_SQL,
         "cdc_schema_registry": cdc_queries.CDC_REGISTRY_SQL,
         "stream_cdc_pipeline": streaming_pipeline.STREAM_CDC_SQL,
@@ -144,6 +148,8 @@ def oracle_sql() -> dict[str, str]:
         "events_histogram": timeseries.EVENTS_HISTOGRAM_SQL,
         "corr_value_props": timeseries.CORR_VALUE_SQL,
         "events_pivot_hourly": timeseries.EVENTS_PIVOT_SQL,
+        "user_retention_cohorts": timeseries.RETENTION_SQL,
+        "funnel_analysis": timeseries.FUNNEL_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "dedup_minhash_lsh": dedup.DEDUP_MINHASH_SQL,
         "dedup_simhash": dedup.DEDUP_SIMHASH_SQL,

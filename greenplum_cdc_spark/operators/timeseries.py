@@ -433,3 +433,84 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B35: weekly-cohort retention triangle.
+
+    Users grouped by first-seen week; for each (cohort, weeks-since)
+    offset, how many cohort members were active. Two aggregations and a
+    broadcast of the (tiny) per-user cohort map — the workhorse product
+    query a replica warehouse exists to answer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", "ts")
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    active = ev.select("user_id", wk.alias("active_week")).distinct()
+    return (
+        active.join(first, "user_id")
+        .withColumn(
+            "weeks_since",
+            F.expr("CAST(datediff(active_week, cohort_week) div 7 AS INT)"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+RETENTION_SQL = """
+WITH first_seen AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+       CAST(date_diff('day', cohort_week, active_week) // 7 AS INT) AS weeks_since,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM active a JOIN first_seen f ON a.user_id = f.user_id
+GROUP BY cohort_week, weeks_since
+ORDER BY cohort_week, weeks_since
+"""
+
+
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B36: ordered conversion funnel view -> click -> purchase.
+
+    Per-user earliest time of each stage; a stage counts only if it
+    happens AFTER the previous one. One conditional aggregation per
+    stage over one shuffle on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stage_min = {
+        s: F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+        for s in ("view", "click", "purchase")
+    }
+    per_user = ev.groupBy("user_id").agg(*stage_min.values())
+    reached_click = F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    reached_purchase = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(reached_click, 1).otherwise(0)).alias("n_view_click"),
+        F.sum(F.when(reached_purchase, 1).otherwise(0)).alias("n_full_funnel"),
+    )
+
+
+FUNNEL_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
+       SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS n_view_click,
+       SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+            THEN 1 ELSE 0 END) AS n_full_funnel
+FROM per_user
+"""

@@ -334,3 +334,41 @@ def _registry_values_sql() -> str:
 
 
 CDC_REGISTRY_SQL = _registry_values_sql()
+
+
+_REPLAY_TS = "2024-01-15 00:00:00"
+
+
+def cdc_archive_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: point-in-time snapshot from the event archive.
+
+    Replays the archived feed up to an as-of timestamp and rebuilds the
+    replica state AT that moment — event-granular time travel (finer
+    than the replica store's batch versions). The archive's event_date
+    partitioning prunes the scan to days <= T at 100 TB.
+    """
+    feed = _feed(spark, sf_dir).filter(
+        F.col("ts") <= F.lit(_REPLAY_TS).cast("timestamp")
+    )
+    snap = cdc_ops.snapshot_latest(feed)
+    return snap.select(
+        "pk",
+        F.col("ts").alias("last_ts"),
+        F.col("seq").alias("last_seq"),
+        F.col("value").alias("last_value"),
+        F.col("event_type").alias("last_event_type"),
+    ).orderBy("pk")
+
+
+CDC_REPLAY_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL}),
+upto AS (SELECT * FROM cdc WHERE ts <= TIMESTAMP '{_REPLAY_TS}'),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+  FROM upto
+)
+SELECT pk, ts AS last_ts, seq AS last_seq, value AS last_value, event_type AS last_event_type
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+ORDER BY pk
+"""
