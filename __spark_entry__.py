@@ -11,7 +11,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from greenplum_cdc_spark.operators import dedup, multimodal, similarity, text, timeseries
+from greenplum_cdc_spark.operators import (
+    dedup,
+    multimodal,
+    quality,
+    similarity,
+    text,
+    timeseries,
+)
 from greenplum_cdc_spark.plans import cdc_queries, tpch
 from greenplum_cdc_spark.streaming import pipeline as streaming_pipeline
 from greenplum_cdc_spark.streaming import stateful as streaming_stateful
@@ -95,6 +102,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": text.vocab_stats,
         "embedding_stats": similarity.embedding_stats,
         "multimodal_meta": multimodal.multimodal_meta,
+        "doc_repetition": quality.doc_repetition,
+        "pii_scrub": quality.pii_scrub,
+        "bm25_rank": quality.bm25_rank,
+        "contamination_check": quality.contamination_check,
+        "knn_ivf": similarity.knn_ivf,
+        "active_users_rolling": timeseries.active_users_rolling,
+        "basket_part_pairs": tpch.basket_part_pairs,
+        "cdc_dlq": cdc_queries.cdc_dlq,
     }
     return q
 
@@ -169,4 +184,12 @@ def oracle_sql() -> dict[str, str]:
         "vocab_stats": text.VOCAB_STATS_SQL,
         "embedding_stats": similarity.EMBEDDING_STATS_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
+        "doc_repetition": quality.DOC_REPETITION_SQL,
+        "pii_scrub": quality.PII_SCRUB_SQL,
+        "bm25_rank": quality.BM25_RANK_SQL,
+        "contamination_check": quality.CONTAMINATION_SQL,
+        "knn_ivf": similarity.KNN_IVF_SQL,
+        "active_users_rolling": timeseries.ACTIVE_USERS_SQL,
+        "basket_part_pairs": tpch.BASKET_SQL,
+        "cdc_dlq": cdc_queries.CDC_DLQ_SQL,
     }

@@ -1,0 +1,347 @@
+"""Corpus-quality / decontamination operators (SURVEY §2 C21-C24).
+
+The filtering half of a training-data pipeline: repetition signals
+(Gopher-style), PII scrubbing, BM25 relevance ranking, and benchmark
+decontamination via n-gram overlap. All pure built-in expressions
+(array HOFs / regexp / conditional aggregation) so every op stays in
+whole-stage codegen; each has an exact DuckDB oracle twin.
+
+Scale notes:
+- repetition signals are computed from per-doc arrays map-side; the only
+  shuffle is the (doc_id, bigram) count, keyed by doc so it distributes
+  with the corpus;
+- the contamination join broadcasts the benchmark n-gram set (benchmarks
+  are tiny vs a 100 TB corpus), so the corpus is scanned once with no
+  corpus-side shuffle before the per-doc count;
+- BM25's df/avgdl aggregates are a handful of scalars, broadcast back
+  onto the per-doc term frequencies.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+
+REP_TOP_BIGRAM = 0.2  # most-common-bigram share above which a doc is repetitive
+REP_DUP_WORD = 0.7  # duplicate-word share above which a doc is repetitive
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+LONGNUM_RE = "[0-9]{4,}"
+
+BM25_TERMS = ("table", "scan", "window", "value")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPN = 50
+
+CONTAM_K = 3  # n-gram width (real pipelines use 8-13; 3 exercises the machinery)
+CONTAM_MOD = 19  # doc_id % CONTAM_MOD == 0 -> benchmark split
+CONTAM_FRAC = 0.1  # contaminated-ngram share that flags a doc
+
+
+def _toks_col():
+    return F.filter(F.split("text", " "), lambda w: w != "")
+
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21: Gopher-style repetition signals per document.
+
+    dup_word_frac = 1 - |distinct words| / |words|; top_bigram_frac =
+    count of the most frequent word-bigram / |bigrams|. Docs exceeding
+    either threshold are flagged repetitive (the Gopher rep-removal
+    rules, Rae et al. 2021, applied to word/2-gram level).
+
+    Two separate map-side scans (sizes vs bigram explode) — emitting
+    size() and explode() of the same array expression in one projection
+    trips Catalyst into recomputing the array per exploded row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = docs.select(
+        "doc_id",
+        F.size(_toks_col()).alias("n_words"),
+        F.size(F.array_distinct(_toks_col())).alias("n_distinct"),
+    )
+    bigram_arr = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i + 1])) "
+        "ELSE array() END"
+    )
+    top_bigram = (
+        docs.withColumn("toks", _toks_col())
+        .select("doc_id", F.explode(bigram_arr).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("max_bigram_cnt"))
+    )
+    dup_frac = F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6)
+    top_frac = F.round(F.col("max_bigram_cnt") / (F.col("n_words") - 1), 6)
+    return (
+        sizes.join(top_bigram, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct",
+            dup_frac.alias("dup_word_frac"),
+            "max_bigram_cnt",
+            top_frac.alias("top_bigram_frac"),
+            (
+                (dup_frac > REP_DUP_WORD) | (top_frac > REP_TOP_BIGRAM)
+            ).cast("int").alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DOC_REPETITION_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+sizes AS (
+  SELECT doc_id, len(toks) AS n_words, len(list_distinct(toks)) AS n_distinct
+  FROM tok
+),
+bg AS (
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))]) AS bg
+  FROM tok
+),
+bgc AS (
+  SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bg
+),
+topbg AS (
+  SELECT doc_id, MAX(cnt) AS max_bigram_cnt FROM bgc GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_words, s.n_distinct,
+       ROUND(1.0 - s.n_distinct / CAST(s.n_words AS DOUBLE), 6) AS dup_word_frac,
+       t.max_bigram_cnt,
+       ROUND(t.max_bigram_cnt / CAST(s.n_words - 1 AS DOUBLE), 6) AS top_bigram_frac,
+       CAST(ROUND(1.0 - s.n_distinct / CAST(s.n_words AS DOUBLE), 6) > {REP_DUP_WORD}
+            OR ROUND(t.max_bigram_cnt / CAST(s.n_words - 1 AS DOUBLE), 6) > {REP_TOP_BIGRAM}
+            AS INT) AS is_repetitive
+FROM sizes s JOIN topbg t ON s.doc_id = t.doc_id
+ORDER BY s.doc_id
+"""
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22: PII redaction — emails and long digit runs replaced by typed
+    placeholders; per-doc match counts plus an md5 of the scrubbed text
+    so the oracle checks the REDACTION, not just the counts.
+
+    Pure regexp_replace/regexp_extract_all — map-side, no shuffle at all
+    (the scan IS the operator), which is the right shape for a 100 TB
+    single-pass scrub. Patterns are RE2-and-Java-compatible.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", F.lit(EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(LONGNUM_RE),
+        F.lit("<NUM>"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0))).alias(
+                "n_emails"
+            ),
+            F.size(F.regexp_extract_all("text", F.lit(LONGNUM_RE), F.lit(0))).alias(
+                "n_longnums"
+            ),
+            F.md5(scrubbed).alias("scrub_hash"),
+            (scrubbed != F.col("text")).cast("int").alias("changed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{LONGNUM_RE}')) AS n_longnums,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{LONGNUM_RE}', '<NUM>', 'g')) AS scrub_hash,
+       CAST(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                           '{LONGNUM_RE}', '<NUM>', 'g') <> text AS INT) AS changed
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23: BM25 relevance ranking of the corpus for a fixed term set.
+
+    Classic Robertson/Sparck-Jones BM25 (k1=1.2, b=0.75): df and avgdl
+    are corpus scalars (crossJoin of a 1-row aggregate — broadcast);
+    tf comes from one explode+count keyed by doc. Per-term score
+    contributions are rounded to 6 dp and summed as DECIMAL so the
+    across-term accumulation is order-insensitive and engine-exact
+    (idf's ln() is rounded before use for the same reason).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    toks = docs.withColumn("toks", _toks_col())
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("w"))
+        .filter(F.expr(f"w IN ({terms})"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    avgdl = F.col("sum_dl") / F.col("n_docs")
+    idf = F.round(
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 6
+    )
+    contrib = F.round(
+        F.col("idf")
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (F.col("tf") + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("avgdl", avgdl)
+        .withColumn("idf", idf)
+        .withColumn("contrib", contrib.cast("decimal(18,6)"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 6).cast("double").alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOPN)
+        .select("doc_id", "score", "n_terms_hit")
+    )
+
+
+BM25_RANK_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS w FROM tok)
+  WHERE w IN ({", ".join("'" + t + "'" for t in BM25_TERMS)})
+  GROUP BY doc_id, w
+),
+df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           ROUND(ln((corpus.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0), 6)
+           * (tf.tf * ({BM25_K1} + 1.0))
+           / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl
+                                   / (CAST(corpus.sum_dl AS DOUBLE) / corpus.n_docs))),
+         6) AS DECIMAL(18,6)) AS contrib
+  FROM tf
+  JOIN df ON tf.w = df.w
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN corpus
+)
+SELECT doc_id, CAST(ROUND(SUM(contrib), 6) AS DOUBLE) AS score,
+       COUNT(*) AS n_terms_hit
+FROM scored
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_TOPN}
+"""
+
+
+def _ngram_expr(k: int) -> str:
+    joined = ", ".join(f"toks[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN size(toks) >= {k} THEN "
+        f"array_distinct(transform(sequence(0, size(toks) - {k}), "
+        f"i -> concat_ws(' ', {joined}))) ELSE array() END"
+    )
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24: benchmark decontamination via word n-gram overlap.
+
+    The benchmark split (doc_id % CONTAM_MOD == 0 — a stand-in for a
+    held-out eval set) contributes a distinct n-gram set; every corpus
+    doc is scored by how many of its n-grams appear in that set, and
+    docs whose contaminated share >= CONTAM_FRAC are flagged for
+    removal. This is the standard eval-decontamination pass (GPT-3
+    appendix C / PaLM style), at k=3 so the synthetic word-salad corpus
+    actually overlaps.
+
+    The benchmark n-gram set is broadcast (eval sets are tiny vs a
+    100 TB corpus): the corpus-side scan has NO shuffle before the
+    per-doc count, and the per-doc n-gram sets are built array-side.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks_col())
+    grams = docs.select("doc_id", F.explode(F.expr(_ngram_expr(CONTAM_K))).alias("ng"))
+    bench = (
+        grams.filter(F.col("doc_id") % CONTAM_MOD == 0).select("ng").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % CONTAM_MOD != 0)
+    sizes = docs.filter(F.col("doc_id") % CONTAM_MOD != 0).select(
+        "doc_id", F.size(F.expr(_ngram_expr(CONTAM_K))).alias("n_ngrams")
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    frac = F.round(F.col("n_contaminated") / F.col("n_ngrams"), 6)
+    return (
+        sizes.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_contaminated",
+            frac.alias("contaminated_frac"),
+            (frac >= CONTAM_FRAC).cast("int").alias("flag_remove"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_NGRAM_SQL = (
+    "list_distinct(["
+    + " || ' ' || ".join(
+        f"toks[i + {j}]" if j else "toks[i]" for j in range(CONTAM_K)
+    )
+    + f" FOR i IN range(1, len(toks) - {CONTAM_K - 2})])"
+)
+
+CONTAMINATION_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest({_NGRAM_SQL}) AS ng FROM tok
+),
+bench AS (SELECT DISTINCT ng FROM grams WHERE doc_id % {CONTAM_MOD} = 0),
+sizes AS (
+  SELECT doc_id, len({_NGRAM_SQL}) AS n_ngrams
+  FROM tok WHERE doc_id % {CONTAM_MOD} <> 0
+),
+hits AS (
+  SELECT g.doc_id, COUNT(*) AS n_contaminated
+  FROM grams g JOIN bench b ON g.ng = b.ng
+  WHERE g.doc_id % {CONTAM_MOD} <> 0
+  GROUP BY g.doc_id
+)
+SELECT s.doc_id, s.n_ngrams, h.n_contaminated,
+       ROUND(h.n_contaminated / CAST(s.n_ngrams AS DOUBLE), 6) AS contaminated_frac,
+       CAST(ROUND(h.n_contaminated / CAST(s.n_ngrams AS DOUBLE), 6) >= {CONTAM_FRAC}
+            AS INT) AS flag_remove
+FROM sizes s JOIN hits h ON s.doc_id = h.doc_id
+ORDER BY s.doc_id
+"""

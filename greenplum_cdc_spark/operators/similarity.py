@@ -238,6 +238,136 @@ ORDER BY vec_id
 KNN_LSH_SQL = _knn_lsh_sql()
 
 
+IVF_TOPK = 5
+IVF_QUERIES = 20
+
+# rv: each float32 element rounded to 6 dp as DECIMAL so centroid means
+# and centroid distances are EXACT decimal arithmetic (order-insensitive
+# sums, identical in both engines — no float summation order to disagree
+# on). cos_sim between real vectors still uses the exact left-assoc fold.
+_RV = "CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(16,6))"
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25: IVF-style ANN — coarse quantizer + within-cell search.
+
+    The inverted-file ANN layout (Jégou et al., the FAISS IVF flat
+    index): a small centroid set partitions the corpus into cells;
+    each query probes only its own cell (nprobe=1 here), so search cost
+    is |corpus|/nlist instead of |corpus|. Centroids here are the
+    per-label means (a deterministic stand-in for k-means training —
+    the assignment/search plumbing, which is the Spark-relevant part,
+    is identical); cell assignment is argmin squared-L2 to the centroid,
+    computed in exact DECIMAL so both engines agree bit-for-bit.
+
+    Scale shape: the centroid table is tiny and BROADCAST onto the
+    exploded (vec, dim) scan; assignment is one groupBy(vec, cell)
+    keyed by the corpus. The within-cell join is an equi-join on the
+    cell id — candidate generation linear in corpus size, the same
+    bucketing contract as knn_lsh. (At 100 TB you'd swap the exploded
+    assignment for a broadcast centroid matrix inside mapInPandas BLAS,
+    as dedup_embedding does for scoring.)
+    """
+    vecs = load_table(spark, sf_dir, "embeddings")
+    ve = vecs.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "label", (F.col("pos") + 1).alias("dim"), F.expr(_RV).alias("rv"))
+    cent = ve.groupBy(F.col("label").alias("cell"), "dim").agg(
+        F.expr(
+            "CAST(ROUND(CAST(ROUND(SUM(rv), 6) AS DOUBLE) / COUNT(*), 6)"
+            " AS DECIMAL(16,6))"
+        ).alias("c6")
+    )
+    assigned = (
+        ve.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum((F.col("rv") - F.col("c6")) * (F.col("rv") - F.col("c6"))).alias("dist2"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell"))
+    cells = (
+        assigned.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    vn = _with_norm(vecs).select("vec_id", "embedding", "norm")
+    corpus = cells.join(vn, "vec_id")
+    queries = corpus.filter(F.col("vec_id") < IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    pairs = corpus.alias("c").join(
+        F.broadcast(queries).alias("q"),
+        (F.col("c.cell") == F.col("q.cell")) & (F.col("c.vec_id") != F.col("q.query_id")),
+    )
+    cos = _dot("q.qe", "c.embedding") / (F.col("q.qn") * F.col("c.norm"))
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("q.cell").cast("bigint").alias("cell"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("query_id", "cell", "rank", "neighbor_id", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
+KNN_IVF_SQL = f"""
+WITH ve AS (
+  SELECT vec_id, label,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(16,6)) AS rv
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS cell, dim,
+         CAST(ROUND(CAST(ROUND(SUM(rv), 6) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(16,6)) AS c6
+  FROM ve GROUP BY label, dim
+),
+assigned AS (
+  SELECT ve.vec_id, cent.cell, SUM((ve.rv - cent.c6) * (ve.rv - cent.c6)) AS dist2
+  FROM ve JOIN cent ON ve.dim = cent.dim
+  GROUP BY ve.vec_id, cent.cell
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
+    FROM assigned
+  ) WHERE rn = 1
+),
+vn AS (
+  SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding')}) AS norm
+  FROM embeddings
+),
+corpus AS (
+  SELECT cells.vec_id, cells.cell, vn.embedding, vn.norm
+  FROM cells JOIN vn ON cells.vec_id = vn.vec_id
+),
+q AS (
+  SELECT vec_id AS query_id, cell, embedding AS qe, norm AS qn
+  FROM corpus WHERE vec_id < {IVF_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, CAST(q.cell AS BIGINT) AS cell, c.vec_id AS neighbor_id,
+         {_dot_sql('q.qe', 'c.embedding')} / (q.qn * c.norm) AS cos_sim
+  FROM corpus c JOIN q ON c.cell = q.cell AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cell, rank, neighbor_id, cos_sim
+FROM ranked WHERE rank <= {IVF_TOPK}
+ORDER BY query_id, rank
+"""
+
+
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C17: per-label embedding centroids (elementwise mean per dim).
 

@@ -514,3 +514,62 @@ SELECT COUNT(*) AS n_users,
             THEN 1 ELSE 0 END) AS n_full_funnel
 FROM per_user
 """
+
+
+def active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37: DAU + 7-day rolling distinct users (WAU) + stickiness.
+
+    Exact rolling COUNT(DISTINCT) cannot ride a window frame, so each
+    (day, user) activity row is fanned out to the 7 window-end days it
+    participates in (explode of a 7-date sequence — map-side, x7 rows)
+    and distinct-counted per window end. One shuffle for the per-day
+    distinct, one for the windowed distinct; both keyed by date so the
+    100 TB layout partitions by the same column the archive already
+    uses. (The approx swap-in at extreme scale is HLL sketch union per
+    day, but exact is the contract here.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    wau = (
+        du.select(
+            F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("wday"),
+            "user_id",
+        )
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("wau_7d"))
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["wday"])
+        .select(
+            "day",
+            "dau",
+            "wau_7d",
+            F.round(F.col("dau") / F.col("wau_7d"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+ACTIVE_USERS_SQL = """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+dau AS (
+  SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day
+),
+fan AS (
+  SELECT CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+                                     CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+                                     INTERVAL 1 DAY)) AS DATE) AS wday,
+         user_id
+  FROM du
+),
+wau AS (
+  SELECT wday, COUNT(DISTINCT user_id) AS wau_7d FROM fan GROUP BY wday
+)
+SELECT dau.day, dau.dau, wau.wau_7d,
+       ROUND(dau.dau / CAST(wau.wau_7d AS DOUBLE), 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.wday
+ORDER BY dau.day
+"""

@@ -372,3 +372,72 @@ FROM ranked
 WHERE rn = 1 AND op <> 'delete'
 ORDER BY pk
 """
+
+
+_DLQ_MOD = 17  # event_id % _DLQ_MOD == 0 -> envelope corrupted (truncated)
+
+
+def cdc_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: dead-letter routing of malformed envelopes.
+
+    The reference tolerates bad lines via Greenplum's SEGMENT REJECT
+    LIMIT on the external web table (maxwell_gpdb.sql:5-11); here the
+    equivalent is: parse EVERY line with the production parser
+    (sources.maxwell.parse_maxwell), route rows whose envelope failed to
+    decode (all-null struct from from_json) to a DLQ with a reason, and
+    pass the rest. A deterministic corruption (truncating the last 5
+    chars of every 17th envelope) exercises the path; the oracle states
+    which offsets must land where, so a parser that silently drops OR
+    silently accepts corrupt lines breaks the row set.
+
+    Map-side only — the route decision is a projection on the scan, the
+    same single-pass shape the consumer loop has at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    epoch_ms = F.expr("unix_micros(ts) div 1000")
+    epoch_s = F.expr("unix_micros(ts) div 1000000")
+    line = F.to_json(
+        F.struct(
+            F.lit("appdb").alias("database"),
+            F.lit("events").alias("table"),
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("insert"))
+            .alias("type"),
+            F.when(F.col("event_id") % 2 == 0, epoch_ms).otherwise(epoch_s).alias("ts"),
+            F.col("event_id").alias("xid"),
+            F.struct(
+                F.col("user_id").alias("user_id"),
+                F.col("value").alias("value"),
+                F.col("event_type").alias("event_type"),
+            ).alias("data"),
+        )
+    )
+    corrupted = F.when(
+        F.col("offset") % _DLQ_MOD == 0,
+        F.expr("substr(line, 1, length(line) - 5)"),
+    ).otherwise(F.col("line"))
+    raw = ev.select(F.col("event_id").alias("offset"), line.alias("line")).select(
+        "offset", corrupted.alias("line")
+    )
+    parsed = maxwell.parse_maxwell(raw, keep=("offset",))
+    return (
+        parsed.select(
+            "offset",
+            F.when(F.col("database_name").isNull(), F.lit("dlq"))
+            .otherwise(F.lit("ok"))
+            .alias("route"),
+            F.when(F.col("database_name").isNull(), F.lit("malformed_json"))
+            .otherwise(F.lit("parsed"))
+            .alias("reason"),
+        )
+        .orderBy("offset")
+    )
+
+
+CDC_DLQ_SQL = f"""
+SELECT event_id AS offset,
+       CASE WHEN event_id % {_DLQ_MOD} = 0 THEN 'dlq' ELSE 'ok' END AS route,
+       CASE WHEN event_id % {_DLQ_MOD} = 0 THEN 'malformed_json' ELSE 'parsed' END AS reason
+FROM events
+ORDER BY event_id
+"""

@@ -1015,3 +1015,52 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY l_linestatus
 ORDER BY l_linestatus
 """
+
+
+BASKET_MIN_SUP = 3
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B38: market-basket part-pair affinity (co-purchase counts).
+
+    Distinct (order, part) first, then a self-equi-join on the order key
+    with part_a < part_b halving the pair space, then count per pair.
+    The self-join is co-partitioned on l_orderkey (one shuffle shared by
+    both sides); pair fan-out is sum over orders of C(parts,2), bounded
+    by basket size — never |parts|^2. Min-support prunes the long tail
+    before the final order.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = li.alias("a").join(
+        li.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= BASKET_MIN_SUP)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+    )
+
+
+BASKET_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, COUNT(*) AS n_orders
+FROM pairs
+GROUP BY part_a, part_b
+HAVING COUNT(*) >= {BASKET_MIN_SUP}
+ORDER BY n_orders DESC, part_a, part_b
+"""

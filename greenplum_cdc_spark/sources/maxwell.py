@@ -58,7 +58,9 @@ def ts_to_timestamp(ts: Column) -> Column:
     ).otherwise(F.timestamp_seconds(ts))
 
 
-def parse_maxwell(raw: DataFrame, line_col: str = "line") -> DataFrame:
+def parse_maxwell(
+    raw: DataFrame, line_col: str = "line", keep: tuple = ()
+) -> DataFrame:
     """Raw JSON lines → typed CDC event frame.
 
     Output columns mirror the `maxwell_event` archive table
@@ -66,10 +68,12 @@ def parse_maxwell(raw: DataFrame, line_col: str = "line") -> DataFrame:
     the decoded payload (data/old/sql/xid) and the raw line for archival.
     Malformed lines yield NULL envelope fields and are quarantined by
     ``filter(op IS NULL)`` downstream (the analog of Greenplum's
-    `SEGMENT REJECT LIMIT`).
+    `SEGMENT REJECT LIMIT`). ``keep`` passes bus metadata columns
+    (offset, partition) through the parse untouched.
     """
     j = F.from_json(sanitize_line(F.col(line_col)), MAXWELL_SCHEMA)
     return raw.select(
+        *[F.col(c) for c in keep],
         ts_to_timestamp(j["ts"]).alias("ts"),
         j["database"].alias("database_name"),
         j["table"].alias("table_name"),
