@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cdc_pipeline": streaming_pipeline.stream_cdc_pipeline,
         "stream_windowed_counts": streaming_pipeline.stream_windowed_counts,
         "stream_dedup_stateful": streaming_stateful.stream_dedup_query,
+        "stream_sessionize_stateful": streaming_stateful.stream_sessionize_query,
         # B. OLAP layer
         "q1_pricing_summary": tpch.q1_pricing_summary,
         "q3_shipping_priority": tpch.q3_shipping_priority,
@@ -130,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_cdc_pipeline": streaming_pipeline.STREAM_CDC_SQL,
         "stream_windowed_counts": streaming_pipeline.STREAM_WINDOWED_SQL,
         "stream_dedup_stateful": streaming_stateful.STREAM_DEDUP_SQL,
+        "stream_sessionize_stateful": streaming_stateful.STREAM_SESSIONIZE_SQL,
         "q1_pricing_summary": tpch.Q1_SQL,
         "q3_shipping_priority": tpch.Q3_SQL,
         "q5_supplier_volume": tpch.Q5_SQL,

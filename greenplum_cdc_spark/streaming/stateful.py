@@ -138,3 +138,173 @@ FROM documents
 GROUP BY md5(text)
 ORDER BY first_doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Streaming sessionization (C26): gap-based sessions with cross-batch state.
+
+_GAP_US = 30 * 60 * 1_000_000
+
+_SESS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("sess_idx", LongType()),
+        StructField("session_start", LongType()),  # epoch micros (tz-proof)
+        StructField("session_end", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+# (session_start_us, last_ts_us, n_events_in_open_session, n_closed_so_far)
+_SESS_STATE = StructType(
+    [
+        StructField("start", LongType()),
+        StructField("last", LongType()),
+        StructField("n", LongType()),
+        StructField("closed", LongType()),
+    ]
+)
+
+
+def _sessionize_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's events into the user's open session; emit every
+    session CLOSED by a >30-min gap. The open tail stays in state and is
+    stitched with the next micro-batch (or expired by an event-time
+    timeout in a production config)."""
+    start, last, n, closed = state.get if state.exists else (None, None, 0, 0)
+    out = []
+    ts_all = []
+    for pdf in pdfs:
+        ts_all.append(pdf["ts_us"])
+    for ts in pd.concat(ts_all).sort_values().astype("int64"):
+        ts = int(ts)
+        if last is None:
+            start, last, n = ts, ts, 1
+        elif ts - last > _GAP_US:
+            closed += 1
+            out.append((key[0], closed, start, last, n))
+            start, last, n = ts, ts, 1
+        else:
+            last, n = ts, n + 1
+    state.update((start, last, n, closed))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "sess_idx", "session_start", "session_end", "n_events"]
+        )
+
+
+def stream_sessionize(events_stream: DataFrame) -> DataFrame:
+    """Cross-batch streaming sessionization (30-min inactivity gap).
+
+    Input stream needs (user_id, ts_us); output is one row per CLOSED
+    session. State is one tiny tuple per user in the state store, so it
+    shards with the key space — the streaming twin of the batch
+    events_sessionize window (timeseries.py), whose lag/flag trick has
+    no cross-batch memory.
+    """
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_sessionize(
+    spark: SparkSession, input_path: str, checkpoint: str, out_path: str
+) -> DataFrame:
+    """Drive stream_sessionize over a time-ordered JSON file drop, one
+    file per micro-batch (maxFilesPerTrigger=1 under availableNow), so
+    sessions spanning batch boundaries must be stitched through state."""
+    schema = "user_id long, ts_us long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(input_path)
+    )
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(out_path)
+
+    q = (
+        stream_sessionize(stream)
+        .writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(out_path)
+    except Exception:
+        return spark.createDataFrame([], _SESS_OUT)
+
+
+def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26 oracle surface: events split into 3 time-ordered micro-batch
+    files; emitted (closed) sessions must equal the batch sessionization
+    minus each user's final (still-open) session."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..io import load_table
+
+    base = tempfile.mkdtemp(prefix="stream_sess_")
+    in_dir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
+    os.makedirs(in_dir)
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", F.unix_micros("ts").alias("ts_us")
+        )
+        bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+        lo, hi = bounds[0], bounds[1] + 1
+        step = (hi - lo) // 3 + 1
+        for i in range(3):  # sequential writes -> increasing mtimes -> batch order
+            ev.filter(
+                (F.col("ts_us") >= lo + i * step) & (F.col("ts_us") < lo + (i + 1) * step)
+            ).coalesce(1).write.mode("overwrite").json(os.path.join(in_dir, f"b{i}"))
+        res = run_stream_sessionize(spark, in_dir + "/b*", ckpt, out)
+        ordered = res.select(
+            "user_id",
+            "sess_idx",
+            F.timestamp_micros(F.col("session_start")).alias("session_start"),
+            F.timestamp_micros(F.col("session_end")).alias("session_end"),
+            "n_events",
+        ).orderBy("user_id", "sess_idx")
+        rows = ordered.collect()
+        return spark.createDataFrame(rows, ordered.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+STREAM_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT
+    user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 30 * 60 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, session_idx, MIN(ts) AS session_start, MAX(ts) AS session_end,
+         COUNT(*) AS n_events,
+         MAX(session_idx) OVER (PARTITION BY user_id) AS last_idx
+  FROM numbered
+  GROUP BY user_id, session_idx
+)
+SELECT user_id, session_idx AS sess_idx, session_start, session_end, n_events
+FROM sess
+WHERE session_idx < last_idx
+ORDER BY user_id, sess_idx
+"""

@@ -210,3 +210,26 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
     )
     rows2 = {r["first_doc_id"]: r for r in run_stream_dedup(spark, str(in_dir), ckpt, out).collect()}
     assert set(rows2) == {1, 2, 5}  # alpha replay suppressed by state
+
+
+def test_stream_sessionize_matches_batch_minus_open(spark, sf_dir):
+    """Closed sessions from the stateful stream == batch sessionization
+    minus each user's final (still-open) session — across 3 micro-batches,
+    so sessions spanning batch boundaries must be stitched via state."""
+    from greenplum_cdc_spark.operators import timeseries
+    from greenplum_cdc_spark.streaming import stateful
+
+    streamed = {
+        (r["user_id"], r["sess_idx"], r["session_start"], r["session_end"], r["n_events"])
+        for r in stateful.stream_sessionize_query(spark, sf_dir).collect()
+    }
+    batch = timeseries.events_sessionize(spark, sf_dir).collect()
+    last = {}
+    for r in batch:
+        last[r["user_id"]] = max(last.get(r["user_id"], 0), r["session_idx"])
+    expected = {
+        (r["user_id"], r["session_idx"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch
+        if r["session_idx"] < last[r["user_id"]]
+    }
+    assert streamed == expected
