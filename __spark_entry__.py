@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users_rolling": timeseries.active_users_rolling,
         "basket_part_pairs": tpch.basket_part_pairs,
         "cdc_dlq": cdc_queries.cdc_dlq,
+        "dedup_clusters": dedup.dedup_clusters,
     }
     return q
 
@@ -194,4 +195,5 @@ def oracle_sql() -> dict[str, str]:
         "active_users_rolling": timeseries.ACTIVE_USERS_SQL,
         "basket_part_pairs": tpch.BASKET_SQL,
         "cdc_dlq": cdc_queries.CDC_DLQ_SQL,
+        "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
     }

@@ -133,6 +133,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the number of agreeing bands.
     """
     docs = load_table(spark, sf_dir, "documents")
+    return _minhash_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+def _minhash_pairs(docs: DataFrame) -> DataFrame:
+    """Unordered (doc_a, doc_b, n_bands) LSH candidate pairs."""
     sh = _shingles(docs)
     # Two md5s per shingle, each sliced into four 8-hex (32-bit) hash
     # values -> an 8-hash MinHash family with NO seed-explode (the old
@@ -172,11 +177,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count("*").alias("n_bands"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
-def _minhash_sql() -> str:
+def _minhash_cte_block() -> str:
+    """CTE chain (no WITH keyword) ending in ``pairs(doc_a, doc_b, n_bands)``."""
     mins = ",\n         ".join(
         f"MIN(substr(d{i // 4}, {1 + 8 * (i % 4)}, 8)) AS h{i}" for i in range(N_HASHES)
     )
@@ -192,8 +197,7 @@ def _minhash_sql() -> str:
         f"  SELECT doc_id, {b} AS band_idx, b{b} AS digest FROM banded"
         for b in range(N_BANDS)
     )
-    return f"""
-WITH {_SHINGLES_SQL.strip().lstrip()},
+    return f"""{_SHINGLES_SQL.strip().lstrip()},
 hashed AS (
   SELECT doc_id, md5('0:' || sh) AS d0, md5('1:' || sh) AS d1
   FROM shingles
@@ -211,17 +215,21 @@ banded AS (
 ),
 unpivoted AS (
 {unpivot}
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
-FROM unpivoted a
-JOIN unpivoted b
-  ON a.band_idx = b.band_idx AND a.digest = b.digest AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+  FROM unpivoted a
+  JOIN unpivoted b
+    ON a.band_idx = b.band_idx AND a.digest = b.digest AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)"""
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_minhash_cte_block()}
+SELECT doc_a, doc_b, n_bands FROM pairs
 ORDER BY doc_a, doc_b
 """
-
-
-DEDUP_MINHASH_SQL = _minhash_sql()
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,4 +547,91 @@ FROM new_batch
 WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.text_hash = new_batch.text_hash)
 GROUP BY text_hash
 ORDER BY keeper_doc_id
+"""
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C27: duplicate-cluster resolution — connected components over the
+    MinHash-LSH candidate-pair graph, with a canonical keeper per cluster.
+
+    Pair lists (C2) are not what a curation pipeline acts on: it must
+    group transitively-linked near-dups into ONE cluster and keep one
+    canonical document. This is iterative min-label propagation:
+
+        label(v) <- min(label(v), min over neighbors u of label(u))
+
+    repeated to fixpoint. Each round is one shuffle join (edges x labels)
+    plus one min-aggregate; ``localCheckpoint`` truncates the growing
+    lineage so round N doesn't replay rounds 1..N-1. Convergence is
+    detected by the (strictly decreasing) sum of labels, one scalar agg
+    per round — no driver-side row materialization. Rounds needed = max
+    cluster diameter, which for near-dup clusters is tiny (dups of one
+    source document link to each other directly through shared bands);
+    the 100 TB upgrade path for adversarial long-chain graphs is the
+    large-star/small-star alternation (Kiveris et al.), same per-round
+    plan shape.
+
+    Oracle: DuckDB recursive CTE propagating labels downhill
+    (``w.label < e.dst``) — every node receives its component minimum.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _minhash_pairs(docs).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    prev_sum = None
+    for _ in range(64):  # safety bound >> any real diameter at log-ish rounds
+        prop = edges.join(labels, F.col("src") == F.col("node")).select(
+            F.col("dst").alias("node"), "label"
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("is_keeper", (F.col("doc_id") == F.col("cluster_id")).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_minhash_cte_block()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.label
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.label < e.dst
+),
+labels AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(doc_id = cluster_id AS INT) AS is_keeper
+FROM labels
+ORDER BY doc_id
 """

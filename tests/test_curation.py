@@ -201,3 +201,20 @@ def test_resize_media_real_decode_stubbed(spark):
     media = multimodal.media_table(spark, "/root/testdata/sf0.001")
     with pytest.raises(Exception):
         multimodal.resize_media(media, decode_stub=False).collect()
+
+
+def test_dedup_clusters_invariants(spark):
+    """Every LSH pair lands in one cluster; cluster_id is the cluster min."""
+    out = dedup.dedup_clusters(spark, SF).collect()
+    label = {r["doc_id"]: r["cluster_id"] for r in out}
+    sizes = {}
+    for r in out:
+        assert r["cluster_id"] <= r["doc_id"]
+        assert r["is_keeper"] == int(r["doc_id"] == r["cluster_id"])
+        sizes[r["cluster_id"]] = sizes.get(r["cluster_id"], 0) + 1
+    for r in out:
+        assert r["cluster_size"] == sizes[r["cluster_id"]]
+    for p in dedup.dedup_minhash_lsh(spark, SF).collect():
+        assert label[p["doc_a"]] == label[p["doc_b"]]
+    # each cluster's label is attained by a member (it IS the min member)
+    assert all(cid in label and label[cid] == cid for cid in sizes)

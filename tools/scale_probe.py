@@ -69,6 +69,16 @@ def synthesize(spark, sf_dir: str, out_dir: str) -> None:
         vstack = c if vstack is None else vstack.unionByName(c)
     vstack.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
+    li = load_table(spark, sf_dir, "lineitem")
+    max_ok = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    lstack = None
+    for i in range(MULT):
+        # shift order keys: 10x the orders at constant basket size, so a
+        # linear-in-orders operator should show ~10x, not a pair blowup
+        c = li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok))
+        lstack = c if lstack is None else lstack.unionByName(c)
+    lstack.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+
 
 def timed(fn, spark, d) -> float:
     t0 = time.perf_counter()
@@ -92,8 +102,8 @@ OPS = {
 
 
 def _late_ops():
-    from greenplum_cdc_spark.operators import similarity
-    from greenplum_cdc_spark.plans import cdc_queries
+    from greenplum_cdc_spark.operators import quality, similarity
+    from greenplum_cdc_spark.plans import cdc_queries, tpch
 
     return {
         "cdc_parse_events": cdc_queries.cdc_parse_events,
@@ -101,6 +111,14 @@ def _late_ops():
         "knn_lsh": similarity.knn_lsh,
         "embedding_stats": similarity.embedding_stats,
         "dedup_embedding": similarity.dedup_embedding,
+        "doc_repetition": quality.doc_repetition,
+        "pii_scrub": quality.pii_scrub,
+        "bm25_rank": quality.bm25_rank,
+        "contamination_check": quality.contamination_check,
+        "knn_ivf": similarity.knn_ivf,
+        "active_users_rolling": timeseries.active_users_rolling,
+        "basket_part_pairs": tpch.basket_part_pairs,
+        "cdc_dlq": cdc_queries.cdc_dlq,
     }
 
 
@@ -109,8 +127,11 @@ def main() -> None:
     big_dir = "/tmp/scale_probe_10x"
     spark = get_spark("scale-probe")
     synthesize(spark, sf_dir, big_dir)
+    only = set(sys.argv[2:])
     print(f"op,t_1x_s,t_{MULT}x_s,ratio")
     for name, fn in {**OPS, **_late_ops()}.items():
+        if only and name not in only:
+            continue
         timed(fn, spark, sf_dir)  # warm plan/code paths
         t1 = timed(fn, spark, sf_dir)
         t10 = timed(fn, spark, big_dir)
