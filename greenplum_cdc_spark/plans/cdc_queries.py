@@ -441,3 +441,86 @@ SELECT event_id AS offset,
 FROM events
 ORDER BY event_id
 """
+
+
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: mid-stream ADD COLUMN — snapshot across a schema boundary.
+
+    Real Maxwell behavior when the source runs ``ALTER TABLE events ADD
+    COLUMN event_type`` mid-stream: envelopes emitted BEFORE the DDL
+    carry payload ``{user_id, value}``; envelopes after carry
+    ``{user_id, value, event_type}``. Because the production parser
+    (sources/maxwell.py) keeps ``data`` as ``map<string,string>`` and
+    typing happens against the registry's CURRENT (post-DDL) schema —
+    exactly where the reference consults information_schema
+    (cdc_plpgsql_functions.sql:62-77) — old envelopes project NULL for
+    the new column with no reparse and no backfill scan. Latest-wins
+    apply then works unchanged across the boundary; a key whose final
+    event predates the DDL surfaces with ``last_event_type`` NULL and
+    ``pre_ddl`` 1.
+
+    Scale note: schema evolution costs NOTHING at 100 TB — no data
+    rewrite, the map-typed archive stays valid, and the projection is
+    one whole-stage-codegen map lookup per row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pre = F.col("ts") < F.lit(_SPLIT_TS).cast("timestamp")
+    epoch_ms = F.expr("unix_micros(ts) div 1000")
+    head = [
+        F.lit("appdb").alias("database"),
+        F.lit("events").alias("table"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("insert"))
+        .alias("type"),
+        epoch_ms.alias("ts"),
+        F.col("event_id").alias("xid"),
+    ]
+    data_pre = F.struct(F.col("user_id"), F.col("value")).alias("data")
+    data_post = F.struct(
+        F.col("user_id"), F.col("value"), F.col("event_type")
+    ).alias("data")
+    line = F.when(pre, F.to_json(F.struct(*head, data_pre))).otherwise(
+        F.to_json(F.struct(*head, data_post))
+    )
+    parsed = maxwell.parse_maxwell(ev.select(line.alias("line")))
+    typed = parsed.select(
+        F.col("data")["user_id"].cast("bigint").alias("pk"),
+        "ts",
+        F.col("xid").alias("seq"),
+        "op",
+        F.col("data")["value"].cast("double").alias("value"),
+        F.col("data")["event_type"].alias("event_type"),
+    )
+    snap = cdc_ops.snapshot_latest(typed)
+    return snap.select(
+        "pk",
+        F.col("ts").alias("last_ts"),
+        F.col("seq").alias("last_seq"),
+        F.col("value").alias("last_value"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("event_type").isNull().cast("int").alias("pre_ddl"),
+    ).orderBy("pk")
+
+
+CDC_SCHEMA_EVOLUTION_SQL = f"""
+WITH typed AS (
+  SELECT user_id AS pk,
+         make_timestamp((epoch_us(ts) // 1000) * 1000) AS ts_ms,
+         event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+         value,
+         CASE WHEN ts < TIMESTAMP '{_SPLIT_TS}' THEN NULL ELSE event_type END
+           AS event_type
+  FROM events
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts_ms DESC, seq DESC) AS rn
+  FROM typed
+)
+SELECT pk, ts_ms AS last_ts, seq AS last_seq, value AS last_value,
+       event_type AS last_event_type,
+       CAST(event_type IS NULL AS INT) AS pre_ddl
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+ORDER BY pk
+"""

@@ -209,3 +209,17 @@ def test_normalize_pk_changes_same_pk_update_untouched(spark):
     )
     rows = snap.collect()
     assert len(rows) == 1 and rows[0]["value"] == 30.0
+
+
+def test_schema_evolution_null_backfill(spark):
+    """Keys whose final event predates the DDL get NULL for the new col."""
+    from greenplum_cdc_spark.plans.cdc_queries import _SPLIT_TS, cdc_schema_evolution
+
+    rows = cdc_schema_evolution(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "snapshot must be non-empty"
+    split = __import__("datetime").datetime.fromisoformat(_SPLIT_TS)
+    for r in rows:
+        if r["last_ts"] < split:
+            assert r["last_event_type"] is None and r["pre_ddl"] == 1
+        else:
+            assert r["last_event_type"] is not None and r["pre_ddl"] == 0

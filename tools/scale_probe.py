@@ -119,6 +119,7 @@ def _late_ops():
         "active_users_rolling": timeseries.active_users_rolling,
         "basket_part_pairs": tpch.basket_part_pairs,
         "cdc_dlq": cdc_queries.cdc_dlq,
+        "dedup_clusters": dedup.dedup_clusters,
     }
 
 
