@@ -309,8 +309,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 37x wall at 10x data). Instead, order each doc's shingle set by
     # global rarity; any pair with J >= tau MUST share one of each doc's
     # first n - ceil(tau*n) + 1 rarest shingles (else the intersection
-    # is provably too small), so candidates come from joining only those
-    # prefixes against the full relation — rare shingles, tiny buckets.
+    # is provably too small), so candidates come from joining prefixes
+    # against prefixes — rare shingles, tiny buckets.
     # Verification is exact via array_intersect on the full sets, so the
     # OUTPUT is identical to the naive join (same oracle).
     df_tbl = sh.groupBy("sh").agg(F.count("*").alias("df"))
@@ -330,13 +330,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixes = docsets.select(
         "doc_id", F.explode(F.expr(f"slice(arr, 1, {plen_sql})")).alias("sh")
     )
+    # prefix-vs-PREFIX join: if J(A,B) >= tau then |A∩B| >= ceil(tau*|A|)
+    # and >= ceil(tau*|B|), so BOTH prefixes of length n - ceil(tau*n) + 1
+    # contain an element of the intersection under one global order —
+    # their prefixes themselves must intersect. Joining prefix x prefix
+    # (instead of prefix x full relation) keeps common shingles out of
+    # BOTH join sides, so bucket cost is rare x rare.
     cand = (
         prefixes.alias("p")
-        .join(sh.alias("f"), "sh")
-        .filter(F.col("p.doc_id") != F.col("f.doc_id"))
+        .join(prefixes.alias("f"), "sh")
+        .filter(F.col("p.doc_id") < F.col("f.doc_id"))
         .select(
-            F.least("p.doc_id", "f.doc_id").alias("doc_a"),
-            F.greatest("p.doc_id", "f.doc_id").alias("doc_b"),
+            F.col("p.doc_id").alias("doc_a"),
+            F.col("f.doc_id").alias("doc_b"),
         )
         .distinct()
     )
