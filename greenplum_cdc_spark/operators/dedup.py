@@ -325,24 +325,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tau_num, tau_den = int(JACCARD_THRESHOLD * 100), 100
-    # prefix length n - ceil(tau*n) + 1, in exact integer math
+    # probe prefix: n - ceil(tau*n) + 1 (exact integer math)
     plen_sql = f"n - ((n * {tau_num} + {tau_den - 1}) div {tau_den}) + 1"
+    # PPJoin index prefix for the SMALLER doc of a pair: with |A| <= |B|,
+    # t = ceil(tau/(1+tau) * (|A|+|B|)) >= ceil(2*tau/(1+tau) * |A|), so
+    # A's prefix shrinks to n - ceil(2*tau/(1+tau) * n) + 1.
+    i_num, i_den = 2 * tau_num, tau_den + tau_num
+    iplen_sql = f"n - ((n * {i_num} + {i_den - 1}) div {i_den}) + 1"
     prefixes = docsets.select(
-        "doc_id", F.explode(F.expr(f"slice(arr, 1, {plen_sql})")).alias("sh")
+        "doc_id", "n", F.explode(F.expr(f"slice(arr, 1, {plen_sql})")).alias("sh")
     )
-    # prefix-vs-PREFIX join: if J(A,B) >= tau then |A∩B| >= ceil(tau*|A|)
-    # and >= ceil(tau*|B|), so BOTH prefixes of length n - ceil(tau*n) + 1
-    # contain an element of the intersection under one global order —
-    # their prefixes themselves must intersect. Joining prefix x prefix
-    # (instead of prefix x full relation) keeps common shingles out of
-    # BOTH join sides, so bucket cost is rare x rare.
+    iprefixes = docsets.select(
+        "doc_id", "n", F.explode(F.expr(f"slice(arr, 1, {iplen_sql})")).alias("sh")
+    )
+    # prefix-vs-PREFIX join: if J(A,B) >= tau, then under one global
+    # rarity order the LARGER doc's probe prefix and the SMALLER doc's
+    # (shorter) index prefix both contain an element of the intersection
+    # — they must share a shingle. Joining prefix x prefix (instead of
+    # prefix x full relation) keeps common shingles out of BOTH sides,
+    # so bucket cost is rare x rare. The size filter n_small >= tau *
+    # n_large (J >= tau forces it) prunes before the distinct.
     cand = (
         prefixes.alias("p")
-        .join(prefixes.alias("f"), "sh")
-        .filter(F.col("p.doc_id") < F.col("f.doc_id"))
+        .join(iprefixes.alias("f"), "sh")
+        .filter(
+            (F.col("f.n") < F.col("p.n"))
+            | ((F.col("f.n") == F.col("p.n")) & (F.col("f.doc_id") != F.col("p.doc_id")))
+        )
+        .filter(F.col("f.n") * tau_den >= F.col("p.n") * tau_num)
         .select(
-            F.col("p.doc_id").alias("doc_a"),
-            F.col("f.doc_id").alias("doc_b"),
+            F.least("p.doc_id", "f.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "f.doc_id").alias("doc_b"),
         )
         .distinct()
     )
