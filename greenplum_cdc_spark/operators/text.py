@@ -79,10 +79,10 @@ LANG_ID_SQL = f"""
 WITH {_TOK_SQL.strip()},
 hits AS (
   SELECT doc_id, lang,
-         SUM(CASE WHEN w IN ({_inlist(STOPWORDS["de"])}) THEN 1 ELSE 0 END) AS de_hits,
-         SUM(CASE WHEN w IN ({_inlist(STOPWORDS["en"])}) THEN 1 ELSE 0 END) AS en_hits,
-         SUM(CASE WHEN w IN ({_inlist(STOPWORDS["es"])}) THEN 1 ELSE 0 END) AS es_hits,
-         SUM(CASE WHEN w IN ({_inlist(STOPWORDS["fr"])}) THEN 1 ELSE 0 END) AS fr_hits
+         CAST(SUM(CASE WHEN w IN ({_inlist(STOPWORDS["de"])}) THEN 1 ELSE 0 END) AS BIGINT) AS de_hits,
+         CAST(SUM(CASE WHEN w IN ({_inlist(STOPWORDS["en"])}) THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+         CAST(SUM(CASE WHEN w IN ({_inlist(STOPWORDS["es"])}) THEN 1 ELSE 0 END) AS BIGINT) AS es_hits,
+         CAST(SUM(CASE WHEN w IN ({_inlist(STOPWORDS["fr"])}) THEN 1 ELSE 0 END) AS BIGINT) AS fr_hits
   FROM tok2
   GROUP BY doc_id, lang
 )
@@ -137,7 +137,7 @@ QUALITY_SQL = f"""
 WITH {_TOK_SQL.strip()},
 stats AS (
   SELECT doc_id, COUNT(*) AS n_tokens,
-         SUM(CASE WHEN w IN ({_inlist(EN_STOP)}) THEN 1 ELSE 0 END) AS n_stop
+         CAST(SUM(CASE WHEN w IN ({_inlist(EN_STOP)}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
   FROM tok2 GROUP BY doc_id
 ),
 base AS (

@@ -87,8 +87,8 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 numbered AS (
-  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_idx
+  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx, MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -382,11 +382,11 @@ def events_pivot_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_PIVOT_SQL = """
 SELECT CAST(hour(ts) AS INT) AS hour_of_day,
-       COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0) AS click,
-       COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END), 0) AS error,
-       COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS purchase,
-       COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END), 0) AS signup,
-       COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0) AS view
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END), 0) AS BIGINT) AS click,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END), 0) AS BIGINT) AS error,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END), 0) AS BIGINT) AS purchase,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END), 0) AS BIGINT) AS signup,
+       CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0) AS BIGINT) AS view
 FROM events
 GROUP BY CAST(hour(ts) AS INT)
 ORDER BY hour_of_day
@@ -508,10 +508,10 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 )
 SELECT COUNT(*) AS n_users,
-       SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n_view,
-       SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS n_view_click,
-       SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
-            THEN 1 ELSE 0 END) AS n_full_funnel
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
 FROM per_user
 """
 

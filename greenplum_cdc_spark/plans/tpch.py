@@ -311,7 +311,7 @@ JSON_EXTRACT_SQL = """
 SELECT
   event_type,
   COUNT(*) AS n_events,
-  SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
   MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
   MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
 FROM events
@@ -1006,8 +1006,8 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

@@ -41,12 +41,27 @@ def _values_match(a, b) -> bool:
     return a == b
 
 
-def compare(spark_rows, spark_cols, duck_rows, duck_cols, name):
+def compare(spark_rows, spark_cols, duck_rows, duck_cols, name,
+            spark_kinds=None, duck_kinds=None):
     problems = []
     if len(spark_rows) != len(duck_rows):
         problems.append(f"row count: spark={len(spark_rows)} duck={len(duck_rows)}")
     if sorted(spark_cols) != sorted(duck_cols):
         problems.append(f"columns: spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
+    # pandas-dtype kind check: the driver converts both sides to pandas
+    # before hashing, and DuckDB HUGEINT (e.g. SUM(INTEGER)) becomes
+    # float64 there while Spark BIGINT stays int64 — numerically equal
+    # values then hash differently ("3.0" vs "3"). Catch that locally.
+    if spark_kinds and duck_kinds:
+        for c in spark_cols:
+            sk, dk = spark_kinds.get(c), duck_kinds.get(c)
+            if sk is None or dk is None:
+                continue
+            if (sk in "iu") != (dk in "iu") and {sk, dk} <= set("iuf"):
+                problems.append(
+                    f"pandas dtype kind mismatch on {c}: spark={sk} duck={dk}"
+                    " (driver hash would fail; CAST the oracle column)"
+                )
     if problems:
         return problems
 
@@ -104,6 +119,8 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             spark_cols = sdf.columns
+            sp_pdf = sdf.toPandas()
+            spark_kinds = {c: sp_pdf[c].dtype.kind for c in sp_pdf.columns}
             spark_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
@@ -113,6 +130,8 @@ def main():
             print(f"SKIP {name}: rows-only ({len(spark_rows)} rows)")
             continue
         try:
+            duck_pdf = con.execute(oracles[name]).df()
+            duck_kinds = {c: duck_pdf[c].dtype.kind for c in duck_pdf.columns}
             res = con.execute(oracles[name])
             duck_cols = [d[0] for d in res.description]
             duck_rows = res.fetchall()
@@ -120,7 +139,8 @@ def main():
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
-        problems = compare(spark_rows, spark_cols, duck_rows, duck_cols, name)
+        problems = compare(spark_rows, spark_cols, duck_rows, duck_cols, name,
+                           spark_kinds, duck_kinds)
         if problems:
             n_fail += 1
             print(f"FAIL {name}: " + "; ".join(problems))
