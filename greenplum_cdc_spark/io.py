@@ -49,6 +49,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def shuffle_partitions(spark: SparkSession, n: int):
+    """Temporarily pin `spark.sql.shuffle.partitions`.
+
+    Stateful streaming queries size their STATE STORE off this value at
+    first start, and AQE never coalesces those tasks — so gate-scale
+    streaming runs (sf0.01/0.1) pay 32 state-store tasks per micro-batch
+    for a handful of rows unless pinned low. Production entry points
+    (`stream_dedup_exact`, `stream_sessionize`) deliberately do NOT use
+    this: at cluster scale the session default is the right size.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        else:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+
+
+def materialize(df: DataFrame, prefix: str = "gate_") -> DataFrame:
+    """Write `df` to a session-lifetime temp parquet and return the lazy
+    read.
+
+    Gate-surface operators that build their result inside a scratch dir
+    (streaming runs, replica stores) must hand back a frame that outlives
+    that dir. Collecting to the driver and re-creating the DataFrame
+    works but is driver-bound at scale; instead the result is spilled to
+    a KEPT temp parquet (deleted at process exit, not at return) and
+    read back lazily — executors stream it, the driver never holds rows.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    df.write.mode("overwrite").parquet(out)
+    return df.sparkSession.read.parquet(out)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

@@ -205,6 +205,8 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     its final result table — so the oracle comparison proves the
     streaming aggregation converges to the batch answer.
     """
+    from ..io import shuffle_partitions
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = read_events_stream(spark, sf_dir)
     agg = (
@@ -213,14 +215,15 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     name = "windowed_counts_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .select(
@@ -258,7 +261,7 @@ def stream_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..io import load_table
+    from ..io import load_table, materialize
 
     base = tempfile.mkdtemp(prefix="cdc_e2e_")
     in_dir, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
@@ -283,18 +286,20 @@ def stream_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         ev.select(line.alias("line")).write.mode("overwrite").text(in_dir)
 
-        pipe = CDCPipeline(spark, replica_dir, key_cols=("pk",))
-        pipe.run_available(in_dir, ckpt)
-        replica = pipe.store.read()
-        out = replica.select(
-            "pk",
-            F.col("ts").alias("last_ts"),
-            F.col("seq").alias("last_seq"),
-            F.col("data")["value"].cast("double").alias("last_value"),
-            F.col("data")["event_type"].alias("last_event_type"),
-        ).orderBy("pk")
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
+        from ..io import shuffle_partitions
+
+        with shuffle_partitions(spark, 8):
+            pipe = CDCPipeline(spark, replica_dir, key_cols=("pk",))
+            pipe.run_available(in_dir, ckpt)
+            replica = pipe.store.read()
+            out = replica.select(
+                "pk",
+                F.col("ts").alias("last_ts"),
+                F.col("seq").alias("last_seq"),
+                F.col("data")["value"].cast("double").alias("last_value"),
+                F.col("data")["event_type"].alias("last_event_type"),
+            ).orderBy("pk")
+            return materialize(out, "cdc_e2e_out_").orderBy("pk")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -360,3 +365,92 @@ class FanoutCDCPipeline(CDCPipeline):
         merged = merged.localCheckpoint(eager=True)  # compute once, write N times
         for store in self.stores:
             store.commit(merged)
+
+
+_FANOUT_SINKS = 2
+
+
+def stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31: the reference's fan-out TODO (README.md:156) as a checkable
+    query — one Maxwell stream, TWO replica sinks, one merge.
+
+    Same end-to-end machinery as `stream_cdc_pipeline`, but the
+    foreachBatch commit fans the merged frame out to N versioned stores.
+    The check: every sink's final replica equals the latest-wins
+    snapshot, so the result is the union over sinks tagged with
+    `sink_id` and the oracle is the snapshot cross-joined with the sink
+    ids — proving the sinks stayed bit-identical through the stream.
+    """
+    import shutil
+    import tempfile
+
+    from ..io import load_table, materialize
+
+    base = tempfile.mkdtemp(prefix="cdc_fanout_")
+    in_dir, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
+    sink_dirs = [os.path.join(base, f"sink{i}") for i in range(_FANOUT_SINKS)]
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        line = F.to_json(
+            F.struct(
+                F.lit("appdb").alias("database"),
+                F.lit("events").alias("table"),
+                F.when(F.col("event_type") == "error", F.lit("delete"))
+                .otherwise(F.lit("insert"))
+                .alias("type"),
+                F.expr("unix_micros(ts) div 1000").alias("ts"),
+                F.col("event_id").alias("xid"),
+                F.struct(
+                    F.col("user_id").alias("id"),
+                    F.col("value").alias("value"),
+                    F.col("event_type").alias("event_type"),
+                ).alias("data"),
+            )
+        )
+        ev.select(line.alias("line")).write.mode("overwrite").text(in_dir)
+
+        from ..io import shuffle_partitions
+
+        with shuffle_partitions(spark, 8):
+            pipe = FanoutCDCPipeline(spark, sink_dirs, key_cols=("pk",))
+            pipe.run_available(in_dir, ckpt)
+            per_sink = []
+            for i, store in enumerate(pipe.stores):
+                replica = store.read()
+                per_sink.append(
+                    replica.select(
+                        F.lit(i).cast("int").alias("sink_id"),
+                        "pk",
+                        F.col("ts").alias("last_ts"),
+                        F.col("data")["value"].cast("double").alias("last_value"),
+                    )
+                )
+            out = per_sink[0]
+            for s in per_sink[1:]:
+                out = out.unionByName(s)
+            return materialize(out, "cdc_fanout_out_").orderBy("sink_id", "pk")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+STREAM_FANOUT_SQL = f"""
+WITH cdc AS (
+  SELECT user_id AS pk,
+         make_timestamp((epoch_us(ts) // 1000) * 1000) AS ts,
+         event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+         value
+  FROM events
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+  FROM cdc
+),
+snap AS (
+  SELECT pk, ts AS last_ts, value AS last_value
+  FROM ranked WHERE rn = 1 AND op <> 'delete'
+)
+SELECT CAST(sink_id AS INT) AS sink_id, pk, last_ts, last_value
+FROM snap CROSS JOIN range({_FANOUT_SINKS}) sinks(sink_id)
+ORDER BY sink_id, pk
+"""

@@ -115,19 +115,19 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..io import load_table
+    from ..io import load_table, materialize, shuffle_partitions
 
     base = tempfile.mkdtemp(prefix="stream_dedup_")
     in_dir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
     try:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
         docs.coalesce(1).write.mode("overwrite").json(in_dir)
-        res = run_stream_dedup(spark, in_dir, ckpt, out)
-        ordered = res.select(
-            "text_hash", "first_doc_id", F.col("n_new_in_batch").alias("n_copies")
-        ).orderBy("first_doc_id")
-        rows = ordered.collect()
-        return spark.createDataFrame(rows, ordered.schema)
+        with shuffle_partitions(spark, 8):
+            res = run_stream_dedup(spark, in_dir, ckpt, out)
+            ordered = res.select(
+                "text_hash", "first_doc_id", F.col("n_new_in_batch").alias("n_copies")
+            ).orderBy("first_doc_id")
+            return materialize(ordered, "stream_dedup_out_").orderBy("first_doc_id")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -251,7 +251,7 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from ..io import load_table
+    from ..io import load_table, materialize, shuffle_partitions
 
     base = tempfile.mkdtemp(prefix="stream_sess_")
     in_dir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
@@ -267,16 +267,16 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.filter(
                 (F.col("ts_us") >= lo + i * step) & (F.col("ts_us") < lo + (i + 1) * step)
             ).coalesce(1).write.mode("overwrite").json(os.path.join(in_dir, f"b{i}"))
-        res = run_stream_sessionize(spark, in_dir + "/b*", ckpt, out)
-        ordered = res.select(
-            "user_id",
-            "sess_idx",
-            F.timestamp_micros(F.col("session_start")).alias("session_start"),
-            F.timestamp_micros(F.col("session_end")).alias("session_end"),
-            "n_events",
-        ).orderBy("user_id", "sess_idx")
-        rows = ordered.collect()
-        return spark.createDataFrame(rows, ordered.schema)
+        with shuffle_partitions(spark, 8):
+            res = run_stream_sessionize(spark, in_dir + "/b*", ckpt, out)
+            ordered = res.select(
+                "user_id",
+                "sess_idx",
+                F.timestamp_micros(F.col("session_start")).alias("session_start"),
+                F.timestamp_micros(F.col("session_end")).alias("session_end"),
+                "n_events",
+            ).orderBy("user_id", "sess_idx")
+            return materialize(ordered, "stream_sess_out_").orderBy("user_id", "sess_idx")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
