@@ -59,16 +59,22 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 print(f"bench error in {name}: {e}", file=sys.stderr)
                 timings[name] = -1.0
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total = round(sum(t for t in timings.values() if t >= 0), 2)
+    # Field order + compactness matter: the driver's log capture keeps the
+    # TAIL of this (long) line, so the headline fields go LAST and the
+    # per-query map FIRST; compact separators + 2-dp rounds keep the whole
+    # line as short as possible so ideally nothing is cut at all.
     print(
         json.dumps(
             {
+                "queries": {k: round(t, 2) for k, t in timings.items()},
+                "n_queries": len(timings),
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "unit": "sec",
                 "metric": "headline_queries_total_wall",
                 "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 
