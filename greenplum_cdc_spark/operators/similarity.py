@@ -30,6 +30,8 @@ N_PLANES = 8
 NEARDUP_COS = 0.5
 TOPK = 5
 N_QUERIES = 20
+# all-pairs baseline guard: 200k x 64 float64 ≈ 100 MB broadcast matrix
+DEDUP_EMB_MAX_ROWS = 200_000
 
 
 def _dot(a: str, b: str):
@@ -76,6 +78,14 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_corpus = vecs.count()
+    if n_corpus > DEDUP_EMB_MAX_ROWS:
+        raise ValueError(
+            f"dedup_embedding is the all-pairs small-corpus baseline: corpus has "
+            f"{n_corpus} vectors, cap is {DEDUP_EMB_MAX_ROWS} (the broadcast "
+            f"matrix would exceed executor memory). Use dedup_minhash_lsh / "
+            f"knn_lsh bucketing for large corpora."
+        )
     pdf_all = vecs.toPandas()
     ids_all = pdf_all["vec_id"].to_numpy()
     m_all = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
@@ -260,37 +270,88 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is identical); cell assignment is argmin squared-L2 to the centroid,
     computed in exact DECIMAL so both engines agree bit-for-bit.
 
-    Scale shape: the centroid table is tiny and BROADCAST onto the
-    exploded (vec, dim) scan; assignment is one groupBy(vec, cell)
-    keyed by the corpus. The within-cell join is an equi-join on the
-    cell id — candidate generation linear in corpus size, the same
-    bucketing contract as knn_lsh. (At 100 TB you'd swap the exploded
-    assignment for a broadcast centroid matrix inside mapInPandas BLAS,
-    as dedup_embedding does for scoring.)
+    Scale shape: centroid TRAINING is one posexplode + map-side-combined
+    groupBy (the k-means stand-in); the trained centroid table is tiny
+    (|cells| x 64), so ASSIGNMENT embeds it as literal arrays and scores
+    each vector with per-cell zip_with/aggregate folds in one scan —
+    zero joins, zero shuffles, whole-stage codegen — the Spark analog of
+    FAISS's broadcast coarse quantizer. The within-cell search is an
+    equi-join on the cell id against the broadcast query set — candidate
+    generation linear in corpus size, the same bucketing contract as
+    knn_lsh. All centroid arithmetic is exact DECIMAL so both engines
+    agree bit-for-bit.
     """
     vecs = load_table(spark, sf_dir, "embeddings")
-    ve = vecs.select(
-        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
-    ).select("vec_id", "label", (F.col("pos") + 1).alias("dim"), F.expr(_RV).alias("rv"))
-    cent = ve.groupBy(F.col("label").alias("cell"), "dim").agg(
-        F.expr(
-            "CAST(ROUND(CAST(ROUND(SUM(rv), 6) AS DOUBLE) / COUNT(*), 6)"
-            " AS DECIMAL(16,6))"
-        ).alias("c6")
+    # centroid training: posexplode to (label, dim, unit) with the 6-dp
+    # element as an exact int64 micro-unit, then one map-side-combined
+    # LONG-sum groupBy. Long sums are order-insensitive and exact, so
+    # this is bit-identical to the oracle's DECIMAL SUM (scaled 1e6) —
+    # and long agg buffers are ~7x cheaper than decimal(38,6) here.
+    ve = vecs.select("label", F.posexplode("embedding").alias("pos", "v")).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        (
+            F.round(F.col("v").cast("double"), 6).cast("decimal(16,6)")
+            * F.lit(1_000_000)
+        ).cast("long").alias("u"),
     )
-    assigned = (
-        ve.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "cell")
-        .agg(F.sum((F.col("rv") - F.col("c6")) * (F.col("rv") - F.col("c6"))).alias("dist2"))
+    cent = ve.groupBy("label", "dim").agg(
+        F.sum("u").alias("su"), F.count("*").alias("n")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cell"))
-    cells = (
-        assigned.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
+    # trained quantizer -> driver (tiny: |cells| x DIM rows), embedded as
+    # literals so assignment needs no join at all
+    from decimal import ROUND_HALF_UP, Decimal
+
+    by_cell: dict[int, dict[int, object]] = {}
+    for r in cent.collect():
+        # ROUND(CAST(sum AS DOUBLE)/n, 6) — replicate the engines' shared
+        # rounding chain exactly: micro-unit long -> exact decimal sum
+        # (scaleb) -> correctly-rounded double (float(Decimal)) -> IEEE
+        # division -> HALF_UP 6-dp round over the shortest decimal repr
+        # (Decimal(repr(x)).quantize, NOT Python round(), which is
+        # banker's).
+        val = float(Decimal(r["su"]).scaleb(-6)) / r["n"]
+        by_cell.setdefault(int(r["label"]), {})[int(r["dim"])] = Decimal(
+            repr(val)
+        ).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    cells_sorted = sorted(by_cell)
+    # distance math in exact int64 micro-units: rv and c6 both carry <=6
+    # decimal places, so x1e6 is an exact integer; squared-diff sums over
+    # 64 dims stay far under 2^63. Same argmin as the oracle's DECIMAL
+    # dist2 (monotone x1e12 scaling), with long-typed codegen instead of
+    # 38-digit decimal ops.
+    rv_arr = F.transform(
+        F.col("embedding"),
+        lambda x: (
+            F.round(x.cast("double"), 6).cast("decimal(16,6)") * F.lit(1_000_000)
+        ).cast("long"),
     )
-    vn = _with_norm(vecs).select("vec_id", "embedding", "norm")
-    corpus = cells.join(vn, "vec_id")
+    dist_cols = []
+    for c in cells_sorted:
+        c6_arr = F.array(
+            *[
+                F.lit(int(by_cell[c][d].scaleb(6)))
+                for d in range(1, DIM + 1)
+            ]
+        )
+        sq = F.zip_with(F.col("rv"), c6_arr, lambda x, y: (x - y) * (x - y))
+        dist_cols.append(F.aggregate(sq, F.lit(0).cast("long"), lambda a, x: a + x))
+    cell_ids = F.array(*[F.lit(c) for c in cells_sorted])
+    # argmin with ties to the smallest cell id: cells_sorted is ascending
+    # and array_position returns the FIRST match
+    corpus = (
+        vecs.withColumn("rv", rv_arr)
+        .withColumn("dists", F.array(*dist_cols))
+        .select(
+            "vec_id",
+            F.element_at(
+                cell_ids,
+                F.array_position(F.col("dists"), F.array_min("dists")).cast("int"),
+            ).alias("cell"),
+            "embedding",
+            F.sqrt(_dot("embedding", "embedding")).alias("norm"),
+        )
+    )
     queries = corpus.filter(F.col("vec_id") < IVF_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("cell"),
