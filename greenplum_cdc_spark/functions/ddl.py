@@ -26,7 +26,12 @@ _DDL_HEAD = re.compile(
 )
 _ENGINE = re.compile(r"\bENGINE\s*=\s*\S+", re.IGNORECASE)
 _TYPES = re.compile(
-    r"(TINYINT\(1\)|" + "|".join(k for k in TYPE_MAP if k != "TINYINT(1)") + r")",
+    # \b anchors so type names embedded in identifiers (a column named
+    # `created_datetime`) are never rewritten; TINYINT(1) needs no
+    # trailing \b — it ends at the literal ')'.
+    r"\b(TINYINT\(1\)|"
+    + "|".join(k + r"\b" for k in TYPE_MAP if k != "TINYINT(1)")
+    + r")",
     re.IGNORECASE,
 )
 

@@ -24,6 +24,7 @@ def snapshot_latest(
     order_cols: Sequence[str] = ("ts", "seq"),
     op_col: str = "op",
     delete_op: str = "delete",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Batch snapshot reconstruction: latest-wins per key, deletes drop.
 
@@ -31,14 +32,17 @@ def snapshot_latest(
     empty replica: only each key's final event decides its presence and
     payload (intermediate updates are absorbed — same end state the
     reference reaches row-by-row).
+
+    With ``keep_tombstones=True`` the winning delete row is RETAINED
+    (marked by its op) instead of dropped, so a later out-of-order batch
+    cannot resurrect the key — see `apply_incremental` for when that
+    matters. Filter ``op != delete`` at read time for the live view.
     """
     w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
-    return (
-        cdc.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .filter(F.col(op_col) != delete_op)
-        .drop("_rn")
-    )
+    out = cdc.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    if not keep_tombstones:
+        out = out.filter(F.col(op_col) != delete_op)
+    return out.drop("_rn")
 
 
 def apply_incremental(
@@ -48,20 +52,33 @@ def apply_incremental(
     order_cols: Sequence[str] = ("ts", "seq"),
     op_col: str = "op",
     delete_op: str = "delete",
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Merge a CDC micro-batch into an existing replica (foreachBatch body).
 
     The replica rows re-enter the latest-wins window as synthetic
-    'insert' events ordered before every batch event (their own ts/seq),
-    so `apply_incremental(snapshot(old), new) == snapshot(old ∪ new)` —
-    the invariant the reference maintains via its watermark + ordered
-    replay. One shuffle on the key, same as snapshot_latest.
+    'insert' events ordered at their own (ts, seq), so
+    `apply_incremental(snapshot(old), new) == snapshot(old ∪ new)`
+    PROVIDED batches arrive in replay order past the replica's high
+    watermark — exactly what the reference's `maxwell_ts` guarantees
+    (cdc_plpgsql_functions.sql:233-238: only events newer than the
+    stored watermark are ever applied). Out-of-order delivery has one
+    divergence: a delete absorbed into the snapshot leaves no trace, so
+    a LATE event older than that delete would resurrect the key where a
+    full recompute would not. Deployments that cannot guarantee ordered
+    delivery should pass ``keep_tombstones=True`` (both here and in the
+    initial `snapshot_latest`): winning deletes then persist in the
+    replica and late pre-delete events lose the window to the tombstone,
+    restoring the invariant at the cost of retained delete rows (compact
+    them periodically once the bus's max lateness has passed).
+    One shuffle on the key either way, same as snapshot_latest.
     """
     base = replica.withColumn(op_col, F.lit("insert")) if op_col not in replica.columns else replica
     cols = [c for c in batch.columns]
     base = base.select(*[F.col(c) if c in base.columns else F.lit(None).alias(c) for c in cols])
     return snapshot_latest(
-        base.unionByName(batch), key_cols, order_cols, op_col, delete_op
+        base.unionByName(batch), key_cols, order_cols, op_col, delete_op,
+        keep_tombstones=keep_tombstones,
     )
 
 
@@ -155,13 +172,16 @@ def normalize_pk_changes(
 ) -> DataFrame:
     """Expand PK-changing UPDATEs into delete(old_pk) + upsert(new_pk).
 
-    Maxwell updates carry the prior row in `old`; the reference's UPDATE
-    targets the OLD key (`process_events` builds WHERE from old values,
-    cdc_plpgsql_functions.sql:162-190), so an update that moves a row to
-    a new PK must remove the old row. The emitted delete shares the
-    event's (ts, seq) with `subseq=0` ordering it just before the upsert
-    (`subseq=1`), keeping the replay total order deterministic — pass
-    order_cols=(ts, seq, subseq) to the snapshot/apply window.
+    Maxwell updates carry the prior row in `old`, but the reference's
+    UPDATE builds its WHERE clause from the NEW row's PK values
+    (event_json->'data', cdc_plpgsql_functions.sql:150-155/162-190) — so
+    a PK-changing update matches nothing there and the old row is left
+    behind. The delete(old)+upsert(new) expansion here deliberately
+    FIXES that reference limitation rather than mirroring it. The
+    emitted delete shares the event's (ts, seq) with `subseq=0` ordering
+    it just before the upsert (`subseq=1`), keeping the replay total
+    order deterministic — pass order_cols=(ts, seq, subseq) to the
+    snapshot/apply window.
     """
     has_change = (
         (F.col(op_col) == "update")

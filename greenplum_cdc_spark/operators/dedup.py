@@ -369,14 +369,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(va, "doc_a")
         .join(vb, "doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        # filter on the UNROUNDED ratio: the prefix/size pruning above
+        # guarantees exact-threshold semantics, and a rounded filter
+        # would admit pairs in [tau - 5e-7, tau) that pruning may have
+        # already dropped — a latent boundary mismatch. ROUND is for
+        # display only.
         .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ),
+            "jaccard_raw",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "n_inter", "jaccard")
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a", "doc_b", "n_inter", F.round("jaccard_raw", 6).alias("jaccard")
+        )
         .orderBy("doc_a", "doc_b")
     )
 
@@ -395,7 +400,7 @@ SELECT doc_a, doc_b, n_inter,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_THRESHOLD}
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {JACCARD_THRESHOLD}
 ORDER BY doc_a, doc_b
 """
 

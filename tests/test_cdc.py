@@ -97,6 +97,40 @@ def test_apply_is_idempotent(spark):
     )
 
 
+def test_tombstones_block_out_of_order_resurrection(spark):
+    """Without tombstones, a late event older than an absorbed delete
+    resurrects the key; keep_tombstones=True restores the recompute
+    invariant under out-of-order delivery."""
+    rows = [
+        (1, 10, 1, "insert", "v1"),
+        (1, 30, 3, "delete", None),
+    ]
+    late = [(1, 20, 2, "update", "v2")]  # older than the delete, arrives later
+    schema = "pk int, ts int, seq int, op string, title string"
+    base = spark.createDataFrame(rows, schema)
+    late_df = spark.createDataFrame(late, schema)
+    full = cdc_ops.snapshot_latest(spark.createDataFrame(rows + late, schema))
+    assert full.count() == 0  # ground truth: key 1 stays deleted
+
+    # default mode diverges (documented): the late event resurrects
+    naive = cdc_ops.apply_incremental(cdc_ops.snapshot_latest(base), late_df)
+    assert naive.count() == 1
+
+    # tombstone mode matches the full recompute
+    snap_t = cdc_ops.snapshot_latest(base, keep_tombstones=True)
+    merged = cdc_ops.apply_incremental(snap_t, late_df, keep_tombstones=True)
+    assert merged.filter(F.col("op") != "delete").count() == 0
+
+
+def test_translate_sql_word_boundaries():
+    out = translate_sql(
+        "CREATE TABLE t (created_datetime BIGINT, x DATETIME, mydouble INT)"
+    )
+    assert "created_datetime BIGINT" in out
+    assert "x TIMESTAMP" in out
+    assert "mydouble INT" in out
+
+
 def test_undo_roundtrip(spark):
     """Applying undo events after the original stream restores the base state."""
     events = load_table(spark, "/root/testdata/sf0.001", "events").limit(500)
