@@ -28,14 +28,54 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 
+def _kafka_to_lines(records: DataFrame) -> DataFrame:
+    """Kafka record frame (binary key/value + topic/partition/offset) →
+    the uniform one-column `line` protocol.
+
+    Shared by the real kafka source and the test double so the decode
+    path the tests exercise IS the production path. Framing mirrors the
+    reference consumer (rabbitmq.go:95-186): each record is one complete
+    Maxwell envelope (no cross-record reassembly), offsets are committed
+    by the streaming checkpoint AFTER the batch lands — the same
+    ack-at-end contract as the Go consumer's deferred channel.Ack.
+    """
+    return records.select(F.col("value").cast("string").alias("line"))
+
+
+def kafka_record_double(
+    stream: DataFrame, topic: str = "maxwell", partition: int = 0
+) -> DataFrame:
+    """Reshape any single-string-column stream into the EXACT column set
+    the Kafka source emits (binary key/value, topic, partition, offset,
+    timestamp, timestampType) — a test double for clusters without the
+    kafka package on the classpath. Offsets are not globally ordered
+    here (file source has no broker log); downstream must not rely on
+    them, matching real multi-partition Kafka semantics.
+    """
+    src_col = stream.columns[0]
+    return stream.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.col(src_col).cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+        F.lit(partition).cast("int").alias("partition"),
+        F.lit(-1).cast("long").alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+        F.lit(0).cast("int").alias("timestampType"),
+    )
+
+
 def read_bus_stream(spark: SparkSession, kind: str, **opts: str) -> DataFrame:
     """Return a streaming DataFrame with exactly one `line` string column.
 
     opts per kind:
-      text:   path (required)
-      socket: host, port
-      kafka:  bootstrap_servers, topic, starting_offsets (default earliest)
-      rate:   rows_per_second
+      text:         path (required)
+      socket:       host, port
+      kafka:        bootstrap_servers, topic, starting_offsets (default earliest)
+      kafka-double: path (required), topic — file-backed stream reshaped
+                    through the Kafka record schema and decoded by the
+                    SAME projection as the real kafka source (CI path
+                    for kafka-shaped pipelines in broker-less sandboxes)
+      rate:         rows_per_second
     """
     kind = kind.lower()
     if kind == "text":
@@ -53,13 +93,17 @@ def read_bus_stream(spark: SparkSession, kind: str, **opts: str) -> DataFrame:
             .withColumnRenamed("value", "line")
         )
     if kind == "kafka":
-        return (
+        return _kafka_to_lines(
             spark.readStream.format("kafka")
             .option("kafka.bootstrap.servers", opts["bootstrap_servers"])
             .option("subscribe", opts["topic"])
             .option("startingOffsets", opts.get("starting_offsets", "earliest"))
             .load()
-            .select(F.col("value").cast("string").alias("line"))
+        )
+    if kind == "kafka-double":
+        raw = spark.readStream.format("text").load(opts["path"])
+        return _kafka_to_lines(
+            kafka_record_double(raw, topic=opts.get("topic", "maxwell"))
         )
     if kind == "rate":
         return (

@@ -28,6 +28,64 @@ def _write_lines(path: str, name: str, lines):
         f.write("\n".join(lines) + "\n")
 
 
+def test_kafka_double_bus_matches_text_bus(spark, tmp_path):
+    """The kafka-shaped factory path (binary value -> line) must decode
+    to the same parsed events as the plain text transport, including the
+    rabbitmq.go:39 sanitization applied downstream in parse_maxwell."""
+    from greenplum_cdc_spark.sources.bus import read_bus_stream
+    from greenplum_cdc_spark.sources.maxwell import parse_maxwell
+
+    dirty = BATCH1 + [
+        # literal tab BYTE in the payload (invalid JSON per spec) — the
+        # rabbitmq.go:39 sanitize collapses it to a space so the parse
+        # succeeds; a JSON \t ESCAPE would instead survive untouched
+        '{"database":"music","table":"album","type":"insert","ts":1700000009,'
+        '"xid":9,"data":{"id":"9","title":"Tab\there"}}'
+    ]
+    inbox = str(tmp_path / "inbox")
+    _write_lines(inbox, "b1.json", dirty)
+
+    results = {}
+    for kind, opts in (
+        ("text", {"path": inbox}),
+        ("kafka-double", {"path": inbox, "topic": "maxwell"}),
+    ):
+        out = []
+        stream = read_bus_stream(spark, kind, **opts)
+        assert stream.columns == ["line"]  # uniform bus protocol
+        q = (
+            parse_maxwell(stream)
+            .writeStream.foreachBatch(
+                lambda b, _id, acc=out: acc.extend(
+                    b.select("op", "ts", "xid", "data").collect()
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{kind}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        results[kind] = sorted((r["xid"], r["op"], r["data"]["title"]) for r in out)
+
+    assert results["text"] == results["kafka-double"]
+    assert len(results["text"]) == 4
+    by_xid = dict((x, t) for x, _, t in results["text"])
+    assert by_xid[9] == "Tab here"  # sanitize collapsed the tab
+
+
+def test_kafka_record_double_schema(spark):
+    """The double reshapes to the exact Kafka source column set."""
+    from greenplum_cdc_spark.sources.bus import kafka_record_double
+
+    df = kafka_record_double(spark.createDataFrame([("x",)], "line string"))
+    assert [f.name for f in df.schema.fields] == [
+        "key", "value", "topic", "partition", "offset", "timestamp", "timestampType",
+    ]
+    assert dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[
+        "value"
+    ] == "binary"
+
+
 def test_pipeline_end_to_end(spark, tmp_path):
     inbox = str(tmp_path / "inbox")
     pipe = CDCPipeline(
