@@ -38,6 +38,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round — correctness is order-independent, gate coverage is not.
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- new in round 2 ---
+        "passage_dup_13gram": quality.passage_dup_13gram,
+        "unigram_logprob": quality.unigram_logprob,
+        "domain_mix_sample": text.domain_mix_sample,
+        "dedup_canonical": dedup.dedup_canonical,
+        "cdc_tombstone_snapshot": cdc_queries.cdc_tombstone_snapshot,
         # --- round-1 driver-unreached entries first ---
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
@@ -128,6 +134,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each ``queries()`` key."""
     return {
+        "passage_dup_13gram": quality.PASSAGE_DUP_SQL,
+        "unigram_logprob": quality.UNIGRAM_LOGPROB_SQL,
+        "domain_mix_sample": text.DOMAIN_MIX_SQL,
+        "dedup_canonical": dedup.DEDUP_CANONICAL_SQL,
+        "cdc_tombstone_snapshot": cdc_queries.CDC_TOMBSTONE_SQL,
         "cdc_parse_events": cdc_queries.CDC_PARSE_SQL,
         "cdc_event_archive": cdc_queries.CDC_ARCHIVE_SQL,
         "cdc_snapshot_latest": cdc_queries.CDC_SNAPSHOT_SQL,

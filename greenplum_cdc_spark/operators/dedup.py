@@ -574,6 +574,37 @@ ORDER BY keeper_doc_id
 """
 
 
+def _cluster_labels(docs: DataFrame) -> DataFrame:
+    """Connected components over the MinHash-LSH pair graph by iterative
+    min-label propagation (see dedup_clusters docstring for the plan
+    shape and convergence argument). Returns (node, label)."""
+    pairs = _minhash_pairs(docs).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    prev_sum = None
+    for _ in range(64):  # safety bound >> any real diameter at log-ish rounds
+        prop = edges.join(labels, F.col("src") == F.col("node")).select(
+            F.col("dst").alias("node"), "label"
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C27: duplicate-cluster resolution — connected components over the
     MinHash-LSH candidate-pair graph, with a canonical keeper per cluster.
@@ -599,30 +630,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``w.label < e.dst``) — every node receives its component minimum.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = _minhash_pairs(docs).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("src", "dst")
-        .localCheckpoint()
-    )
-    labels = docs.select(
-        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
-    ).localCheckpoint()
-    prev_sum = None
-    for _ in range(64):  # safety bound >> any real diameter at log-ish rounds
-        prop = edges.join(labels, F.col("src") == F.col("node")).select(
-            F.col("dst").alias("node"), "label"
-        )
-        labels = (
-            labels.unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels = _cluster_labels(docs)
     from pyspark.sql import Window
 
     w = Window.partitionBy("cluster_id")
@@ -657,5 +665,66 @@ SELECT doc_id, cluster_id,
        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        CAST(doc_id = cluster_id AS INT) AS is_keeper
 FROM labels
+ORDER BY doc_id
+"""
+
+
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C31: canonical-document retention policy over duplicate clusters.
+
+    Clustering says WHICH docs are near-dups (C27); a curation pipeline
+    must then decide which copy to TRAIN on. The standard policy keeps
+    the longest document per cluster (most complete copy — truncated or
+    boilerplate-stripped variants lose), ties broken by smallest doc_id
+    for determinism. One row_number window over the cluster key on top
+    of the label propagation — the decision layer adds a single shuffle.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _cluster_labels(docs)
+    sized = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        sized.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_chars",
+            (F.col("rk") == 1).cast("int").alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CANONICAL_SQL = f"""
+WITH RECURSIVE {_minhash_cte_block()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.label
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.label < e.dst
+),
+labels AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+),
+sized AS (
+  SELECT l.doc_id, l.cluster_id, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                            ORDER BY d.n_chars DESC, l.doc_id ASC) AS rk
+  FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+)
+SELECT doc_id, cluster_id, n_chars, CAST(rk = 1 AS INT) AS is_kept
+FROM sized
 ORDER BY doc_id
 """

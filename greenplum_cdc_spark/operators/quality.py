@@ -345,3 +345,151 @@ SELECT s.doc_id, s.n_ngrams, h.n_contaminated,
 FROM sizes s JOIN hits h ON s.doc_id = h.doc_id
 ORDER BY s.doc_id
 """
+
+
+PASSAGE_K = 13  # the GPT-3/PaLM decontamination window, here doc-vs-doc
+
+
+def _gram_md5_expr(k: int) -> str:
+    """Distinct word-k-grams as md5 digests — 32-byte join keys instead
+    of ~8x-wider raw gram strings, so the candidate join shuffles a
+    fraction of the text volume."""
+    joined = ", ".join(f"toks[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN size(toks) >= {k} THEN "
+        f"array_distinct(transform(sequence(0, size(toks) - {k}), "
+        f"i -> md5(concat_ws(' ', {joined})))) ELSE array() END"
+    )
+
+
+def passage_dup_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C28: cross-document duplicated-passage detection.
+
+    Exact-substring dedup at the passage level (Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" target the same
+    phenomenon with suffix arrays): any 13 consecutive words shared
+    verbatim between two documents marks a copied passage. Each doc
+    contributes its DISTINCT 13-gram digests; the candidate join is an
+    equi-join on the digest — bucketed by gram, never all-pairs, so cost
+    is sum(bucket^2) over grams that actually repeat, linear in corpus
+    size for natural text. Output per overlapping pair: shared-gram
+    count and the coverage fraction of the smaller doc (1.0 = fully
+    contained passage-wise).
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn("toks", _toks_col())
+    sized = docs.select(
+        "doc_id", F.size(F.expr(_gram_md5_expr(PASSAGE_K))).alias("n_grams")
+    )
+    grams = docs.select(
+        "doc_id", F.explode(F.expr(_gram_md5_expr(PASSAGE_K))).alias("g")
+    )
+    # explode-derived relations inherit the source's tiny size estimate;
+    # without the hint Spark happily "broadcasts" a corpus-scale gram set
+    pairs = (
+        grams.alias("a")
+        .join(grams.alias("b").hint("shuffle_hash"), "g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("ga"))
+    sb = sized.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("gb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("ga", "gb"), 6
+            ).alias("small_doc_coverage"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_PASSAGE_GRAMS_SQL = f"""
+tok AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(toks) - {PASSAGE_K - 2}, 1)),
+      i -> md5(array_to_string(toks[i:i+{PASSAGE_K - 1}], ' '))))) AS g
+  FROM tok WHERE len(toks) >= {PASSAGE_K}
+),
+sizes AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {PASSAGE_K}
+              THEN len(list_distinct(list_transform(
+                  range(1, greatest(len(toks) - {PASSAGE_K - 2}, 1)),
+                  i -> md5(array_to_string(toks[i:i+{PASSAGE_K - 1}], ' ')))))
+              ELSE 0 END AS n_grams
+  FROM tok
+)
+"""
+
+PASSAGE_DUP_SQL = f"""
+WITH {_PASSAGE_GRAMS_SQL.strip()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared,
+       ROUND(COUNT(*) / CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE), 6)
+         AS small_doc_coverage
+FROM grams a
+JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+JOIN sizes sa ON sa.doc_id = a.doc_id
+JOIN sizes sb ON sb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id, sa.n_grams, sb.n_grams
+ORDER BY doc_a, doc_b
+"""
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C29: unigram-LM negative log-likelihood per document.
+
+    The CCNet/Wenzek-style LM quality signal with the honest
+    no-external-model reduction: the LM is the corpus's own unigram
+    distribution p(w) = tf_w / N, and each doc is scored by its mean
+    -ln p(w) — word-salad scores high, stopword-heavy boilerplate low.
+    Two shuffles total (term-frequency agg keyed by term; per-doc agg
+    keyed by doc), both map-side combined. Per-token surprisals are
+    rounded to 6 dp and summed as DECIMAL so the per-doc sum is
+    order-insensitive and bit-identical across engines and partitionings.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_toks_col()).alias("w"))
+    total = tok.count()  # corpus token count: one scalar, computed once
+    tf = tok.groupBy("w").agg(F.count("*").alias("tf"))
+    nll = F.round(F.log(F.lit(float(total)) / F.col("tf")), 6).cast("decimal(16,6)")
+    return (
+        tok.join(tf, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.round(F.sum(nll), 6).cast("double").alias("sum_nll"),
+            F.round(
+                F.round(F.sum(nll), 6).cast("double") / F.count("*"), 6
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_LOGPROB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS w FROM documents
+),
+n AS (SELECT COUNT(*) AS total FROM tok),
+tf AS (SELECT w, COUNT(*) AS tf FROM tok GROUP BY w)
+SELECT doc_id, COUNT(*) AS n_tok,
+       CAST(ROUND(SUM(CAST(ROUND(ln(CAST((SELECT total FROM n) AS DOUBLE) / tf), 6)
+                           AS DECIMAL(16,6))), 6) AS DOUBLE) AS sum_nll,
+       ROUND(CAST(ROUND(SUM(CAST(ROUND(ln(CAST((SELECT total FROM n) AS DOUBLE) / tf), 6)
+                                 AS DECIMAL(16,6))), 6) AS DOUBLE) / COUNT(*), 6)
+         AS avg_nll
+FROM tok JOIN tf USING (w)
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -351,6 +351,59 @@ ORDER BY lang, rk
 """
 
 
+# Target mixture for domain/language rebalancing: majority 'en' is
+# downsampled, minority languages kept whole. Rates are the knob a real
+# pipeline tunes per data source (The Pile / Dolma style mixing).
+MIX_RATES = {"de": 1.0, "en": 0.4, "es": 1.0, "fr": 1.0, "zh": 1.0}
+_MIX_DEFAULT_HEX = "ffffffff"  # unknown domain -> keep (rate 1.0)
+
+
+def _mix_hex(rate: float) -> str:
+    return f"{int(rate * 0xFFFFFFFF):08x}"
+
+
+def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C30: deterministic mixture sampling across domains (languages).
+
+    The corpus-mixing step of a training-data pipeline: each domain is
+    Bernoulli-downsampled to its target rate via a content-hash
+    threshold, so the mixture is reproducible across runs, engines, and
+    cluster sizes (rand() is none of those). Pure map-side filter — the
+    scan IS the operator, no shuffle at 100 TB; per-domain thresholds
+    ride a tiny CASE expression.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.concat(F.lit("mix:"), "text")), 1, 8)
+    threshold = F.lit(_MIX_DEFAULT_HEX)
+    for code, rate in sorted(MIX_RATES.items()):
+        threshold = F.when(F.col("lang") == code, F.lit(_mix_hex(rate))).otherwise(
+            threshold
+        )
+    return (
+        docs.withColumn("mix_bucket", bucket)
+        .filter(F.col("mix_bucket") <= threshold)
+        .select("doc_id", "lang", "mix_bucket")
+        .orderBy("doc_id")
+    )
+
+
+_MIX_CASE_SQL = (
+    "CASE "
+    + " ".join(
+        f"WHEN lang = '{code}' THEN '{_mix_hex(rate)}'"
+        for code, rate in sorted(MIX_RATES.items())
+    )
+    + f" ELSE '{_MIX_DEFAULT_HEX}' END"
+)
+
+DOMAIN_MIX_SQL = f"""
+SELECT doc_id, lang, substr(md5('mix:' || text), 1, 8) AS mix_bucket
+FROM documents
+WHERE substr(md5('mix:' || text), 1, 8) <= {_MIX_CASE_SQL}
+ORDER BY doc_id
+"""
+
+
 _VOCAB_MIN_DF = 5
 
 

@@ -108,6 +108,39 @@ ORDER BY pk
 CDC_SNAPSHOT_SQL = _SNAPSHOT_SQL_BODY.format(feed=maxwell.EVENTS_AS_CDC_SQL)
 
 
+def cdc_tombstone_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: latest-wins snapshot with RETAINED delete tombstones.
+
+    The out-of-order-safe replica mode (operators/cdc.py
+    `keep_tombstones=True`): a key whose final event is a delete stays
+    present, marked by `op='delete'`, so late pre-delete events cannot
+    resurrect it. Downstream readers get the live view with one filter;
+    the oracle states the per-key final event directly (no delete
+    filter) — verifying the tombstone rows, not just the live ones.
+    """
+    snap = cdc_ops.snapshot_latest(_feed(spark, sf_dir), keep_tombstones=True)
+    return snap.select(
+        "pk",
+        F.col("ts").alias("last_ts"),
+        F.col("seq").alias("last_seq"),
+        "op",
+        F.col("value").alias("last_value"),
+    ).orderBy("pk")
+
+
+CDC_TOMBSTONE_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+  FROM cdc
+)
+SELECT pk, ts AS last_ts, seq AS last_seq, op, value AS last_value
+FROM ranked
+WHERE rn = 1
+ORDER BY pk
+"""
+
+
 def cdc_apply_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: incremental merge == full recompute invariant.
 

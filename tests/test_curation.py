@@ -218,3 +218,54 @@ def test_dedup_clusters_invariants(spark):
         assert label[p["doc_a"]] == label[p["doc_b"]]
     # each cluster's label is attained by a member (it IS the min member)
     assert all(cid in label and label[cid] == cid for cid in sizes)
+
+
+def test_passage_dup_symmetric_and_bounded(spark):
+    from greenplum_cdc_spark.operators import quality
+
+    out = quality.passage_dup_13gram(spark, SF)
+    rows = out.collect()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert r["n_shared"] >= 1
+        assert 0.0 < r["small_doc_coverage"] <= 1.0
+
+
+def test_unigram_logprob_favors_common_tokens(spark):
+    from greenplum_cdc_spark.operators import quality
+
+    out = quality.unigram_logprob(spark, SF)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["avg_nll"] > 0 for r in rows)
+    # sum consistency: avg * n_tok ~ sum (within rounding)
+    for r in rows[:20]:
+        assert abs(r["avg_nll"] * r["n_tok"] - r["sum_nll"]) < 0.01 * r["n_tok"]
+
+
+def test_domain_mix_downsamples_majority_only(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    before = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = text.domain_mix_sample(spark, SF)
+    after = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, rate in text.MIX_RATES.items():
+        if lang not in before:
+            continue
+        if rate == 1.0:
+            assert after.get(lang, 0) == before[lang]  # kept whole
+        else:
+            assert after.get(lang, 0) < before[lang]  # downsampled
+    # rerun is identical (deterministic)
+    again = {r["lang"]: r["n"] for r in text.domain_mix_sample(spark, SF).groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert again == after
+
+
+def test_dedup_canonical_keeps_longest_per_cluster(spark):
+    out = dedup.dedup_canonical(spark, SF).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert sum(r["is_kept"] for r in out) == len(by_cluster)  # exactly one per cluster
+    for members in by_cluster.values():
+        kept = [r for r in members if r["is_kept"]][0]
+        assert kept["n_chars"] == max(r["n_chars"] for r in members)
