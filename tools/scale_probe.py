@@ -118,6 +118,10 @@ def _late_ops():
         "knn_ivf": similarity.knn_ivf,
         "active_users_rolling": timeseries.active_users_rolling,
         "basket_part_pairs": tpch.basket_part_pairs,
+        "passage_dup_13gram": quality.passage_dup_13gram,
+        "unigram_logprob": quality.unigram_logprob,
+        "domain_mix_sample": text.domain_mix_sample,
+        "dedup_canonical": dedup.dedup_canonical,
         "cdc_dlq": cdc_queries.cdc_dlq,
         "dedup_clusters": dedup.dedup_clusters,
     }
