@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- new in round 2 ---
+        "q21_suppliers_kept_waiting": tpch.q21_suppliers_kept_waiting,
+        "q20_dominant_suppliers": tpch.q20_dominant_suppliers,
         "passage_dup_13gram": quality.passage_dup_13gram,
         "unigram_logprob": quality.unigram_logprob,
         "domain_mix_sample": text.domain_mix_sample,
@@ -134,6 +136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each ``queries()`` key."""
     return {
+        "q21_suppliers_kept_waiting": tpch.Q21_SQL,
+        "q20_dominant_suppliers": tpch.Q20_SQL,
         "passage_dup_13gram": quality.PASSAGE_DUP_SQL,
         "unigram_logprob": quality.UNIGRAM_LOGPROB_SQL,
         "domain_mix_sample": text.DOMAIN_MIX_SQL,

@@ -1064,3 +1064,147 @@ GROUP BY part_a, part_b
 HAVING COUNT(*) >= {BASKET_MIN_SUP}
 ORDER BY n_orders DESC, part_a, part_b
 """
+
+
+_Q21_LATE_DAYS = 180
+_Q20_SHARE_NUM, _Q20_SHARE_DEN = 3, 10  # dominant share > 3/10
+
+
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted — no commit/receipt dates): suppliers who were
+    the SOLE late shipper on finalized multi-supplier orders (B39).
+
+    The classic double-correlation shape is intact: the late-lineitem
+    set semi-joins against "another supplier touched this order" and
+    anti-joins against "another supplier was ALSO late"; lateness is
+    adapted to ship-lag > 180 days (the schema keeps l_shipdate and
+    o_orderdate). EXISTS/NOT EXISTS become one left-semi + one
+    left-anti join on the order key — each a single shuffle keyed by
+    l_orderkey; the supplier/nation dims broadcast.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late3 = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    sole_late = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late3,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        sole_late.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "n_name", "s_name")
+    )
+
+
+Q21_SQL = f"""
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY
+)
+SELECT n_name, s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY n_name, s_name
+ORDER BY numwait DESC, n_name, s_name
+"""
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted — no partsupp): suppliers holding a dominant
+    share of a part's shipped volume (B40).
+
+    The classic nested-aggregate + semi-join shape without the missing
+    availability table: per-(part, supplier) shipped quantity in the
+    target year vs the part's total across suppliers; a supplier
+    "dominates" a part above a 30% share. Quantities sum as DECIMAL and
+    the share test is integer-scaled decimal comparison
+    (qty_ps * 10 > qty_p * 3) — exact, no float drift in either engine.
+    One shuffle on (part, supplier), a map-side-combined rollup to the
+    part total, and broadcast part/supplier dims.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty_ps")
+    )
+    tot = shipped.groupBy("l_partkey").agg(F.sum("qty_ps").alias("qty_p"))
+    dom = shipped.join(tot, "l_partkey").filter(
+        F.col("qty_ps") * _Q20_SHARE_DEN > F.col("qty_p") * _Q20_SHARE_NUM
+    )
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        dom.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_dominated"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q20_SQL = f"""
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_ps
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (SELECT l_partkey, SUM(qty_ps) AS qty_p FROM shipped GROUP BY l_partkey),
+dom AS (
+  SELECT s.l_partkey, s.l_suppkey
+  FROM shipped s JOIN tot t ON s.l_partkey = t.l_partkey
+  WHERE s.qty_ps * {_Q20_SHARE_DEN} > t.qty_p * {_Q20_SHARE_NUM}
+)
+SELECT s_suppkey, s_name, COUNT(*) AS n_dominated
+FROM dom
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_name LIKE 'red%'
+GROUP BY s_suppkey, s_name
+ORDER BY s_suppkey
+"""

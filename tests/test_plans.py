@@ -80,3 +80,17 @@ def test_exact_dedup_is_single_shuffle(spark, sf_dir):
     # range exchange)
     assert len(re.findall(r"^\(\d+\) HashAggregate", plan, re.MULTILINE)) == 2
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) <= 2
+
+
+def test_q21_semi_and_anti_join_shape(spark, sf_dir):
+    plan = _formatted_plan(spark, tpch.q21_suppliers_kept_waiting(spark, sf_dir))
+    assert "LeftSemi" in plan  # EXISTS: another supplier touched the order
+    assert "LeftAnti" in plan  # NOT EXISTS: another supplier also late
+    assert "BroadcastHashJoin" in plan  # supplier/nation dims broadcast
+
+
+def test_q20_pushes_filters_and_broadcasts_dims(spark, sf_dir):
+    plan = _formatted_plan(spark, tpch.q20_dominant_suppliers(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate," in plan  # year window at the scan
+    assert "StringStartsWith(p_name,red" in plan  # LIKE 'red%' pushed
+    assert "BroadcastHashJoin" in plan
