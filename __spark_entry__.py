@@ -76,6 +76,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup.dedup_clusters,
         "cdc_schema_evolution": cdc_queries.cdc_schema_evolution,
         "stream_fanout": streaming_pipeline.stream_fanout,
+        # --- round-1 hash-FAIL entries (oracles fixed: BIGINT casts) ---
+        "events_sessionize": timeseries.events_sessionize,
+        "stream_sessionize_stateful": streaming_stateful.stream_sessionize_query,
+        "events_pivot_hourly": timeseries.events_pivot_hourly,
+        "funnel_analysis": timeseries.funnel_analysis,
+        "json_extract_props": tpch.json_extract_props,
+        "q12_priority_shipping": tpch.q12_priority_shipping,
         # A. CDC core
         "cdc_parse_events": cdc_queries.cdc_parse_events,
         "cdc_event_archive": cdc_queries.cdc_archive_layout,
@@ -90,7 +97,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cdc_pipeline": streaming_pipeline.stream_cdc_pipeline,
         "stream_windowed_counts": streaming_pipeline.stream_windowed_counts,
         "stream_dedup_stateful": streaming_stateful.stream_dedup_query,
-        "stream_sessionize_stateful": streaming_stateful.stream_sessionize_query,
         # B. OLAP layer
         "q1_pricing_summary": tpch.q1_pricing_summary,
         "q3_shipping_priority": tpch.q3_shipping_priority,
@@ -98,7 +104,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": tpch.q10_returned_items,
         "topk_per_group": tpch.topk_per_group,
         "grouping_sets_agg": tpch.grouping_sets_agg,
-        "json_extract_props": tpch.json_extract_props,
         "q2_min_cost_supplier": tpch.q2_min_cost_supplier,
         "q4_order_priority": tpch.q4_order_priority,
         "q6_forecast_revenue": tpch.q6_forecast_revenue,
@@ -106,7 +111,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q8_market_share": tpch.q8_market_share,
         "q9_product_profit": tpch.q9_product_profit,
         "q11_important_parts": tpch.q11_important_parts,
-        "q12_priority_shipping": tpch.q12_priority_shipping,
         "q13_customer_distribution": tpch.q13_customer_distribution,
         "q14_promo_effect": tpch.q14_promo_effect,
         "q15_top_supplier": tpch.q15_top_supplier,
@@ -116,7 +120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_discounted_revenue": tpch.q19_discounted_revenue,
         "q22_sales_opportunity": tpch.q22_sales_opportunity,
         "events_time_rollup": timeseries.events_time_rollup,
-        "events_sessionize": timeseries.events_sessionize,
         "asof_join_orders": timeseries.asof_join_orders,
         "running_total_by_user": timeseries.running_total_by_user,
         "moving_avg_daily": timeseries.moving_avg_daily,
@@ -124,9 +127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": timeseries.value_percentiles,
         "events_histogram": timeseries.events_histogram,
         "corr_value_props": timeseries.corr_value_props,
-        "events_pivot_hourly": timeseries.events_pivot_hourly,
         "user_retention_cohorts": timeseries.user_retention_cohorts,
-        "funnel_analysis": timeseries.funnel_analysis,
         # C. training-data pipeline (rest listed in the first block above)
         "dedup_exact": dedup.dedup_exact,
     }
