@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_sample": text.domain_mix_sample,
         "dedup_canonical": dedup.dedup_canonical,
         "cdc_tombstone_snapshot": cdc_queries.cdc_tombstone_snapshot,
+        "multimodal_decode": multimodal.multimodal_decode,
         # --- round-1 driver-unreached entries first ---
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
@@ -213,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_stats": text.VOCAB_STATS_SQL,
         "embedding_stats": similarity.EMBEDDING_STATS_SQL,
         "multimodal_meta": multimodal.MULTIMODAL_META_SQL,
+        "multimodal_decode": multimodal.MULTIMODAL_DECODE_SQL,
         "doc_repetition": quality.DOC_REPETITION_SQL,
         "pii_scrub": quality.PII_SCRUB_SQL,
         "bm25_rank": quality.BM25_RANK_SQL,

@@ -91,11 +91,65 @@ def test_multimodal_features_via_arrow(spark):
         assert 0 < f["mean_byte"] < 256
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
-    media = multimodal.media_table(spark, SF).limit(2)
-    with pytest.raises(Exception) as exc:
-        multimodal.extract_features(media, decode_stub=False).collect()
-    assert "NotImplementedError" in str(exc.value) or "real media decode" in str(exc.value)
+def test_multimodal_real_decode_round_trip(spark):
+    """Real tier: encoded BMP/WAV/RVID payloads decode back to the
+    generative formula's exact statistics."""
+    media = multimodal.media_table_encoded(spark, SF)
+    feats = {r["doc_id"]: r for r in multimodal.decode_features(media).collect()}
+    assert len(feats) == 500
+    for doc_id, r in list(feats.items())[:30]:
+        if r["media_type"] == "image":
+            n = r["width"] * r["height"] * 3
+            assert r["n_values"] == n
+            assert r["sum_value"] == sum((doc_id + i) % 256 for i in range(n))
+        elif r["media_type"] == "audio":
+            assert r["sample_rate"] == 8000
+            assert r["payload_bytes"] == 44 + 2 * r["n_values"]
+        else:
+            assert r["n_sampled"] == -(-r["n_frames"] // 4)
+            assert r["n_values"] == r["n_sampled"] * 144
+
+
+def test_multimodal_resize_images_real(spark):
+    """Real pixel resize: decode -> nearest-neighbor -> re-encode -> decode."""
+    media = multimodal.media_table_encoded(spark, SF)
+    rows = multimodal.resize_images(media, max_w=32, max_h=32).collect()
+    assert rows
+    for r in rows[:20]:
+        assert r["out_width"] <= 32 and r["out_height"] <= 32
+        assert r["out_width"] <= r["width"] and r["out_height"] <= r["height"]
+        # never upscale; aspect preserved within integer truncation
+        if r["width"] <= 32 and r["height"] <= 32:
+            assert (r["out_width"], r["out_height"]) == (r["width"], r["height"])
+        assert r["resized_bytes"] > 54
+
+
+def test_codecs_round_trip_and_errors():
+    import numpy as np
+
+    from greenplum_cdc_spark.operators import codecs
+
+    rng = np.random.default_rng(7)
+    for w, h in [(5, 3), (8, 6), (64, 48), (1, 1)]:  # w=5 exercises row padding
+        pix = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(codecs.decode_bmp(codecs.encode_bmp(pix)), pix)
+    s = rng.integers(-2048, 2048, 1000).astype(np.int16)
+    rate, out = codecs.decode_wav(codecs.encode_wav(s, 8000))
+    assert rate == 8000 and np.array_equal(out, s)
+    frames = [
+        codecs.encode_bmp(rng.integers(0, 256, (6, 8, 3), dtype=np.uint8))
+        for _ in range(9)
+    ]
+    data = codecs.encode_rawvideo(frames)
+    sampled = codecs.sample_rawvideo(data, 4)
+    assert [i for i, _ in sampled] == [0, 4, 8]
+    assert all(fb == frames[i] for i, fb in sampled)
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(codecs.encode_bmp(pix)[:-10])
+    with pytest.raises(ValueError):
+        codecs.sample_rawvideo(data[:-3], 4)
+    with pytest.raises(ValueError):
+        codecs.decode_bmp(b"XX" + b"\x00" * 100)
 
 
 def test_frame_sample_counts(spark):
@@ -193,14 +247,18 @@ def test_resize_media_geometry(spark):
             assert max(r["out_width"], r["out_height"]) >= 99 or min(r["width"], r["height"]) < 100
 
 
-def test_resize_media_real_decode_stubbed(spark):
-    import pytest
+def test_resize_nearest_identity_and_downscale():
+    import numpy as np
 
-    from greenplum_cdc_spark.operators import multimodal
+    from greenplum_cdc_spark.operators import codecs
 
-    media = multimodal.media_table(spark, "/root/testdata/sf0.001")
-    with pytest.raises(Exception):
-        multimodal.resize_media(media, decode_stub=False).collect()
+    rng = np.random.default_rng(11)
+    pix = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    assert np.array_equal(codecs.resize_nearest(pix, 16, 12), pix)
+    small = codecs.resize_nearest(pix, 4, 3)
+    assert small.shape == (3, 4, 3)
+    # nearest-neighbor: every output pixel is some input pixel
+    assert np.array_equal(small[0, 0], pix[0, 0])
 
 
 def test_dedup_clusters_invariants(spark):
