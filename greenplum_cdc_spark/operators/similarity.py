@@ -473,3 +473,111 @@ FROM ve
 GROUP BY label, dim
 ORDER BY label, dim
 """
+
+
+TFIDF_TAU = 0.3
+TFIDF_MAX_DF_FRAC = 0.5  # stop-term pruning: terms in >half the corpus carry
+                         # no discriminative weight and explode the term join
+
+
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35: document-pair cosine similarity over TF-IDF term vectors.
+
+    Sparse formulation — no dense vectors ever materialize: the dot
+    product is a TERM-LEVEL equi-join (doc_a, doc_b pairs meet only on
+    terms they share), so the shuffle is keyed by term and the plan
+    scales with posting-list sizes, not |docs|^2. Ultra-common terms
+    (df > half the corpus) are pruned first: an IR-standard cut that
+    also removes the quadratic hot-term buckets (the same reason the
+    ngram-Jaccard op prefix-filters). idf's ln() is rounded to 6 dp
+    before use and per-term products are summed as DECIMAL(18,6), so
+    the across-term accumulation is order-insensitive and engine-exact
+    (the bm25_rank idiom); norms use IEEE sqrt (correctly rounded,
+    engine-identical).
+
+    At 100 TB: posting lists partition by term; a df cap bounds the
+    worst bucket, and the per-doc norm join broadcasts (doc-count sized).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    weights = (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= F.col("n_docs") * TFIDF_MAX_DF_FRAC)
+        .select(
+            "doc_id",
+            "w",
+            (
+                F.col("tf")
+                * F.round(F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6)
+            ).alias("wt"),
+        )
+    )
+    norms = weights.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.round(F.col("wt") * F.col("wt"), 6).cast("decimal(18,6)")).cast("double")).alias("norm")
+    )
+    a, b = weights.alias("a"), weights.alias("b")
+    dots = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.sum(
+                F.round(F.col("a.wt") * F.col("b.wt"), 6).cast("decimal(18,6)")
+            ).cast("double").alias("dot")
+        )
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    return (
+        dots.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot") / (F.col("na.norm") * F.col("nb.norm")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= TFIDF_TAU)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+TFIDF_COSINE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM tok WHERE w <> '' GROUP BY doc_id, w
+),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+weights AS (
+  SELECT tf.doc_id, tf.w,
+         tf.tf * ROUND(ln((nd.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS wt
+  FROM tf JOIN dfreq USING (w), nd
+  WHERE dfreq.df <= nd.n_docs * {TFIDF_MAX_DF_FRAC}
+),
+norms AS (
+  SELECT doc_id,
+         sqrt(CAST(SUM(CAST(ROUND(wt * wt, 6) AS DECIMAL(18,6))) AS DOUBLE)) AS norm
+  FROM weights GROUP BY doc_id
+),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(SUM(CAST(ROUND(a.wt * b.wt, 6) AS DECIMAL(18,6))) AS DOUBLE) AS dot
+  FROM weights a JOIN weights b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.doc_a, d.doc_b,
+       ROUND(d.dot / (na.norm * nb.norm), 6) AS cos_sim
+FROM dots d
+JOIN norms na ON d.doc_a = na.doc_id
+JOIN norms nb ON d.doc_b = nb.doc_id
+WHERE ROUND(d.dot / (na.norm * nb.norm), 6) >= {TFIDF_TAU}
+ORDER BY d.doc_a, d.doc_b
+"""

@@ -1,0 +1,179 @@
+"""Sketch-style distinct/frequency operators (SURVEY §2 C33-C34).
+
+The 100 TB versions of "how many distinct" and "what's hot" are sketches
+(HLL / count-min); Spark's ``approx_count_distinct`` is an HLL++ whose
+binary state is engine-private, so it cannot be oracle-gated. The
+K-Minimum-Values estimator can: it is deterministic given a hash
+function both engines share (md5), order-insensitive, and mergeable
+(min-k of a union = min-k over per-partition min-k's — the same
+property HLL merging relies on), so it stands in as the gateable sketch
+while ``approx_count_distinct`` remains the drop-in for production.
+
+Reference parity: the reference's observability queries are exact
+counts over Greenplum (demo polling of replicated tables); sketches are
+the scale extension the brief asks for.
+
+Scale notes: kmv_distinct is one shuffle (distinct hashes) plus a
+vocab-sized window; heavy_hitters is one explode + one groupBy with
+map-side partial aggregation, and the total-count scalar joins in via
+a broadcast cross join, never a single-partition window.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..io import load_table
+
+KMV_K = 64
+# 16^15 == 2^60: the hash-prefix space size; exactly representable as a
+# double (power of two), so (k-1) * SPACE / kth_hash is bit-identical
+# across engines.
+_HEX_SPACE = float(16 ** 15)
+
+HH_TOPN = 20
+
+
+def kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C33: per-event-type distinct-user estimate via K-Minimum-Values.
+
+    md5(user_id) per (type, user), distinct, rank by hash, keep the k
+    smallest; estimate = (k-1) / U_k where U_k is the k-th smallest
+    hash normalized into (0,1] over the 60-bit prefix space. Exact
+    distinct count rides along so the estimate's error is visible in
+    the output (and checked by the oracle bit-for-bit).
+
+    At 100 TB: the distinct-hash shuffle is the only wide stage, and
+    the min-k set is mergeable per partition (sort_array + slice of
+    per-partition min-k's) — the committed plan keeps the window form
+    because the ranked set is at most k rows per group after the
+    pushdown-friendly distinct.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hashes = ev.select(
+        "event_type", F.md5(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    ranked = hashes.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("h"))
+    )
+    kth = (
+        ranked.filter(F.col("rn") == KMV_K)
+        .select("event_type", F.col("h").alias("kth_hash"))
+    )
+    exact = hashes.groupBy("event_type").agg(F.count("*").alias("exact_distinct"))
+    est = (
+        F.lit(float(KMV_K - 1))
+        * F.lit(_HEX_SPACE)
+        / F.conv(F.substring("kth_hash", 1, 15), 16, 10).cast("bigint")
+    )
+    # a group with fewer than k distinct values fits entirely in the
+    # sketch: the estimate IS the exact count (standard KMV behavior)
+    return (
+        exact.join(kth, "event_type", "left")
+        .select(
+            "event_type",
+            "exact_distinct",
+            F.when(
+                F.col("exact_distinct") < KMV_K,
+                F.col("exact_distinct").cast("double"),
+            )
+            .otherwise(F.round(est, 4))
+            .alias("kmv_estimate"),
+            F.lit(KMV_K).alias("k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hex15_to_bigint_sql(col: str) -> str:
+    """DuckDB lacks base-16 conv(); expand the 15-hex-digit prefix as a
+    positional polynomial (16^14 .. 16^0 are all exact BIGINTs)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+KMV_DISTINCT_SQL = f"""
+WITH hashes AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h FROM events
+),
+ranked AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashes
+),
+kth AS (
+  SELECT event_type, h AS kth_hash FROM ranked WHERE rn = {KMV_K}
+),
+exact AS (
+  SELECT event_type, COUNT(*) AS exact_distinct FROM hashes GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+       CASE WHEN e.exact_distinct < {KMV_K}
+            THEN CAST(e.exact_distinct AS DOUBLE)
+            ELSE ROUND({float(KMV_K - 1)} * {_HEX_SPACE!r}
+                       / {_hex15_to_bigint_sql('k.kth_hash')}, 4)
+       END AS kmv_estimate,
+       {KMV_K} AS k
+FROM exact e LEFT JOIN kth k USING (event_type)
+ORDER BY e.event_type
+"""
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C34: exact top-N frequent tokens over the corpus with corpus
+    share — the ground-truth twin of a count-min/Misra-Gries pass.
+
+    One explode + one map-side-combined groupBy; the corpus-total
+    scalar arrives by broadcast cross join (never a global window).
+    Deterministic order: count desc, token asc, row_number = rank.
+    At 100 TB the same plan holds — the groupBy output is vocab-sized,
+    and the top-N cut is a TakeOrdered, not a full sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    counts = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total_tokens"))
+    ranked = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), F.asc("w"))
+            ),
+        )
+        .filter(F.col("rank") <= HH_TOPN)
+    )
+    return ranked.select(
+        "rank",
+        F.col("w").alias("token"),
+        "cnt",
+        F.round(F.col("cnt") / F.col("total_tokens"), 6).alias("share"),
+    ).orderBy("rank")
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+counts AS (
+  SELECT w, COUNT(*) AS cnt FROM tok WHERE w <> '' GROUP BY w
+),
+total AS (SELECT SUM(cnt) AS total_tokens FROM counts),
+ranked AS (
+  SELECT w, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS rank
+  FROM counts
+)
+SELECT r.rank, r.w AS token, CAST(r.cnt AS BIGINT) AS cnt,
+       ROUND(r.cnt / CAST(t.total_tokens AS DOUBLE), 6) AS share
+FROM ranked r, total t
+WHERE r.rank <= {HH_TOPN}
+ORDER BY r.rank
+"""

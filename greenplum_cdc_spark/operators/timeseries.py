@@ -573,3 +573,234 @@ SELECT dau.day, dau.dau, wau.wau_7d,
 FROM dau JOIN wau ON dau.day = wau.wday
 ORDER BY dau.day
 """
+
+
+def range_frame_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B41: trailing-interval context via a RANGE window frame — for
+    each error event, how many same-user events (and how much value)
+    landed in the preceding 10 minutes.
+
+    This is the interval-join semantic executed WITHOUT a join: a RANGE
+    BETWEEN frame over unix-microsecond ordering does the [ts-10m, ts)
+    lookback sort-locally within each user partition — one shuffle on
+    user_id, no self-join blowup, no candidate explosion. At 100 TB
+    this is the difference between a window pass and an O(events x
+    avg-events-per-10m) join. RANGE (not ROWS) also makes duplicate
+    timestamps deterministic: peers by ordering VALUE share a frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-600_000_000, -1)  # [ts - 10 min, ts)
+    )
+    return (
+        ev.withColumn("n_prior_10m", F.count("*").over(w))
+        .withColumn(
+            "sum_value_10m",
+            F.coalesce(
+                F.sum(F.col("value").cast("decimal(12,2)")).over(w),
+                F.lit(0).cast("decimal(22,2)"),
+            )
+            .cast("double"),
+        )
+        .filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts", "n_prior_10m", "sum_value_10m")
+        .orderBy("event_id")
+    )
+
+
+RANGE_FRAME_SQL = """
+WITH win AS (
+  SELECT event_id, user_id, ts, event_type,
+         COUNT(*) OVER w AS n_prior_10m,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(12,2))) OVER w, 0) AS DOUBLE)
+           AS sum_value_10m
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 600000000 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts, n_prior_10m, sum_value_10m
+FROM win WHERE event_type = 'error'
+ORDER BY event_id
+"""
+
+
+GAP_FILL_SPARSE_MOD = 500  # user_id % 500 == 7 → ~0.2% of events, so the daily
+GAP_FILL_SPARSE_REM = 7   # series has real gaps to fill at every sf
+
+
+def time_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B42: calendar gap-fill + LOCF over a sparse daily series.
+
+    The hypertable/timescale `time_bucket_gapfill(..., locf(...))`
+    analog: per event type, materialize EVERY day between that type's
+    first and last activity (sequence + explode — map-side, no
+    driver loop), left-join the observed daily sums, and carry the
+    last observation forward with last_value(IGNORE NULLS). `filled`
+    marks synthesized rows. One shuffle (the daily groupBy); the
+    calendar explode adds days-per-type rows, independent of event
+    count — at 100 TB the series table stays tiny even when the
+    event scan is huge.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") % GAP_FILL_SPARSE_MOD) == GAP_FILL_SPARSE_REM
+    )
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("day_value")
+    )
+    spans = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    calendar = spans.select(
+        "event_type",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        calendar.join(daily, ["event_type", "day"], "left")
+        .withColumn("filled", F.col("day_value").isNull())
+        .withColumn(
+            "day_value", F.last("day_value", ignorenulls=True).over(w)
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+TIME_GAP_FILL_SQL = f"""
+WITH sparse AS (
+  SELECT * FROM events
+  WHERE user_id % {GAP_FILL_SPARSE_MOD} = {GAP_FILL_SPARSE_REM}
+),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS day_value
+  FROM sparse GROUP BY event_type, CAST(ts AS DATE)
+),
+spans AS (
+  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY event_type
+),
+calendar AS (
+  SELECT event_type, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+)
+SELECT c.event_type, c.day,
+       last_value(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY c.event_type ORDER BY c.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS day_value,
+       d.day_value IS NULL AS filled
+FROM calendar c LEFT JOIN daily d USING (event_type, day)
+ORDER BY c.event_type, c.day
+"""
+
+
+def event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B43: per-user inter-arrival gaps -> per-event-type gap profile.
+
+    lag() within the user partition produces each event's gap to the
+    user's previous event (any type); the profile then groups by the
+    CURRENT event's type. Gaps are integer microseconds, so sums are
+    exact and avg is an exact-int division — engine-identical without
+    rounding tricks. One shuffle on user_id, one on event_type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(ts)")
+    w = Window.partitionBy("user_id").orderBy(us, "event_id")
+    gaps = (
+        ev.withColumn("gap_us", us - F.lag(us).over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.round(F.sum("gap_us") / F.count("*"), 4).alias("avg_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENT_INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_gaps,
+       MIN(gap_us) AS min_gap_us,
+       MAX(gap_us) AS max_gap_us,
+       ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*), 4) AS avg_gap_us
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+ZSCORE_CUT = 3.0
+
+
+def zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B44: population z-score outliers per event type.
+
+    Mean and variance come from DECIMAL sums (sum v, sum v², count), so
+    they are exact integers-in-decimal regardless of partitioning —
+    never stddev_pop over doubles, whose accumulation order varies with
+    the physical plan. The variance/z arithmetic then runs in doubles
+    from those exact inputs with the same expression on both engines.
+    Two passes over the grouped stats, zero extra shuffles: stats join
+    back by broadcast (one row per type).
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "dv", F.col("value").cast("decimal(12,2)")
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("dv").cast("double").alias("s1"),
+        F.sum(F.col("dv") * F.col("dv")).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 4))
+        .filter(F.abs(F.col("z")) >= ZSCORE_CUT)
+        .select("event_id", "event_type", "value", "z")
+        .orderBy("event_id")
+    )
+
+
+ZSCORE_ANOMALY_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type, value, CAST(value AS DECIMAL(12,2)) AS dv
+  FROM events
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(dv) AS DOUBLE) AS s1,
+         CAST(SUM(dv * dv) AS DOUBLE) AS s2
+  FROM ev GROUP BY event_type
+),
+scored AS (
+  SELECT e.event_id, e.event_type, e.value,
+         ROUND((e.value - s.s1 / s.n)
+               / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 4) AS z
+  FROM ev e JOIN stats s USING (event_type)
+)
+SELECT event_id, event_type, value, z
+FROM scored WHERE abs(z) >= {ZSCORE_CUT}
+ORDER BY event_id
+"""

@@ -557,3 +557,59 @@ FROM ranked
 WHERE rn = 1 AND op <> 'delete'
 ORDER BY pk
 """
+
+
+def cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: log compaction of the CDC archive at a horizon.
+
+    The Kafka-compacted-topic / Greenplum-VACUUM analog for the
+    append-only archive (maxwell_gpdb.sql:14-31): every event at or
+    below the horizon collapses to its key's latest pre-horizon event
+    (delete-terminal keys drop entirely — tombstones past retention are
+    removed, which is exactly `delete.retention.ms` semantics), while
+    events after the horizon are preserved verbatim for replay. The
+    compacted prefix + verbatim tail serves the same snapshots as the
+    full log from the horizon forward.
+
+    One window over the pre-horizon partition (shuffle by pk) + a
+    partition-pruned tail scan — at 100 TB the tail never shuffles and
+    the head's shuffle is the unavoidable per-key reduction.
+    """
+    feed = _feed(spark, sf_dir)
+    head = feed.filter(F.col("ts") <= F.lit(_SPLIT_TS).cast("timestamp"))
+    tail = feed.filter(F.col("ts") > F.lit(_SPLIT_TS).cast("timestamp"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pk").orderBy(F.desc("ts"), F.desc("seq"))
+    compacted_head = (
+        head.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .drop("rn")
+    )
+    return (
+        compacted_head.withColumn("segment", F.lit("compacted"))
+        .unionByName(tail.withColumn("segment", F.lit("tail")))
+        .select("pk", "ts", "seq", "op", "value", "event_type", "segment")
+        .orderBy("pk", "ts", "seq")
+    )
+
+
+CDC_COMPACTION_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL}),
+head AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+  FROM cdc WHERE ts <= TIMESTAMP '{_SPLIT_TS}'
+),
+compacted AS (
+  SELECT pk, ts, seq, op, value, event_type, 'compacted' AS segment
+  FROM head WHERE rn = 1 AND op <> 'delete'
+),
+tail AS (
+  SELECT pk, ts, seq, op, value, event_type, 'tail' AS segment
+  FROM cdc WHERE ts > TIMESTAMP '{_SPLIT_TS}'
+)
+SELECT * FROM compacted
+UNION ALL
+SELECT * FROM tail
+ORDER BY pk, ts, seq
+"""

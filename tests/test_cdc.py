@@ -257,3 +257,24 @@ def test_schema_evolution_null_backfill(spark):
             assert r["last_event_type"] is None and r["pre_ddl"] == 1
         else:
             assert r["last_event_type"] is not None and r["pre_ddl"] == 0
+
+
+def test_cdc_compaction_semantics(spark):
+    """Compacted head: one live row per pre-horizon key; tail verbatim."""
+    from greenplum_cdc_spark.plans.cdc_queries import _SPLIT_TS, _feed, cdc_compaction
+
+    sf = "/root/testdata/sf0.001"
+    rows = cdc_compaction(spark, sf).collect()
+    import datetime
+
+    split = datetime.datetime.fromisoformat(_SPLIT_TS)
+    head = [r for r in rows if r["segment"] == "compacted"]
+    tail = [r for r in rows if r["segment"] == "tail"]
+    assert head and tail
+    # head: unique per pk, never a delete, all at/below horizon
+    assert len({r["pk"] for r in head}) == len(head)
+    assert all(r["op"] != "delete" and r["ts"] <= split for r in head)
+    # tail: exact event count of the raw feed past the horizon
+    feed = _feed(spark, sf)
+    n_tail_raw = feed.filter(F.col("ts") > F.lit(_SPLIT_TS).cast("timestamp")).count()
+    assert len(tail) == n_tail_raw

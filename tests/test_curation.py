@@ -327,3 +327,87 @@ def test_dedup_canonical_keeps_longest_per_cluster(spark):
     for members in by_cluster.values():
         kept = [r for r in members if r["is_kept"]][0]
         assert kept["n_chars"] == max(r["n_chars"] for r in members)
+
+
+def test_kmv_distinct_sane(spark):
+    from greenplum_cdc_spark.operators import sketches
+
+    rows = sketches.kmv_distinct(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["k"] == 64
+        # KMV with k=64 lands within ~3 std errors (1/sqrt(k-1) ~ 12.6%)
+        assert abs(r["kmv_estimate"] - r["exact_distinct"]) < 0.5 * r["exact_distinct"]
+
+
+def test_heavy_hitters_ordered_and_shares(spark):
+    from greenplum_cdc_spark.operators import sketches
+
+    rows = sketches.heavy_hitters(spark, SF).collect()
+    assert len(rows) == sketches.HH_TOPN
+    cnts = [r["cnt"] for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    assert all(0 < r["share"] < 1 for r in rows)
+    assert [r["rank"] for r in rows] == list(range(1, sketches.HH_TOPN + 1))
+
+
+def test_tfidf_cosine_pairs_bounded_and_symmetric_free(spark):
+    from greenplum_cdc_spark.operators import similarity
+
+    rows = similarity.tfidf_cosine_pairs(spark, SF).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]  # each unordered pair exactly once
+        assert (r["doc_a"], r["doc_b"]) not in seen
+        seen.add((r["doc_a"], r["doc_b"]))
+        assert similarity.TFIDF_TAU <= r["cos_sim"] <= 1.000001
+
+
+def test_range_frame_context_no_join(spark):
+    """The interval lookback must be a window, not a self-join."""
+    from greenplum_cdc_spark.operators import timeseries as ts
+
+    df = ts.range_frame_context(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    rows = df.collect()
+    assert rows and all(r["n_prior_10m"] >= 0 for r in rows)
+
+
+def test_time_gap_fill_locf(spark):
+    from greenplum_cdc_spark.operators import timeseries as ts
+
+    rows = ts.time_gap_fill(spark, "/root/testdata/sf0.001").collect()
+    assert any(r["filled"] for r in rows), "sparse series must have gaps"
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for series in by_type.values():
+        days = [r["day"] for r in series]
+        assert days == sorted(days)
+        # contiguous daily calendar
+        assert all((b - a).days == 1 for a, b in zip(days, days[1:]))
+        # LOCF: filled rows repeat the last observed value
+        last = None
+        for r in series:
+            if r["filled"]:
+                assert r["day_value"] == last
+            else:
+                last = r["day_value"]
+
+
+def test_event_interarrival_positive_gaps(spark):
+    from greenplum_cdc_spark.operators import timeseries as ts
+
+    rows = ts.event_interarrival(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["min_gap_us"] <= r["avg_gap_us"] <= r["max_gap_us"]
+
+
+def test_zscore_anomaly_threshold(spark):
+    from greenplum_cdc_spark.operators import timeseries as ts
+
+    rows = ts.zscore_anomaly(spark, "/root/testdata/sf0.01").collect()
+    assert all(abs(r["z"]) >= ts.ZSCORE_CUT for r in rows)
