@@ -804,3 +804,115 @@ SELECT event_id, event_type, value, z
 FROM scored WHERE abs(z) >= {ZSCORE_CUT}
 ORDER BY event_id
 """
+
+
+def ohlc_candlestick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B45: hourly OHLC (open/high/low/close) bars per event type.
+
+    The hypertable financial-rollup idiom (TimescaleDB `candlestick_agg`,
+    Greenplum first_value/last_value over the ts partition): open/close
+    are the first/last value in the bucket under the total order
+    (ts, event_id); high/low are plain min/max.
+
+    One shuffle: the window partitions by (event_type, bucket) and the
+    groupBy reuses the same keys, so Catalyst shares the exchange. At
+    100 TB the bucket key bounds partition width (an hour of one type),
+    and the window is sort-local within it — no driver involvement, no
+    second shuffle. first_value/last_value over a full frame avoids a
+    separate argmin/argmax join.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bucket_ts", F.date_trunc("hour", "ts")
+    )
+    w = Window.partitionBy("event_type", "bucket_ts").orderBy("ts", "event_id")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        ev.withColumn("open", F.first("value").over(full))
+        .withColumn("close", F.last("value").over(full))
+        .groupBy("event_type", "bucket_ts")
+        .agg(
+            F.first("open").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.first("close").alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+        .orderBy("event_type", "bucket_ts")
+    )
+
+
+OHLC_SQL = """
+WITH t AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_ts, ts, event_id, value,
+         first_value(value) OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open,
+         last_value(value) OVER (
+           PARTITION BY event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+  FROM events
+)
+SELECT event_type, bucket_ts,
+       MIN(open) AS open, MAX(value) AS high, MIN(value) AS low,
+       MIN(close) AS close, COUNT(*) AS n_ticks
+FROM t
+GROUP BY event_type, bucket_ts
+ORDER BY event_type, bucket_ts
+"""
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B46: per-user time-weighted average value (LOCF weighting).
+
+    TimescaleDB `time_weight('LOCF', ...)` analog over irregular
+    samples: each observation holds until the next one, so
+    twa = Σ value_i · (t_{i+1} − t_i) / (t_last − t_first). Durations
+    are integer microseconds and the weighted sum accumulates in
+    DECIMAL (value at 2 dp × bigint µs fits decimal(38,2)), so the
+    result is partitioning-order-exact; the single double division
+    happens once per user at the end. One shuffle on user_id (lead
+    window), then the groupBy reuses the same exchange. Users with a
+    single sample have no held interval and are excluded (span = 0).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt_us = F.unix_micros(F.lead("ts").over(w))
+    cur_us = F.unix_micros(F.col("ts"))
+    return (
+        ev.withColumn("dur_us", nxt_us - cur_us)
+        .filter(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("dur_us").alias("span_us"),
+            F.round(
+                (
+                    F.sum(F.col("value").cast("decimal(12,2)") * F.col("dur_us"))
+                    / F.sum("dur_us")
+                ).cast("double"),
+                6,
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+TIME_WEIGHTED_AVG_SQL = """
+WITH t AS (
+  SELECT user_id, value,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS dur_us
+  FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dur_us) AS BIGINT) AS span_us,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(12,2)) * dur_us) / SUM(dur_us)
+                  AS DOUBLE), 6) AS twa_value
+FROM t
+WHERE dur_us IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""

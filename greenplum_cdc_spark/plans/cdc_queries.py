@@ -613,3 +613,194 @@ UNION ALL
 SELECT * FROM tail
 ORDER BY pk, ts, seq
 """
+
+
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: SCD Type-2 dimension history from the CDC feed.
+
+    The warehouse-side consumer of `process_events` the reference
+    replicates FOR (cdc_plpgsql_functions.sql:103-241 applies
+    latest-wins precisely so Greenplum can serve historical queries):
+    every upsert opens a version row with `valid_from = ts`; the next
+    event on the key (upsert OR delete) closes it (`valid_to`), so
+    deletes terminate validity without emitting a row; the open-tail
+    version carries `is_current = true`.
+
+    The lead window runs over the FULL per-key event sequence before
+    deletes are filtered, so a closing delete still bounds the prior
+    version. One shuffle on pk; sort-local window within each key —
+    the partition width is one key's history, which holds at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    feed = _feed(spark, sf_dir)
+    w = Window.partitionBy("pk").orderBy("ts", "seq")
+    return (
+        feed.withColumn("valid_to", F.lead("ts").over(w))
+        .filter(F.col("op") != "delete")
+        .select(
+            "pk",
+            F.col("seq").alias("version_seq"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+            "value",
+            "event_type",
+        )
+        .orderBy("pk", "valid_from", "version_seq")
+    )
+
+
+CDC_SCD2_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL}),
+versioned AS (
+  SELECT *, lead(ts) OVER (PARTITION BY pk ORDER BY ts, seq) AS valid_to
+  FROM cdc
+)
+SELECT pk, seq AS version_seq, ts AS valid_from, valid_to,
+       valid_to IS NULL AS is_current, value, event_type
+FROM versioned
+WHERE op <> 'delete'
+ORDER BY pk, valid_from, version_seq
+"""
+
+_TXN_SIZE = 10
+
+
+def cdc_txn_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: transaction-consistent apply — whole-xid atomicity at a cut.
+
+    Maxwell envelopes carry `xid` + a `commit` marker on the last row
+    of each MySQL transaction (the reference applies events one
+    micro-batch at a time with no txn grouping — a mid-txn batch
+    boundary leaves the replica transiently inconsistent). Here a
+    transaction (xid = seq div 10, deterministic for the oracle) is
+    applied ONLY if it committed at or before the watermark cut: a
+    txn straddling the cut is held back IN FULL, so the replica is
+    always transaction-consistent as of the cut.
+
+    Plan: window MAX(ts) over the xid partition (shuffle 1) marks each
+    event with its txn's commit ts — no join, no driver txn registry;
+    then the standard latest-wins window on pk (shuffle 2). Both
+    partition widths are bounded (txn size, key history), so the shape
+    survives 100 TB.
+    """
+    from pyspark.sql import Window
+
+    feed = _feed(spark, sf_dir).withColumn("xid", F.expr(f"seq div {_TXN_SIZE}"))
+    commit_ts = F.max("ts").over(Window.partitionBy("xid"))
+    committed = feed.withColumn("commit_ts", commit_ts).filter(
+        F.col("commit_ts") <= F.lit(_SPLIT_TS).cast("timestamp")
+    )
+    w = Window.partitionBy("pk").orderBy(F.desc("ts"), F.desc("seq"))
+    return (
+        committed.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select(
+            "pk",
+            F.col("ts").alias("last_ts"),
+            F.col("seq").alias("last_seq"),
+            F.col("xid").alias("last_xid"),
+            F.col("value").alias("last_value"),
+            F.col("event_type").alias("last_event_type"),
+        )
+        .orderBy("pk")
+    )
+
+
+CDC_TXN_APPLY_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL}),
+txn AS (
+  SELECT *, seq // {_TXN_SIZE} AS xid,
+         MAX(ts) OVER (PARTITION BY seq // {_TXN_SIZE}) AS commit_ts
+  FROM cdc
+),
+committed AS (
+  SELECT * FROM txn WHERE commit_ts <= TIMESTAMP '{_SPLIT_TS}'
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+  FROM committed
+)
+SELECT pk, ts AS last_ts, seq AS last_seq, xid AS last_xid,
+       value AS last_value, event_type AS last_event_type
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+ORDER BY pk
+"""
+
+
+def _hex15_to_bigint_sql(col: str) -> str:
+    """DuckDB lacks conv(hex, 16, 10); positional-polynomial expansion
+    of a 15-hex-digit prefix (16^14..16^0 are exact BIGINTs)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def replica_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: order-insensitive content checksum of the replica snapshot.
+
+    The reference demo validates replication by polling MySQL and the
+    Greenplum replica for equality; at 100 TB you cannot diff rows —
+    you compare per-table digests. Each snapshot row canonicalizes to
+    `pk|unix_micros|seq|value@2dp`, hashes to a 15-hex-digit bigint,
+    and the per-event_type SUM of those hashes (exact DECIMAL, then
+    folded mod 2^61−1 into BIGINT — commutative and
+    partitioning-independent) is the digest: equal data ⇒ equal digest
+    regardless of row order or partition count. One
+    map-side hash + one groupBy shuffle over the already-built
+    snapshot; digests from two clusters compare with a 20-row join.
+    """
+    snap = cdc_ops.snapshot_latest(_feed(spark, sf_dir))
+    canon = F.concat_ws(
+        "|",
+        F.col("pk"),
+        F.unix_micros("ts"),
+        F.col("seq"),
+        F.col("value").cast("decimal(12,2)").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+    return (
+        snap.withColumn("row_hash", h)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("pk").alias("min_pk"),
+            F.max("pk").alias("max_pk"),
+            (F.sum("row_hash") % F.lit(2305843009213693951).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("content_digest"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CHECKSUM_CANON = (
+    "pk || '|' || epoch_us(ts) || '|' || seq || '|' || "
+    "CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR)"
+)
+
+CDC_CHECKSUM_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+  FROM cdc
+),
+snap AS (
+  SELECT pk, ts, seq, value, event_type
+  FROM ranked WHERE rn = 1 AND op <> 'delete'
+),
+hashed AS (
+  SELECT event_type, pk,
+         {_hex15_to_bigint_sql(f"md5({_CHECKSUM_CANON})")} AS row_hash
+  FROM snap
+)
+SELECT event_type, COUNT(*) AS n_rows, MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+       CAST(SUM(row_hash) % 2305843009213693951 AS BIGINT) AS content_digest
+FROM hashed
+GROUP BY event_type
+ORDER BY event_type
+"""

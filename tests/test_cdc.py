@@ -278,3 +278,51 @@ def test_cdc_compaction_semantics(spark):
     feed = _feed(spark, sf)
     n_tail_raw = feed.filter(F.col("ts") > F.lit(_SPLIT_TS).cast("timestamp")).count()
     assert len(tail) == n_tail_raw
+
+
+def test_scd2_versions_close_and_current(spark, sf_dir):
+    from greenplum_cdc_spark.plans import cdc_queries as cq
+
+    hist = cq.cdc_scd2_history(spark, sf_dir).collect()
+    by_pk: dict = {}
+    for r in hist:
+        by_pk.setdefault(r["pk"], []).append(r)
+    some = list(by_pk.values())[0]
+    # versions are contiguous: each valid_to equals the next valid_from or is open
+    for a, b in zip(some, some[1:]):
+        assert a["valid_to"] is not None and a["valid_to"] <= b["valid_from"]
+    # at most one current version per key, and only in last position
+    for versions in by_pk.values():
+        currents = [v for v in versions if v["is_current"]]
+        assert len(currents) <= 1
+        if currents:
+            assert versions[-1]["is_current"]
+
+
+def test_txn_apply_holds_straddling_transactions(spark, sf_dir):
+    from greenplum_cdc_spark.plans import cdc_queries as cq
+
+    applied = cq.cdc_txn_apply(spark, sf_dir).collect()
+    cut = cq._SPLIT_TS
+    # no applied row may come from a transaction whose commit ts is past the cut
+    feed = cq._feed(spark, sf_dir).withColumn(
+        "xid", F.expr(f"seq div {cq._TXN_SIZE}")
+    )
+    commit = {
+        r["xid"]: r["commit_ts"]
+        for r in feed.groupBy("xid").agg(F.max("ts").alias("commit_ts")).collect()
+    }
+    for r in applied:
+        assert str(commit[r["last_xid"]]) <= cut
+
+
+def test_replica_checksum_order_insensitive(spark, sf_dir):
+    from greenplum_cdc_spark.plans import cdc_queries as cq
+
+    a = {r["event_type"]: r["content_digest"] for r in cq.replica_checksum(spark, sf_dir).collect()}
+    # recompute with a different partitioning: digest must be identical
+    import greenplum_cdc_spark.plans.cdc_queries as cq2
+
+    snap_repart = cq2.replica_checksum(spark, sf_dir).repartition(13)
+    b = {r["event_type"]: r["content_digest"] for r in snap_repart.collect()}
+    assert a == b and len(a) > 0
