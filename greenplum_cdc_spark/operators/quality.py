@@ -493,3 +493,110 @@ FROM tok JOIN tf USING (w)
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# Gopher-rule thresholds (Rae et al. 2021 §A1.1, adapted to the synthetic
+# corpus's scale — the RULE SET is the deliverable, the constants are
+# tunable knobs).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C37: the Gopher document-quality rule battery as one map-side pass.
+
+    Each document gets the full signal vector (word count, mean word
+    length in integer char units, alphabetic-word fraction, distinct
+    stopword hits) plus the keep/drop verdict and the FIRST failed rule
+    — the triage layout a curation run wants (count drops per reason,
+    sample each bucket). Everything is array HOFs over one split — no
+    explode, no shuffle except the final orderBy; at 100 TB this is a
+    pure map stage that pipelines with the parquet scan.
+
+    Mean word length stays an exact rational (total_chars, n_words kept
+    separately; the comparison cross-multiplies) so the rule boundary
+    is engine-exact — no float division on the filter path.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(text, ' '), w -> w <> '')"
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in ("the", "a", "of", "and", "is", "to")) + ")"
+    d = (
+        docs.withColumn("n_words", F.expr(f"size({toks})").cast("bigint"))
+        .withColumn(
+            "total_chars",
+            F.expr(f"aggregate({toks}, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))"),
+        )
+        .withColumn(
+            "n_alpha_words",
+            F.expr(f"size(filter({toks}, w -> w rlike '[a-zA-Z]'))").cast("bigint"),
+        )
+        .withColumn(
+            "n_stopwords",
+            F.expr(f"size(array_intersect(array_distinct({toks}), {stop_arr}))").cast("bigint"),
+        )
+    )
+    r_word_count = (F.col("n_words") >= GOPHER_MIN_WORDS) & (
+        F.col("n_words") <= GOPHER_MAX_WORDS
+    )
+    # mean word len in [2.0, 10.0]: cross-multiplied integer comparison
+    r_mean_len = (
+        F.col("total_chars") * 10 >= F.col("n_words") * int(GOPHER_MIN_MEAN_WORD_LEN * 10)
+    ) & (F.col("total_chars") * 10 <= F.col("n_words") * int(GOPHER_MAX_MEAN_WORD_LEN * 10))
+    r_alpha = F.col("n_alpha_words") * 10 >= F.col("n_words") * 8
+    r_stop = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
+    reason = (
+        F.when(~r_word_count, F.lit("word_count"))
+        .when(~r_mean_len, F.lit("mean_word_len"))
+        .when(~r_alpha, F.lit("alpha_frac"))
+        .when(~r_stop, F.lit("stopwords"))
+        .otherwise(F.lit("pass"))
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        "total_chars",
+        "n_alpha_words",
+        "n_stopwords",
+        reason.alias("drop_reason"),
+        (reason == "pass").alias("keep"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_TOKS = "list_filter(string_split(text, ' '), w -> w <> '')"
+
+GOPHER_FILTER_SQL = f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(len({_GOPHER_TOKS}) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform({_GOPHER_TOKS}, w -> length(w))) AS BIGINT)
+           AS total_chars,
+         CAST(len(list_filter({_GOPHER_TOKS}, w -> regexp_matches(w, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_intersect(list_distinct({_GOPHER_TOKS}),
+                                 ['the', 'a', 'of', 'and', 'is', 'to'])) AS BIGINT)
+           AS n_stopwords
+  FROM documents
+),
+verdict AS (
+  SELECT *,
+         CASE
+           WHEN NOT (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+             THEN 'word_count'
+           WHEN NOT (total_chars * 10 >= n_words * {int(GOPHER_MIN_MEAN_WORD_LEN * 10)}
+                     AND total_chars * 10 <= n_words * {int(GOPHER_MAX_MEAN_WORD_LEN * 10)})
+             THEN 'mean_word_len'
+           WHEN NOT (n_alpha_words * 10 >= n_words * 8) THEN 'alpha_frac'
+           WHEN NOT (n_stopwords >= {GOPHER_MIN_STOPWORDS}) THEN 'stopwords'
+           ELSE 'pass'
+         END AS drop_reason
+  FROM sig
+)
+SELECT doc_id, n_words, total_chars, n_alpha_words, n_stopwords,
+       drop_reason, drop_reason = 'pass' AS keep
+FROM verdict
+ORDER BY doc_id
+"""

@@ -581,3 +581,102 @@ JOIN norms nb ON d.doc_b = nb.doc_id
 WHERE ROUND(d.dot / (na.norm * nb.norm), 6) >= {TFIDF_TAU}
 ORDER BY d.doc_a, d.doc_b
 """
+
+
+_SQ_LEVELS = 255  # 8-bit scalar quantization
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C36: int8 scalar quantization of the embedding column + exact
+    reconstruction error — the storage/serving compression step of a
+    vector pipeline (FAISS `SQ8` layout: per-dim [min,max] trained on
+    the corpus, values mapped to 0..255).
+
+    All arithmetic is integer µ-units so Spark and DuckDB are
+    bit-exact with zero float drift: v → round(v·1e6) (bigint), per-dim
+    global [mn, mx] from ONE aggregate of 2×64 literal min/max folds
+    (map-side combined, no posexplode blowup — the knn_ivf idiom),
+    then q = round-half-up((v−mn)·255/(mx−mn)) and
+    recon = round-half-up(q·(mx−mn)/255) as pure integer division:
+    (2·d·255 + r) div (2·r). The per-vector squared error Σ(v−recon)²
+    is an exact bigint. One scan + one 1-row broadcast; array-side
+    zip_with keeps everything in whole-stage codegen at 100 TB.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings")
+    dim = len(vecs.select("embedding").first()[0])
+    uv = vecs.withColumn(
+        "uv",
+        F.expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))"),
+    )
+    bounds = uv.agg(
+        F.array(*[F.min(F.element_at("uv", i + 1)) for i in range(dim)]).alias("mns"),
+        F.array(*[F.max(F.element_at("uv", i + 1)) for i in range(dim)]).alias("mxs"),
+    )
+    q = uv.crossJoin(F.broadcast(bounds))
+    q = (
+        q.withColumn("rng", F.expr("zip_with(mxs, mns, (a, b) -> a - b)"))
+        .withColumn("d", F.expr("zip_with(uv, mns, (v, m) -> v - m)"))
+        .withColumn(
+            "q",
+            F.expr(
+                f"zip_with(d, rng, (dd, r) -> CASE WHEN r = 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE (2 * dd * {_SQ_LEVELS} + r) div (2 * r) END)"
+            ),
+        )
+        .withColumn(
+            "recon_d",
+            F.expr(
+                f"zip_with(q, rng, (qq, r) -> (2 * qq * r + {_SQ_LEVELS}) div (2 * {_SQ_LEVELS}))"
+            ),
+        )
+        .withColumn(
+            "sq_err",
+            F.expr(
+                "aggregate(zip_with(d, recon_d, (a, b) -> (a - b) * (a - b)), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ),
+        )
+    )
+    return q.select(
+        "vec_id",
+        "label",
+        F.expr("aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x)").alias("q_sum"),
+        F.expr("array_min(q)").alias("q_min"),
+        F.expr("array_max(q)").alias("q_max"),
+        "sq_err",
+    ).orderBy("vec_id")
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH uv AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v
+  FROM embeddings
+),
+bounds AS (
+  SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM uv GROUP BY dim
+),
+quant AS (
+  SELECT u.vec_id, u.label,
+         u.v - b.mn AS d,
+         b.mx - b.mn AS r,
+         CASE WHEN b.mx = b.mn THEN 0
+              ELSE (2 * (u.v - b.mn) * {_SQ_LEVELS} + (b.mx - b.mn))
+                   // (2 * (b.mx - b.mn)) END AS q
+  FROM uv u JOIN bounds b USING (dim)
+),
+recon AS (
+  SELECT vec_id, label, q,
+         d - (2 * q * r + {_SQ_LEVELS}) // (2 * {_SQ_LEVELS}) AS err
+  FROM quant
+)
+SELECT vec_id, label,
+       CAST(SUM(q) AS BIGINT) AS q_sum,
+       CAST(MIN(q) AS BIGINT) AS q_min,
+       CAST(MAX(q) AS BIGINT) AS q_max,
+       CAST(SUM(err * err) AS BIGINT) AS sq_err
+FROM recon
+GROUP BY vec_id, label
+ORDER BY vec_id
+"""

@@ -1208,3 +1208,48 @@ WHERE p_name LIKE 'red%'
 GROUP BY s_suppkey, s_name
 ORDER BY s_suppkey
 """
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B48: CUBE (o_orderstatus, o_orderpriority) — all 4 grouping sets
+    in ONE pass, disambiguated by GROUPING() markers.
+
+    Complements B8's ROLLUP: CUBE is the cross of all subsets, the
+    dashboard-materialization idiom Greenplum serves from the replica.
+    Spark expands the cube map-side and aggregates every set in a
+    single shuffle (partial aggregation applies per set), so the cost
+    is one pass over orders, not 4 — at 100 TB that 4× matters.
+    GROUPING() markers distinguish a real NULL key from a rolled-up
+    one, which is what makes the result join-safe downstream.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(_money("o_totalprice"), "sum_price"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+        )
+        .orderBy(
+            "g_status",
+            "g_priority",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+CUBE_AGG_SQL = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_price,
+  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_priority,
+         o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""

@@ -454,3 +454,80 @@ SELECT CAST(sink_id AS INT) AS sink_id, pk, last_ts, last_value
 FROM snap CROSS JOIN range({_FANOUT_SINKS}) sinks(sink_id)
 ORDER BY sink_id, pk
 """
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B47: stream-stream interval join — views matched to the SAME
+    user's clicks within the following 2 hours.
+
+    A REAL Structured Streaming join (two readStream sides, event-time
+    watermarks on both, time-bound join condition) drained via
+    availableNow into a memory sink. The watermark + interval bound is
+    what makes this run forever at 100 TB/day: each side's join state
+    is evicted once the other side's watermark passes `ts + 10 min`,
+    so state is O(10 minutes of traffic), not O(stream history).
+    Equi-key on user_id keeps the state-store sharding on the join key;
+    the inner join emits immediately (no watermark latency), so the
+    drained result equals the batch interval join the oracle states.
+    """
+    from ..io import shuffle_partitions
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_event_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_event_id",
+        "click_event_id",
+        (F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("v_ts"))).alias("gap_us"),
+    )
+    name = "interval_join_sink"
+    with shuffle_partitions(spark, 8):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "view_event_id", "click_event_id")
+
+
+STREAM_INTERVAL_JOIN_SQL = """
+SELECT v.user_id,
+       v.event_id AS view_event_id,
+       c.event_id AS click_event_id,
+       epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+FROM events v
+JOIN events c
+  ON c.user_id = v.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND c.ts > v.ts
+ AND c.ts <= v.ts + INTERVAL 2 HOUR
+ORDER BY v.user_id, view_event_id, click_event_id
+"""

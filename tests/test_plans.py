@@ -94,3 +94,15 @@ def test_q20_pushes_filters_and_broadcasts_dims(spark, sf_dir):
     assert "GreaterThanOrEqual(l_shipdate," in plan  # year window at the scan
     assert "StringStartsWith(p_name,red" in plan  # LIKE 'red%' pushed
     assert "BroadcastHashJoin" in plan
+
+
+def test_cube_agg_grouping_sets(spark, sf_dir):
+    from greenplum_cdc_spark.plans.tpch import cube_agg
+
+    rows = cube_agg(spark, sf_dir).collect()
+    sets = {(r["g_status"], r["g_priority"]) for r in rows}
+    assert sets == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    total = [r for r in rows if (r["g_status"], r["g_priority"]) == (1, 1)]
+    assert len(total) == 1
+    detail = sum(r["n_orders"] for r in rows if (r["g_status"], r["g_priority"]) == (0, 0))
+    assert total[0]["n_orders"] == detail

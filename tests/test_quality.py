@@ -123,3 +123,33 @@ def test_cdc_dlq_routes_corrupted(spark):
         expect = "dlq" if r["offset"] % cdc_queries._DLQ_MOD == 0 else "ok"
         assert r["route"] == expect
     assert any(r["route"] == "dlq" for r in rows)
+
+
+def test_gopher_filter_rules_consistent(spark, sf_dir):
+    from greenplum_cdc_spark.operators.quality import (
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_WORDS,
+        gopher_filter,
+    )
+
+    rows = gopher_filter(spark, sf_dir).collect()
+    assert rows, "corpus should produce signal rows"
+    for r in rows:
+        if r["keep"]:
+            assert r["drop_reason"] == "pass"
+            assert r["n_words"] >= GOPHER_MIN_WORDS
+            assert r["n_stopwords"] >= GOPHER_MIN_STOPWORDS
+            # mean word length within [2,10] via cross-multiplication
+            assert 2 * r["n_words"] <= r["total_chars"] <= 10 * r["n_words"]
+        else:
+            assert r["drop_reason"] != "pass"
+
+
+def test_embedding_quantize_bounds(spark, sf_dir):
+    from greenplum_cdc_spark.operators.similarity import embedding_quantize
+
+    rows = embedding_quantize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["q_min"] <= r["q_max"] <= 255
+        assert r["sq_err"] >= 0

@@ -291,3 +291,41 @@ def test_stream_sessionize_matches_batch_minus_open(spark, sf_dir):
         if r["session_idx"] < last[r["user_id"]]
     }
     assert streamed == expected
+
+
+def test_stream_interval_join_bounds(spark, sf_dir):
+    from greenplum_cdc_spark.streaming.pipeline import stream_interval_join
+
+    rows = stream_interval_join(spark, sf_dir).collect()
+    two_hours_us = 2 * 3600 * 1_000_000
+    for r in rows:
+        assert 0 < r["gap_us"] <= two_hours_us
+
+
+def test_stream_interval_join_matches_batch(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from greenplum_cdc_spark.io import load_table
+    from greenplum_cdc_spark.streaming.pipeline import stream_interval_join
+
+    got = {
+        (r["view_event_id"], r["click_event_id"])
+        for r in stream_interval_join(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("ve"), F.col("ts").alias("vt")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("ce"), F.col("ts").alias("ct")
+    )
+    want = {
+        (r["ve"], r["ce"])
+        for r in v.join(c, "u")
+        .filter(
+            (F.col("ct") > F.col("vt"))
+            & (F.unix_micros("ct") - F.unix_micros("vt") <= 2 * 3600 * 1_000_000)
+        )
+        .collect()
+    }
+    assert got == want
