@@ -177,3 +177,89 @@ FROM ranked r, total t
 WHERE r.rank <= {HH_TOPN}
 ORDER BY r.rank
 """
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C38: count-min sketch over document tokens, estimate vs truth.
+
+    The streaming-frequency sketch (Cormode-Muthukrishnan): CMS_DEPTH
+    independent hash rows × CMS_WIDTH buckets; a token's estimate is
+    the MIN over rows of its bucket's count, always ≥ the true count
+    (collisions only ever inflate). Both engines build the identical
+    sketch from md5(seed‖token) buckets, so estimates are exact-match
+    gateable — and the output carries truth, estimate, and inflation
+    side by side, which is the calibration view you'd use to size a
+    production sketch.
+
+    Scale shape: one explode of the token stream, bucket assignment
+    map-side, ONE groupBy (row, bucket) with partial aggregation →
+    sketch is DEPTH×WIDTH rows regardless of corpus size; the estimate
+    join probes the tiny sketch via broadcast. The exact-count twin
+    (for the inflation column) is the same single-shuffle groupBy the
+    heavy-hitters op uses.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr("filter(split(text, ' '), w -> w <> '')")).alias("w")
+    )
+    rows = F.array(
+        *[
+            (
+                F.conv(F.substring(F.md5(F.concat(F.lit(f"cms{r}:"), F.col("w"))), 1, 15), 16, 10)
+                .cast("bigint")
+                % CMS_WIDTH
+            )
+            for r in range(CMS_DEPTH)
+        ]
+    )
+    bucketed = toks.select("w", F.posexplode(rows).alias("row_idx", "bucket"))
+    sketch = bucketed.groupBy("row_idx", "bucket").agg(F.count("*").alias("cnt"))
+    exact = toks.groupBy("w").agg(F.count("*").alias("exact_cnt"))
+    probes = exact.select(
+        "w", "exact_cnt", F.posexplode(rows).alias("row_idx", "bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row_idx", "bucket"])
+        .groupBy("w", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .withColumn("inflation", F.col("cms_est") - F.col("exact_cnt"))
+        .orderBy("w")
+    )
+
+
+def _cms_bucket_sql(seed: str) -> str:
+    h = f"md5('{seed}:' || w)"
+    terms = [
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(terms) + f") % {CMS_WIDTH}"
+
+
+CMS_ESTIMATE_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS w
+  FROM documents
+),
+bucketed AS (
+  {" UNION ALL ".join(f"SELECT {r} AS row_idx, {_cms_bucket_sql(f'cms{r}')} AS bucket, w FROM toks" for r in range(CMS_DEPTH))}
+),
+sketch AS (
+  SELECT row_idx, bucket, COUNT(*) AS cnt FROM bucketed GROUP BY row_idx, bucket
+),
+exact AS (
+  SELECT w, COUNT(*) AS exact_cnt FROM toks GROUP BY w
+),
+probes AS (
+  {" UNION ALL ".join(f"SELECT w, exact_cnt, {r} AS row_idx, {_cms_bucket_sql(f'cms{r}')} AS bucket FROM exact" for r in range(CMS_DEPTH))}
+)
+SELECT p.w, p.exact_cnt, CAST(MIN(s.cnt) AS BIGINT) AS cms_est,
+       CAST(MIN(s.cnt) - p.exact_cnt AS BIGINT) AS inflation
+FROM probes p JOIN sketch s USING (row_idx, bucket)
+GROUP BY p.w, p.exact_cnt
+ORDER BY p.w
+"""

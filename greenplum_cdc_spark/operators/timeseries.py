@@ -916,3 +916,89 @@ WHERE dur_us IS NOT NULL
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+_OVERLAP_DAYS = 7
+_DAY_OFFSET = 3000  # shift TPC-H-era day numbers positive before binning
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B49: interval-overlap join via bin bucketing — events landing in
+    each order's 7-day fulfillment window, WITHOUT a theta join.
+
+    Spark has no native band/interval join: a raw `ON day BETWEEN a AND
+    a+6` condition becomes BroadcastNestedLoopJoin (O(n·m) — the 100 TB
+    killer). The scale idiom: bucket time into bins the width of the
+    interval; a 7-day window overlaps at most TWO 7-day bins, so each
+    order explodes to ≤2 (key, bin) rows, the join is a plain equi-join
+    on (key, bin) — hash-partitioned, AQE-skew-splittable — and the
+    exact BETWEEN predicate filters the ≤2× candidates. Candidate count
+    is linear in orders, never |orders|×|events|.
+
+    Event times reuse B9's deterministic remap into the orders era
+    (day = event_id % 2500 from 1995-01-01); key = user_id ≡ custkey,
+    as in the as-of join. The oracle states the plain theta join —
+    DuckDB's IEJoin evaluates it exactly.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        "event_id",
+        (F.col("event_id") % 2500).cast("bigint").alias("day_e"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_o"),
+    )
+    ev_binned = ev.withColumn(
+        "bin", F.expr(f"(day_e + {_DAY_OFFSET}) div {_OVERLAP_DAYS}")
+    )
+    o_binned = orders.withColumn(
+        "bin",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"(day_o + {_DAY_OFFSET}) div {_OVERLAP_DAYS}"),
+                    F.expr(
+                        f"(day_o + {_OVERLAP_DAYS - 1} + {_DAY_OFFSET}) div {_OVERLAP_DAYS}"
+                    ),
+                )
+            )
+        ),
+    )
+    return (
+        o_binned.join(ev_binned, ["k", "bin"])
+        .filter(
+            (F.col("day_e") >= F.col("day_o"))
+            & (F.col("day_e") < F.col("day_o") + _OVERLAP_DAYS)
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+INTERVAL_OVERLAP_SQL = f"""
+WITH ev AS (
+  SELECT user_id AS k, event_id, event_id % 2500 AS day_e FROM events
+),
+ord AS (
+  SELECT o_custkey AS k, o_orderkey,
+         datediff('day', DATE '1995-01-01', o_orderdate) AS day_o
+  FROM orders
+)
+SELECT o_orderkey,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS first_event_id,
+       MAX(event_id) AS last_event_id
+FROM ord JOIN ev USING (k)
+WHERE day_e >= day_o AND day_e < day_o + {_OVERLAP_DAYS}
+GROUP BY o_orderkey
+ORDER BY o_orderkey
+"""

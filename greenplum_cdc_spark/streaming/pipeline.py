@@ -531,3 +531,149 @@ JOIN events c
  AND c.ts <= v.ts + INTERVAL 2 HOUR
 ORDER BY v.user_id, view_event_id, click_event_id
 """
+
+
+_LATE_S1 = "2024-01-10 00:00:00"
+_LATE_S2 = "2024-01-20 00:00:00"
+_LATE_ECHO_MOD = 7
+
+
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B50: watermark late-data semantics made oracle-checkable.
+
+    Three real micro-batches (maxFilesPerTrigger=1, mtime-ordered):
+    b0 = events ≤ S1, b1 = (S1, S2], b2 = the tail PLUS "late echoes" —
+    replays of every (event_id % 7 == 0) earlier row. Spark's verified
+    contract (probed on this engine version): a late row is DROPPED
+    only when its window's state was already evicted — the late filter
+    runs one batch behind eviction, so during b2 it drops windows ended
+    at/below wmA = floor_ms(max b0 ts) − 1 h, while eviction through b1
+    cleared windows up to wmB = floor_ms(max b1 ts) − 1 h. Echoes are
+    therefore drawn ONLY from the two deterministic classes: window end
+    ≤ wmA (engine drops them) and window end > wmB (state alive —
+    engine double-counts them, exactly what at-least-once replay does).
+    The ambiguous band (wmA, wmB] — evicted but not yet filtered, which
+    would re-open a closed window and break append exactly-once — is
+    excluded by construction; that band is the documented reason
+    production replays must stay within the watermark delay.
+    Append mode emits only windows closed below the final watermark, so
+    the drained table is deterministic and the oracle states it in
+    closed form. This contract is what bounds state at 100 TB/day:
+    state per key is O(watermark horizon), everything older is
+    immutable output.
+    """
+    import shutil
+    import tempfile
+
+    from ..io import load_table, materialize, shuffle_partitions
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = tempfile.mkdtemp(prefix="late_data_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+        s1 = F.lit(_LATE_S1).cast("timestamp")
+        s2 = F.lit(_LATE_S2).cast("timestamp")
+        b0 = ev.filter(F.col("ts") <= s1)
+        b1 = ev.filter((F.col("ts") > s1) & (F.col("ts") <= s2))
+        # wmA/wmB: floor-to-ms of each prefix max, minus the 1h delay —
+        # exactly how the engine advances its watermark.
+        wm_a = b0.agg(
+            F.expr("timestamp_millis(unix_millis(max(ts))) - INTERVAL 1 HOUR").alias("wm")
+        ).first()["wm"]
+        wm_b = b1.agg(
+            F.expr("timestamp_millis(unix_millis(max(ts))) - INTERVAL 1 HOUR").alias("wm")
+        ).first()["wm"]
+        hour_end = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+        echoes = (
+            b0.unionByName(b1)
+            .filter(F.col("event_id") % _LATE_ECHO_MOD == 0)
+            .filter((hour_end <= F.lit(wm_a)) | (hour_end > F.lit(wm_b)))
+        )
+        b2 = ev.filter(F.col("ts") > s2).unionByName(echoes)
+        paths = []
+        for i, b in enumerate((b0, b1, b2)):
+            p = os.path.join(in_dir, f"b{i}")
+            b.coalesce(1).write.mode("overwrite").parquet(p)
+            paths.append(p)
+        # deterministic batch order: file source sorts by modification time
+        now = 1_700_000_000
+        for i, p in enumerate(paths):
+            for f in os.listdir(p):
+                os.utime(os.path.join(p, f), (now + i * 10, now + i * 10))
+
+        stream = (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(in_dir + "/*")
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+            .agg(F.count("*").alias("n_events"))
+        )
+        name = "late_data_sink"
+        with shuffle_partitions(spark, 8):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = spark.table(name).select(
+            F.col("w.start").alias("hour_start"), "event_type", "n_events"
+        )
+        return materialize(out, "late_data_out_").orderBy("hour_start", "event_type")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+STREAM_LATE_DATA_SQL = f"""
+WITH b0 AS (
+  SELECT event_id, ts, event_type FROM events
+  WHERE ts <= TIMESTAMP '{_LATE_S1}'
+),
+b1 AS (
+  SELECT event_id, ts, event_type FROM events
+  WHERE ts > TIMESTAMP '{_LATE_S1}' AND ts <= TIMESTAMP '{_LATE_S2}'
+),
+b2_ontime AS (
+  SELECT event_id, ts, event_type FROM events
+  WHERE ts > TIMESTAMP '{_LATE_S2}'
+),
+wma AS (
+  SELECT make_timestamp((epoch_us(MAX(ts)) // 1000) * 1000) - INTERVAL 1 HOUR AS wm
+  FROM b0
+),
+wmb AS (
+  SELECT make_timestamp((epoch_us(MAX(ts)) // 1000) * 1000) - INTERVAL 1 HOUR AS wm
+  FROM b1
+),
+wmf AS (
+  SELECT make_timestamp((epoch_us(MAX(ts)) // 1000) * 1000) - INTERVAL 1 HOUR AS wm
+  FROM events
+),
+-- engine keeps an echo only when its window state is still alive
+-- (end > wmB); the end <= wmA class is dropped by the late filter
+surviving_echoes AS (
+  SELECT e.event_id, e.ts, e.event_type
+  FROM (SELECT * FROM b0 UNION ALL SELECT * FROM b1) e, wmb
+  WHERE e.event_id % {_LATE_ECHO_MOD} = 0
+    AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wmb.wm
+),
+kept AS (
+  SELECT * FROM b0
+  UNION ALL SELECT * FROM b1
+  UNION ALL SELECT * FROM b2_ontime
+  UNION ALL SELECT * FROM surviving_echoes
+)
+SELECT date_trunc('hour', ts) AS hour_start, event_type, COUNT(*) AS n_events
+FROM kept, wmf
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wmf.wm
+GROUP BY date_trunc('hour', ts), event_type
+ORDER BY hour_start, event_type
+"""

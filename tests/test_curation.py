@@ -411,3 +411,13 @@ def test_zscore_anomaly_threshold(spark):
 
     rows = ts.zscore_anomaly(spark, "/root/testdata/sf0.01").collect()
     assert all(abs(r["z"]) >= ts.ZSCORE_CUT for r in rows)
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    from greenplum_cdc_spark.operators.sketches import cms_estimate
+
+    rows = cms_estimate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["cms_est"] >= r["exact_cnt"]
+        assert r["inflation"] == r["cms_est"] - r["exact_cnt"]

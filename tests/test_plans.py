@@ -106,3 +106,44 @@ def test_cube_agg_grouping_sets(spark, sf_dir):
     assert len(total) == 1
     detail = sum(r["n_orders"] for r in rows if (r["g_status"], r["g_priority"]) == (0, 0))
     assert total[0]["n_orders"] == detail
+
+
+def test_interval_overlap_join_is_equi_join(spark, sf_dir):
+    """The binned range join must plan as a hash/sort-merge equi-join —
+    never BroadcastNestedLoopJoin (the O(n*m) theta-join fallback)."""
+    from greenplum_cdc_spark.operators.timeseries import interval_overlap_join
+
+    plan = interval_overlap_join(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_interval_overlap_join_matches_theta(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from greenplum_cdc_spark.io import load_table
+    from greenplum_cdc_spark.operators.timeseries import interval_overlap_join
+
+    got = {
+        (r["o_orderkey"], r["n_events"])
+        for r in interval_overlap_join(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), (F.col("event_id") % 2500).alias("day_e")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).alias("day_o"),
+    )
+    want = {
+        (r["o_orderkey"], r["n"])
+        for r in orders.join(ev, "k")
+        .filter((F.col("day_e") >= F.col("day_o")) & (F.col("day_e") < F.col("day_o") + 7))
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -329,3 +329,15 @@ def test_stream_interval_join_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_late_data_drops_and_double_counts(spark, sf_dir):
+    """Late echoes below the eviction horizon vanish; echoes of live
+    windows double-count; every emitted window is closed (below the
+    final watermark) and unique."""
+    from greenplum_cdc_spark.streaming.pipeline import stream_late_data
+
+    rows = stream_late_data(spark, sf_dir).collect()
+    assert rows
+    keys = [(r["hour_start"], r["event_type"]) for r in rows]
+    assert len(keys) == len(set(keys)), "append mode must emit each window once"

@@ -124,6 +124,14 @@ def _late_ops():
         "dedup_canonical": dedup.dedup_canonical,
         "cdc_dlq": cdc_queries.cdc_dlq,
         "dedup_clusters": dedup.dedup_clusters,
+        "ohlc_candlestick": timeseries.ohlc_candlestick,
+        "time_weighted_avg": timeseries.time_weighted_avg,
+        "cdc_scd2_history": cdc_queries.cdc_scd2_history,
+        "cdc_txn_apply": cdc_queries.cdc_txn_apply,
+        "replica_checksum": cdc_queries.replica_checksum,
+        "embedding_quantize": similarity.embedding_quantize,
+        "gopher_filter": quality.gopher_filter,
+        "tfidf_cosine_pairs": similarity.tfidf_cosine_pairs,
     }
 
 
