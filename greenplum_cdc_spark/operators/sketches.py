@@ -263,3 +263,28 @@ FROM probes p JOIN sketch s USING (row_idx, bucket)
 GROUP BY p.w, p.exact_cnt
 ORDER BY p.w
 """
+
+
+HLL_RSD = 0.02
+
+
+def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C40: the PRODUCTION distinct sketch — approx_count_distinct
+    (HyperLogLog++) per event type, exact count alongside.
+
+    HLL++'s binary registers are engine-private, so unlike C33's KMV
+    this cannot be value-gated against DuckDB — it ships as a rows-only
+    entry (the pytest asserts relative error ≤ 3·rsd against the exact
+    count). At 100 TB this is the operator you actually run: fixed
+    ~1.5 KB of state per group at rsd=0.02, map-side mergeable, one
+    shuffle — where COUNT(DISTINCT) must shuffle every distinct value.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -804,3 +804,60 @@ FROM hashed
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def cdc_table_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: multi-table routing — one pass applies EVERY table's feed.
+
+    Maxwell envelopes carry (database, table); the reference loops
+    per-table dynamic SQL inside process_events (cdc_plpgsql_functions
+    .sql:117-129 dispatches on evt.table_name row by row). Here routing
+    is just a composite partition key: the latest-wins window partitions
+    by (table_name, pk), so ONE shuffle applies all tables' events at
+    once — no per-table loop, no per-table job, which is the difference
+    between O(tables) passes and O(1) at a 500-table deployment.
+    Table assignment derives deterministically from the event
+    (event_type → logical table), standing in for the envelope field.
+    """
+    from pyspark.sql import Window
+
+    feed = _feed(spark, sf_dir).withColumn(
+        "table_name",
+        F.when(F.col("event_type").isin("purchase", "signup"), F.lit("accounts"))
+        .otherwise(F.lit("activity")),
+    )
+    w = Window.partitionBy("table_name", "pk").orderBy(F.desc("ts"), F.desc("seq"))
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .select(
+            "table_name",
+            "pk",
+            F.col("ts").alias("last_ts"),
+            F.col("seq").alias("last_seq"),
+            F.col("value").alias("last_value"),
+            F.col("event_type").alias("last_event_type"),
+        )
+        .orderBy("table_name", "pk")
+    )
+
+
+CDC_TABLE_ROUTING_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL}),
+routed AS (
+  SELECT *,
+         CASE WHEN event_type IN ('purchase', 'signup')
+              THEN 'accounts' ELSE 'activity' END AS table_name
+  FROM cdc
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY table_name, pk ORDER BY ts DESC, seq DESC) AS rn
+  FROM routed
+)
+SELECT table_name, pk, ts AS last_ts, seq AS last_seq,
+       value AS last_value, event_type AS last_event_type
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+ORDER BY table_name, pk
+"""

@@ -1253,3 +1253,90 @@ GROUP BY CUBE (o_orderstatus, o_orderpriority)
 ORDER BY g_status, g_priority,
          o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
+
+
+_BUCKETS = 8
+
+
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B51: shuffle-free fact-fact join via bucketed layout.
+
+    At 100 TB the lineitem ⋈ orders shuffle IS the job cost; the classic
+    fix is to store both facts bucketed by the join key so the join
+    becomes bucket-local: each task reads matching bucket files from
+    both sides and sort-merge-joins them with NO Exchange. This
+    operator materializes that layout for real — both sides written
+    `bucketBy(8, key)` sorted within buckets — runs the join, and the
+    pytest asserts the executed plan contains zero Exchange operators
+    before the join. The write cost amortizes across every subsequent
+    co-keyed join/aggregate, which is why warehouses bucket their
+    biggest facts (Greenplum's DISTRIBUTED BY (o_orderkey) is exactly
+    this layout, maxwell_gpdb.sql's analog on its replica tables).
+
+    The oracle states the plain join — layout must never change results.
+    """
+    import tempfile
+
+    from ..io import load_table, materialize
+
+    db = "bucketdemo"
+    if not spark.catalog.databaseExists(db):
+        loc = tempfile.mkdtemp(prefix="bucket_db_")
+        spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    (
+        li.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(f"{db}.lineitem_b")
+    )
+    (
+        orders.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(f"{db}.orders_b")
+    )
+    lb = spark.table(f"{db}.lineitem_b")
+    ob = spark.table(f"{db}.orders_b")
+    out = (
+        ob.hint("merge")
+        .join(lb.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            _dsum(
+                _money("l_extendedprice") * (F.lit(1).cast(_RATE) - _rate("l_discount")),
+                "revenue",
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+    return materialize(out, "bucketed_join_")
+
+
+BUCKETED_JOIN_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                      * (1 - CAST(l_discount AS DECIMAL(6,4)))), 4) AS DOUBLE)
+         AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def bucketed_join_plan(spark: SparkSession, sf_dir: str) -> str:
+    """Executed-plan text of the bucket-local join itself (pre-agg), for
+    the no-Exchange plan assertion in tests."""
+    db = "bucketdemo"
+    bucketed_colocated_join(spark, sf_dir)  # ensure tables exist
+    lb = spark.table(f"{db}.lineitem_b")
+    ob = spark.table(f"{db}.orders_b")
+    j = ob.hint("merge").join(lb.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
+    return j._jdf.queryExecution().executedPlan().toString()

@@ -308,3 +308,61 @@ FROM sess
 WHERE session_idx < last_idx
 ORDER BY user_id, sess_idx
 """
+
+
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C39: streaming dedup via the BUILT-IN dropDuplicatesWithinWatermark.
+
+    The state-store twin of C18's applyInPandasWithState dedup, using
+    Spark's native operator: duplicates arriving within the watermark
+    delay of the first occurrence are suppressed, and dedup state is
+    EVICTED once the watermark passes — the bounded-state contract that
+    makes streaming dedup runnable forever (C18's custom state grows
+    with distinct keys; this one grows with the watermark horizon).
+    The input replays every (event_id % 5 == 0) row as an exact
+    duplicate inside the same drained run, so the deduped stream equals
+    the plain events table and the oracle states it directly.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from ..io import load_table, materialize, shuffle_partitions
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = tempfile.mkdtemp(prefix="wm_dedup_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+        dups = ev.filter(F.col("event_id") % 5 == 0)
+        ev.unionByName(dups).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(in_dir, "b0")
+        )
+        stream = spark.readStream.schema(ev.schema).parquet(in_dir + "/*")
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        name = "wm_dedup_sink"
+        with shuffle_partitions(spark, 8):
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = spark.table(name).select("event_id", "ts", "event_type")
+        return materialize(out, "wm_dedup_out_").orderBy("event_id")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+STREAM_DEDUP_WM_SQL = """
+SELECT event_id, ts, event_type
+FROM events
+ORDER BY event_id
+"""

@@ -326,3 +326,17 @@ def test_replica_checksum_order_insensitive(spark, sf_dir):
     snap_repart = cq2.replica_checksum(spark, sf_dir).repartition(13)
     b = {r["event_type"]: r["content_digest"] for r in snap_repart.collect()}
     assert a == b and len(a) > 0
+
+
+def test_table_routing_partitions_are_disjoint(spark, sf_dir):
+    from greenplum_cdc_spark.plans import cdc_queries as cq
+
+    rows = cq.cdc_table_routing(spark, sf_dir).collect()
+    tables = {r["table_name"] for r in rows}
+    assert tables <= {"accounts", "activity"}
+    # a pk may appear in both logical tables, but only once per table
+    seen = set()
+    for r in rows:
+        key = (r["table_name"], r["pk"])
+        assert key not in seen
+        seen.add(key)

@@ -421,3 +421,13 @@ def test_cms_never_underestimates(spark, sf_dir):
     for r in rows:
         assert r["cms_est"] >= r["exact_cnt"]
         assert r["inflation"] == r["cms_est"] - r["exact_cnt"]
+
+
+def test_hll_error_within_bound(spark, sf_dir):
+    from greenplum_cdc_spark.operators.sketches import HLL_RSD, approx_distinct_hll
+
+    rows = approx_distinct_hll(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r["approx_users"] - r["exact_users"]) / max(1, r["exact_users"])
+        assert rel <= 3 * HLL_RSD, (r["event_type"], rel)

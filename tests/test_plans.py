@@ -147,3 +147,12 @@ def test_interval_overlap_join_matches_theta(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Bucketed layout must make the fact-fact join shuffle-free."""
+    from greenplum_cdc_spark.plans.tpch import bucketed_join_plan
+
+    plan = bucketed_join_plan(spark, sf_dir)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan

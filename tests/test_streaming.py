@@ -341,3 +341,16 @@ def test_stream_late_data_drops_and_double_counts(spark, sf_dir):
     assert rows
     keys = [(r["hour_start"], r["event_type"]) for r in rows]
     assert len(keys) == len(set(keys)), "append mode must emit each window once"
+
+
+def test_stream_dedup_watermark_suppresses_replays(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from greenplum_cdc_spark.io import load_table
+    from greenplum_cdc_spark.streaming.stateful import stream_dedup_watermark
+
+    out = stream_dedup_watermark(spark, sf_dir)
+    n_out = out.count()
+    n_src = load_table(spark, sf_dir, "events").count()
+    assert n_out == n_src
+    assert out.select(F.countDistinct("event_id")).first()[0] == n_src
