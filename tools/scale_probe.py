@@ -132,7 +132,17 @@ def _late_ops():
         "embedding_quantize": similarity.embedding_quantize,
         "gopher_filter": quality.gopher_filter,
         "tfidf_cosine_pairs": similarity.tfidf_cosine_pairs,
+        "interval_overlap_join": timeseries.interval_overlap_join,
+        "cdc_table_routing": cdc_queries.cdc_table_routing,
+        "cms_estimate": _sketches().cms_estimate,
+        "gopher_filter": quality.gopher_filter,
     }
+
+
+def _sketches():
+    from greenplum_cdc_spark.operators import sketches
+
+    return sketches
 
 
 def main() -> None:
