@@ -1002,3 +1002,52 @@ WHERE day_e >= day_o AND day_e < day_o + {_OVERLAP_DAYS}
 GROUP BY o_orderkey
 ORDER BY o_orderkey
 """
+
+
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B52: the full ranking-window surface in one partition pass —
+    rank, dense_rank, percent_rank, cume_dist, ntile(4), lag/lead.
+
+    One shuffle on event_type; every function shares the identical
+    window (ORDER BY value DESC, event_id — unique, so ties cannot make
+    rank/percent_rank engine-dependent). percent_rank and cume_dist
+    need the whole partition before the row_number filter cuts to the
+    top 5 per type, which is why the filter sits ABOVE the window
+    projection — Catalyst cannot (and must not) push it down.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    ranked = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 5)
+        .orderBy("event_type", "rnk")
+    )
+
+
+WINDOW_RANK_SQL = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         RANK() OVER w AS rnk,
+         DENSE_RANK() OVER w AS drnk,
+         ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+         ROUND(CUME_DIST() OVER w, 6) AS cume,
+         NTILE(4) OVER w AS quartile,
+         LAG(value) OVER w AS prev_value,
+         LEAD(value) OVER w AS next_value
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+)
+SELECT * FROM ranked WHERE rnk <= 5
+ORDER BY event_type, rnk
+"""

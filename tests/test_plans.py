@@ -156,3 +156,20 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     plan = bucketed_join_plan(spark, sf_dir)
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan
+
+
+def test_window_rank_suite_consistency(spark, sf_dir):
+    from greenplum_cdc_spark.operators.timeseries import window_rank_suite
+
+    rows = window_rank_suite(spark, sf_dir).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for versions in by_type.values():
+        # unique ordering => rank == dense_rank == row position
+        for i, r in enumerate(versions):
+            assert r["rnk"] == r["drnk"] == i + 1
+            assert 1 <= r["quartile"] <= 4
+        values = [r["value"] for r in versions]
+        assert values == sorted(values, reverse=True)

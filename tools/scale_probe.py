@@ -69,6 +69,14 @@ def synthesize(spark, sf_dir: str, out_dir: str) -> None:
         vstack = c if vstack is None else vstack.unionByName(c)
     vstack.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
+    orders = load_table(spark, sf_dir, "orders")
+    max_ord = orders.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    ostack = None
+    for i in range(MULT):
+        c = orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * max_ord))
+        ostack = c if ostack is None else ostack.unionByName(c)
+    ostack.write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+
     li = load_table(spark, sf_dir, "lineitem")
     max_ok = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
     lstack = None
@@ -135,7 +143,6 @@ def _late_ops():
         "interval_overlap_join": timeseries.interval_overlap_join,
         "cdc_table_routing": cdc_queries.cdc_table_routing,
         "cms_estimate": _sketches().cms_estimate,
-        "gopher_filter": quality.gopher_filter,
     }
 
 
