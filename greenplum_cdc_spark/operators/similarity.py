@@ -476,6 +476,7 @@ ORDER BY label, dim
 
 
 TFIDF_TAU = 0.3
+TFIDF_MAX_DF_ABS = 256  # posting-list cap: bounds pairs-per-term at scale
 TFIDF_MAX_DF_FRAC = 0.5  # stop-term pruning: terms in >half the corpus carry
                          # no discriminative weight and explode the term join
 
@@ -508,7 +509,12 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = (
         tf.join(F.broadcast(dfreq), "w")
         .crossJoin(F.broadcast(n_docs))
-        .filter(F.col("df") <= F.col("n_docs") * TFIDF_MAX_DF_FRAC)
+        .filter(
+            F.col("df")
+            <= F.least(
+                F.col("n_docs") * TFIDF_MAX_DF_FRAC, F.lit(float(TFIDF_MAX_DF_ABS))
+            )
+        )
         .select(
             "doc_id",
             "w",
@@ -560,7 +566,7 @@ weights AS (
   SELECT tf.doc_id, tf.w,
          tf.tf * ROUND(ln((nd.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS wt
   FROM tf JOIN dfreq USING (w), nd
-  WHERE dfreq.df <= nd.n_docs * {TFIDF_MAX_DF_FRAC}
+  WHERE dfreq.df <= LEAST(nd.n_docs * {TFIDF_MAX_DF_FRAC}, {TFIDF_MAX_DF_ABS})
 ),
 norms AS (
   SELECT doc_id,

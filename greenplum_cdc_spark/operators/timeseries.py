@@ -1051,3 +1051,40 @@ WITH ranked AS (
 SELECT * FROM ranked WHERE rnk <= 5
 ORDER BY event_type, rnk
 """
+
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B53: wide → long unpivot (melt), proven as pivot's exact inverse.
+
+    Builds the hour × event-type crosstab (B30's pivot, explicit value
+    list — never a distinct-scan at 100 TB), then melts it back with
+    `stack`, dropping the NULL cells pivot synthesized for absent
+    combinations. The oracle states the plain (hour, type) group-by:
+    the hash match proves unpivot(pivot(x)) ≡ x — the round-trip
+    contract a metrics store relies on. Both steps are single-shuffle
+    grouped aggregations; stack is a map-side generator (no shuffle).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.withColumn("hour_of_day", F.hour("ts"))
+        .groupBy("hour_of_day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    stack_expr = "stack({n}, {args}) as (event_type, n_events)".format(
+        n=len(types), args=", ".join(f"'{t}', `{t}`" for t in types)
+    )
+    return (
+        wide.select("hour_of_day", F.expr(stack_expr))
+        .filter(F.col("n_events").isNotNull())
+        .orderBy("hour_of_day", "event_type")
+    )
+
+
+UNPIVOT_METRICS_SQL = """
+SELECT hour(ts) AS hour_of_day, event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY hour(ts), event_type
+ORDER BY hour_of_day, event_type
+"""
