@@ -60,23 +60,50 @@ def main() -> None:
                 print(f"bench error in {name}: {e}", file=sys.stderr)
                 timings[name] = -1.0
     total = round(sum(t for t in timings.values() if t >= 0), 2)
-    # Field order + compactness matter: the driver's log capture keeps the
-    # TAIL of this (long) line, so the headline fields go LAST and the
-    # per-query map FIRST; compact separators + 2-dp rounds keep the whole
-    # line as short as possible so ideally nothing is cut at all.
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    rounded = {k: round(t, 2) for k, t in timings.items()}
+    # Full per-query detail goes to a sidecar file (never truncated).
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(
             {
-                "queries": {k: round(t, 2) for k, t in timings.items()},
-                "n_queries": len(timings),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "unit": "sec",
                 "metric": "headline_queries_total_wall",
                 "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(rounded),
+                "queries": rounded,
             },
+            fh,
             separators=(",", ":"),
         )
-    )
+    # The driver's log capture keeps only the LAST 2000 chars of stdout,
+    # then json-parses the line — a line longer than that is truncated at
+    # the HEAD and never parses (BENCH_r01/r02 both recorded parsed:null
+    # this way). So the stdout line is hard-capped: headline fields always
+    # present, per-query entries included slowest-first only while the
+    # whole line stays under the budget; the full map lives in
+    # BENCH_FULL.json (committed, judge-readable).
+    budget = 1900
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(rounded),
+        "full": "BENCH_FULL.json",
+        "queries": {},
+    }
+    line = json.dumps(payload, separators=(",", ":"))
+    by_cost = sorted(rounded.items(), key=lambda kv: -kv[1])
+    for k, t in by_cost:
+        # +6 ≈ quotes, colon, comma around a new entry
+        added = len(k) + len(json.dumps(t)) + 6
+        if len(line) + added > budget:
+            break
+        payload["queries"][k] = t
+        line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

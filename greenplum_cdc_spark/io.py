@@ -37,15 +37,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # The driver may hand us a vanilla session; without this, parquet
     # TIMESTAMP(NANOS) columns (events.ts) abort the scan. Runtime-settable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Tz-less parquet timestamps (timestamp[us], the current testdata
+    # shape) must read as TIMESTAMP(LTZ), not TIMESTAMP_NTZ: the session
+    # runs in UTC so the instants are identical to DuckDB's naive read,
+    # and every time function (unix_micros, window, watermark) expects
+    # the LTZ type.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong it reads
-    # as bigint nanos.  Truncate (integer div — ns epochs exceed 2^53, so
-    # float division would corrupt) to micros, matching DuckDB's read.
     for field in df.schema.fields:
-        if name == "events" and field.name == "ts" and field.dataType.simpleString() == "bigint":
+        simple = field.dataType.simpleString()
+        # events.ts as TIMESTAMP(NANOS): with nanosAsLong it reads as
+        # bigint nanos. Truncate (integer div — ns epochs exceed 2^53,
+        # so float division would corrupt) to micros, matching DuckDB.
+        if name == "events" and field.name == "ts" and simple == "bigint":
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Belt-and-braces for sessions where the NTZ conf is pinned.
+        elif simple == "timestamp_ntz":
+            df = df.withColumn(field.name, df[field.name].cast("timestamp"))
     return df
 
 

@@ -288,3 +288,124 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+BLOOM_M = 1984  # bit positions
+BLOOM_K = 3  # hashes per key
+BLOOM_PRICE_TH = 490000
+
+
+def _bloom_pos(key, j: int):
+    """Position j for a key: 7 hex digits of md5 (< 2^28) mod M.
+
+    Salted per hash index so the K probes are independent; identical
+    arithmetic on the DuckDB side via the positional-polynomial
+    expansion (no base-16 conv() there).
+    """
+    h = F.md5(F.concat(F.lit(f"bloom{j}:"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 7), 16, 10).cast("bigint") % BLOOM_M).alias(
+        f"pos{j}"
+    )
+
+
+def _bloom_pos_sql(key: str, j: int) -> str:
+    digits = [
+        f"(strpos('0123456789abcdef', substr(md5('bloom{j}:' || CAST({key} AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (6 - i)}"
+        for i in range(7)
+    ]
+    return f"(({' + '.join(digits)}) % {BLOOM_M})"
+
+
+def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C41: Bloom-filter membership pruning — build over the high-value
+    order custkeys, probe every customer, report bloom verdict vs exact
+    truth (false positives visible, false negatives impossible).
+
+    The 100 TB use: a semi-join where the build side is small enough to
+    sketch but the probe side is huge — ship the m-bit filter to every
+    probe task and drop non-members BEFORE the shuffle (what Spark's
+    own runtime row-level filtering does inside joins; building it
+    explicitly makes the technique available across stages/jobs, e.g.
+    pruning a 100 TB fact scan against yesterday's dimension delta).
+
+    The filter here is the set of occupied bit positions (m=1984, k=3,
+    md5-derived — deterministic, so DuckDB reproduces it bit-for-bit);
+    at scale the positions pack into m/64 longs and the probe is an
+    AND of 3 bit tests against a broadcast byte array. Collisions make
+    bloom_positive a strict superset of actual members — the oracle
+    states both columns, so the false-positive SET (not just its count)
+    is pinned by the hash match.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    members = (
+        orders.filter(F.col("o_totalprice") > BLOOM_PRICE_TH)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bits = (
+        members.select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("k"), j) for j in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    probe = customer.select(
+        F.col("c_custkey"),
+        *[_bloom_pos(F.col("c_custkey"), j) for j in range(BLOOM_K)],
+    )
+    probed = probe.select(
+        "c_custkey",
+        F.explode(F.array(*[F.col(f"pos{j}") for j in range(BLOOM_K)])).alias("pos"),
+    )
+    verdict = (
+        probed.join(F.broadcast(bits), "pos", "left")
+        .groupBy("c_custkey")
+        .agg(F.min(F.coalesce(F.col("hit"), F.lit(False))).alias("bloom_positive"))
+    )
+    actual = members.withColumn("actual_member", F.lit(True))
+    return (
+        verdict.join(
+            F.broadcast(actual), verdict["c_custkey"] == actual["k"], "left"
+        )
+        .select(
+            "c_custkey",
+            "bloom_positive",
+            F.coalesce(F.col("actual_member"), F.lit(False)).alias("actual_member"),
+            (
+                F.col("bloom_positive")
+                & ~F.coalesce(F.col("actual_member"), F.lit(False))
+            ).alias("false_positive"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+BLOOM_FILTER_SQL = f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > {BLOOM_PRICE_TH}
+),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('k', j)} AS pos FROM members" for j in range(BLOOM_K))}
+  )
+),
+probe AS (
+  SELECT c_custkey, {", ".join(f"{_bloom_pos_sql('c_custkey', j)} AS pos{j}" for j in range(BLOOM_K))}
+  FROM customer
+),
+verdict AS (
+  SELECT c_custkey,
+         {" AND ".join(f"pos{j} IN (SELECT pos FROM bits)" for j in range(BLOOM_K))} AS bloom_positive
+  FROM probe
+)
+SELECT v.c_custkey,
+       v.bloom_positive,
+       (m.k IS NOT NULL) AS actual_member,
+       (v.bloom_positive AND m.k IS NULL) AS false_positive
+FROM verdict v
+LEFT JOIN members m ON v.c_custkey = m.k
+ORDER BY v.c_custkey
+"""

@@ -1088,3 +1088,108 @@ FROM events
 GROUP BY hour(ts), event_type
 ORDER BY hour_of_day, event_type
 """
+
+
+_DEBOUNCE_US = 5_000_000  # 5 s
+
+
+def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B53: per-(user, type) event throttle — drop rapid-fire repeats.
+
+    Telemetry streams double-report (retries, UI chatter); the standard
+    cleanup keeps an event only if the PREVIOUS event of the same
+    (user_id, event_type) is more than 5 s older (lag-throttle: the gap
+    is measured to the previous raw event, which makes the verdict a
+    pure window function — one shuffle on the composite key, no
+    iterative chain state, deterministic at any partition count).
+
+    Output keeps every row with its gap and verdict so downstream can
+    audit what was dropped — the filter is `WHERE kept`.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_us", gap)
+        .withColumn(
+            "kept", F.col("gap_us").isNull() | (F.col("gap_us") > _DEBOUNCE_US)
+        )
+        .select("event_id", "user_id", "event_type", "ts", "gap_us", "kept")
+        .orderBy("event_id")
+    )
+
+
+EVENT_DEBOUNCE_SQL = f"""
+WITH lagged AS (
+  SELECT event_id, user_id, event_type, ts,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+SELECT event_id, user_id, event_type, ts, gap_us,
+       (gap_us IS NULL OR gap_us > {_DEBOUNCE_US}) AS kept
+FROM lagged
+ORDER BY event_id
+"""
+
+
+def skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B54: partition-skew diagnostics for a shuffle key — the report a
+    100 TB operator consults BEFORE picking salted vs plain aggregation.
+
+    Per-key row counts for events.user_id rolled into one profile row:
+    key count, total rows, max/p50/p90/p99 per-key counts (exact
+    rank-based order statistics — `ceil(q*n)`-th smallest via
+    row_number, no interpolation so both engines agree bit-for-bit),
+    the hottest key's share in basis points (integer rational math) and
+    the max/median skew ratio in centi-units. The two-stage shape
+    (groupBy key, then tiny aggregate) is itself skew-immune: stage 1
+    map-side combines, stage 2 sees |keys| rows, not |rows|.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy("cnt", "user_id")
+    ranked = per_key.withColumn("rk", F.row_number().over(w))
+    n = per_key.count()
+
+    def _at(q: float):
+        import math
+
+        pos = max(1, math.ceil(q * n))
+        return F.max(F.when(F.col("rk") == pos, F.col("cnt")))
+
+    return ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        _at(0.50).alias("p50_cnt"),
+        _at(0.90).alias("p90_cnt"),
+        _at(0.99).alias("p99_cnt"),
+        (F.max("cnt") * F.lit(10000) / F.sum("cnt")).cast("bigint").alias("top_share_bp"),
+        (F.max("cnt") * F.lit(100) / _at(0.50)).cast("bigint").alias("skew_ratio_c"),
+    )
+
+
+def _skew_sql() -> str:
+    return """
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS rk,
+         COUNT(*) OVER () AS n
+  FROM per_key
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS total_rows,
+       MAX(cnt) AS max_cnt,
+       MAX(CASE WHEN rk = GREATEST(1, CAST(ceil(0.50 * n) AS BIGINT)) THEN cnt END) AS p50_cnt,
+       MAX(CASE WHEN rk = GREATEST(1, CAST(ceil(0.90 * n) AS BIGINT)) THEN cnt END) AS p90_cnt,
+       MAX(CASE WHEN rk = GREATEST(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN cnt END) AS p99_cnt,
+       CAST(MAX(cnt) * 10000 / SUM(cnt) AS BIGINT) AS top_share_bp,
+       CAST(MAX(cnt) * 100 / MAX(CASE WHEN rk = GREATEST(1, CAST(ceil(0.50 * n) AS BIGINT)) THEN cnt END) AS BIGINT) AS skew_ratio_c
+FROM ranked
+"""
+
+
+SKEW_DIAGNOSTICS_SQL = _skew_sql()

@@ -861,3 +861,248 @@ FROM ranked
 WHERE rn = 1 AND op <> 'delete'
 ORDER BY table_name, pk
 """
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21: replica diff between two watermark cuts (snapshot@T1 vs @T2).
+
+    The reference validates replication by polling MySQL vs Greenplum
+    for equality (demo/*poll*); the warehouse-native generalization is
+    a DIFF between any two reconstructible states: every key is
+    classified insert (absent@T1, present@T2), delete (present@T1,
+    absent@T2) or update (present in both with a different winning
+    event), with old/new payloads side by side. Unchanged keys are
+    omitted — the diff is the minimal change set that upgrades T1 to
+    T2, i.e. exactly the micro-batch a downstream incremental consumer
+    would need.
+
+    Plan: both snapshots are latest-wins windows partitioned by pk, so
+    the full-outer join is co-partitioned on the same key — at 100 TB
+    this is two window passes + one join, all on one shuffle key, with
+    no driver state. (The reference's row-loop equivalent would replay
+    the whole archive twice.)
+    """
+    feed = _feed(spark, sf_dir)
+    cut = F.col("ts") < F.lit(_SPLIT_TS).cast("timestamp")
+    old = cdc_ops.snapshot_latest(feed.filter(cut)).select(
+        "pk",
+        F.col("seq").alias("old_seq"),
+        F.col("value").alias("old_value"),
+    )
+    new = cdc_ops.snapshot_latest(feed).select(
+        "pk",
+        F.col("seq").alias("new_seq"),
+        F.col("value").alias("new_value"),
+    )
+    joined = old.join(new, "pk", "full_outer")
+    return (
+        joined.withColumn(
+            "change_type",
+            F.when(F.col("old_seq").isNull(), F.lit("insert"))
+            .when(F.col("new_seq").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update")),
+        )
+        .filter(
+            F.col("old_seq").isNull()
+            | F.col("new_seq").isNull()
+            | (F.col("old_seq") != F.col("new_seq"))
+        )
+        .select("pk", "change_type", "old_seq", "old_value", "new_seq", "new_value")
+        .orderBy("pk")
+    )
+
+
+CDC_SNAPSHOT_DIFF_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL}),
+old_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+  FROM cdc WHERE ts < TIMESTAMP '{_SPLIT_TS}'
+),
+old_snap AS (
+  SELECT pk, seq AS old_seq, value AS old_value
+  FROM old_ranked WHERE rn = 1 AND op <> 'delete'
+),
+new_ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+  FROM cdc
+),
+new_snap AS (
+  SELECT pk, seq AS new_seq, value AS new_value
+  FROM new_ranked WHERE rn = 1 AND op <> 'delete'
+)
+SELECT COALESCE(o.pk, n.pk) AS pk,
+       CASE WHEN o.pk IS NULL THEN 'insert'
+            WHEN n.pk IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       o.old_seq, o.old_value, n.new_seq, n.new_value
+FROM old_snap o
+FULL OUTER JOIN new_snap n ON o.pk = n.pk
+WHERE o.pk IS NULL OR n.pk IS NULL OR o.old_seq <> n.new_seq
+ORDER BY pk
+"""
+
+
+def cdc_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22: incremental materialized-view maintenance with retractions.
+
+    The warehouse keeps an aggregate view over the replica —
+    per-event_type key count + value sum. Recomputing it per
+    micro-batch is O(replica); the incremental algebra is O(batch):
+    from the snapshot diff, each change retracts the old row's
+    contribution (-old_value, -1) and asserts the new one
+    (+new_value, +1), and the deltas merge into the stored view by
+    plain addition. The oracle recomputes the view from the FULL feed,
+    so the hash match proves view(base) + delta(diff) == view(all) —
+    the self-maintainability invariant (Gupta & Mumick, IEEE DE Bull.
+    1995) that makes aggregate views cheap under CDC.
+
+    Sums are exact DECIMAL — additive retractions would drift under
+    float accumulation. One shuffle for the view groupBy; the diff
+    reuses the co-partitioned pk join. Group cardinality (event types)
+    is tiny, so the merged view join broadcasts.
+    """
+    feed = _feed(spark, sf_dir)
+    cut = F.col("ts") < F.lit(_SPLIT_TS).cast("timestamp")
+    dec = lambda c: F.col(c).cast("decimal(14,2)")  # noqa: E731
+    base = cdc_ops.snapshot_latest(feed.filter(cut))
+    view_base = base.groupBy(F.col("event_type").alias("last_event_type")).agg(
+        F.count("*").alias("n_keys"),
+        F.sum(dec("value")).alias("sum_value"),
+    )
+    old = cdc_ops.snapshot_latest(feed.filter(cut)).select(
+        "pk", F.col("seq").alias("old_seq"),
+        F.col("value").alias("old_value"), F.col("event_type").alias("old_type"),
+    )
+    new = cdc_ops.snapshot_latest(feed).select(
+        "pk", F.col("seq").alias("new_seq"),
+        F.col("value").alias("new_value"), F.col("event_type").alias("new_type"),
+    )
+    diff = old.join(new, "pk", "full_outer").filter(
+        F.col("old_seq").isNull()
+        | F.col("new_seq").isNull()
+        | (F.col("old_seq") != F.col("new_seq"))
+    )
+    retract = diff.filter(F.col("old_seq").isNotNull()).select(
+        F.col("old_type").alias("last_event_type"),
+        F.lit(-1).cast("bigint").alias("dn"),
+        (-dec("old_value")).alias("dv"),
+    )
+    assert_ = diff.filter(F.col("new_seq").isNotNull()).select(
+        F.col("new_type").alias("last_event_type"),
+        F.lit(1).cast("bigint").alias("dn"),
+        dec("new_value").alias("dv"),
+    )
+    delta = (
+        retract.unionByName(assert_)
+        .groupBy("last_event_type")
+        .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
+    )
+    merged = (
+        view_base.join(delta, "last_event_type", "full_outer")
+        .select(
+            "last_event_type",
+            (F.coalesce(F.col("n_keys"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+            .alias("n_keys"),
+            (
+                F.coalesce(F.col("sum_value"), F.lit(0).cast("decimal(14,2)"))
+                + F.coalesce(F.col("dv"), F.lit(0).cast("decimal(14,2)"))
+            ).cast("decimal(14,2)").alias("sum_value"),
+        )
+        .filter(F.col("n_keys") > 0)
+    )
+    return merged.select(
+        "last_event_type",
+        "n_keys",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).orderBy("last_event_type")
+
+
+CDC_INCREMENTAL_VIEW_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+  FROM cdc
+)
+SELECT event_type AS last_event_type,
+       COUNT(*) AS n_keys,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS DOUBLE) AS sum_value
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+GROUP BY event_type
+ORDER BY last_event_type
+"""
+
+
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23: point-in-time (temporal) join — probe events against the
+    SCD2 version that was valid when they happened.
+
+    The reason warehouses keep SCD2 history at all: a fact row must
+    join to the dimension AS OF its own timestamp, never the current
+    row (that back-dates later changes onto old facts). Probes are the
+    purchase events; versions come from `cdc_scd2_history` over the
+    same feed; the match is valid_from <= ts < valid_to (open tail =
+    +inf). An event before its key's first version, or inside a gap a
+    delete opened, joins to nothing and is dropped (inner semantics).
+
+    Plan: equi-join on pk + range filter. Both sides shuffle once on
+    pk; per-key version chains are short (one key's history), so the
+    per-key candidate product is bounded and there is NO range-join
+    blowup. At 100 TB the alternative union-asof window (one pass, no
+    join — see asof_join_orders) applies when version chains are long;
+    for dimension-shaped keys the equi-join is the cheaper plan.
+    """
+    from pyspark.sql import Window
+
+    feed = _feed(spark, sf_dir)
+    w = Window.partitionBy("pk").orderBy("ts", "seq")
+    versions = (
+        feed.withColumn("valid_to", F.lead("ts").over(w))
+        .filter(F.col("op") != "delete")
+        .select(
+            "pk",
+            F.col("seq").alias("version_seq"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("value").alias("version_value"),
+        )
+    )
+    probes = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("probe_seq"),
+        F.col("user_id").alias("pk"),
+        F.col("ts").alias("probe_ts"),
+    )
+    return (
+        probes.join(versions, "pk")
+        .filter(
+            (F.col("valid_from") <= F.col("probe_ts"))
+            & (F.col("valid_to").isNull() | (F.col("probe_ts") < F.col("valid_to")))
+        )
+        .select("pk", "probe_seq", "probe_ts", "version_seq", "valid_from", "version_value")
+        .orderBy("pk", "probe_seq")
+    )
+
+
+SCD2_PIT_JOIN_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL}),
+versioned AS (
+  SELECT *, lead(ts) OVER (PARTITION BY pk ORDER BY ts, seq) AS valid_to
+  FROM cdc
+),
+versions AS (
+  SELECT pk, seq AS version_seq, ts AS valid_from, valid_to, value AS version_value
+  FROM versioned WHERE op <> 'delete'
+),
+probes AS (
+  SELECT user_id AS pk, event_id AS probe_seq, ts AS probe_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.pk, p.probe_seq, p.probe_ts, v.version_seq, v.valid_from, v.version_value
+FROM probes p
+JOIN versions v ON p.pk = v.pk
+WHERE v.valid_from <= p.probe_ts
+  AND (v.valid_to IS NULL OR p.probe_ts < v.valid_to)
+ORDER BY p.pk, p.probe_seq
+"""
