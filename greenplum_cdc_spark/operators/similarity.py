@@ -686,3 +686,140 @@ FROM recon
 GROUP BY vec_id, label
 ORDER BY vec_id
 """
+
+
+KMEANS_K = 8
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C45: k-means over the embedding corpus — two exact Lloyd rounds.
+
+    The semantic-dedup / corpus-bucketing primitive (cluster, then
+    sample/dedup within clusters). Iterative algorithms are where
+    engines usually diverge (float summation order), so every quantity
+    here is exact: vectors are µ-unit BIGINTs (round(v*1e6) — the
+    embedding_quantize idiom), round-0 distances are integer sums, and
+    round-1 centroids avoid mean division entirely by comparing
+    cnt²-scaled distances (Σ(x·cnt − Σx)²) in DECIMAL(38,0) — argmin
+    is invariant under the positive cnt² scaling, so the assignment is
+    IDENTICAL to true-mean k-means, bit-for-bit in both engines, at
+    any partition count. Seeds = the first K vec_ids (deterministic).
+
+    Plan shape at 100 TB: centroids are K rows — every iteration is a
+    broadcast join against the corpus (map-side zip_with/aggregate
+    folds in codegen), one per-dim partial-agg shuffle to re-center.
+    Per-iteration cost is O(corpus·K·dim) flops and ONE shuffle of
+    K·dim partial sums; the corpus never reshuffles. (The mapInPandas
+    BLAS variant trades codegen for vectorized math when K·dim grows;
+    the plan shape is unchanged.)
+    """
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * 1_000_000, 0).cast("bigint"),
+        ).alias("x6"),
+    )
+    seeds = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cl"), F.col("x6").alias("c6")
+    )
+
+    def sq_int(a, b):
+        d = F.zip_with(a, b, lambda x, c: (x - c) * (x - c))
+        return F.aggregate(d, F.lit(0).cast("bigint"), lambda acc, t: acc + t)
+
+    d0 = vecs.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "x6", "cl", sq_int(F.col("x6"), F.col("c6")).alias("dist")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cl")
+    a0 = (
+        d0.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "x6", F.col("cl").alias("cluster0"))
+    )
+    sums = (
+        a0.select("cluster0", F.posexplode("x6").alias("dim", "x"))
+        .groupBy("cluster0", "dim")
+        .agg(F.sum("x").alias("csum"))
+        .groupBy("cluster0")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "csum"))),
+                lambda s: s["csum"],
+            ).alias("csum_arr")
+        )
+    )
+    counts = a0.groupBy("cluster0").agg(F.count("*").alias("n"))
+    cents1 = sums.join(counts, "cluster0").select(
+        F.col("cluster0").alias("cl"), "csum_arr", "n"
+    )
+    dec0 = F.lit(0).cast("decimal(38,0)")
+    d1 = a0.crossJoin(F.broadcast(cents1)).select(
+        "vec_id",
+        "cluster0",
+        "cl",
+        F.aggregate(
+            F.zip_with(
+                F.col("x6"), F.col("csum_arr"), lambda x, s: x * F.col("n") - s
+            ),
+            dec0,
+            lambda acc, t: acc
+            + (t.cast("decimal(19,0)") * t.cast("decimal(19,0)")).cast(
+                "decimal(38,0)"
+            ),
+        ).alias("dist"),
+    )
+    a1 = (
+        d1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster0", F.col("cl").alias("cluster1"))
+    )
+    return a1.orderBy("vec_id")
+
+
+_X6 = "CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT)"
+
+KMEANS_SQL = f"""
+WITH v AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim, {_X6} AS x6
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cl, dim, x6 AS c6 FROM v WHERE vec_id < {KMEANS_K}
+),
+d0 AS (
+  SELECT v.vec_id, c0.cl, SUM((v.x6 - c0.c6) * (v.x6 - c0.c6)) AS dist
+  FROM v JOIN c0 USING (dim)
+  GROUP BY v.vec_id, c0.cl
+),
+a0 AS (
+  SELECT vec_id, cl AS cluster0 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+cnt AS (
+  SELECT cluster0 AS cl, COUNT(*) AS n FROM a0 GROUP BY cluster0
+),
+c1 AS (
+  SELECT a0.cluster0 AS cl, v.dim, SUM(v.x6) AS csum
+  FROM v JOIN a0 USING (vec_id)
+  GROUP BY a0.cluster0, v.dim
+),
+d1 AS (
+  SELECT v.vec_id, c1.cl,
+         SUM(CAST(v.x6 * cnt.n - c1.csum AS HUGEINT)
+             * CAST(v.x6 * cnt.n - c1.csum AS HUGEINT)) AS dist
+  FROM v JOIN c1 USING (dim) JOIN cnt ON cnt.cl = c1.cl
+  GROUP BY v.vec_id, c1.cl
+),
+a1 AS (
+  SELECT vec_id, cl AS cluster1 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cl) AS rn
+    FROM d1
+  ) WHERE rn = 1
+)
+SELECT a0.vec_id, a0.cluster0, a1.cluster1
+FROM a0 JOIN a1 USING (vec_id)
+ORDER BY a0.vec_id
+"""

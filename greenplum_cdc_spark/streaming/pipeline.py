@@ -184,6 +184,11 @@ class CDCPipeline:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic `events` table as a stream (file-source replay)."""
+    # Tz-less parquet timestamps must come up as TIMESTAMP(LTZ), not
+    # NTZ, regardless of which query the driver runs first (see
+    # io.load_table — same contract, set here because this path reads
+    # the parquet directly for the stream schema).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     # The file stream source wants a directory; glob-filter down to the
     # one table file.
@@ -676,4 +681,81 @@ FROM kept, wmf
 WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wmf.wm
 GROUP BY date_trunc('hour', ts), event_type
 ORDER BY hour_start, event_type
+"""
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B55: NATIVE session-window streaming aggregation — Spark's
+    built-in `session_window` (gap-merged, watermark-evicted state)
+    instead of the hand-rolled applyInPandasWithState sessionizer
+    (C26), over the same 30-minute gap contract.
+
+    Each user's events merge into sessions that extend while gaps stay
+    under the timeout; the state store holds only OPEN sessions (k·open
+    sessions, not history — the bound that holds at 100 TB), and the
+    watermark closes them. Drained via availableNow, so the streamed
+    result must converge to the batch gap-sessionization the oracle
+    states: same session starts, same last-event ts, same event counts.
+
+    The watermark covers the full replay horizon because a file-source
+    drain replays ALL history in a few micro-batches — late-vs-watermark
+    semantics for genuinely late data are exercised separately by
+    stream_late_data (B50).
+    """
+    from ..io import shuffle_partitions
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "365 days")
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+    name = "session_window_sink"
+    with shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .select("user_id", "session_start", "last_ts", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+STREAM_SESSION_WINDOW_SQL = """
+WITH gapped AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_start) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM gapped
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS last_ts,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_start
 """

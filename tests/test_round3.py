@@ -1,0 +1,120 @@
+"""Round-3 operators: CDC diff/IVM/temporal join, debounce, skew,
+bloom, fuzzy matching, k-means, native session windows."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from greenplum_cdc_spark.operators import sketches, similarity, text, timeseries
+from greenplum_cdc_spark.plans import cdc_queries
+from greenplum_cdc_spark.streaming import pipeline as streaming_pipeline
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_snapshot_diff_classes(spark):
+    rows = cdc_queries.cdc_snapshot_diff(spark, SF).collect()
+    assert rows, "diff must be non-empty across the split"
+    for r in rows:
+        if r.change_type == "insert":
+            assert r.old_seq is None and r.new_seq is not None
+        elif r.change_type == "delete":
+            assert r.old_seq is not None and r.new_seq is None
+        else:
+            assert r.change_type == "update"
+            # an update must point at a DIFFERENT winning event
+            assert r.old_seq is not None and r.new_seq is not None
+            assert r.old_seq != r.new_seq
+
+
+def test_incremental_view_equals_recompute(spark):
+    """view(base) + delta(diff) must equal a from-scratch recompute."""
+    from greenplum_cdc_spark.operators import cdc as cdc_ops
+    from greenplum_cdc_spark.sources import maxwell
+    from greenplum_cdc_spark.io import load_table
+
+    incr = {
+        r.last_event_type: (r.n_keys, r.sum_value)
+        for r in cdc_queries.cdc_incremental_view(spark, SF).collect()
+    }
+    feed = maxwell.events_as_cdc(load_table(spark, SF, "events"))
+    full = (
+        cdc_ops.snapshot_latest(feed)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).alias("s"),
+        )
+        .collect()
+    )
+    direct = {r.event_type: (r.n, float(r.s)) for r in full}
+    assert set(incr) == set(direct)
+    for k in direct:
+        assert incr[k][0] == direct[k][0]
+        assert abs(incr[k][1] - direct[k][1]) < 1e-6
+
+
+def test_scd2_pit_join_validity(spark):
+    rows = cdc_queries.scd2_point_in_time_join(spark, SF).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r.valid_from <= r.probe_ts
+
+
+def test_event_debounce_gap_contract(spark):
+    rows = timeseries.event_debounce(spark, SF).collect()
+    kept_gaps = [r.gap_us for r in rows if r.kept and r.gap_us is not None]
+    dropped = [r.gap_us for r in rows if not r.kept]
+    assert all(g > 5_000_000 for g in kept_gaps)
+    assert all(g is not None and g <= 5_000_000 for g in dropped)
+
+
+def test_skew_diagnostics_orderstats(spark):
+    r = timeseries.skew_diagnostics(spark, SF).collect()[0]
+    assert r.n_keys > 0 and r.total_rows > 0
+    assert r.max_cnt >= r.p99_cnt >= r.p90_cnt >= r.p50_cnt >= 1
+    assert 0 < r.top_share_bp <= 10000
+
+
+def test_bloom_no_false_negatives(spark):
+    rows = sketches.bloom_filter_probe(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r.actual_member:
+            assert r.bloom_positive, "bloom filters never have false negatives"
+        assert r.false_positive == (r.bloom_positive and not r.actual_member)
+
+
+def test_fuzzy_match_blocked(spark):
+    rows = text.fuzzy_match_names(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.name_a.split(" ")[-1] == r.name_b.split(" ")[-1]
+        assert 1 <= r.edit_dist <= text.FUZZY_MAX_DIST
+
+
+def test_kmeans_seeds_and_range(spark):
+    rows = similarity.kmeans_embeddings(spark, SF).collect()
+    n = len(rows)
+    assert n > 0
+    by_id = {r.vec_id: r for r in rows}
+    for s in range(similarity.KMEANS_K):
+        # a seed vector is distance-0 from itself in round 0
+        assert by_id[s].cluster0 == s
+    assert all(0 <= r.cluster0 < similarity.KMEANS_K for r in rows)
+    assert all(0 <= r.cluster1 < similarity.KMEANS_K for r in rows)
+
+
+def test_stream_session_window_gap(spark):
+    rows = streaming_pipeline.stream_session_window(spark, SF).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r.session_start)
+        for a, b in zip(sess, sess[1:]):
+            gap = (b.session_start - a.last_ts).total_seconds()
+            assert gap > 1800, "adjacent sessions must be separated by > gap"
+        for r in sess:
+            assert r.session_start <= r.last_ts and r.n_events >= 1
