@@ -295,6 +295,9 @@ ORDER BY doc_id
 DEDUP_SIMHASH_SQL = _simhash_sql()
 
 
+_DOCSETS_CACHE = None
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4: word-3-gram Jaccard similarity pairs above threshold.
 
@@ -324,6 +327,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("ord").alias("n"),
         )
     )
+    # docsets feeds FOUR consumers (probe prefixes, index prefixes, and
+    # both verify sides); without materialization the whole shingle →
+    # document-frequency → rarity-sort pipeline re-executes per consumer
+    # (4x the shuffles). Persist is exactly what a 100 TB run would do —
+    # the ordered sets are the algorithm's index structure. Only one
+    # cached copy is kept alive across invocations.
+    global _DOCSETS_CACHE
+    if _DOCSETS_CACHE is not None:
+        _DOCSETS_CACHE.unpersist()
+    docsets = docsets.persist()
+    _DOCSETS_CACHE = docsets
     tau_num, tau_den = int(JACCARD_THRESHOLD * 100), 100
     # probe prefix: n - ceil(tau*n) + 1 (exact integer math)
     plen_sql = f"n - ((n * {tau_num} + {tau_den - 1}) div {tau_den}) + 1"

@@ -1,0 +1,269 @@
+"""Planner/layout statistics operators (SURVEY §2 B56-B58, C46).
+
+The engine-maintenance surface of a warehouse: ANALYZE-style column
+profiles, equi-depth histograms, join-cardinality estimation (the CBO
+inputs Greenplum's planner keeps in pg_statistic for the replicated
+tables the reference feeds), and Z-order layout stats (the
+data-skipping story for a 100 TB fact table).
+
+All outputs are exact and integer/decimal-typed so the DuckDB oracle
+matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..io import load_table
+
+HIST_BUCKETS = 10
+
+
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B56: 10-bucket equi-depth histogram of o_totalprice — the planner
+    statistic behind selectivity estimates (pg_stats.histogram_bounds).
+
+    Exact form: ntile over the unique total order (o_totalprice,
+    o_orderkey), then per-bucket count/min/max/ndv. The global window
+    is the oracle-exact construction; the production swap at 100 TB is
+    approx_percentile bucket BOUNDS (one pass, mergeable sketch)
+    broadcast to a map-side bucketing join — same output schema, no
+    global sort. (Same stance as value_percentiles B27.)
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    return (
+        orders.withColumn("bucket", F.ntile(HIST_BUCKETS).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(dec).cast("double").alias("lo"),
+            F.max(dec).cast("double").alias("hi"),
+            F.countDistinct("o_custkey").alias("n_custkeys"),
+        )
+        .orderBy("bucket")
+    )
+
+
+EQUI_DEPTH_SQL = f"""
+WITH bucketed AS (
+  SELECT *, ntile({HIST_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+SELECT bucket,
+       COUNT(*) AS n_rows,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS lo,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS hi,
+       COUNT(DISTINCT o_custkey) AS n_custkeys
+FROM bucketed
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B57: ANALYZE-style column profile of `orders` — null count, NDV,
+    min/max per column, one row per column (pg_statistic / ANALYZE
+    equivalent for the replicated table).
+
+    One aggregation pass computes every column's stats (Catalyst plans
+    the multi-distinct via expand); min/max serialize through
+    stable-format casts (DECIMAL for the money column, ISO for dates)
+    so both engines print identical strings. Map-side combinable —
+    at 100 TB this is the same one-pass ANALYZE any engine runs.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    money = F.col("o_totalprice").cast("decimal(12,2)")
+    agg = orders.agg(
+        F.count("*").alias("n"),
+        *[
+            a
+            for c, mn, mx in (
+                ("o_orderkey", F.min("o_orderkey"), F.max("o_orderkey")),
+                ("o_custkey", F.min("o_custkey"), F.max("o_custkey")),
+                ("o_totalprice", F.min(money), F.max(money)),
+                ("o_orderdate", F.min("o_orderdate"), F.max("o_orderdate")),
+                ("o_orderpriority", F.min("o_orderpriority"), F.max("o_orderpriority")),
+            )
+            for a in (
+                F.sum(F.col(c).isNull().cast("bigint")).alias(f"null_{c}"),
+                F.countDistinct(c).alias(f"ndv_{c}"),
+                mn.cast("string").alias(f"min_{c}"),
+                mx.cast("string").alias(f"max_{c}"),
+            )
+        ],
+    )
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"]
+    stack = ", ".join(
+        f"'{c}', null_{c}, ndv_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return (
+        agg.select(
+            "n",
+            F.expr(
+                f"stack({len(cols)}, {stack}) as (col_name, n_null, ndv, min_val, max_val)"
+            ),
+        )
+        .select("col_name", "n", "n_null", "ndv", "min_val", "max_val")
+        .orderBy("col_name")
+    )
+
+
+def _profile_sql() -> str:
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate", "o_orderpriority"]
+
+    def expr(c: str) -> str:
+        v = "CAST(o_totalprice AS DECIMAL(12,2))" if c == "o_totalprice" else c
+        return f"""
+  SELECT '{c}' AS col_name, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         COUNT(DISTINCT {c}) AS ndv,
+         CAST(MIN({v}) AS VARCHAR) AS min_val,
+         CAST(MAX({v}) AS VARCHAR) AS max_val
+  FROM orders"""
+
+    return "\nUNION ALL\n".join(expr(c) for c in cols) + "\nORDER BY col_name"
+
+
+COLUMN_PROFILE_SQL = _profile_sql()
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B58: textbook join-cardinality estimation vs ground truth — the
+    CBO formula |R|*|S| / max(ndv_R, ndv_S) for orders ⋈ lineitem on
+    the order key, with the actual join count alongside so the
+    estimation error is part of the checked output.
+
+    Two single-pass stat aggregates (count + distinct per side) feed a
+    scalar formula; the actual count is the real join. At 100 TB the
+    stats pass is what ANALYZE already maintains — the estimate costs
+    nothing at plan time; the one-row cross join of scalars broadcasts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    r = orders.agg(
+        F.count("*").alias("n_r"), F.countDistinct("o_orderkey").alias("ndv_r")
+    )
+    s = lineitem.agg(
+        F.count("*").alias("n_s"), F.countDistinct("l_orderkey").alias("ndv_s")
+    )
+    actual = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .agg(F.count("*").alias("actual_rows"))
+    )
+    return (
+        r.crossJoin(s)
+        .crossJoin(actual)
+        .select(
+            "n_r",
+            "n_s",
+            "ndv_r",
+            "ndv_s",
+            F.expr("(n_r * n_s) div greatest(ndv_r, ndv_s)").alias("est_rows"),
+            "actual_rows",
+        )
+    )
+
+
+JOIN_CARD_SQL = """
+WITH r AS (
+  SELECT COUNT(*) AS n_r, COUNT(DISTINCT o_orderkey) AS ndv_r FROM orders
+),
+s AS (
+  SELECT COUNT(*) AS n_s, COUNT(DISTINCT l_orderkey) AS ndv_s FROM lineitem
+),
+actual AS (
+  SELECT COUNT(*) AS actual_rows
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+)
+SELECT n_r, n_s, ndv_r, ndv_s,
+       CAST(n_r * n_s // GREATEST(ndv_r, ndv_s) AS BIGINT) AS est_rows,
+       actual_rows
+FROM r, s, actual
+"""
+
+
+ZORDER_BITS = 8
+ZORDER_BLOCK = 256
+
+
+def _z_value(x, y):
+    """Interleave the low 8 bits of x (even positions) and y (odd
+    positions) — the Morton/Z-order curve, pure integer bit math."""
+    z = F.lit(0).cast("bigint")
+    for j in range(ZORDER_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, j).bitwiseAND(F.lit(1)), 2 * j)
+            + F.shiftleft(F.shiftright(y, j).bitwiseAND(F.lit(1)), 2 * j + 1)
+        )
+    return z
+
+
+def _z_value_sql(x: str, y: str) -> str:
+    terms = []
+    for j in range(ZORDER_BITS):
+        terms.append(f"((({x} >> {j}) & 1) << {2 * j})")
+        terms.append(f"((({y} >> {j}) & 1) << {2 * j + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C46/B59: Z-order layout statistics — multi-dimensional clustering
+    for data skipping (the Delta/Iceberg OPTIMIZE ZORDER primitive).
+
+    Orders are mapped onto a Morton curve over (custkey low bits,
+    order-day low bits); sorting by z and cutting into fixed blocks
+    yields per-block min/max ranges that are TIGHT in BOTH dimensions
+    simultaneously — which is exactly what lets a scan skip blocks for
+    2-D predicates where a single-column sort skips only one. The
+    output is the block manifest (count + both dims' min/max): the
+    zone-map a 100 TB layout job would write.
+
+    Plan: z is a map-side integer expression; the block split is a sort
+    by (z, key) — at scale a range-partitioned write (repartitionByRange
+    + sortWithinPartitions), here the oracle-exact ntile form.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % ZORDER_BLOCK).cast("bigint")
+    y = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")).cast(
+        "bigint"
+    ) % ZORDER_BLOCK
+    return (
+        orders.withColumn("z", _z_value(x, y))
+        # integer DIV in both engines (Spark `/` is double division and
+        # a later bigint cast TRUNCATES while DuckDB's cast ROUNDS —
+        # floor-div sidesteps the mismatch class entirely)
+        .withColumn("blk", F.expr(f"(row_number() OVER (ORDER BY z, o_orderkey) - 1) div {ZORDER_BLOCK}"))
+        .groupBy("blk")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_custkey").alias("min_custkey"),
+            F.max("o_custkey").alias("max_custkey"),
+            F.min("o_orderdate").alias("min_date"),
+            F.max("o_orderdate").alias("max_date"),
+        )
+        .orderBy("blk")
+    )
+
+
+ZORDER_SQL = f"""
+WITH zed AS (
+  SELECT *,
+         {_z_value_sql("(o_custkey % " + str(ZORDER_BLOCK) + ")",
+                       "(date_diff('day', DATE '1992-01-01', o_orderdate) % " + str(ZORDER_BLOCK) + ")")} AS z
+  FROM orders
+),
+blocked AS (
+  SELECT *, CAST((ROW_NUMBER() OVER (ORDER BY z, o_orderkey) - 1) // {ZORDER_BLOCK} AS BIGINT) AS blk
+  FROM zed
+)
+SELECT blk, COUNT(*) AS n_rows,
+       MIN(o_custkey) AS min_custkey, MAX(o_custkey) AS max_custkey,
+       MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+FROM blocked
+GROUP BY blk
+ORDER BY blk
+"""

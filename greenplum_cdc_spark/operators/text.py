@@ -504,3 +504,49 @@ JOIN names b ON a.block = b.block AND a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
 ORDER BY name_a, name_b
 """
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C47: deterministic importance sampling — keep probability
+    proportional to document weight (n_chars here; quality score in a
+    curation run), with acceptance p_i = n_chars / (2 * max_chars).
+
+    The mixing primitive for training-data recipes that up/down-weight
+    sources by a per-document score rather than a per-group quota
+    (domain_mix_sample C30 is the per-group form). The accept test is
+    pure integer math — 28-bit content hash h accepts iff
+    h * 2 * max_chars < n_chars * 2^28 — so re-runs, retries, and both
+    engines agree exactly; the corpus-max weight is one scalar
+    aggregate broadcast into the map-side filter. No rand(), no
+    shuffle beyond the scalar.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    maxc = docs.agg(F.max("n_chars").alias("maxc"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("wsample:"), "text")), 1, 7), 16, 10
+    ).cast("bigint")
+    return (
+        docs.crossJoin(F.broadcast(maxc))
+        .withColumn("h", h)
+        .filter(F.col("h") * 2 * F.col("maxc") < F.col("n_chars") * F.lit(1 << 28))
+        .select("doc_id", "n_chars", "h")
+        .orderBy("doc_id")
+    )
+
+
+_WS_HEX7 = "+".join(
+    f"(strpos('0123456789abcdef', substr(md5('wsample:' || text), {i + 1}, 1)) - 1) * {16 ** (6 - i)}"
+    for i in range(7)
+)
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH m AS (SELECT MAX(n_chars) AS maxc FROM documents),
+hashed AS (
+  SELECT doc_id, n_chars, CAST({_WS_HEX7} AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, n_chars, h
+FROM hashed, m
+WHERE h * 2 * maxc < n_chars * {1 << 28}
+ORDER BY doc_id
+"""

@@ -260,6 +260,8 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events").select(
             "user_id", F.unix_micros("ts").alias("ts_us")
         )
+        # one projection cached for the bounds scan + 3 range writes
+        ev = ev.persist()
         bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
         lo, hi = bounds[0], bounds[1] + 1
         step = (hi - lo) // 3 + 1
@@ -267,7 +269,10 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.filter(
                 (F.col("ts_us") >= lo + i * step) & (F.col("ts_us") < lo + (i + 1) * step)
             ).coalesce(1).write.mode("overwrite").json(os.path.join(in_dir, f"b{i}"))
-        with shuffle_partitions(spark, 8):
+        ev.unpersist()
+        # 4 state-store tasks: the state is ~one tuple per user — at gate
+        # scale the per-task store open/commit dominates, not the data
+        with shuffle_partitions(spark, 4):
             res = run_stream_sessionize(spark, in_dir + "/b*", ckpt, out)
             ordered = res.select(
                 "user_id",

@@ -118,3 +118,55 @@ def test_stream_session_window_gap(spark):
             assert gap > 1800, "adjacent sessions must be separated by > gap"
         for r in sess:
             assert r.session_start <= r.last_ts and r.n_events >= 1
+
+
+def test_equi_depth_buckets(spark):
+    from greenplum_cdc_spark.operators import stats
+
+    rows = stats.equi_depth_histogram(spark, SF).collect()
+    assert len(rows) == stats.HIST_BUCKETS
+    total = sum(r.n_rows for r in rows)
+    assert max(r.n_rows for r in rows) - min(r.n_rows for r in rows) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo  # buckets tile the sorted domain
+    assert total > 0
+
+
+def test_column_profile_shape(spark):
+    from greenplum_cdc_spark.operators import stats
+
+    rows = stats.column_profile(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_null == 0 and 0 < r.ndv <= r.n
+        assert r.min_val <= r.max_val
+
+
+def test_join_cardinality_exact_for_fk(spark):
+    from greenplum_cdc_spark.operators import stats
+
+    r = stats.join_cardinality_estimate(spark, SF).collect()[0]
+    # orderkey is a true FK: every lineitem matches exactly one order,
+    # so the textbook estimate is exact when ndv_r == |R|
+    assert r.actual_rows == r.n_s
+    assert abs(r.est_rows - r.actual_rows) <= 1
+
+
+def test_zorder_blocks_cover_all(spark):
+    from greenplum_cdc_spark.operators import stats
+
+    rows = stats.zorder_layout(spark, SF).collect()
+    assert sum(r.n_rows for r in rows) > 0
+    assert all(r.min_custkey <= r.max_custkey for r in rows)
+    assert all(r.min_date <= r.max_date for r in rows)
+
+
+def test_weighted_sample_bias(spark):
+    from greenplum_cdc_spark.io import load_table
+
+    kept = text.weighted_sample(spark, SF).collect()
+    assert kept
+    docs = {r.doc_id: r.n_chars for r in load_table(spark, SF, "documents").select("doc_id", "n_chars").collect()}
+    mean_all = sum(docs.values()) / len(docs)
+    mean_kept = sum(r.n_chars for r in kept) / len(kept)
+    assert mean_kept > mean_all, "length-weighted sampling must favor long docs"
