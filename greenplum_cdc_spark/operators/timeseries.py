@@ -1193,3 +1193,118 @@ FROM ranked
 
 
 SKEW_DIAGNOSTICS_SQL = _skew_sql()
+
+
+def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B60: month-over-month revenue growth — the BI staple (lag over a
+    monthly rollup; delta exact DECIMAL, growth ratio a deterministic
+    IEEE division of exact decimals rounded to 6 dp).
+
+    Two window-free shuffles collapse to one: the monthly groupBy and
+    the lag window share the month ordering, so Catalyst plans one
+    exchange on the (tiny) month key. At 100 TB the rollup output is
+    |months| rows — the window stage is trivially small; all the cost
+    is the map-side partial aggregation of the fact scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return (
+        monthly.withColumn("prev_revenue", prev)
+        .select(
+            "month",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.col("prev_revenue").cast("double").alias("prev_revenue"),
+            (F.col("revenue") - F.col("prev_revenue")).cast("double").alias("delta"),
+            F.round(
+                F.col("revenue").cast("double") / F.col("prev_revenue").cast("double"),
+                6,
+            ).alias("growth_ratio"),
+        )
+        .orderBy("month")
+    )
+
+
+PERIOD_OVER_PERIOD_SQL = """
+WITH monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders GROUP BY 1
+),
+lagged AS (
+  SELECT month, revenue, lag(revenue) OVER (ORDER BY month) AS prev_revenue
+  FROM monthly
+)
+SELECT month,
+       CAST(revenue AS DOUBLE) AS revenue,
+       CAST(prev_revenue AS DOUBLE) AS prev_revenue,
+       CAST(revenue - prev_revenue AS DOUBLE) AS delta,
+       ROUND(CAST(revenue AS DOUBLE) / CAST(prev_revenue AS DOUBLE), 6) AS growth_ratio
+FROM lagged
+ORDER BY month
+"""
+
+
+_PATTERN_WINDOW_US = 1_800_000_000  # 30 min
+
+
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B61: sequential pattern matching (MATCH_RECOGNIZE-lite) — for
+    every `view` event, the user's first `purchase` within the next 30
+    minutes, with conversion latency.
+
+    One shuffle on user_id; the "pattern" is a conditional MIN over a
+    RANGE frame on the µs timeline ((1 following, 30min following]) —
+    no self-join, no per-user candidate blowup, deterministic at any
+    partition count. The general k-step pattern chains the same frame
+    per step (each step's match ts feeds the next step's range start).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(1, _PATTERN_WINDOW_US)
+    )
+    next_purchase = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+    ).over(w)
+    return (
+        ev.withColumn("ts_us", us)
+        .withColumn("purchase_us", next_purchase)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.timestamp_micros(F.col("purchase_us")).alias("purchase_ts"),
+            F.col("purchase_us").isNotNull().alias("converted"),
+            (F.col("purchase_us") - F.col("ts_us")).alias("latency_us"),
+        )
+        .orderBy("view_event_id")
+    )
+
+
+EVENT_PATTERN_SQL = f"""
+WITH stamped AS (
+  SELECT *, epoch_us(ts) AS ts_us FROM events
+),
+matched AS (
+  SELECT *,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER (
+           PARTITION BY user_id ORDER BY ts_us
+           RANGE BETWEEN 1 FOLLOWING AND {_PATTERN_WINDOW_US} FOLLOWING
+         ) AS purchase_us
+  FROM stamped
+)
+SELECT event_id AS view_event_id, user_id, ts AS view_ts,
+       make_timestamp(purchase_us) AS purchase_ts,
+       purchase_us IS NOT NULL AS converted,
+       purchase_us - ts_us AS latency_us
+FROM matched
+WHERE event_type = 'view'
+ORDER BY view_event_id
+"""

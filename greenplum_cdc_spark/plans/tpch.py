@@ -1340,3 +1340,53 @@ def bucketed_join_plan(spark: SparkSession, sf_dir: str) -> str:
     ob = spark.table(f"{db}.orders_b")
     j = ob.hint("merge").join(lb.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
     return j._jdf.queryExecution().executedPlan().toString()
+
+
+def set_ops_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B62: set-operator reconciliation — the customer base of 1997 vs
+    1998 classified via INTERSECT / EXCEPT (retained / churned / new).
+
+    Exercises Spark's set-operator physical plans (INTERSECT compiles
+    to a left-semi hash join on the distinct sets, EXCEPT to left-anti)
+    rather than re-deriving the classes from a manual outer join. Both
+    inputs are distinct custkey projections off the same fact scan —
+    one shuffle each; the three branches union map-side. At 100 TB
+    the distinct sets are the aggregated form (|customers|, not
+    |orders|), so the semi/anti joins are cheap and broadcastable if
+    one year is small.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == y)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    a, b = year_keys(1997), year_keys(1998)
+    retained = a.intersect(b).withColumn("segment", F.lit("retained"))
+    churned = a.exceptAll(b).withColumn("segment", F.lit("churned"))
+    new = b.exceptAll(a).withColumn("segment", F.lit("new"))
+    return (
+        retained.unionByName(churned)
+        .unionByName(new)
+        .select("o_custkey", "segment")
+        .orderBy("o_custkey", "segment")
+    )
+
+
+SET_OPS_SQL = """
+WITH y97 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+),
+y98 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+)
+SELECT o_custkey, 'retained' AS segment FROM (SELECT * FROM y97 INTERSECT SELECT * FROM y98)
+UNION ALL
+SELECT o_custkey, 'churned' AS segment FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y98)
+UNION ALL
+SELECT o_custkey, 'new' AS segment FROM (SELECT * FROM y98 EXCEPT SELECT * FROM y97)
+ORDER BY o_custkey, segment
+"""

@@ -170,3 +170,34 @@ def test_weighted_sample_bias(spark):
     mean_all = sum(docs.values()) / len(docs)
     mean_kept = sum(r.n_chars for r in kept) / len(kept)
     assert mean_kept > mean_all, "length-weighted sampling must favor long docs"
+
+
+def test_period_over_period_chain(spark):
+    rows = timeseries.period_over_period(spark, SF).collect()
+    assert len(rows) >= 2
+    for a, b in zip(rows, rows[1:]):
+        assert b.prev_revenue == a.revenue
+    assert rows[0].prev_revenue is None and rows[0].growth_ratio is None
+
+
+def test_event_pattern_window(spark):
+    rows = timeseries.event_pattern_match(spark, SF).collect()
+    assert rows
+    conv = [r for r in rows if r.converted]
+    assert conv, "some views must convert"
+    for r in conv:
+        assert 0 < r.latency_us <= timeseries._PATTERN_WINDOW_US
+
+
+def test_set_ops_partition(spark):
+    from greenplum_cdc_spark.plans import tpch
+
+    rows = tpch.set_ops_reconcile(spark, SF).collect()
+    seen = {}
+    for r in rows:
+        seen.setdefault(r.o_custkey, []).append(r.segment)
+    for segs in seen.values():
+        assert len(segs) == len(set(segs))
+        assert not ({"retained"} & set(segs) and len(segs) > 1), (
+            "a retained key cannot also be churned/new"
+        )
