@@ -20,7 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -370,4 +370,159 @@ STREAM_DEDUP_WM_SQL = """
 SELECT event_id, ts, event_type
 FROM events
 ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# C48: transformWithStateInPandas — Spark 4's arbitrary-state API
+# ---------------------------------------------------------------------------
+
+try:  # Spark >= 4.0 AND protobuf: the TWS state-server protocol is
+    # protobuf-based (pyspark/sql/streaming/proto/StateMessage_pb2), so
+    # environments without `protobuf` (this sandbox) cannot start the
+    # worker — the operator gates on BOTH imports and degrades loudly.
+    # applyInPandasWithState (above) remains the working arbitrary-state
+    # surface everywhere; transformWithState is the forward path where
+    # the runtime carries protobuf (any standard Spark 4 cluster).
+    import google.protobuf  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+    _HAS_TWS = False
+
+
+class _RunningTotalProcessor(StatefulProcessor):
+    """Per-user cumulative (event count, value cents) in a ValueState.
+
+    The transformWithState successor to applyInPandasWithState: typed
+    named state (ValueState/ListState/MapState + timers) per key, Arrow
+    batches in, DataFrame batches out. State is (2 BIGINTs) per user —
+    shards with the key space in the state store exactly like the
+    applyInPandasWithState operators above.
+    """
+
+    def init(self, handle: "StatefulProcessorHandle") -> None:
+        self._totals = handle.getValueState(
+            "totals", "total_events BIGINT, total_cents BIGINT"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, cents = 0, 0
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(pdf["value_cents"].sum())
+        prev = self._totals.get()
+        if prev is not None:
+            n += prev[0]
+            cents += prev[1]
+        self._totals.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "total_events": [n],
+                "total_cents": [cents],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_running_totals(events_stream: DataFrame) -> DataFrame:
+    """Cumulative per-user totals across micro-batches via
+    transformWithStateInPandas (one row per user per batch, carrying
+    the running state AFTER that batch)."""
+    if not _HAS_TWS:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires pyspark >= 4.0 AND the "
+            "protobuf package (its state-server protocol); use the "
+            "applyInPandasWithState operators in this module instead"
+        )
+    return events_stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotalProcessor(),
+        outputStructType="user_id BIGINT, total_events BIGINT, total_cents BIGINT",
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def stream_running_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C48 oracle surface: 3 time-ordered micro-batches; the LAST
+    emitted row per user (highest running count) must equal the batch
+    groupBy aggregate over the whole table — proving the ValueState
+    accumulated every batch exactly once.
+
+    value→cents happens Spark-side (round(value*100), HALF_UP on the
+    same doubles in both engines) so the Python processor only ever
+    sums integers — no float accumulation order anywhere.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..io import load_table, materialize, shuffle_partitions
+
+    base = tempfile.mkdtemp(prefix="stream_tws_")
+    in_dir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
+    os.makedirs(in_dir)
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("value_cents"),
+        )
+        ev = ev.persist()
+        bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+        lo, hi = bounds[0], bounds[1] + 1
+        step = (hi - lo) // 3 + 1
+        for i in range(3):
+            ev.filter(
+                (F.col("ts_us") >= lo + i * step) & (F.col("ts_us") < lo + (i + 1) * step)
+            ).coalesce(1).write.mode("overwrite").json(os.path.join(in_dir, f"b{i}"))
+        ev.unpersist()
+        schema = "user_id long, ts_us long, value_cents long"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(in_dir + "/b*")
+        )
+
+        def _sink(batch: DataFrame, batch_id: int) -> None:
+            batch.write.mode("append").parquet(out)
+
+        with shuffle_partitions(spark, 4):
+            q = (
+                stream_running_totals(stream)
+                .writeStream.foreachBatch(_sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            res = spark.read.parquet(out)
+            w = Window.partitionBy("user_id").orderBy(F.col("total_events").desc())
+            final = (
+                res.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("user_id", "total_events", "total_cents")
+                .orderBy("user_id")
+            )
+            return materialize(final, "stream_tws_out_").orderBy("user_id")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+STREAM_RUNNING_TOTALS_SQL = """
+SELECT user_id,
+       COUNT(*) AS total_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY user_id
+ORDER BY user_id
 """

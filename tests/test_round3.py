@@ -201,3 +201,37 @@ def test_set_ops_partition(spark):
         assert not ({"retained"} & set(segs) and len(segs) > 1), (
             "a retained key cannot also be churned/new"
         )
+
+
+def test_stream_running_totals_tws(spark):
+    """transformWithStateInPandas running totals == batch aggregate.
+
+    Env-gated: the TWS state-server protocol needs protobuf, absent in
+    this sandbox — the operator must refuse loudly, and run correctly
+    where the runtime carries it.
+    """
+    import pytest
+
+    from greenplum_cdc_spark.streaming import stateful
+
+    if not stateful._HAS_TWS:
+        with pytest.raises(NotImplementedError):
+            stateful.stream_running_totals(None)
+        pytest.skip("protobuf not available: transformWithState gated off")
+    res = {
+        r.user_id: (r.total_events, r.total_cents)
+        for r in stateful.stream_running_totals_query(spark, SF).collect()
+    }
+    from greenplum_cdc_spark.io import load_table
+
+    direct = {
+        r.user_id: (r.n, r.cents)
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    assert res == direct

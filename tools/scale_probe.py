@@ -87,6 +87,24 @@ def synthesize(spark, sf_dir: str, out_dir: str) -> None:
         lstack = c if lstack is None else lstack.unionByName(c)
     lstack.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
 
+    cust = load_table(spark, sf_dir, "customer")
+    max_ck = cust.agg(F.max("c_custkey")).collect()[0][0] + 1
+    cstack = None
+    for i in range(MULT):
+        c = cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * max_ck))
+        cstack = c if cstack is None else cstack.unionByName(c)
+    cstack.write.mode("overwrite").parquet(os.path.join(out_dir, "customer.parquet"))
+
+    part = load_table(spark, sf_dir, "part")
+    max_pk = part.agg(F.max("p_partkey")).collect()[0][0] + 1
+    pstack = None
+    for i in range(MULT):
+        # names deliberately unchanged: fuzzy matching must show its
+        # distinct-entity collapse (10x rows, constant name set)
+        c = part.withColumn("p_partkey", F.col("p_partkey") + F.lit(i * max_pk))
+        pstack = c if pstack is None else pstack.unionByName(c)
+    pstack.write.mode("overwrite").parquet(os.path.join(out_dir, "part.parquet"))
+
 
 def timed(fn, spark, d) -> float:
     t0 = time.perf_counter()
@@ -143,7 +161,30 @@ def _late_ops():
         "interval_overlap_join": timeseries.interval_overlap_join,
         "cdc_table_routing": cdc_queries.cdc_table_routing,
         "cms_estimate": _sketches().cms_estimate,
+        # round 3
+        "cdc_snapshot_diff": cdc_queries.cdc_snapshot_diff,
+        "cdc_incremental_view": cdc_queries.cdc_incremental_view,
+        "scd2_point_in_time_join": cdc_queries.scd2_point_in_time_join,
+        "event_debounce": timeseries.event_debounce,
+        "skew_diagnostics": timeseries.skew_diagnostics,
+        "bloom_filter_probe": _sketches().bloom_filter_probe,
+        "fuzzy_match_names": text.fuzzy_match_names,
+        "kmeans_embeddings": similarity.kmeans_embeddings,
+        "weighted_sample": text.weighted_sample,
+        "period_over_period": timeseries.period_over_period,
+        "event_pattern_match": timeseries.event_pattern_match,
+        "set_ops_reconcile": tpch.set_ops_reconcile,
+        "equi_depth_histogram": _stats().equi_depth_histogram,
+        "column_profile": _stats().column_profile,
+        "join_cardinality_estimate": _stats().join_cardinality_estimate,
+        "zorder_layout": _stats().zorder_layout,
     }
+
+
+def _stats():
+    from greenplum_cdc_spark.operators import stats
+
+    return stats
 
 
 def _sketches():
