@@ -750,7 +750,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = a0.groupBy("cluster0").agg(F.count("*").alias("n"))
-    cents1 = sums.join(counts, "cluster0").select(
+    cents1 = sums.join(F.broadcast(counts), "cluster0").select(
         F.col("cluster0").alias("cl"), "csum_arr", "n"
     )
     dec0 = F.lit(0).cast("decimal(38,0)")

@@ -1365,9 +1365,13 @@ def set_ops_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     a, b = year_keys(1997), year_keys(1998)
+    # subtract = EXCEPT DISTINCT: on these already-distinct inputs it is
+    # set-equal to exceptAll but compiles to a LeftAnti hash join
+    # (exceptAll rewrites to replication counting — a wider plan for
+    # multiset semantics these inputs never need)
     retained = a.intersect(b).withColumn("segment", F.lit("retained"))
-    churned = a.exceptAll(b).withColumn("segment", F.lit("churned"))
-    new = b.exceptAll(a).withColumn("segment", F.lit("new"))
+    churned = a.subtract(b).withColumn("segment", F.lit("churned"))
+    new = b.subtract(a).withColumn("segment", F.lit("new"))
     return (
         retained.unionByName(churned)
         .unionByName(new)

@@ -173,3 +173,54 @@ def test_window_rank_suite_consistency(spark, sf_dir):
             assert 1 <= r["quartile"] <= 4
         values = [r["value"] for r in versions]
         assert values == sorted(values, reverse=True)
+
+
+def test_bloom_probe_broadcasts_filter(spark, sf_dir):
+    """The m-bit filter and the member set must BROADCAST to the probe
+    side — a shuffled bloom probe defeats the operator's purpose."""
+    from greenplum_cdc_spark.operators import sketches
+
+    plan = _formatted_plan(spark, sketches.bloom_filter_probe(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_centroids_broadcast(spark, sf_dir):
+    """Both Lloyd rounds must broadcast the K-row centroid table against
+    the corpus (BroadcastNestedLoopJoin for the crossJoin) — never
+    shuffle the corpus by centroid."""
+    from greenplum_cdc_spark.operators import similarity as sim
+
+    plan = _formatted_plan(spark, sim.kmeans_embeddings(spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    # the only non-broadcast join allowed is none at all: the K-row
+    # sums/counts join is broadcast-hinted
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_set_ops_compile_to_semi_anti(spark, sf_dir):
+    from greenplum_cdc_spark.plans import tpch as t
+
+    plan = _formatted_plan(spark, t.set_ops_reconcile(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_pattern_match_single_user_shuffle(spark, sf_dir):
+    """The RANGE-frame pattern match must shuffle ONCE on user_id —
+    a self-join formulation would show a join operator."""
+    from greenplum_cdc_spark.operators import timeseries as ts
+
+    plan = _formatted_plan(spark, ts.event_pattern_match(spark, sf_dir))
+    assert "Join" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_snapshot_diff_copartitioned(spark, sf_dir):
+    """Both snapshot windows and the full-outer join key on pk; the join
+    must be a SortMergeJoin over the SAME partitioning (no extra
+    exchange beyond the two window shuffles + final sort)."""
+    from greenplum_cdc_spark.plans import cdc_queries as cq
+
+    plan = _formatted_plan(spark, cq.cdc_snapshot_diff(spark, sf_dir))
+    assert "FullOuter" in plan
