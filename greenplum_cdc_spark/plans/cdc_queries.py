@@ -1106,3 +1106,134 @@ WHERE v.valid_from <= p.probe_ts
   AND (v.valid_to IS NULL OR p.probe_ts < v.valid_to)
 ORDER BY p.pk, p.probe_seq
 """
+
+
+def cdc_heartbeat_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24: replication-lag heartbeat — per routed table, how far the
+    applied watermark trails the newest source event at a cut.
+
+    The observability query behind the reference's demo polling loop
+    (MySQL vs Greenplum side-by-side) and its `maxwell_ts` bookkeeping
+    (maxwell_gpdb.sql:34-36): applied watermark = max applied ts at the
+    cut; source head = max source ts overall; lag = head − watermark,
+    plus the count of events still unapplied. Map-side aggregates per
+    table — at 100 TB this is the always-on freshness dashboard, one
+    partial-agg pass, no joins wider than the per-table scalar merge.
+    """
+    feed = _feed(spark, sf_dir).withColumn(
+        "table_name",
+        F.when(
+            F.col("event_type").isin("purchase", "signup"), F.lit("accounts")
+        ).otherwise(F.lit("activity")),
+    )
+    cut = F.lit(_SPLIT_TS).cast("timestamp")
+    return (
+        feed.groupBy("table_name")
+        .agg(
+            F.max(F.when(F.col("ts") < cut, F.col("ts"))).alias("applied_watermark"),
+            F.max("ts").alias("source_head_ts"),
+            F.sum((F.col("ts") >= cut).cast("bigint")).alias("n_unapplied"),
+        )
+        .select(
+            "table_name",
+            "applied_watermark",
+            "source_head_ts",
+            (
+                F.unix_micros(F.col("source_head_ts"))
+                - F.unix_micros(F.col("applied_watermark"))
+            ).alias("lag_us"),
+            "n_unapplied",
+        )
+        .orderBy("table_name")
+    )
+
+
+CDC_HEARTBEAT_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL}),
+routed AS (
+  SELECT *,
+         CASE WHEN event_type IN ('purchase', 'signup')
+              THEN 'accounts' ELSE 'activity' END AS table_name
+  FROM cdc
+)
+SELECT table_name,
+       MAX(CASE WHEN ts < TIMESTAMP '{_SPLIT_TS}' THEN ts END) AS applied_watermark,
+       MAX(ts) AS source_head_ts,
+       epoch_us(MAX(ts)) - epoch_us(MAX(CASE WHEN ts < TIMESTAMP '{_SPLIT_TS}' THEN ts END)) AS lag_us,
+       CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_SPLIT_TS}' THEN 1 ELSE 0 END) AS BIGINT) AS n_unapplied
+FROM routed
+GROUP BY table_name
+ORDER BY table_name
+"""
+
+
+def source_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25: source-format plurality — the same event slice written to and
+    read back from JSON, CSV and ORC must agree with the parquet source
+    on count, value checksum and key span.
+
+    The reference's bus delivers line-framed JSON (rabbitmq.go); real
+    deployments also land CSV drops and columnar archives. The engine's
+    contract is that the downstream pipeline is FORMAT-BLIND: the reader
+    normalizes, everything after is identical. Per-format aggregate
+    equality (vs the parquet-derived oracle) proves the normalization,
+    not just a row count. Value travels as exact integer cents so text
+    formats can't lose precision by double round-tripping.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("value_cents"),
+    )
+    base = tempfile.mkdtemp(prefix="fmt_roundtrip_")
+    try:
+        schema = "event_id bigint, user_id bigint, value_cents bigint"
+        parts = []
+        for fmt in ("json", "csv", "orc"):
+            p = os.path.join(base, fmt)
+            w = ev.coalesce(4).write.mode("overwrite")
+            (w.option("header", "true") if fmt == "csv" else w).format(fmt).save(p)
+            r = spark.read
+            if fmt in ("json", "csv"):
+                r = r.schema(schema)
+            if fmt == "csv":
+                r = r.option("header", "true")
+            parts.append(
+                r.format(fmt)
+                .load(p)
+                .groupBy(F.lit(fmt).alias("fmt"))
+                .agg(
+                    F.count("*").alias("n_rows"),
+                    F.sum("value_cents").alias("sum_cents"),
+                    F.countDistinct("user_id").alias("n_users"),
+                    F.min("event_id").alias("min_id"),
+                    F.max("event_id").alias("max_id"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # materialize before the temp dir disappears
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema).orderBy("fmt")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+SOURCE_FORMAT_SQL = """
+WITH agg AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+         COUNT(DISTINCT user_id) AS n_users,
+         MIN(event_id) AS min_id,
+         MAX(event_id) AS max_id
+  FROM events
+)
+SELECT fmt, n_rows, sum_cents, n_users, min_id, max_id
+FROM agg, (VALUES ('csv'), ('json'), ('orc')) AS fmts(fmt)
+ORDER BY fmt
+"""

@@ -235,3 +235,21 @@ def test_stream_running_totals_tws(spark):
         .collect()
     }
     assert res == direct
+
+
+def test_heartbeat_lag_nonnegative(spark):
+    rows = cdc_queries.cdc_heartbeat_lag(spark, SF).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.lag_us >= 0 and r.n_unapplied >= 0
+        assert r.applied_watermark <= r.source_head_ts
+
+
+def test_source_format_agreement(spark):
+    rows = cdc_queries.source_format_roundtrip(spark, SF).collect()
+    assert {r.fmt for r in rows} == {"csv", "json", "orc"}
+    ref = rows[0]
+    for r in rows[1:]:
+        assert (r.n_rows, r.sum_cents, r.n_users, r.min_id, r.max_id) == (
+            ref.n_rows, ref.sum_cents, ref.n_users, ref.min_id, ref.max_id,
+        )
