@@ -111,3 +111,42 @@ def test_snapshot_never_surfaces_deleted_latest(spark, feed):
         last_op[pk] = op
     for pk, op in last_op.items():
         assert (pk in snap) == (op != "delete")
+
+
+def _collect_sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_round3_ops_partition_count_invariant(spark):
+    """The distributed-correctness property: results must not depend on
+    how the data is partitioned. Run each round-3 aggregate under 1, 3
+    and 13 shuffle partitions and require identical row sets."""
+    from greenplum_cdc_spark.io import shuffle_partitions
+    from greenplum_cdc_spark.operators import similarity, sketches, timeseries
+    from greenplum_cdc_spark.plans import cdc_queries
+
+    sf = "/root/testdata/sf0.001"
+    ops = [
+        cdc_queries.cdc_snapshot_diff,
+        cdc_queries.cdc_incremental_view,
+        timeseries.skew_diagnostics,
+        sketches.bloom_filter_probe,
+        similarity.kmeans_embeddings,
+    ]
+    for op in ops:
+        results = []
+        for n in (1, 3, 13):
+            with shuffle_partitions(spark, n):
+                results.append(_collect_sorted(op(spark, sf)))
+        assert results[0] == results[1] == results[2], op.__name__
+
+
+def test_debounce_replay_stable(spark):
+    """Debounce verdicts are a pure function of the event set — two
+    independent evaluations (fresh plans) must agree row-for-row."""
+    from greenplum_cdc_spark.operators import timeseries
+
+    sf = "/root/testdata/sf0.001"
+    a = _collect_sorted(timeseries.event_debounce(spark, sf))
+    b = _collect_sorted(timeseries.event_debounce(spark, sf))
+    assert a == b
