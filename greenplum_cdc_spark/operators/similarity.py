@@ -823,3 +823,107 @@ SELECT a0.vec_id, a0.cluster0, a1.cluster1
 FROM a0 JOIN a1 USING (vec_id)
 ORDER BY a0.vec_id
 """
+
+
+def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C49: ANN quality evaluation — recall@k of the sign-LSH buckets
+    against the exact brute-force top-k, per query.
+
+    The missing piece between C6 (exact baseline) and C7 (scale path):
+    HOW GOOD is the bucketing? For each query vector, recall@k = the
+    fraction of its true top-k neighbors that share its LSH bucket —
+    the number an ANN deployment tunes (more planes → smaller buckets →
+    lower recall; fewer → bigger candidate sets). Expressed as exact
+    integer hit counts + a 6-dp ratio so both engines agree.
+
+    Plan: the top-k table is K·|queries| rows (tiny, broadcast); bucket
+    signatures are map-side folds (knn_lsh's plan); one broadcast join
+    each side — the evaluation costs less than one brute-force pass.
+    """
+    topk = knn_cosine_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    vecs = load_table(spark, sf_dir, "embeddings")
+    bits = []
+    for p in range(N_PLANES):
+        weights = F.array(
+            *[F.lit(float(_plane_weight(p, d))) for d in range(1, DIM + 1)]
+        )
+        prod = F.zip_with(weights, F.col("embedding"), lambda w, x: w * x.cast("double"))
+        dot = F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot > 0, F.lit("1")).otherwise(F.lit("0")))
+    sig = vecs.select("vec_id", F.concat(*bits).alias("bucket"))
+    qb = sig.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "bucket", "qbucket"
+    )
+    nb = sig.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+        "bucket", "nbucket"
+    )
+    return (
+        topk.join(F.broadcast(qb), "query_id")
+        .join(F.broadcast(nb), "neighbor_id")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum((F.col("qbucket") == F.col("nbucket")).cast("bigint")).alias(
+                "n_hits"
+            ),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("k"), 6).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _knn_recall_sql() -> str:
+    dot_terms = " + ".join(
+        f"({_plane_weight_sql('p', d)}) * CAST(embedding[{d}] AS DOUBLE)"
+        for d in range(1, DIM + 1)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding')}) AS norm
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, norm AS qn FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         {_dot_sql('q.qe', 'v.embedding')} / (q.qn * v.norm) AS cos_sim
+  FROM v JOIN q ON v.vec_id <> q.query_id
+),
+topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {TOPK}
+),
+vp AS (
+  SELECT vec_id, embedding, unnest(range(0, {N_PLANES})) AS p
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id, p, 0.0 + {dot_terms} AS dot
+  FROM vp
+),
+sig AS (
+  SELECT vec_id,
+         string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM dots
+  GROUP BY vec_id
+)
+SELECT t.query_id,
+       COUNT(*) AS k,
+       CAST(SUM(CASE WHEN qs.bucket = ns.bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       ROUND(SUM(CASE WHEN qs.bucket = ns.bucket THEN 1 ELSE 0 END) / COUNT(*), 6) AS recall_at_k
+FROM topk t
+JOIN sig qs ON qs.vec_id = t.query_id
+JOIN sig ns ON ns.vec_id = t.neighbor_id
+GROUP BY t.query_id
+ORDER BY t.query_id
+"""
+
+
+KNN_RECALL_SQL = _knn_recall_sql()

@@ -1237,3 +1237,52 @@ SELECT fmt, n_rows, sum_cents, n_users, min_id, max_id
 FROM agg, (VALUES ('csv'), ('json'), ('orc')) AS fmts(fmt)
 ORDER BY fmt
 """
+
+
+_GAP_DROP_MOD = 97
+
+
+def cdc_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26: sequence-gap detection — the lost-message detector every
+    production CDC pipeline runs against its bus.
+
+    Maxwell/binlog positions are dense per stream; a gap in the applied
+    sequence means the bus dropped or a consumer skipped (the failure
+    the reference's ack-at-end framing in rabbitmq.go:39 exists to
+    prevent). A deterministic fault (drop every 97th event) is injected
+    so the detector must find EXACTLY those holes: lag(seq) over the
+    replay order, emit every adjacent pair with a hole between, sized.
+    One shuffle (global seq order at gate scale; per-partition-stream
+    order in a real deployment, where the lag window keys on the
+    binlog shard and the sort is within-shard).
+    """
+    from pyspark.sql import Window
+
+    feed = _feed(spark, sf_dir).filter(F.col("seq") % _GAP_DROP_MOD != 0)
+    w = Window.orderBy("seq")
+    prev = F.lag("seq").over(w)
+    return (
+        feed.withColumn("prev_seq", prev)
+        .filter(F.col("seq") - F.col("prev_seq") > 1)
+        .select(
+            "prev_seq",
+            F.col("seq").alias("next_seq"),
+            (F.col("seq") - F.col("prev_seq") - 1).alias("n_missing"),
+        )
+        .orderBy("prev_seq")
+    )
+
+
+CDC_GAP_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL}),
+survived AS (
+  SELECT * FROM cdc WHERE seq % {_GAP_DROP_MOD} <> 0
+),
+lagged AS (
+  SELECT seq, lag(seq) OVER (ORDER BY seq) AS prev_seq FROM survived
+)
+SELECT prev_seq, seq AS next_seq, seq - prev_seq - 1 AS n_missing
+FROM lagged
+WHERE seq - prev_seq > 1
+ORDER BY prev_seq
+"""

@@ -1394,3 +1394,80 @@ UNION ALL
 SELECT o_custkey, 'new' AS segment FROM (SELECT * FROM y98 EXCEPT SELECT * FROM y97)
 ORDER BY o_custkey, segment
 """
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B63: RFM customer segmentation — quintile scores for recency /
+    frequency / monetary and the composite segment code.
+
+    The classic warehouse marketing query over the replicated orders.
+    Per-customer aggregates (one groupBy shuffle: days since last
+    order, order count, DECIMAL revenue), then three ntile(5) windows
+    over deterministic total orders (metric + custkey tie-break).
+    Exact construction for the oracle; at 100 TB the quintile BOUNDS
+    come from approx_percentile and the scores are a map-side bucket
+    lookup (same stance as equi_depth_histogram B56).
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    head = orders.agg(F.max("o_orderdate").alias("head_date"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(head))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("head_date"), F.col("o_orderdate"))).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+    )
+    # recency: fewer days = better = higher score → ascend by -days
+    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey"))
+    w_f = Window.orderBy(F.col("frequency"), F.col("o_custkey"))
+    w_m = Window.orderBy(F.col("monetary"), F.col("o_custkey"))
+    return (
+        per_cust.withColumn("r_score", F.ntile(5).over(w_r))
+        .withColumn("f_score", F.ntile(5).over(w_f))
+        .withColumn("m_score", F.ntile(5).over(w_m))
+        .select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            F.col("monetary").cast("double").alias("monetary"),
+            "r_score",
+            "f_score",
+            "m_score",
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            ).alias("rfm_segment"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+RFM_SQL = """
+WITH head AS (SELECT MAX(o_orderdate) AS head_date FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         MIN(date_diff('day', o_orderdate, head_date)) AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders, head
+  GROUP BY o_custkey
+),
+scored AS (
+  SELECT *,
+         ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+  FROM per_cust
+)
+SELECT o_custkey, recency_days, frequency,
+       CAST(monetary AS DOUBLE) AS monetary,
+       r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm_segment
+FROM scored
+ORDER BY o_custkey
+"""

@@ -253,3 +253,37 @@ def test_source_format_agreement(spark):
         assert (r.n_rows, r.sum_cents, r.n_users, r.min_id, r.max_id) == (
             ref.n_rows, ref.sum_cents, ref.n_users, ref.min_id, ref.max_id,
         )
+
+
+def test_gap_detection_finds_injected_holes(spark):
+    rows = cdc_queries.cdc_gap_detection(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_missing >= 1
+        # every hole must consist solely of the injected drops (mod 97)
+        for missing in range(r.prev_seq + 1, r.next_seq):
+            assert missing % 97 == 0
+
+
+def test_rfm_scores_monotone(spark):
+    from greenplum_cdc_spark.plans import tpch
+
+    rows = tpch.rfm_segmentation(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.rfm_segment == r.r_score * 100 + r.f_score * 10 + r.m_score
+    # higher monetary must never get a lower m_score than a strictly
+    # smaller monetary (ntile over a deterministic total order)
+    by_m = sorted(rows, key=lambda r: (r.monetary, r.o_custkey))
+    for a, b in zip(by_m, by_m[1:]):
+        assert a.m_score <= b.m_score
+
+
+def test_knn_recall_bounds(spark):
+    rows = similarity.knn_recall_eval(spark, SF).collect()
+    assert len(rows) == similarity.N_QUERIES
+    for r in rows:
+        assert r.k == similarity.TOPK
+        assert 0 <= r.n_hits <= r.k
+        assert abs(r.recall_at_k - round(r.n_hits / r.k, 6)) < 1e-9
