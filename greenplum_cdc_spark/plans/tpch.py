@@ -1471,3 +1471,59 @@ SELECT o_custkey, recency_days, frequency,
 FROM scored
 ORDER BY o_custkey
 """
+
+
+def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B64: the raw `spark.sql` entry point — the engine must serve SQL
+    text users (the way Greenplum serves psql), not only the DataFrame
+    API. Registers the tables as temp views and runs a multi-CTE ANSI
+    query (revenue + share-of-nation per (nation, year)) through the
+    SQL parser; Catalyst compiles it to the SAME physical plans the
+    DataFrame form gets (broadcast dims, pushed filters), which the
+    identical-oracle hash match indirectly proves.
+    """
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT n.n_name AS nation,
+                 year(o.o_orderdate) AS order_year,
+                 SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name, year(o.o_orderdate)
+        ),
+        tot AS (
+          SELECT order_year, SUM(revenue) AS year_total FROM rev GROUP BY order_year
+        )
+        SELECT r.nation, r.order_year,
+               CAST(r.revenue AS DOUBLE) AS revenue,
+               ROUND(CAST(r.revenue AS DOUBLE) / CAST(t.year_total AS DOUBLE), 6)
+                 AS nation_share
+        FROM rev r JOIN tot t ON r.order_year = t.order_year
+        ORDER BY r.nation, r.order_year
+        """
+    )
+
+
+SQL_INTERFACE_SQL = """
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         year(o.o_orderdate) AS order_year,
+         SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name, year(o.o_orderdate)
+),
+tot AS (
+  SELECT order_year, SUM(revenue) AS year_total FROM rev GROUP BY order_year
+)
+SELECT r.nation, r.order_year,
+       CAST(r.revenue AS DOUBLE) AS revenue,
+       ROUND(CAST(r.revenue AS DOUBLE) / CAST(t.year_total AS DOUBLE), 6) AS nation_share
+FROM rev r JOIN tot t ON r.order_year = t.order_year
+ORDER BY r.nation, r.order_year
+"""

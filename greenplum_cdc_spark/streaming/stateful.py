@@ -526,3 +526,142 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# C50: per-key streaming rate limiter (token bucket) — rows-only gated:
+# the token-bucket recurrence is inherently stateful (each verdict
+# depends on the previous one), so no ANSI-SQL oracle exists; the
+# pytest twin is an exact Python simulation.
+# ---------------------------------------------------------------------------
+
+_RL_CAP_MILLI = 2_000  # bucket capacity: 2 tokens
+# 1 token / 2 h == 1 milli-token / 7.2 s — sized to the synthetic feed's
+# per-user event density so the gate data actually exercises BOTH verdicts
+_RL_REFILL_US_PER_MILLI = 7_200_000
+
+_RL_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("allowed", LongType()),  # 1/0 (bool via int for Arrow)
+    ]
+)
+_RL_STATE = StructType(
+    [StructField("tokens_milli", LongType()), StructField("last_us", LongType())]
+)
+
+
+def _rate_limit_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Token bucket per key: capacity 3, refill 1 token/min, integer
+    milli-token arithmetic (deterministic; no float drift)."""
+    tokens, last = state.get if state.exists else (_RL_CAP_MILLI, None)
+    out = []
+    ts_all = pd.concat([p["ts_us"] for p in pdfs]).sort_values().astype("int64")
+    for ts in ts_all:
+        ts = int(ts)
+        if last is not None and ts > last:
+            tokens = min(_RL_CAP_MILLI, tokens + (ts - last) // _RL_REFILL_US_PER_MILLI)
+        last = ts if last is None else max(last, ts)
+        if tokens >= 1_000:
+            tokens -= 1_000
+            out.append((key[0], ts, 1))
+        else:
+            out.append((key[0], ts, 0))
+    state.update((tokens, last))
+    yield pd.DataFrame(out, columns=["user_id", "ts_us", "allowed"])
+
+
+def stream_rate_limit(events_stream: DataFrame) -> DataFrame:
+    """Per-user token-bucket rate limiting across micro-batches — the
+    second canonical arbitrary-state operator (module docstring): state
+    is (tokens, last_ts) per key, sharded by the state store."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _rate_limit_fn,
+        outputStructType=_RL_OUT,
+        stateStructType=_RL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def simulate_rate_limit(rows: list[tuple[int, int]]) -> dict[tuple[int, int], int]:
+    """Exact single-threaded reference simulation: {(user, ts_us): allowed}.
+    The pytest oracle for the streaming operator."""
+    from collections import defaultdict
+
+    by_user: dict[int, list[int]] = defaultdict(list)
+    for u, ts in rows:
+        by_user[u].append(ts)
+    verdicts: dict[tuple[int, int], int] = {}
+    for u, tss in by_user.items():
+        tokens, last = _RL_CAP_MILLI, None
+        for ts in sorted(tss):
+            if last is not None and ts > last:
+                tokens = min(
+                    _RL_CAP_MILLI, tokens + (ts - last) // _RL_REFILL_US_PER_MILLI
+                )
+            last = ts if last is None else max(last, ts)
+            if tokens >= 1_000:
+                tokens -= 1_000
+                verdicts[(u, ts)] = 1
+            else:
+                verdicts[(u, ts)] = 0
+    return verdicts
+
+
+def stream_rate_limit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C50 surface: 3 time-ordered micro-batches through the token
+    bucket; rows-only driver check (stateful recurrence has no SQL
+    twin), exact-simulation-checked in pytest."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..io import load_table, materialize, shuffle_partitions
+
+    base = tempfile.mkdtemp(prefix="stream_rl_")
+    in_dir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
+    os.makedirs(in_dir)
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", F.unix_micros("ts").alias("ts_us")
+        )
+        ev = ev.persist()
+        bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+        lo, hi = bounds[0], bounds[1] + 1
+        step = (hi - lo) // 3 + 1
+        for i in range(3):
+            ev.filter(
+                (F.col("ts_us") >= lo + i * step) & (F.col("ts_us") < lo + (i + 1) * step)
+            ).coalesce(1).write.mode("overwrite").json(os.path.join(in_dir, f"b{i}"))
+        ev.unpersist()
+        stream = (
+            spark.readStream.schema("user_id long, ts_us long")
+            .option("maxFilesPerTrigger", 1)
+            .json(in_dir + "/b*")
+        )
+
+        def _sink(batch: DataFrame, batch_id: int) -> None:
+            batch.write.mode("append").parquet(out)
+
+        with shuffle_partitions(spark, 4):
+            q = (
+                stream_rate_limit(stream)
+                .writeStream.foreachBatch(_sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            res = (
+                spark.read.parquet(out)
+                .select("user_id", "ts_us", "allowed")
+                .orderBy("user_id", "ts_us")
+            )
+            return materialize(res, "stream_rl_out_").orderBy("user_id", "ts_us")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -287,3 +287,37 @@ def test_knn_recall_bounds(spark):
         assert r.k == similarity.TOPK
         assert 0 <= r.n_hits <= r.k
         assert abs(r.recall_at_k - round(r.n_hits / r.k, 6)) < 1e-9
+
+
+def test_stream_rate_limit_matches_simulation(spark):
+    """The streaming token bucket must agree with the exact
+    single-threaded simulation on every verdict."""
+    from greenplum_cdc_spark.io import load_table
+    from greenplum_cdc_spark.streaming import stateful
+
+    rows = stateful.stream_rate_limit_query(spark, SF).collect()
+    assert rows
+    src = [
+        (r.user_id, r.ts_us)
+        for r in load_table(spark, SF, "events")
+        .select("user_id", F.unix_micros("ts").alias("ts_us"))
+        .collect()
+    ]
+    expected = stateful.simulate_rate_limit(src)
+    assert len(rows) == len(src)
+    for r in rows:
+        assert expected[(r.user_id, r.ts_us)] == r.allowed, (r.user_id, r.ts_us)
+    assert any(r.allowed == 0 for r in rows), "some events must be throttled"
+    assert any(r.allowed == 1 for r in rows)
+
+
+def test_sql_interface_shares_sum_to_one(spark):
+    from greenplum_cdc_spark.plans import tpch
+
+    rows = tpch.sql_interface_revenue(spark, SF).collect()
+    assert rows
+    by_year: dict[int, float] = {}
+    for r in rows:
+        by_year[r.order_year] = by_year.get(r.order_year, 0.0) + r.nation_share
+    for year, total in by_year.items():
+        assert abs(total - 1.0) < 1e-4, (year, total)
