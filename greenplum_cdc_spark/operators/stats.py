@@ -255,3 +255,145 @@ FROM blocked
 GROUP BY blk
 ORDER BY blk
 """
+
+
+def integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B65: referential-integrity audit across the replicated star —
+    orphan counts per FK relationship (the replica-validation query a
+    CDC deployment runs continuously; Greenplum doesn't enforce FKs, so
+    the audit IS the enforcement).
+
+    Each relationship is one left-anti join from child to parent,
+    reduced to a count; parents are dimension-sized so every anti join
+    broadcasts — at 100 TB this is a handful of map-side probes over
+    one child scan each, no wide shuffle. Child/parent row counts ride
+    along so the orphan rate is readable in place.
+    """
+    checks = [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for name, child_t, fk, parent_t, pk in checks:
+        child = load_table(spark, sf_dir, child_t)
+        parent = load_table(spark, sf_dir, parent_t).select(pk)
+        orphans = child.join(
+            F.broadcast(parent), child[fk] == parent[pk], "left_anti"
+        ).agg(F.count("*").alias("n_orphans"))
+        counts = child.agg(F.count("*").alias("n_child")).crossJoin(
+            load_table(spark, sf_dir, parent_t).agg(F.count("*").alias("n_parent"))
+        )
+        parts.append(
+            counts.crossJoin(orphans).select(
+                F.lit(name).alias("relationship"), "n_child", "n_parent", "n_orphans"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("relationship")
+
+
+def _integrity_sql() -> str:
+    checks = [
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    sel = []
+    for name, child_t, fk, parent_t, pk in checks:
+        sel.append(f"""
+  SELECT '{name}' AS relationship,
+         (SELECT COUNT(*) FROM {child_t}) AS n_child,
+         (SELECT COUNT(*) FROM {parent_t}) AS n_parent,
+         (SELECT COUNT(*) FROM {child_t} c
+          WHERE NOT EXISTS (SELECT 1 FROM {parent_t} p WHERE c.{fk} = p.{pk})) AS n_orphans""")
+    return "\nUNION ALL\n".join(sel) + "\nORDER BY relationship"
+
+
+INTEGRITY_CHECK_SQL = _integrity_sql()
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B66: robust outlier detection via Median Absolute Deviation —
+    the heavy-tail-safe twin of zscore_anomaly (B44): median and MAD
+    are insensitive to the outliers they hunt, where mean/stddev get
+    dragged by them.
+
+    Exact rank-based medians (lower-median: k = ceil(n/2)-th smallest
+    over a (value, event_id) total order — deterministic in both
+    engines, no interpolation) per event type; an event is an outlier
+    when |value − median| > 3·MAD, decided in integer cents so the
+    comparison never touches float rounding. Two window passes per
+    median over the same event_type partitioning — 4 shuffles total at
+    |events| scale, each sort-local per type.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = ev.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    med = (
+        ranked.filter(F.col("rk") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("cents").alias("med_cents"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    ranked2 = dev.withColumn("rk", F.row_number().over(w2)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    mad = (
+        ranked2.filter(F.col("rk") == F.expr("(n + 1) div 2"))
+        .select("event_type", F.col("adev").alias("mad_cents"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * F.col("mad_cents"))
+        .select("event_id", "event_type", "cents", "med_cents", "mad_cents", "adev")
+        .orderBy("event_id")
+    )
+
+
+MAD_OUTLIERS_SQL = """
+WITH ev AS (
+  SELECT event_id, event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+med AS (
+  SELECT event_type, cents AS med_cents FROM ranked WHERE rk = (n + 1) // 2
+),
+dev AS (
+  SELECT ev.*, med.med_cents, abs(ev.cents - med.med_cents) AS adev
+  FROM ev JOIN med USING (event_type)
+),
+ranked2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, adev AS mad_cents FROM ranked2 WHERE rk = (n + 1) // 2
+)
+SELECT d.event_id, d.event_type, d.cents, d.med_cents, m.mad_cents, d.adev
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.adev > 3 * m.mad_cents
+ORDER BY d.event_id
+"""

@@ -321,3 +321,22 @@ def test_sql_interface_shares_sum_to_one(spark):
         by_year[r.order_year] = by_year.get(r.order_year, 0.0) + r.nation_share
     for year, total in by_year.items():
         assert abs(total - 1.0) < 1e-4, (year, total)
+
+
+def test_integrity_check_clean_star(spark):
+    from greenplum_cdc_spark.operators import stats
+
+    rows = stats.integrity_check(spark, SF).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.n_orphans == 0, f"{r.relationship} has orphans"
+        assert r.n_child > 0 and r.n_parent > 0
+
+
+def test_mad_outliers_robust(spark):
+    from greenplum_cdc_spark.operators import stats
+
+    rows = stats.mad_outliers(spark, SF).collect()
+    for r in rows:
+        assert r.adev > 3 * r.mad_cents
+        assert r.adev == abs(r.cents - r.med_cents)
