@@ -224,3 +224,18 @@ def test_snapshot_diff_copartitioned(spark, sf_dir):
 
     plan = _formatted_plan(spark, cq.cdc_snapshot_diff(spark, sf_dir))
     assert "FullOuter" in plan
+
+
+def test_knn_ivf_assignment_is_join_free(spark, sf_dir):
+    """The round-1 verdict flagged knn_ivf's 64x posexplode assignment
+    join; the rewrite embeds trained centroids as literals — the SEARCH
+    plan must contain exactly one broadcast join (within-cell probe)
+    and no Generate (posexplode) at all."""
+    from greenplum_cdc_spark.operators import similarity as sim
+
+    # formatted mode prints each operator twice (tree + detail section),
+    # so ONE physical join == exactly 2 string occurrences
+    plan = _formatted_plan(spark, sim.knn_ivf(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Generate" not in plan
