@@ -632,8 +632,10 @@ def stream_rate_limit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = ev.persist()
         bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
         lo, hi = bounds[0], bounds[1] + 1
-        step = (hi - lo) // 3 + 1
-        for i in range(3):
+        # 2 micro-batches: the minimum that proves cross-batch token
+        # state (3 batches only add fixed state-store/commit overhead)
+        step = (hi - lo) // 2 + 1
+        for i in range(2):
             ev.filter(
                 (F.col("ts_us") >= lo + i * step) & (F.col("ts_us") < lo + (i + 1) * step)
             ).coalesce(1).write.mode("overwrite").json(os.path.join(in_dir, f"b{i}"))
