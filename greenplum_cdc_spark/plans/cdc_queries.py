@@ -1286,3 +1286,72 @@ FROM lagged
 WHERE seq - prev_seq > 1
 ORDER BY prev_seq
 """
+
+
+def cdc_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27: change-data-feed BETWEEN two watermarks — CDC as a SOURCE
+    (Delta CDF / Iceberg changelog semantics): every event in the
+    window (T1, T2] emitted with its pre- and post-image and a change
+    classification derived from the key's prior state.
+
+    change_op: `insert` when the key had no live prior state (no
+    earlier event, or the prior event was a delete), `update` when an
+    upsert lands on a live key, `delete` when a delete lands. Pre-image
+    = the previous event's payload via ONE lag window over the full
+    per-key history — no join against a reconstructed snapshot, which
+    is the point: the feed is derivable from the archive alone in one
+    shuffle on pk, at any scale, and a downstream consumer can apply
+    it incrementally without reading either endpoint snapshot.
+    """
+    from pyspark.sql import Window
+
+    feed = _feed(spark, sf_dir)
+    w = Window.partitionBy("pk").orderBy("ts", "seq")
+    hist = (
+        feed.withColumn("prev_op", F.lag("op").over(w))
+        .withColumn("prev_value", F.lag("value").over(w))
+        .withColumn("prev_seq", F.lag("seq").over(w))
+    )
+    t1, t2 = F.lit(_SPLIT_TS).cast("timestamp"), F.lit("2024-02-15 00:00:00").cast(
+        "timestamp"
+    )
+    live_before = F.col("prev_seq").isNotNull() & (F.col("prev_op") != "delete")
+    return (
+        hist.filter((F.col("ts") > t1) & (F.col("ts") <= t2))
+        .select(
+            "pk",
+            F.col("seq").alias("change_seq"),
+            F.col("ts").alias("change_ts"),
+            F.when(F.col("op") == "delete", F.lit("delete"))
+            .when(live_before, F.lit("update"))
+            .otherwise(F.lit("insert"))
+            .alias("change_op"),
+            F.when(live_before, F.col("prev_value")).alias("pre_value"),
+            F.when(F.col("op") != "delete", F.col("value")).alias("post_value"),
+        )
+        .orderBy("change_seq")
+    )
+
+
+CDC_CHANGEFEED_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL}),
+hist AS (
+  SELECT *,
+         lag(op) OVER (PARTITION BY pk ORDER BY ts, seq) AS prev_op,
+         lag(value) OVER (PARTITION BY pk ORDER BY ts, seq) AS prev_value,
+         lag(seq) OVER (PARTITION BY pk ORDER BY ts, seq) AS prev_seq
+  FROM cdc
+)
+SELECT pk,
+       seq AS change_seq,
+       ts AS change_ts,
+       CASE WHEN op = 'delete' THEN 'delete'
+            WHEN prev_seq IS NOT NULL AND prev_op <> 'delete' THEN 'update'
+            ELSE 'insert' END AS change_op,
+       CASE WHEN prev_seq IS NOT NULL AND prev_op <> 'delete'
+            THEN prev_value END AS pre_value,
+       CASE WHEN op <> 'delete' THEN value END AS post_value
+FROM hist
+WHERE ts > TIMESTAMP '{_SPLIT_TS}' AND ts <= TIMESTAMP '2024-02-15 00:00:00'
+ORDER BY change_seq
+"""

@@ -340,3 +340,39 @@ def test_mad_outliers_robust(spark):
     for r in rows:
         assert r.adev > 3 * r.mad_cents
         assert r.adev == abs(r.cents - r.med_cents)
+
+
+def test_changefeed_applies_to_snapshot(spark):
+    """Applying the changefeed to snapshot(T1) must yield snapshot(T2)
+    restricted to the feed window — the CDF consumer contract."""
+    from greenplum_cdc_spark.operators import cdc as cdc_ops
+    from greenplum_cdc_spark.sources import maxwell
+    from greenplum_cdc_spark.io import load_table
+
+    feed_rows = cdc_queries.cdc_changefeed(spark, SF).collect()
+    assert feed_rows
+    for r in feed_rows:
+        if r.change_op == "insert":
+            assert r.pre_value is None and r.post_value is not None
+        elif r.change_op == "update":
+            assert r.pre_value is not None and r.post_value is not None
+        else:
+            assert r.change_op == "delete" and r.post_value is None
+
+    # replay: latest change per key decides its final state at T2
+    final = {}
+    for r in sorted(feed_rows, key=lambda r: r.change_seq):
+        final[r.pk] = (r.change_op, r.post_value)
+    feed = maxwell.events_as_cdc(load_table(spark, SF, "events"))
+    t2 = "2024-02-15 00:00:00"
+    snap2 = {
+        r.pk: r.value
+        for r in cdc_ops.snapshot_latest(
+            feed.filter(F.col("ts") <= F.lit(t2).cast("timestamp"))
+        ).collect()
+    }
+    for pk, (op, post) in final.items():
+        if op == "delete":
+            assert pk not in snap2
+        else:
+            assert snap2[pk] == post
