@@ -1145,6 +1145,12 @@ def skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the max/median skew ratio in centi-units. The two-stage shape
     (groupBy key, then tiny aggregate) is itself skew-immune: stage 1
     map-side combines, stage 2 sees |keys| rows, not |rows|.
+
+    The rank window over per-key counts is global — exact order
+    statistics require it, and |keys| is the REDUCED cardinality. At
+    extreme key counts (billions) swap the exact ranks for
+    approx_percentile over the count column (one mergeable-sketch
+    pass); the report schema is unchanged.
     """
     ev = load_table(spark, sf_dir, "events")
     per_key = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
