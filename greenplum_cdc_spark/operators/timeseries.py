@@ -709,8 +709,12 @@ def event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag() within the user partition produces each event's gap to the
     user's previous event (any type); the profile then groups by the
     CURRENT event's type. Gaps are integer microseconds, so sums are
-    exact and avg is an exact-int division — engine-identical without
-    rounding tricks. One shuffle on user_id, one on event_type.
+    exact; the average is a FLOOR division at 4-dp scale ((sum·10⁴) div
+    n, then /10⁴ — exact in double, < 2⁵³) because ROUND(double) is the
+    one op the engines disagree on at shortest-repr .5 boundaries
+    (Spark rounds the exact binary value, DuckDB the decimal repr —
+    surfaced by the sf0.001 gate). One shuffle on user_id, one on
+    event_type.
     """
     ev = load_table(spark, sf_dir, "events")
     us = F.expr("unix_micros(ts)")
@@ -725,7 +729,9 @@ def event_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_gaps"),
             F.min("gap_us").alias("min_gap_us"),
             F.max("gap_us").alias("max_gap_us"),
-            F.round(F.sum("gap_us") / F.count("*"), 4).alias("avg_gap_us"),
+            (
+                F.expr("(sum(gap_us) * 10000) div count(*)").cast("double") / 10000
+            ).alias("avg_gap_us"),
         )
         .orderBy("event_type")
     )
@@ -742,7 +748,7 @@ SELECT event_type,
        COUNT(*) AS n_gaps,
        MIN(gap_us) AS min_gap_us,
        MAX(gap_us) AS max_gap_us,
-       ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*), 4) AS avg_gap_us
+       CAST((SUM(gap_us) * 10000) // COUNT(*) AS DOUBLE) / 10000 AS avg_gap_us
 FROM gaps WHERE gap_us IS NOT NULL
 GROUP BY event_type
 ORDER BY event_type

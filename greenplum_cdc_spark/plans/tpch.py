@@ -901,14 +901,22 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     part = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     li = load_table(spark, sf_dir, "lineitem")
-    unit_price = F.col("l_extendedprice") / F.col("l_quantity")
-    w = Window.partitionBy("p_partkey").orderBy(F.asc("unit_price"), F.asc("s_suppkey"))
+    # unit price at exact 4-dp scale via integer floor division: cents
+    # (price is 2-dp; *100 rounds to the same integer in both engines)
+    # then (cents*100) div qty. ROUND(double,4) is deliberately avoided:
+    # the engines disagree at shortest-repr .5 boundaries (sf0.001 gate
+    # caught spark=26.2412 vs duck=26.2413 for a true 26.24125).
+    unit_x4 = F.expr(
+        "(CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 100)"
+        " div CAST(l_quantity AS BIGINT)"
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.asc("unit_x4"), F.asc("s_suppkey"))
     out = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .withColumn("unit_price", unit_price)
+        .withColumn("unit_x4", unit_x4)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -916,7 +924,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_name",
             "s_name",
             F.col("n_name").alias("supp_nation"),
-            F.round("unit_price", 4).alias("best_unit_price"),
+            (F.col("unit_x4").cast("double") / 10000).alias("best_unit_price"),
         )
         .orderBy("p_partkey")
     )
@@ -924,12 +932,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q2_SQL = """
-SELECT p_partkey, p_name, s_name, supp_nation, ROUND(unit_price, 4) AS best_unit_price
+SELECT p_partkey, p_name, s_name, supp_nation,
+       CAST(unit_x4 AS DOUBLE) / 10000 AS best_unit_price
 FROM (
   SELECT p_partkey, p_name, s_name, n_name AS supp_nation,
-         l_extendedprice / l_quantity AS unit_price,
+         (CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 100)
+           // CAST(l_quantity AS BIGINT) AS unit_x4,
          ROW_NUMBER() OVER (PARTITION BY p_partkey
-                            ORDER BY l_extendedprice / l_quantity ASC, s_suppkey ASC) AS rn
+                            ORDER BY (CAST(round(l_extendedprice * 100, 0) AS BIGINT) * 100)
+                                       // CAST(l_quantity AS BIGINT) ASC, s_suppkey ASC) AS rn
   FROM lineitem
   JOIN part ON l_partkey = p_partkey
   JOIN supplier ON l_suppkey = s_suppkey
