@@ -105,8 +105,13 @@ def main():
     only = set(a for a in args if "/" not in a)
 
     con = duckdb.connect()
+    import os
+
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # Spark writes tables as part-file directories; DuckDB needs the glob
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     spark = get_spark("correctness-check")
     queries = entrymod.queries()
