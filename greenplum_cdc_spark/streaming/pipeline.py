@@ -189,14 +189,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # io.load_table — same contract, set here because this path reads
     # the parquet directly for the stream schema).
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    # The file stream source wants a directory; glob-filter down to the
-    # one table file.
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    table_path = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(table_path)
+    if os.path.isdir(table_path):
+        # Spark-written table: a directory of part files IS the stream
+        # source directory (the 10x gate's synthesized layout).
+        stream = spark.readStream.schema(batch.schema).parquet(table_path)
+    else:
+        # single-file table (driver testdata): the file source wants a
+        # directory; glob-filter down to the one table file.
+        stream = (
+            spark.readStream.schema(batch.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     for field in stream.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -737,7 +743,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_SESSION_WINDOW_SQL = """
 WITH gapped AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -745,9 +751,13 @@ WITH gapped AS (
   FROM events
 ),
 sessions AS (
+  -- the running sum MUST order by the same unique (ts, event_id) key
+  -- the is_start flag used: with duplicate timestamps (the 10x gate's
+  -- synthesized data) an ORDER BY ts alone under-specifies which peer
+  -- rows precede the flagged one, and engines disagree
   SELECT user_id, ts,
          CAST(SUM(is_start) OVER (
-           PARTITION BY user_id ORDER BY ts
+           PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM gapped
 )
