@@ -1320,3 +1320,110 @@ FROM matched
 WHERE event_type = 'view'
 ORDER BY view_event_id
 """
+
+
+_JOIN_SALT = 8
+
+
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B67: salted JOIN for skewed keys — the join-side twin of B32's
+    salted aggregation, output exact-equal to the plain join (the
+    oracle states the plain form).
+
+    The hot-key join problem: joining a fact on a key whose few hot
+    values own most rows sends whole keys to single tasks. The salt
+    fix replicates the DIM side R times (dim is small — replication is
+    cheap) keyed by (key, salt), while each fact row picks ONE
+    deterministic salt (event_id % R) — so every fact row still joins
+    exactly once, but a hot key's rows spread over R tasks. AQE's
+    skew-join split handles moderate skew automatically; explicit
+    salting is the portable form that also works mid-pipeline where
+    AQE cannot re-split (e.g. before a stateful op).
+
+    Here: per-user event facts joined to a per-user profile dim, salted
+    with R=8; output is a per-user join aggregate so the row set is
+    compact and the exact-equality contract is visible.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    profile = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_seen"),
+            F.count("*").alias("lifetime_events"),
+        )
+    )
+    salted_dim = profile.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(_JOIN_SALT - 1)))
+    )
+    salted_fact = ev.withColumn("salt", (F.col("event_id") % _JOIN_SALT))
+    joined = salted_fact.join(salted_dim, ["user_id", "salt"])
+    return (
+        joined.groupBy("user_id", "first_seen", "lifetime_events")
+        .agg(
+            F.count("*").alias("n_joined"),
+            F.sum(
+                (F.col("ts") > F.col("first_seen")).cast("bigint")
+            ).alias("n_after_first"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SALTED_SKEW_JOIN_SQL = """
+WITH profile AS (
+  SELECT user_id, MIN(ts) AS first_seen, COUNT(*) AS lifetime_events
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id, p.first_seen, p.lifetime_events,
+       COUNT(*) AS n_joined,
+       CAST(SUM(CASE WHEN e.ts > p.first_seen THEN 1 ELSE 0 END) AS BIGINT) AS n_after_first
+FROM events e
+JOIN profile p ON e.user_id = p.user_id
+GROUP BY e.user_id, p.first_seen, p.lifetime_events
+ORDER BY e.user_id
+"""
+
+
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C51: the PRODUCTION percentile path — approx_percentile
+    (Greenwald-Khanna sketch, one mergeable pass, no global sort)
+    side by side with the exact rank-based percentile, plus the
+    absolute error.
+
+    Rows-only gated like approx_distinct_hll (C40): the GK sketch's
+    merge order is partitioning-dependent, so no engine-independent
+    oracle exists; the pytest contract asserts the documented accuracy
+    bound (relative rank error <= 1/accuracy) against the exact value.
+    This is the swap-in named by B27/B56/B63 for the exact global-sort
+    constructions at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    import math
+
+    exact_pos = {q: max(1, math.ceil(q * n)) for q in (0.5, 0.9, 0.99)}
+    w = Window.orderBy("value", "event_id")
+    ranked = ev.withColumn("rk", F.row_number().over(w))
+    exact = ranked.filter(
+        F.col("rk").isin(*exact_pos.values())
+    ).select("rk", F.col("value").alias("exact_value"))
+    approx = ev.agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("ap")
+    ).select(
+        F.posexplode("ap").alias("idx", "approx_value")
+    ).withColumn(
+        "q", F.element_at(F.array(*[F.lit(q) for q in (0.5, 0.9, 0.99)]), F.col("idx") + 1)
+    ).withColumn(
+        "rk", F.element_at(F.array(*[F.lit(r) for r in exact_pos.values()]), F.col("idx") + 1)
+    )
+    return (
+        approx.join(exact, "rk")
+        .select(
+            "q",
+            "approx_value",
+            "exact_value",
+            F.abs(F.col("approx_value") - F.col("exact_value")).alias("abs_err"),
+        )
+        .orderBy("q")
+    )

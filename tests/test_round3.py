@@ -376,3 +376,48 @@ def test_changefeed_applies_to_snapshot(spark):
             assert pk not in snap2
         else:
             assert snap2[pk] == post
+
+
+def test_salted_join_equals_plain(spark):
+    """The salted join must be row-identical to the plain join form."""
+    from greenplum_cdc_spark.io import load_table
+
+    got = sorted(tuple(r) for r in timeseries.salted_skew_join(spark, SF).collect())
+    ev = load_table(spark, SF, "events")
+    profile = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"), F.count("*").alias("lifetime_events")
+    )
+    want = sorted(
+        tuple(r)
+        for r in ev.join(profile, "user_id")
+        .groupBy("user_id", "first_seen", "lifetime_events")
+        .agg(
+            F.count("*").alias("n_joined"),
+            F.sum((F.col("ts") > F.col("first_seen")).cast("bigint")).alias(
+                "n_after_first"
+            ),
+        )
+        .collect()
+    )
+    assert got == want
+
+
+def test_approx_percentile_error_bound(spark):
+    """percentile_approx(accuracy=10000) guarantees rank error <=
+    n/accuracy; translate to a value-domain check via the exact ranks."""
+    from greenplum_cdc_spark.io import load_table
+
+    rows = timeseries.approx_percentile_sketch(spark, SF).collect()
+    assert len(rows) == 3
+    values = sorted(
+        r.value for r in load_table(spark, SF, "events").select("value").collect()
+    )
+    n = len(values)
+    max_rank_err = max(1, n // 10000 + 1)
+    import math
+
+    for r in rows:
+        pos = max(1, math.ceil(r.q * n))
+        lo = values[max(0, pos - 1 - max_rank_err)]
+        hi = values[min(n - 1, pos - 1 + max_rank_err)]
+        assert lo <= r.approx_value <= hi, (r.q, lo, r.approx_value, hi)
