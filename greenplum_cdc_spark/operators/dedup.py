@@ -742,3 +742,167 @@ SELECT doc_id, cluster_id, n_chars, CAST(rk = 1 AS INT) AS is_kept
 FROM sized
 ORDER BY doc_id
 """
+
+
+_BAND_CONFIGS = ((2, 4), (4, 2), (8, 1))  # (bands, rows_per_band) over 8 hashes
+
+
+def lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C52: LSH banding sweep — candidate volume vs recall for every
+    (bands × rows) split of the 8-hash MinHash signature, measured
+    against the EXACT Jaccard ≥ τ ground truth.
+
+    The S-curve trade Broder banding tunes: more bands (fewer rows per
+    band) catch lower similarities but admit more candidates; the
+    sweep quantifies both sides so a deployment picks its operating
+    point from data, not folklore (the tuning twin of C49's ANN recall
+    eval). Signatures are computed ONCE; each config is one band-bucket
+    equi-join over them (never all-pairs); truth is the PPJoin-verified
+    exact pair set; recall is scaled-integer math (no float rounding).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    hashed = sh.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("0:"), F.col("sh"))).alias("d0"),
+        F.md5(F.concat(F.lit("1:"), F.col("sh"))).alias("d1"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(f"d{i // 4}", 1 + 8 * (i % 4), 8)).alias(f"h{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    sig = sig.persist()
+    truth = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("is_true", F.lit(True))
+    )
+    truth = truth.persist()
+    parts = []
+    for bands, rows in _BAND_CONFIGS:
+        band_cols = []
+        for b in range(bands):
+            pieces = [F.col(f"h{b * rows + r}") for r in range(rows)]
+            band_cols.append(
+                F.md5(F.concat(*pieces)).alias(f"b{b}") if len(pieces) > 1
+                else F.md5(pieces[0]).alias(f"b{b}")
+            )
+        banded = sig.select("doc_id", *band_cols)
+        stack_expr = "stack({n}, {args}) as (band_idx, digest)".format(
+            n=bands, args=", ".join(f"{b}, b{b}" for b in range(bands))
+        )
+        unpivoted = banded.select("doc_id", F.expr(stack_expr))
+        a, b_ = unpivoted.alias("a"), unpivoted.alias("b")
+        cand = (
+            a.join(
+                b_,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.digest") == F.col("b.digest"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .distinct()
+        )
+        scored = cand.join(F.broadcast(truth), ["doc_a", "doc_b"], "left")
+        parts.append(
+            scored.agg(
+                F.lit(bands).alias("n_bands"),
+                F.lit(rows).alias("rows_per_band"),
+                F.count("*").alias("n_candidates"),
+                F.sum(F.coalesce(F.col("is_true"), F.lit(False)).cast("bigint")).alias(
+                    "n_found"
+                ),
+            ).crossJoin(truth.agg(F.count("*").alias("n_true")))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return (
+        out.withColumn(
+            "recall_x4", F.expr("CASE WHEN n_true = 0 THEN 0 ELSE (n_found * 10000) div n_true END")
+        )
+        .select(
+            "n_bands", "rows_per_band", "n_candidates", "n_true", "n_found", "recall_x4"
+        )
+        .orderBy("n_bands")
+    )
+
+
+def _band_tuning_sql() -> str:
+    mins = ",\n         ".join(
+        f"MIN(substr(d{i // 4}, {1 + 8 * (i % 4)}, 8)) AS h{i}" for i in range(N_HASHES)
+    )
+    tau = JACCARD_THRESHOLD
+    branches = []
+    for bands, rows in _BAND_CONFIGS:
+        band_exprs = ", ".join(
+            "md5({parts}) AS b{b}".format(
+                parts=" || ".join(f"h{b * rows + r}" for r in range(rows)), b=b
+            )
+            for b in range(bands)
+        )
+        unpivot = "\nUNION ALL\n".join(
+            f"    SELECT doc_id, {b} AS band_idx, b{b} AS digest FROM banded_{bands}"
+            for b in range(bands)
+        )
+        branches.append(f"""
+banded_{bands} AS (
+  SELECT doc_id, {band_exprs} FROM sig
+),
+unpiv_{bands} AS (
+{unpivot}
+),
+cand_{bands} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM unpiv_{bands} a
+  JOIN unpiv_{bands} b ON a.band_idx = b.band_idx AND a.digest = b.digest
+                      AND a.doc_id < b.doc_id
+),
+stats_{bands} AS (
+  SELECT {bands} AS n_bands, {rows} AS rows_per_band,
+         COUNT(*) AS n_candidates,
+         CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found
+  FROM cand_{bands} c
+  LEFT JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT s.*, n.n_true FROM stats_{bands} s, ntrue n"
+        for bands, _ in _BAND_CONFIGS
+    )
+    return f"""
+WITH {_SHINGLES_SQL.strip().lstrip()},
+hashed AS (
+  SELECT doc_id, md5('0:' || sh) AS d0, md5('1:' || sh) AS d1 FROM shingles
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+),
+dsh AS (SELECT DISTINCT doc_id, sh FROM shingles),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= {tau}
+),
+ntrue AS (SELECT COUNT(*) AS n_true FROM truth),{",".join(branches)}
+SELECT n_bands, rows_per_band, n_candidates, n_true, n_found,
+       CASE WHEN n_true = 0 THEN 0 ELSE (n_found * 10000) // n_true END AS recall_x4
+FROM ({unions})
+ORDER BY n_bands
+"""
+
+
+LSH_BAND_TUNING_SQL = _band_tuning_sql()

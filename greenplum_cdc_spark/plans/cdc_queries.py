@@ -1355,3 +1355,73 @@ FROM hist
 WHERE ts > TIMESTAMP '{_SPLIT_TS}' AND ts <= TIMESTAMP '2024-02-15 00:00:00'
 ORDER BY change_seq
 """
+
+
+def late_arriving_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28: late-arriving-dimension handling — facts that reference a
+    dimension key the replica hasn't seen yet park in a pending queue
+    instead of silently dropping or poisoning the join.
+
+    The CDC-warehouse race: fact stream (purchase events) and dimension
+    stream (the replica) replicate independently, so a fact can arrive
+    before its dimension row. Facts joining the CURRENT snapshot
+    resolve with the dimension payload; unmatched facts emit
+    status='pending' with NULL dimension columns and are retried next
+    micro-batch (the retry is the same query over the queue — shown
+    here as the classification pass). The dim snapshot is key-unique
+    by construction so the left join broadcasts at dimension scale;
+    one fact scan, no shuffle of the fact side at 100 TB.
+
+    The dimension here is the latest-wins snapshot at the watermark
+    cut; facts after the cut reference keys whose dim row may only
+    exist post-cut — exactly the late-dim window the oracle pins.
+    """
+    feed = _feed(spark, sf_dir)
+    cut = F.col("ts") < F.lit(_SPLIT_TS).cast("timestamp")
+    dim = cdc_ops.snapshot_latest(feed.filter(cut)).select(
+        "pk",
+        F.col("value").alias("dim_value"),
+        F.col("event_type").alias("dim_type"),
+    )
+    facts = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("event_id").alias("fact_id"),
+        F.col("user_id").alias("pk"),
+        F.col("value").alias("fact_value"),
+    )
+    return (
+        facts.join(F.broadcast(dim), "pk", "left")
+        .select(
+            "fact_id",
+            "pk",
+            "fact_value",
+            "dim_value",
+            "dim_type",
+            F.when(F.col("dim_value").isNotNull(), F.lit("resolved"))
+            .otherwise(F.lit("pending"))
+            .alias("status"),
+        )
+        .orderBy("fact_id")
+    )
+
+
+LATE_DIM_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+  FROM cdc WHERE ts < TIMESTAMP '{_SPLIT_TS}'
+),
+dim AS (
+  SELECT pk, value AS dim_value, event_type AS dim_type
+  FROM ranked WHERE rn = 1 AND op <> 'delete'
+),
+facts AS (
+  SELECT event_id AS fact_id, user_id AS pk, value AS fact_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.fact_id, f.pk, f.fact_value, d.dim_value, d.dim_type,
+       CASE WHEN d.dim_value IS NOT NULL THEN 'resolved' ELSE 'pending' END AS status
+FROM facts f LEFT JOIN dim d ON f.pk = d.pk
+ORDER BY f.fact_id
+"""

@@ -421,3 +421,30 @@ def test_approx_percentile_error_bound(spark):
         lo = values[max(0, pos - 1 - max_rank_err)]
         hi = values[min(n - 1, pos - 1 + max_rank_err)]
         assert lo <= r.approx_value <= hi, (r.q, lo, r.approx_value, hi)
+
+
+def test_late_dim_pending_is_real(spark):
+    rows = cdc_queries.late_arriving_dimension(spark, SF).collect()
+    assert rows
+    statuses = {r.status for r in rows}
+    assert statuses <= {"resolved", "pending"}
+    for r in rows:
+        if r.status == "resolved":
+            assert r.dim_value is not None
+        else:
+            assert r.dim_value is None and r.dim_type is None
+
+
+def test_lsh_band_tuning_monotone(spark):
+    from greenplum_cdc_spark.operators import dedup
+
+    rows = sorted(
+        dedup.lsh_band_tuning(spark, SF).collect(), key=lambda r: r.n_bands
+    )
+    assert [r.n_bands for r in rows] == [2, 4, 8]
+    for r in rows:
+        assert 0 <= r.n_found <= min(r.n_candidates, r.n_true)
+    # more bands -> more candidates AND no recall loss (the S-curve)
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates >= a.n_candidates
+        assert b.n_found >= a.n_found
