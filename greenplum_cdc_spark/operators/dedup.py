@@ -906,3 +906,46 @@ ORDER BY n_bands
 
 
 LSH_BAND_TUNING_SQL = _band_tuning_sql()
+
+
+def dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C53: duplicate-graph degree profile — how connected is the
+    near-dup pair graph the LSH pass produces?
+
+    The triage a dedup deployment runs before cluster resolution: a
+    long-tailed degree distribution means normal near-dup families;
+    heavy high-degree nodes mean boilerplate/templates that will chain
+    whole swaths into one giant cluster (where C27's connected
+    components need the large-star/small-star variant). Per-doc degree
+    from the symmetric pair list (explode both endpoints, one groupBy),
+    rolled into a degree → node-count histogram — both stages are
+    dimension-sized after the LSH join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _minhash_pairs(docs).select("doc_a", "doc_b")
+    endpoints = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    degrees = endpoints.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    return (
+        degrees.groupBy("degree")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+DUP_GRAPH_DEGREE_SQL = f"""
+WITH {_minhash_cte_block()},
+endpoints AS (
+  SELECT doc_a AS doc_id FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_id FROM pairs
+),
+degrees AS (
+  SELECT doc_id, COUNT(*) AS degree FROM endpoints GROUP BY doc_id
+)
+SELECT degree, COUNT(*) AS n_docs
+FROM degrees
+GROUP BY degree
+ORDER BY degree
+"""

@@ -1549,3 +1549,83 @@ SELECT r.nation, r.order_year,
 FROM rev r JOIN tot t ON r.order_year = t.order_year
 ORDER BY r.nation, r.order_year
 """
+
+
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B68: association rules over the co-purchase pairs — support,
+    confidence and lift for part_a → part_b (completing B38's
+    support-only pass into the full Agrawal-Srikant rule metrics).
+
+    confidence = P(b|a) = pairs/cnt_a; lift = P(a,b)/(P(a)·P(b)) =
+    N·pairs/(cnt_a·cnt_b). Both emitted as scaled integers ((x·10⁴) div
+    denominator — exact floor arithmetic, engine-identical) so the rule
+    ranking is bit-stable. Per-item counts broadcast against the pair
+    table; the basket total is a one-row scalar cross join. Everything
+    downstream of B38's bounded self-join is dimension-sized.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_baskets = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    item_cnt = li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= BASKET_MIN_SUP)
+    )
+    ca = item_cnt.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    cb = item_cnt.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "cnt_a",
+            "cnt_b",
+            F.expr("(n_pair * 10000) div cnt_a").alias("conf_ab_x4"),
+            F.expr("(n_pair * 10000) div cnt_b").alias("conf_ba_x4"),
+            F.expr("(n_pair * n_baskets * 10000) div (cnt_a * cnt_b)").alias("lift_x4"),
+        )
+        .orderBy(F.desc("lift_x4"), "part_a", "part_b")
+    )
+
+
+ASSOCIATION_RULES_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li),
+item_cnt AS (
+  SELECT l_partkey, COUNT(*) AS cnt FROM li GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {BASKET_MIN_SUP}
+)
+SELECT p.part_a, p.part_b, p.n_pair, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+       (p.n_pair * 10000) // ca.cnt AS conf_ab_x4,
+       (p.n_pair * 10000) // cb.cnt AS conf_ba_x4,
+       (p.n_pair * n.n_baskets * 10000) // (ca.cnt * cb.cnt) AS lift_x4
+FROM pairs p
+JOIN item_cnt ca ON ca.l_partkey = p.part_a
+JOIN item_cnt cb ON cb.l_partkey = p.part_b
+CROSS JOIN n
+ORDER BY lift_x4 DESC, part_a, part_b
+"""

@@ -448,3 +448,29 @@ def test_lsh_band_tuning_monotone(spark):
     for a, b in zip(rows, rows[1:]):
         assert b.n_candidates >= a.n_candidates
         assert b.n_found >= a.n_found
+
+
+def test_association_rules_metrics(spark):
+    from greenplum_cdc_spark.plans import tpch
+
+    rows = tpch.association_rules(spark, SF).collect()
+    if not rows:
+        import pytest
+
+        pytest.skip("no pairs above min support at this sf")
+    for r in rows:
+        assert r.n_pair <= min(r.cnt_a, r.cnt_b)
+        assert 0 < r.conf_ab_x4 <= 10000
+        assert 0 < r.conf_ba_x4 <= 10000
+        assert r.lift_x4 > 0
+
+
+def test_dup_graph_degree_conservation(spark):
+    from greenplum_cdc_spark.operators import dedup
+    from greenplum_cdc_spark.io import load_table
+
+    hist = dedup.dup_graph_degree(spark, SF).collect()
+    docs = load_table(spark, SF, "documents")
+    n_pairs = dedup._minhash_pairs(docs).count()
+    # sum(degree * count) == 2 * |edges| (handshake lemma)
+    assert sum(r.degree * r.n_docs for r in hist) == 2 * n_pairs
