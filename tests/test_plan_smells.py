@@ -1,0 +1,96 @@
+"""Global plan-smell sweep: every batch query's physical plan is
+checked for the operators that do not survive 100 TB — CartesianProduct
+anywhere, and BroadcastNestedLoopJoin outside the whitelist of ops that
+deliberately broadcast a constant-size side (k-means' K centroids, the
+brute-force baselines' query set, scalar cross joins).
+
+A regression here (a join losing its equi-condition, a broadcast hint
+dropped) can pass every correctness gate and still melt at scale; this
+sweep makes the whole `queries()` surface fail fast instead.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+# streaming/stateful wrappers run real streams (slow; separate tests
+# cover them) — the sweep audits the batch surface
+_SKIP = {
+    "stream_cdc_pipeline",
+    "stream_windowed_counts",
+    "stream_fanout",
+    "stream_dedup_stateful",
+    "stream_sessionize_stateful",
+    "stream_dedup_watermark",
+    "stream_interval_join",
+    "stream_late_data",
+    "stream_session_window",
+    "stream_rate_limit",
+    # these write real files / databases as part of the operator
+    "source_format_roundtrip",
+    "bucketed_colocated_join",
+    "cdc_event_archive",
+    "cdc_apply_incremental",  # plan built over written replica
+}
+
+# ops whose BroadcastNestedLoopJoin is a deliberate constant-size
+# broadcast (documented in their docstrings)
+_BNLJ_OK = {
+    "kmeans_embeddings",  # K-row centroid table per Lloyd round
+    "knn_cosine_bruteforce",  # broadcast query set, != condition
+    "knn_ivf",  # broadcast query set within cells
+    "dedup_embedding",  # mapInPandas over broadcast matrix
+    "salted_hot_key_rollup",  # scalar broadcast
+    "knn_recall_eval",  # broadcast top-k/query sets
+    "contamination_check",  # broadcast benchmark n-gram set
+    "weighted_sample",  # one-row max-weight scalar
+    "rfm_segmentation",  # one-row head-date scalar
+    "join_cardinality_estimate",  # one-row stat scalars
+    "skew_diagnostics",  # scalar
+    "association_rules",  # one-row basket-total scalar
+    "integrity_check",  # 6x one-row (n_child, n_parent, n_orphans) scalars
+    "lsh_band_tuning",  # per-config one-row n_true scalar
+    "embedding_quantize",  # one-row per-dim bounds scalar
+    "tfidf_cosine_pairs",  # corpus-stat scalars (N, df caps)
+    "equi_depth_histogram",
+    "heavy_hitters",  # scalar total broadcast
+    "cms_estimate",  # sketch-row broadcast
+    "kmv_distinct",
+    "approx_percentile_sketch",  # exact-rank scalar join
+    "bm25_rank",  # corpus-stats scalar
+    "unigram_logprob",  # corpus-total scalar
+    "vocab_stats",
+    "time_gap_fill",  # calendar bounds scalar
+    "active_users_rolling",  # date-span scalar
+    "zscore_anomaly",  # per-type stats broadcast
+    "mad_outliers",
+    "q11_important_parts",  # scalar subquery threshold
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q22_sales_opportunity",
+    "user_retention_cohorts",
+    "q13_customer_distribution",
+}
+
+
+@pytest.mark.parametrize("name", [
+    k for k in entrymod.queries() if k not in _SKIP
+])
+def test_no_plan_smells(spark, sf_dir, name):
+    fn = entrymod.queries()[name]
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan, f"{name}: CartesianProduct in plan"
+    if name not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: unexpected BroadcastNestedLoopJoin (non-equi join "
+            "or lost broadcast hint?)"
+        )
