@@ -1425,3 +1425,97 @@ SELECT f.fact_id, f.pk, f.fact_value, d.dim_value, d.dim_type,
 FROM facts f LEFT JOIN dim d ON f.pk = d.pk
 ORDER BY f.fact_id
 """
+
+
+def replica_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29: versioned-replica time travel, oracle-checked — three
+    micro-batch commits through the REAL ReplicaStore, then every
+    retained version read back via `read(version=n)` and summarized.
+
+    The lakehouse-manifest surface (streaming/pipeline.py ReplicaStore:
+    versioned parquet + atomic _LATEST pointer — the batch-level undo
+    of the reference's TODO) has so far been pytest-only; here each
+    version's (row count, high watermark, live-key checksum) must match
+    the DuckDB snapshot AT THAT CUT, proving version N is exactly the
+    replica state after batch N — not just that reads succeed.
+
+    Batches split the feed at fixed timestamp thirds (deterministic for
+    the oracle); apply is the standard incremental merge, so this also
+    re-proves apply(apply(snap(b1), b2), b3) == snap(b1∪b2∪b3) at
+    every intermediate cut, through the actual storage layer.
+    """
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import ReplicaStore
+
+    feed = _feed(spark, sf_dir)
+    bounds = feed.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    lo, hi = bounds[0], bounds[1] + 1
+    step = (hi - lo) // 3 + 1
+    base = tempfile.mkdtemp(prefix="replica_hist_")
+    try:
+        store = ReplicaStore(spark, base)
+        replica = None
+        for i in range(3):
+            batch = feed.filter(
+                (F.unix_micros("ts") >= lo + i * step)
+                & (F.unix_micros("ts") < lo + (i + 1) * step)
+            )
+            replica = (
+                cdc_ops.snapshot_latest(batch)
+                if replica is None
+                else cdc_ops.apply_incremental(store.read(), batch)
+            )
+            store.commit(replica)
+        rows = []
+        for entry in store.history():
+            v = entry["version"]
+            snap = store.read(version=v)
+            summary = snap.agg(
+                F.count("*").alias("n_rows"),
+                F.max("ts").alias("high_watermark"),
+                F.sum(F.col("pk") * F.col("seq")).alias("content_key"),
+            ).collect()[0]
+            rows.append(
+                (v, summary["n_rows"], summary["high_watermark"], summary["content_key"])
+            )
+        return spark.createDataFrame(
+            rows, "version int, n_rows bigint, high_watermark timestamp, content_key bigint"
+        ).orderBy("version")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+REPLICA_HISTORY_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL}),
+bounds AS (
+  SELECT MIN(epoch_us(ts)) AS lo,
+         (MAX(epoch_us(ts)) + 1 - MIN(epoch_us(ts))) // 3 + 1 AS step
+  FROM cdc
+),
+ranked AS (
+  SELECT c.*, b.lo, b.step,
+         CASE WHEN epoch_us(c.ts) < b.lo + 1 * b.step THEN 1
+              WHEN epoch_us(c.ts) < b.lo + 2 * b.step THEN 2
+              ELSE 3 END AS min_version
+  FROM cdc c, bounds b
+),
+versions(version) AS (VALUES (1), (2), (3)),
+visible AS (
+  SELECT v.version, r.*,
+         ROW_NUMBER() OVER (PARTITION BY v.version, r.pk
+                            ORDER BY r.ts DESC, r.seq DESC) AS rn
+  FROM ranked r JOIN versions v ON r.min_version <= v.version
+)
+SELECT version,
+       COUNT(*) AS n_rows,
+       MAX(ts) AS high_watermark,
+       CAST(SUM(pk * seq) AS BIGINT) AS content_key
+FROM visible
+WHERE rn = 1 AND op <> 'delete'
+GROUP BY version
+ORDER BY version
+"""

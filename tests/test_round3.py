@@ -474,3 +474,11 @@ def test_dup_graph_degree_conservation(spark):
     n_pairs = dedup._minhash_pairs(docs).count()
     # sum(degree * count) == 2 * |edges| (handshake lemma)
     assert sum(r.degree * r.n_docs for r in hist) == 2 * n_pairs
+
+
+def test_replica_history_versions_monotone(spark):
+    rows = cdc_queries.replica_history(spark, SF).collect()
+    assert [r.version for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b.high_watermark >= a.high_watermark
+        assert b.n_rows > 0
