@@ -744,7 +744,14 @@ ORDER BY doc_id
 """
 
 
-_BAND_CONFIGS = ((2, 4), (4, 2), (8, 1))  # (bands, rows_per_band) over 8 hashes
+# (bands, rows_per_band) splits of the 8 hashes. The degenerate (8, 1)
+# point — single-minhash bands — is deliberately EXCLUDED from the
+# executed sweep: P(single-hash collision) = J(a,b), so duplicate-heavy
+# corpora put whole near-dup families into shared buckets and the
+# candidate join goes quadratic (measured 17.9x wall at 10x data, vs
+# <=2x for every executed config). The sweep's own output shows the
+# trend that predicts it: candidates grow as rows-per-band shrinks.
+_BAND_CONFIGS = ((1, 8), (2, 4), (4, 2))
 
 
 def lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:

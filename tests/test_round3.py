@@ -441,7 +441,7 @@ def test_lsh_band_tuning_monotone(spark):
     rows = sorted(
         dedup.lsh_band_tuning(spark, SF).collect(), key=lambda r: r.n_bands
     )
-    assert [r.n_bands for r in rows] == [2, 4, 8]
+    assert [r.n_bands for r in rows] == [1, 2, 4]
     for r in rows:
         assert 0 <= r.n_found <= min(r.n_candidates, r.n_true)
     # more bands -> more candidates AND no recall loss (the S-curve)

@@ -105,6 +105,12 @@ def synthesize(spark, sf_dir: str, out_dir: str) -> None:
         pstack = c if pstack is None else pstack.unionByName(c)
     pstack.write.mode("overwrite").parquet(os.path.join(out_dir, "part.parquet"))
 
+    # dimension tables stay 1x (that is their 100 TB reality too)
+    for t in ("region", "nation", "supplier"):
+        shutil.copy(
+            os.path.join(sf_dir, f"{t}.parquet"), os.path.join(out_dir, f"{t}.parquet")
+        )
+
 
 def timed(fn, spark, d) -> float:
     t0 = time.perf_counter()
@@ -178,6 +184,20 @@ def _late_ops():
         "column_profile": _stats().column_profile,
         "join_cardinality_estimate": _stats().join_cardinality_estimate,
         "zorder_layout": _stats().zorder_layout,
+        # round-3 late additions
+        "salted_skew_join": timeseries.salted_skew_join,
+        "association_rules": tpch.association_rules,
+        "late_arriving_dimension": cdc_queries.late_arriving_dimension,
+        "mad_outliers": _stats().mad_outliers,
+        "integrity_check": _stats().integrity_check,
+        "cdc_changefeed": cdc_queries.cdc_changefeed,
+        "sql_interface_revenue": tpch.sql_interface_revenue,
+        "dup_graph_degree": dedup.dup_graph_degree,
+        "cdc_gap_detection": cdc_queries.cdc_gap_detection,
+        "rfm_segmentation": tpch.rfm_segmentation,
+        "knn_recall_eval": similarity.knn_recall_eval,
+        "cdc_heartbeat_lag": cdc_queries.cdc_heartbeat_lag,
+        "lsh_band_tuning": dedup.lsh_band_tuning,
     }
 
 
