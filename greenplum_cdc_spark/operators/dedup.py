@@ -956,3 +956,76 @@ FROM degrees
 GROUP BY degree
 ORDER BY degree
 """
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C54: triangle census of the near-dup pair graph — triangle count,
+    wedge count and the global clustering coefficient (scaled integer).
+
+    The structural question behind dedup cluster quality: triangles mean
+    genuine duplicate FAMILIES (transitive similarity); many wedges with
+    few triangles mean chaining through hub documents (boilerplate) —
+    the case where C27's components over-merge and C53's degree triage
+    fires. Triangle enumeration is the canonical two-join shape on the
+    a<b<c ordered edge list: wedge join (ab ⋈ bc on b) then a closing
+    semi-join against the edge set — candidate volume is Σ_b deg²(b),
+    bounded by the degree cap the LSH banding enforces, never |V|².
+    Wedges come from degrees in one aggregate; the coefficient is
+    (3·tri·10⁴) div wedges — exact integer math.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _minhash_pairs(docs).select("doc_a", "doc_b")
+    edges = edges.persist()
+    ab = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    wedges = ab.join(bc, "b").filter(F.col("a") < F.col("c"))
+    closing = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = wedges.join(closing, ["a", "c"], "left_semi").agg(
+        F.count("*").alias("n_triangles")
+    )
+    endpoints = edges.select(F.col("doc_a").alias("doc_id")).unionAll(
+        edges.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = endpoints.groupBy("doc_id").agg(F.count("*").alias("d"))
+    wedge_total = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    )
+    return (
+        tri.crossJoin(F.broadcast(wedge_total))
+        .select(
+            "n_triangles",
+            "n_wedges",
+            F.expr(
+                "CASE WHEN n_wedges = 0 THEN 0"
+                " ELSE (3 * n_triangles * 10000) div n_wedges END"
+            ).alias("clustering_x4"),
+        )
+    )
+
+
+GRAPH_TRIANGLES_SQL = f"""
+WITH {_minhash_cte_block()},
+edges AS (SELECT doc_a, doc_b FROM pairs),
+wedge AS (
+  SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+  FROM edges ab JOIN edges bc ON ab.doc_b = bc.doc_a
+  WHERE ab.doc_a < bc.doc_b
+),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM wedge w
+  WHERE EXISTS (SELECT 1 FROM edges e WHERE e.doc_a = w.a AND e.doc_b = w.c)
+),
+deg AS (
+  SELECT doc_id, COUNT(*) AS d FROM (
+    SELECT doc_a AS doc_id FROM edges
+    UNION ALL
+    SELECT doc_b AS doc_id FROM edges
+  ) GROUP BY doc_id
+),
+wt AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+SELECT t.n_triangles, w.n_wedges,
+       CASE WHEN w.n_wedges = 0 THEN 0
+            ELSE (3 * t.n_triangles * 10000) // w.n_wedges END AS clustering_x4
+FROM tri t, wt w
+"""

@@ -482,3 +482,13 @@ def test_replica_history_versions_monotone(spark):
     for a, b in zip(rows, rows[1:]):
         assert b.high_watermark >= a.high_watermark
         assert b.n_rows > 0
+
+
+def test_graph_triangles_invariants(spark):
+    from greenplum_cdc_spark.operators import dedup
+
+    r = dedup.graph_triangles(spark, SF).collect()[0]
+    assert r.n_triangles >= 0 and r.n_wedges >= 0
+    # every triangle contributes 3 closed wedges
+    assert 3 * r.n_triangles <= r.n_wedges or r.n_wedges == 0
+    assert 0 <= r.clustering_x4 <= 10000
