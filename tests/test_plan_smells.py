@@ -58,6 +58,7 @@ _BNLJ_OK = {
     "lsh_band_tuning",  # per-config one-row n_true scalar
     "embedding_quantize",  # one-row per-dim bounds scalar
     "tfidf_cosine_pairs",  # corpus-stat scalars (N, df caps)
+    "graph_triangles",  # one-row wedge-total scalar
     "equi_depth_histogram",
     "heavy_hitters",  # scalar total broadcast
     "cms_estimate",  # sketch-row broadcast
