@@ -1029,3 +1029,137 @@ SELECT t.n_triangles, w.n_wedges,
             ELSE (3 * t.n_triangles * 10000) // w.n_wedges END AS clustering_x4
 FROM tri t, wt w
 """
+
+
+SIMHASH_BLOCKS = 4  # 16 bits each over the 64-bit fingerprint
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C55: SimHash near-duplicate PAIRING — the search half that makes
+    C3's fingerprints useful (Manku/Jain/Sarma, WWW'07): two docs are
+    near-dups when their 64-bit simhashes differ in <= 3 bits, and by
+    pigeonhole any such pair agrees EXACTLY on one of 4 16-bit blocks —
+    so candidates come from equi-joins on (block_idx, block_value),
+    never an all-pairs Hamming scan, and verification is 4 xor +
+    bit_count ops per candidate.
+
+    Fingerprint bits are rebuilt as four 16-bit INTEGER blocks straight
+    from the per-bit vote sums (same md5 votes as C3, no bitstring
+    parsing), identical integer math in both engines; block join +
+    exact Hamming filter mirrors the LSH band pattern (C2) on the
+    signature domain. Scale: candidates ~ Σ block-bucket², bounded by
+    fingerprint entropy; the WWW'07 deployment ran this shape over 8B
+    pages.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tokens(docs).withColumn("h", F.md5("w"))
+    nibs = {
+        f"n{k}": F.expr(f"instr('0123456789abcdef', substr(h, {k + 1}, 1)) - 1")
+        for k in range(16)
+    }
+    tb = tok.withColumns(nibs)
+    sums = [
+        F.sum(F.expr(f"(n{b // 4} div {2 ** (b % 4)}) % 2")).alias(f"s{b}")
+        for b in range(64)
+    ]
+    votes = tb.groupBy("doc_id").agg(*sums, F.count("*").alias("cnt"))
+    block_cols = []
+    for j in range(SIMHASH_BLOCKS):
+        bits = [
+            f"(CASE WHEN 2 * s{j * 16 + i} - cnt > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(16)
+        ]
+        block_cols.append(F.expr(" + ".join(bits)).cast("bigint").alias(f"blk{j}"))
+    fp = votes.select("doc_id", *block_cols)
+    fp = fp.persist()
+    stack = "stack({n}, {args}) as (blk_idx, blk_val)".format(
+        n=SIMHASH_BLOCKS,
+        args=", ".join(f"{j}, blk{j}" for j in range(SIMHASH_BLOCKS)),
+    )
+    unpiv = fp.select("doc_id", F.expr(stack))
+    cand = (
+        unpiv.alias("a")
+        .join(
+            unpiv.alias("b"),
+            (F.col("a.blk_idx") == F.col("b.blk_idx"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), *[F.col(f"blk{j}").alias(f"a{j}") for j in range(SIMHASH_BLOCKS)])
+    fb = fp.select(F.col("doc_id").alias("doc_b"), *[F.col(f"blk{j}").alias(f"b{j}") for j in range(SIMHASH_BLOCKS)])
+    hamming = sum(
+        F.bit_count(F.col(f"a{j}").bitwiseXOR(F.col(f"b{j}")))
+        for j in range(SIMHASH_BLOCKS)
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_pairs_sql() -> str:
+    nib = "(instr('0123456789abcdef', substr(h, {k}, 1)) - 1)"
+    sums = ",\n         ".join(
+        f"SUM(({nib.format(k=b // 4 + 1)} // {2 ** (b % 4)}) % 2) AS s{b}"
+        for b in range(64)
+    )
+    blocks = ",\n         ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN 2 * s{j * 16 + i} - cnt > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(16)
+        )
+        + f" AS BIGINT) AS blk{j}"
+        for j in range(SIMHASH_BLOCKS)
+    )
+    unpiv = "\nUNION ALL\n".join(
+        f"  SELECT doc_id, {j} AS blk_idx, blk{j} AS blk_val FROM fp"
+        for j in range(SIMHASH_BLOCKS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(fa.blk{j}, fb.blk{j}))" for j in range(SIMHASH_BLOCKS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+  FROM documents
+),
+tokh AS (SELECT doc_id, md5(w) AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+         {sums},
+         COUNT(*) AS cnt
+  FROM tokh GROUP BY doc_id
+),
+fp AS (
+  SELECT doc_id,
+         {blocks}
+  FROM votes
+),
+unpiv AS (
+{unpiv}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM unpiv a JOIN unpiv b
+    ON a.blk_idx = b.blk_idx AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({ham} AS INT) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.doc_a
+JOIN fp fb ON fb.doc_id = c.doc_b
+WHERE {ham} <= {SIMHASH_MAX_HAMMING}
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
+SIMHASH_NEAR_PAIRS_SQL = _simhash_pairs_sql()

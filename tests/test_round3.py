@@ -492,3 +492,27 @@ def test_graph_triangles_invariants(spark):
     # every triangle contributes 3 closed wedges
     assert 3 * r.n_triangles <= r.n_wedges or r.n_wedges == 0
     assert 0 <= r.clustering_x4 <= 10000
+
+
+def test_simhash_pairs_hamming_verified(spark):
+    from greenplum_cdc_spark.operators import dedup
+    from greenplum_cdc_spark.io import load_table
+
+    pairs = dedup.simhash_near_pairs(spark, SF).collect()
+    fps = {r.doc_id: r.simhash for r in dedup.dedup_simhash(spark, SF).collect()}
+    for p in pairs:
+        a, b = fps[p.doc_a], fps[p.doc_b]
+        true_ham = sum(x != y for x, y in zip(a, b))
+        assert true_ham == p.hamming
+        assert p.hamming <= dedup.SIMHASH_MAX_HAMMING
+    # completeness: every fingerprint pair within the bound is reported
+    import itertools
+
+    ids = sorted(fps)
+    want = {
+        (x, y)
+        for x, y in itertools.combinations(ids, 2)
+        if sum(u != v for u, v in zip(fps[x], fps[y])) <= dedup.SIMHASH_MAX_HAMMING
+    }
+    got = {(p.doc_a, p.doc_b) for p in pairs}
+    assert got == want
