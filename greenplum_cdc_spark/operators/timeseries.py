@@ -1427,3 +1427,137 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+_ISLAND_MIN_RUN = 3
+
+
+def event_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B69: gaps-and-islands — maximal runs of consecutive same-type
+    events per user (the downtime-window / streak primitive: "every
+    stretch of >= 3 straight errors with its start/end").
+
+    The classic two-row_number trick: rn over the user's full sequence
+    minus rn over the user's per-type sequence is constant exactly
+    within a maximal same-type run, so ONE extra window turns runs into
+    group keys — no self-join, no iteration; both windows share the
+    user_id shuffle. Runs shorter than the threshold are pruned after
+    the rollup (they still cost only their own rows).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = ev.withColumn(
+        "grp", F.row_number().over(w_all) - F.row_number().over(w_type)
+    )
+    return (
+        runs.groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.count("*").alias("run_len"),
+            F.min("event_id").alias("first_event_id"),
+        )
+        .filter(F.col("run_len") >= _ISLAND_MIN_RUN)
+        .select(
+            "user_id", "event_type", "run_start", "run_end", "run_len", "first_event_id"
+        )
+        .orderBy("user_id", "run_start", "first_event_id")
+    )
+
+
+EVENT_ISLANDS_SQL = f"""
+WITH runs AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+           AS grp
+  FROM events
+)
+SELECT user_id, event_type,
+       MIN(ts) AS run_start, MAX(ts) AS run_end,
+       COUNT(*) AS run_len,
+       MIN(event_id) AS first_event_id
+FROM runs
+GROUP BY user_id, event_type, grp
+HAVING COUNT(*) >= {_ISLAND_MIN_RUN}
+ORDER BY user_id, run_start, first_event_id
+"""
+
+
+TOPK_OTHERS_K = 5
+
+
+def topk_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B70: top-K groups + an OTHER bucket — the BI presentation staple
+    (every dashboard's "top 5 nations by revenue, rest lumped").
+
+    Rank the nation rollup, relabel ranks > K to 'OTHER', re-aggregate:
+    the second aggregate runs over |groups| rows so the fact table is
+    touched once. Revenue stays DECIMAL through both aggregations
+    (re-aggregating already-rounded doubles would double-round) and the
+    share is an exact scaled-integer division off the total.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("n_name"))
+    labeled = rev.withColumn(
+        "bucket",
+        F.when(F.row_number().over(w) <= TOPK_OTHERS_K, F.col("n_name")).otherwise(
+            F.lit("OTHER")
+        ),
+    )
+    total = rev.agg(F.sum("revenue").alias("total_revenue"))
+    return (
+        labeled.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.sum("revenue").alias("rev"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_nations",
+            F.col("rev").cast("double").alias("revenue"),
+            # integer-cents floor division: decimal `div` semantics
+            # differ off-by-one between engines at scale boundaries
+            F.expr(
+                "(CAST(rev * 100 AS BIGINT) * 1000000)"
+                " div CAST(total_revenue * 100 AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy(F.desc("revenue"), "bucket")
+    )
+
+
+TOPK_OTHERS_SQL = f"""
+WITH rev AS (
+  SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+),
+labeled AS (
+  SELECT *,
+         CASE WHEN ROW_NUMBER() OVER (ORDER BY revenue DESC, n_name ASC) <= {TOPK_OTHERS_K}
+              THEN n_name ELSE 'OTHER' END AS bucket
+  FROM rev
+),
+total AS (SELECT SUM(revenue) AS total_revenue FROM rev)
+SELECT bucket,
+       COUNT(*) AS n_nations,
+       CAST(SUM(revenue) AS DOUBLE) AS revenue,
+       (CAST(SUM(revenue) * 100 AS BIGINT) * 1000000)
+         // CAST(total_revenue * 100 AS BIGINT) AS share_ppm
+FROM labeled, total
+GROUP BY bucket, total_revenue
+ORDER BY revenue DESC, bucket
+"""

@@ -59,6 +59,7 @@ _BNLJ_OK = {
     "embedding_quantize",  # one-row per-dim bounds scalar
     "tfidf_cosine_pairs",  # corpus-stat scalars (N, df caps)
     "graph_triangles",  # one-row wedge-total scalar
+    "topk_with_others",  # one-row total-revenue scalar
     "equi_depth_histogram",
     "heavy_hitters",  # scalar total broadcast
     "cms_estimate",  # sketch-row broadcast

@@ -516,3 +516,38 @@ def test_simhash_pairs_hamming_verified(spark):
     }
     got = {(p.doc_a, p.doc_b) for p in pairs}
     assert got == want
+
+
+def test_event_islands_are_maximal_runs(spark):
+    from greenplum_cdc_spark.io import load_table
+
+    runs = timeseries.event_islands(spark, SF).collect()
+    ev = sorted(
+        load_table(spark, SF, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    # reference: brute-force run-length encode each user's sequence
+    want = []
+    prev_user, prev_type, start, end, n, first = None, None, None, None, 0, None
+    for r in ev + [None]:
+        key = (r.user_id, r.event_type) if r else None
+        if key != (prev_user, prev_type):
+            if n >= 3:
+                want.append((prev_user, prev_type, start, end, n, first))
+            if r:
+                prev_user, prev_type, start, n, first = r.user_id, r.event_type, r.ts, 0, r.event_id
+        if r:
+            end, n = r.ts, n + 1
+    got = [(r.user_id, r.event_type, r.run_start, r.run_end, r.run_len, r.first_event_id) for r in runs]
+    assert sorted(got) == sorted(want)
+
+
+def test_topk_others_shares(spark):
+    rows = timeseries.topk_with_others(spark, SF).collect()
+    named = [r for r in rows if r.bucket != "OTHER"]
+    assert len(named) == timeseries.TOPK_OTHERS_K
+    assert sum(r.n_nations for r in rows) >= len(rows)
+    total_ppm = sum(r.share_ppm for r in rows)
+    assert 1000000 - len(rows) <= total_ppm <= 1000000  # floor-div slack
