@@ -769,3 +769,88 @@ FROM sessions
 GROUP BY user_id, session_idx
 ORDER BY user_id, session_start
 """
+
+
+def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B71: UPDATE output mode — the third and last streaming output
+    mode (complete: A11/B55; append: B50/C39). Update mode emits only
+    the groups CHANGED by each micro-batch; a keyed sink must therefore
+    upsert by group key, and the sink's latest-write-per-key state must
+    converge to the batch aggregate.
+
+    Here the emission LOG itself is kept (every update row tagged with
+    its batch id — the foreachBatch upsert made explicit), and the
+    returned result is the per-key latest emission: the oracle equality
+    proves both the mode's contract (final emission per key == final
+    count) and that intermediate emissions were monotone partials the
+    upsert could safely overwrite. State store holds |open windows|
+    like append mode, but emits without waiting for the watermark —
+    the low-latency dashboard trade.
+    """
+    import shutil
+    import tempfile
+
+    from ..io import load_table, materialize, shuffle_partitions
+
+    base = tempfile.mkdtemp(prefix="stream_upd_")
+    in_dir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
+    os.makedirs(in_dir)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # batch side: split events into 3 ordered json drops
+        batch_ev = load_table(spark, sf_dir, "events").select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_type"),
+        )
+        batch_ev = batch_ev.persist()
+        bounds = batch_ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+        lo, hi = bounds[0], bounds[1] + 1
+        step = (hi - lo) // 3 + 1
+        for i in range(3):
+            batch_ev.filter(
+                (F.col("ts_us") >= lo + i * step) & (F.col("ts_us") < lo + (i + 1) * step)
+            ).coalesce(1).write.mode("overwrite").json(os.path.join(in_dir, f"b{i}"))
+        batch_ev.unpersist()
+        stream = (
+            spark.readStream.schema("user_id long, ts_us long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .json(in_dir + "/b*")
+        )
+        agg = stream.groupBy("event_type").agg(F.count("*").alias("n_events"))
+
+        def _sink(batch: DataFrame, batch_id: int) -> None:
+            batch.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+        with shuffle_partitions(spark, 4):
+            q = (
+                agg.writeStream.foreachBatch(_sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            log = spark.read.parquet(out)
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("event_type").orderBy(F.col("batch_id").desc())
+            final = (
+                log.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("event_type", "n_events")
+                .orderBy("event_type")
+            )
+            return materialize(final, "stream_upd_out_").orderBy("event_type")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+STREAM_UPDATE_MODE_SQL = """
+SELECT event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

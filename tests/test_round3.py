@@ -551,3 +551,20 @@ def test_topk_others_shares(spark):
     assert sum(r.n_nations for r in rows) >= len(rows)
     total_ppm = sum(r.share_ppm for r in rows)
     assert 1000000 - len(rows) <= total_ppm <= 1000000  # floor-div slack
+
+
+def test_update_mode_emissions_monotone(spark):
+    """Update-mode partial emissions must be monotone per key (each
+    batch's count >= the previous emission it overwrites)."""
+    from greenplum_cdc_spark.streaming import pipeline as sp
+    from greenplum_cdc_spark.io import load_table
+
+    final = {r.event_type: r.n_events for r in sp.stream_update_mode_counts(spark, SF).collect()}
+    direct = {
+        r.event_type: r.n
+        for r in load_table(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert final == direct
