@@ -397,3 +397,104 @@ FROM dev d JOIN mad m USING (event_type)
 WHERE d.adev > 3 * m.mad_cents
 ORDER BY d.event_id
 """
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B72: declarative data-quality expectations over `orders` — the
+    Great-Expectations/dbt-test pattern as one engine pass: each
+    expectation contributes a violation count, and the suite verdict
+    per rule is part of the checked output (so the oracle pins not
+    just "passed" but the exact violation counts).
+
+    Rules: key not-null, key unique, price in (0, 10^6), date within
+    the business era, priority in its domain, custkey referentially
+    valid. All but uniqueness/reference are map-side counters over ONE
+    scan (conditional sums); uniqueness is the count-vs-distinct delta
+    and the FK check reuses the broadcast anti join — at 100 TB this
+    whole suite costs one fact scan + two cheap aggregates, which is
+    why it can run on every micro-batch (the audit half of
+    write-audit-publish).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    base = orders.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_orderkey").isNull().cast("bigint")).alias("v_key_null"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("v_key_dup"),
+        F.sum(
+            (
+                (F.col("o_totalprice") <= 0) | (F.col("o_totalprice") >= 1_000_000)
+            ).cast("bigint")
+        ).alias("v_price_range"),
+        F.sum(
+            (
+                (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("2001-12-31").cast("date"))
+            ).cast("bigint")
+        ).alias("v_date_era"),
+        F.sum(
+            (~F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            )).cast("bigint")
+        ).alias("v_priority_domain"),
+    )
+    orphans = orders.join(
+        F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"], "left_anti"
+    ).agg(F.count("*").alias("v_fk_customer"))
+    wide = base.crossJoin(F.broadcast(orphans))
+    rules = [
+        "key_not_null",
+        "key_unique",
+        "price_range",
+        "date_era",
+        "priority_domain",
+        "fk_customer",
+    ]
+    stack = ", ".join(
+        f"'{r}', v_{c}"
+        for r, c in zip(
+            rules,
+            ["key_null", "key_dup", "price_range", "date_era", "priority_domain", "fk_customer"],
+        )
+    )
+    return (
+        wide.select(
+            "n",
+            F.expr(f"stack({len(rules)}, {stack}) as (expectation, n_violations)"),
+        )
+        .select(
+            "expectation",
+            "n",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("expectation")
+    )
+
+
+DQ_EXPECTATIONS_SQL = """
+WITH base AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_key_null,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_key_dup,
+         CAST(SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice >= 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS v_price_range,
+         CAST(SUM(CASE WHEN o_orderdate < DATE '1995-01-01' OR o_orderdate > DATE '2001-12-31' THEN 1 ELSE 0 END) AS BIGINT) AS v_date_era,
+         CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END) AS BIGINT) AS v_priority_domain
+  FROM orders
+),
+fk AS (
+  SELECT COUNT(*) AS v_fk_customer
+  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+),
+stacked AS (
+  SELECT 'key_not_null' AS expectation, n, v_key_null AS n_violations FROM base
+  UNION ALL SELECT 'key_unique', n, v_key_dup FROM base
+  UNION ALL SELECT 'price_range', n, v_price_range FROM base
+  UNION ALL SELECT 'date_era', n, v_date_era FROM base
+  UNION ALL SELECT 'priority_domain', n, v_priority_domain FROM base
+  UNION ALL SELECT 'fk_customer', b.n, f.v_fk_customer FROM base b, fk f
+)
+SELECT expectation, n, n_violations, n_violations = 0 AS passed
+FROM stacked
+ORDER BY expectation
+"""

@@ -60,6 +60,7 @@ _BNLJ_OK = {
     "tfidf_cosine_pairs",  # corpus-stat scalars (N, df caps)
     "graph_triangles",  # one-row wedge-total scalar
     "topk_with_others",  # one-row total-revenue scalar
+    "dq_expectations",  # one-row FK-orphan-count scalar
     "equi_depth_histogram",
     "heavy_hitters",  # scalar total broadcast
     "cms_estimate",  # sketch-row broadcast

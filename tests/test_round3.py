@@ -568,3 +568,13 @@ def test_update_mode_emissions_monotone(spark):
         .collect()
     }
     assert final == direct
+
+
+def test_dq_expectations_all_pass_on_clean_data(spark):
+    from greenplum_cdc_spark.operators import stats
+
+    rows = stats.dq_expectations(spark, SF).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.passed and r.n_violations == 0, r.expectation
+        assert r.n > 0
