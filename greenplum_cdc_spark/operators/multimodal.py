@@ -443,3 +443,97 @@ SELECT doc_id, 'video', 8, 6, 0, n_frames, CAST(n_sampled AS INT),
 FROM vid
 ORDER BY doc_id
 """
+
+
+def media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C56: exact dedup over ENCODED media binaries — the multimodal
+    twin of C1: hash the payload BYTES (md5 over the real BMP/WAV/RVID
+    container, not the source text) and keep one copy per binary.
+
+    Payload generation is seeded from the text content hash, so two
+    documents carry byte-identical media exactly when their texts are
+    equal — which is what lets the DuckDB oracle state the semantic
+    result (groups by md5(text), media kind from the seed mod 3 — 16 ≡
+    1 mod 3 makes that a hex-digit-sum both engines compute the same
+    way) while Spark actually routes real bytes through the codec and
+    hashes them in an Arrow batch. At 100 TB this is the dedup pass a
+    multimodal corpus runs on its binary columns: one map-side
+    encode+hash, one hash-groupBy shuffle — payload size never touches
+    the shuffle (only the 32-char digest does).
+    """
+    import hashlib
+
+    def _encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        from . import codecs
+
+        for pdf in batches:
+            ids, kinds, digests = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hx = hashlib.md5(text.encode()).hexdigest()
+                seed = int(hx[:8], 16)  # kind selector (SQL twin: hex digit sum % 3)
+                # full-entropy content stream: a 64-bit-seeded PRNG so
+                # DISTINCT texts give distinct payloads (a modular
+                # pixel pattern collapses onto seed mod 256 and merges
+                # unrelated docs — caught by the gate's group count)
+                rng = np.random.default_rng(int(hx[:16], 16))
+                kind = ("image", "audio", "video")[seed % 3]
+                if kind == "image":
+                    w, h = seed % 64 + 16, seed % 48 + 12
+                    pix = rng.integers(0, 256, h * w * 3, dtype=np.uint8)
+                    payload = codecs.encode_bmp(pix.reshape(h, w, 3))
+                elif kind == "audio":
+                    n = seed % 500 + 100
+                    samples = rng.integers(-2048, 2048, n, dtype=np.int16)
+                    payload = codecs.encode_wav(samples, AUDIO_RATE)
+                else:
+                    n_frames = seed % 8 + 1
+                    frames = []
+                    for f in range(n_frames):
+                        pix = rng.integers(0, 256, VID_PIX, dtype=np.uint8)
+                        frames.append(codecs.encode_bmp(pix.reshape(VID_H, VID_W, 3)))
+                    payload = codecs.encode_rawvideo(frames)
+                ids.append(int(doc_id))
+                kinds.append(kind)
+                digests.append(hashlib.md5(payload).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": kinds, "payload_md5": digests}
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = docs.mapInPandas(
+        _encode, schema="doc_id bigint, media_type string, payload_md5 string"
+    )
+    return (
+        hashed.groupBy("payload_md5", "media_type")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .select("media_type", "keeper_doc_id", "n_copies")
+        .orderBy("keeper_doc_id")
+    )
+
+
+MEDIA_DEDUP_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS th FROM documents
+),
+seeded AS (
+  SELECT doc_id, th,
+         (strpos('0123456789abcdef', substr(th, 1, 1)) - 1
+          + strpos('0123456789abcdef', substr(th, 2, 1)) - 1
+          + strpos('0123456789abcdef', substr(th, 3, 1)) - 1
+          + strpos('0123456789abcdef', substr(th, 4, 1)) - 1
+          + strpos('0123456789abcdef', substr(th, 5, 1)) - 1
+          + strpos('0123456789abcdef', substr(th, 6, 1)) - 1
+          + strpos('0123456789abcdef', substr(th, 7, 1)) - 1
+          + strpos('0123456789abcdef', substr(th, 8, 1)) - 1) % 3 AS kind_idx
+  FROM h
+)
+SELECT CASE kind_idx WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM seeded
+GROUP BY th, kind_idx
+ORDER BY keeper_doc_id
+"""

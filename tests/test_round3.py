@@ -578,3 +578,17 @@ def test_dq_expectations_all_pass_on_clean_data(spark):
     for r in rows:
         assert r.passed and r.n_violations == 0, r.expectation
         assert r.n > 0
+
+
+def test_media_dedup_binary_grouping(spark):
+    from greenplum_cdc_spark.operators import multimodal
+    from greenplum_cdc_spark.io import load_table
+
+    rows = multimodal.media_dedup(spark, SF).collect()
+    n_text_groups = (
+        load_table(spark, SF, "documents").select(F.md5("text")).distinct().count()
+    )
+    assert len(rows) == n_text_groups, "payload groups must mirror text groups"
+    assert {r.media_type for r in rows} <= {"image", "audio", "video"}
+    total = sum(r.n_copies for r in rows)
+    assert total == load_table(spark, SF, "documents").count()
