@@ -44,27 +44,25 @@ def main() -> None:
     ).count()
 
     # Best-of-N per query: this box runs noisy neighbors, and a single
-    # pass can charge one query 5x its real cost. N=2 keeps total wall
-    # bounded while the min strips most of the noise.
+    # pass can charge one query 5x its real cost. The recorded statistic
+    # is min across reps for EVERY query — uniform by definition, so the
+    # aggregate is comparable across rounds (a cold-first-run/warm-min
+    # mix is not: round-3 advice).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for rep in range(reps):
         for name, fn in entrymod.queries().items():
-            # repeat passes only re-measure the queries where noise can
-            # matter: a sub-0.5 s first run is already near the floor,
-            # and skipping it keeps total bench wall bounded as the
-            # query count grows
-            if rep and 0 <= timings.get(name, -1.0) < 0.5:
-                continue
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
                 df.collect()
                 t = round(time.perf_counter() - t0, 3)
-                timings[name] = min(timings.get(name, t), t)
+                prev = timings.get(name)
+                timings[name] = t if prev is None or prev < 0 else min(prev, t)
             except Exception as e:  # noqa: BLE001
                 print(f"bench error in {name}: {e}", file=sys.stderr)
-                timings[name] = -1.0
+                # a failed rep never masks an earlier good timing
+                timings.setdefault(name, -1.0)
     total = round(sum(t for t in timings.values() if t >= 0), 2)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     rounded = {k: round(t, 2) for k, t in timings.items()}

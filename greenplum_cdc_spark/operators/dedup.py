@@ -295,7 +295,21 @@ ORDER BY doc_id
 DEDUP_SIMHASH_SQL = _simhash_sql()
 
 
-_DOCSETS_CACHE = None
+_PERSIST_CACHE: dict = {}
+
+
+def _swap_persist(name: str, df: DataFrame) -> DataFrame:
+    """Persist ``df``, unpersisting whatever previous DataFrame was
+    cached under ``name`` — swap-on-next-invocation. Bounds executor
+    cache growth across a long single session (bench runs all 154
+    queries in one JVM): each operator keeps exactly one cached copy
+    of its index structure alive, never an unbounded accumulation."""
+    prev = _PERSIST_CACHE.get(name)
+    if prev is not None:
+        prev.unpersist()
+    df = df.persist()
+    _PERSIST_CACHE[name] = df
+    return df
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -333,11 +347,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (4x the shuffles). Persist is exactly what a 100 TB run would do —
     # the ordered sets are the algorithm's index structure. Only one
     # cached copy is kept alive across invocations.
-    global _DOCSETS_CACHE
-    if _DOCSETS_CACHE is not None:
-        _DOCSETS_CACHE.unpersist()
-    docsets = docsets.persist()
-    _DOCSETS_CACHE = docsets
+    docsets = _swap_persist("jaccard_docsets", docsets)
     tau_num, tau_den = int(JACCARD_THRESHOLD * 100), 100
     # probe prefix: n - ceil(tau*n) + 1 (exact integer math)
     plen_sql = f"n - ((n * {tau_num} + {tau_den - 1}) div {tau_den}) + 1"
@@ -780,13 +790,13 @@ def lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_HASHES)
         ]
     )
-    sig = sig.persist()
+    sig = _swap_persist("band_tuning_sig", sig)
     truth = (
         dedup_ngram_jaccard(spark, sf_dir)
         .select("doc_a", "doc_b")
         .withColumn("is_true", F.lit(True))
     )
-    truth = truth.persist()
+    truth = _swap_persist("band_tuning_truth", truth)
     parts = []
     for bands, rows in _BAND_CONFIGS:
         band_cols = []
@@ -975,7 +985,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     edges = _minhash_pairs(docs).select("doc_a", "doc_b")
-    edges = edges.persist()
+    edges = _swap_persist("triangle_edges", edges)
     ab = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     bc = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     wedges = ab.join(bc, "b").filter(F.col("a") < F.col("c"))
@@ -1072,7 +1082,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         block_cols.append(F.expr(" + ".join(bits)).cast("bigint").alias(f"blk{j}"))
     fp = votes.select("doc_id", *block_cols)
-    fp = fp.persist()
+    fp = _swap_persist("simhash_fp", fp)
     stack = "stack({n}, {args}) as (blk_idx, blk_val)".format(
         n=SIMHASH_BLOCKS,
         args=", ".join(f"{j}, blk{j}" for j in range(SIMHASH_BLOCKS)),

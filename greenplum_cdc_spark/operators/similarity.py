@@ -871,7 +871,11 @@ def knn_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "k",
             "n_hits",
-            F.round(F.col("n_hits") / F.col("k"), 6).alias("recall_at_k"),
+            # scaled-integer floor division — ROUND(double, 6) diverges
+            # between engines at .5 shortest-repr boundaries; div cannot
+            (F.expr("(n_hits * 1000000) div k") / F.lit(1_000_000.0))
+            .cast("double")
+            .alias("recall_at_k"),
         )
         .orderBy("query_id")
     )
@@ -917,7 +921,8 @@ sig AS (
 SELECT t.query_id,
        COUNT(*) AS k,
        CAST(SUM(CASE WHEN qs.bucket = ns.bucket THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
-       ROUND(SUM(CASE WHEN qs.bucket = ns.bucket THEN 1 ELSE 0 END) / COUNT(*), 6) AS recall_at_k
+       CAST((SUM(CASE WHEN qs.bucket = ns.bucket THEN 1 ELSE 0 END) * 1000000)
+            // COUNT(*) AS DOUBLE) / 1000000 AS recall_at_k
 FROM topk t
 JOIN sig qs ON qs.vec_id = t.query_id
 JOIN sig ns ON ns.vec_id = t.neighbor_id

@@ -1170,15 +1170,22 @@ def skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos = max(1, math.ceil(q * n))
         return F.max(F.when(F.col("rk") == pos, F.col("cnt")))
 
-    return ranked.agg(
+    # integer floor division on BOTH sides (Spark double-division +
+    # bigint cast TRUNCATES while DuckDB's CAST(double AS BIGINT)
+    # ROUNDS — `div` / `//` sidestep the mismatch class entirely, same
+    # idiom as zorder_layout/event_interarrival)
+    agg = ranked.agg(
         F.count("*").alias("n_keys"),
         F.sum("cnt").alias("total_rows"),
         F.max("cnt").alias("max_cnt"),
         _at(0.50).alias("p50_cnt"),
         _at(0.90).alias("p90_cnt"),
         _at(0.99).alias("p99_cnt"),
-        (F.max("cnt") * F.lit(10000) / F.sum("cnt")).cast("bigint").alias("top_share_bp"),
-        (F.max("cnt") * F.lit(100) / _at(0.50)).cast("bigint").alias("skew_ratio_c"),
+    )
+    return agg.select(
+        "*",
+        F.expr("(max_cnt * 10000) div total_rows").alias("top_share_bp"),
+        F.expr("(max_cnt * 100) div p50_cnt").alias("skew_ratio_c"),
     )
 
 
@@ -1198,8 +1205,8 @@ SELECT COUNT(*) AS n_keys,
        MAX(CASE WHEN rk = GREATEST(1, CAST(ceil(0.50 * n) AS BIGINT)) THEN cnt END) AS p50_cnt,
        MAX(CASE WHEN rk = GREATEST(1, CAST(ceil(0.90 * n) AS BIGINT)) THEN cnt END) AS p90_cnt,
        MAX(CASE WHEN rk = GREATEST(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN cnt END) AS p99_cnt,
-       CAST(MAX(cnt) * 10000 / SUM(cnt) AS BIGINT) AS top_share_bp,
-       CAST(MAX(cnt) * 100 / MAX(CASE WHEN rk = GREATEST(1, CAST(ceil(0.50 * n) AS BIGINT)) THEN cnt END) AS BIGINT) AS skew_ratio_c
+       CAST((MAX(cnt) * 10000) // SUM(cnt) AS BIGINT) AS top_share_bp,
+       CAST((MAX(cnt) * 100) // MAX(CASE WHEN rk = GREATEST(1, CAST(ceil(0.50 * n) AS BIGINT)) THEN cnt END) AS BIGINT) AS skew_ratio_c
 FROM ranked
 """
 
@@ -1224,17 +1231,23 @@ def period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"))
     w = Window.orderBy("month")
     prev = F.lag("revenue").over(w)
+    # growth ratio via scaled-integer floor division (cent-exact BIGINTs,
+    # `div` / `//` on both engines) — ROUND(double, 6) disagrees between
+    # Spark and DuckDB at shortest-repr .5 boundaries, floor-div of
+    # integers cannot. BIGINT cents * 1e6 holds to ~9e16 cents/month;
+    # widen through DECIMAL(38,0) beyond that.
     return (
         monthly.withColumn("prev_revenue", prev)
+        .withColumn("rev_c", (F.col("revenue") * 100).cast("bigint"))
+        .withColumn("prev_c", (F.col("prev_revenue") * 100).cast("bigint"))
         .select(
             "month",
             F.col("revenue").cast("double").alias("revenue"),
             F.col("prev_revenue").cast("double").alias("prev_revenue"),
             (F.col("revenue") - F.col("prev_revenue")).cast("double").alias("delta"),
-            F.round(
-                F.col("revenue").cast("double") / F.col("prev_revenue").cast("double"),
-                6,
-            ).alias("growth_ratio"),
+            (F.expr("(rev_c * 1000000) div prev_c") / F.lit(1_000_000.0))
+            .cast("double")
+            .alias("growth_ratio"),
         )
         .orderBy("month")
     )
@@ -1254,7 +1267,9 @@ SELECT month,
        CAST(revenue AS DOUBLE) AS revenue,
        CAST(prev_revenue AS DOUBLE) AS prev_revenue,
        CAST(revenue - prev_revenue AS DOUBLE) AS delta,
-       ROUND(CAST(revenue AS DOUBLE) / CAST(prev_revenue AS DOUBLE), 6) AS growth_ratio
+       CAST((CAST(revenue * 100 AS BIGINT) * 1000000)
+            // CAST(prev_revenue * 100 AS BIGINT) AS DOUBLE) / 1000000
+         AS growth_ratio
 FROM lagged
 ORDER BY month
 """

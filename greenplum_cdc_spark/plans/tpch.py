@@ -1522,7 +1522,8 @@ def sql_interface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT r.nation, r.order_year,
                CAST(r.revenue AS DOUBLE) AS revenue,
-               ROUND(CAST(r.revenue AS DOUBLE) / CAST(t.year_total AS DOUBLE), 6)
+               CAST((CAST(r.revenue * 100 AS BIGINT) * 1000000)
+                    div CAST(t.year_total * 100 AS BIGINT) AS DOUBLE) / 1000000
                  AS nation_share
         FROM rev r JOIN tot t ON r.order_year = t.order_year
         ORDER BY r.nation, r.order_year
@@ -1545,7 +1546,9 @@ tot AS (
 )
 SELECT r.nation, r.order_year,
        CAST(r.revenue AS DOUBLE) AS revenue,
-       ROUND(CAST(r.revenue AS DOUBLE) / CAST(t.year_total AS DOUBLE), 6) AS nation_share
+       CAST((CAST(r.revenue * 100 AS BIGINT) * 1000000)
+            // CAST(t.year_total * 100 AS BIGINT) AS DOUBLE) / 1000000
+         AS nation_share
 FROM rev r JOIN tot t ON r.order_year = t.order_year
 ORDER BY r.nation, r.order_year
 """

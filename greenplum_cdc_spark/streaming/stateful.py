@@ -555,8 +555,10 @@ _RL_STATE = StructType(
 def _rate_limit_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Token bucket per key: capacity 3, refill 1 token/min, integer
-    milli-token arithmetic (deterministic; no float drift)."""
+    """Token bucket per key: capacity 2 (_RL_CAP_MILLI=2000), refill
+    1 token per 2 hours (_RL_REFILL_US_PER_MILLI=7_200_000 µs/milli-
+    token), integer milli-token arithmetic (deterministic; no float
+    drift). The exact-simulation pytest mirrors THESE constants."""
     tokens, last = state.get if state.exists else (_RL_CAP_MILLI, None)
     out = []
     ts_all = pd.concat([p["ts_us"] for p in pdfs]).sort_values().astype("int64")
