@@ -53,6 +53,8 @@ def apply_incremental(
     op_col: str = "op",
     delete_op: str = "delete",
     keep_tombstones: bool = False,
+    watermark: DataFrame | None = None,
+    enforce_watermark: bool = False,
 ) -> DataFrame:
     """Merge a CDC micro-batch into an existing replica (foreachBatch body).
 
@@ -65,14 +67,42 @@ def apply_incremental(
     stored watermark are ever applied). Out-of-order delivery has one
     divergence: a delete absorbed into the snapshot leaves no trace, so
     a LATE event older than that delete would resurrect the key where a
-    full recompute would not. Deployments that cannot guarantee ordered
-    delivery should pass ``keep_tombstones=True`` (both here and in the
-    initial `snapshot_latest`): winning deletes then persist in the
-    replica and late pre-delete events lose the window to the tombstone,
-    restoring the invariant at the cost of retained delete rows (compact
-    them periodically once the bus's max lateness has passed).
+    full recompute would not.
+
+    The ordering contract is ENFORCEABLE, not just documented: pass
+    ``enforce_watermark=True`` to drop batch events at/below the
+    replica's per-key high (order_cols) tuple before the merge — the
+    reference's maxwell_ts guard, per key instead of global. Because a
+    deleted key leaves no replica row to derive a watermark from, pass
+    ``watermark=`` a per-key watermark table maintained over ALL
+    APPLIED events (key_cols + order_cols columns, one row per key —
+    e.g. ``applied.groupBy(key).agg(F.max(F.struct(*order_cols)))``
+    unpacked); with it, late pre-delete events lose to the dead key's
+    watermark and can never resurrect it. The guard is one extra join
+    against a |keys|-row table, shuffled on the same key as the merge.
+
+    Alternative: ``keep_tombstones=True`` (both here and in the initial
+    `snapshot_latest`) retains winning deletes in the replica so late
+    pre-delete events lose the window to the tombstone — same
+    invariant, retained delete rows instead of a watermark table.
     One shuffle on the key either way, same as snapshot_latest.
     """
+    if enforce_watermark or watermark is not None:
+        if watermark is None:
+            wm = replica.groupBy(*key_cols).agg(
+                F.max(F.struct(*order_cols)).alias("_wm")
+            )
+        else:
+            wm = watermark.select(
+                *key_cols, F.struct(*order_cols).alias("_wm")
+            )
+        batch = (
+            batch.join(wm, list(key_cols), "left")
+            .filter(
+                F.col("_wm").isNull() | (F.struct(*order_cols) > F.col("_wm"))
+            )
+            .drop("_wm")
+        )
     base = replica.withColumn(op_col, F.lit("insert")) if op_col not in replica.columns else replica
     cols = [c for c in batch.columns]
     base = base.select(*[F.col(c) if c in base.columns else F.lit(None).alias(c) for c in cols])
