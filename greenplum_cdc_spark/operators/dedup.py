@@ -1173,3 +1173,86 @@ ORDER BY c.doc_a, c.doc_b
 
 
 SIMHASH_NEAR_PAIRS_SQL = _simhash_pairs_sql()
+
+
+OVERLAP_SHINGLE = 4  # words per shingle
+
+
+def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C61: cross-source contamination matrix — for every source pair,
+    the number of distinct shared word-{OVERLAP_SHINGLE}-gram shingles
+    and the containment of the smaller source in basis points.
+
+    The corpus-level triage that tells a curation run WHICH source
+    pairs to near-dedup against each other (a web dump that swallowed a
+    wiki mirror shows up as one hot cell here). Candidate generation is
+    the standard bucketed shape: distinct (source, shingle) pairs, one
+    self-equi-join on the shingle — never all-pairs over documents.
+    Hot-shingle skew is bounded by the source count (a shingle yields at
+    most |sources|^2 joined rows); at web scale add a document-frequency
+    cap on shingles (drop boilerplate n-grams seen in >T sources)
+    before the join, which only removes rows that carry no signal.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        f"CASE WHEN size(toks) >= {OVERLAP_SHINGLE} THEN "
+        f"transform(sequence(0, size(toks) - {OVERLAP_SHINGLE}), "
+        f"i -> concat_ws(' ', {', '.join(f'toks[i+{j}]' for j in range(OVERLAP_SHINGLE))})) "
+        "ELSE array() END"
+    )
+    sh = (
+        docs.withColumn("toks", F.filter(F.split("text", " "), lambda x: x != ""))
+        .select("source", F.explode(grams).alias("g"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_shingles"))
+    shared = (
+        sh.alias("a")
+        .join(sh.alias("b"), "g")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.withColumnRenamed("source", "src_a")), "src_a"
+        )
+        .withColumnRenamed("n_shingles", "n_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "src_b")), "src_b")
+        .withColumnRenamed("n_shingles", "n_b")
+        .withColumn(
+            "containment_bp",
+            F.expr("(n_shared * 10000) div least(n_a, n_b)"),
+        )
+        .select("src_a", "src_b", "n_shared", "n_a", "n_b", "containment_bp")
+        .orderBy("src_a", "src_b")
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH t AS (
+  SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source,
+         {' || '.join(f"toks[i+{j}]" if j == 0 else f"' ' || toks[i+{j}]" for j in range(OVERLAP_SHINGLE)).replace("toks[i+0]", "toks[i]")} AS g
+  FROM (SELECT source, toks, unnest(range(1, len(toks) - {OVERLAP_SHINGLE - 2})) AS i
+        FROM t WHERE len(toks) >= {OVERLAP_SHINGLE})
+),
+sizes AS (SELECT source, COUNT(*) AS n_shingles FROM sh GROUP BY source),
+shared AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, n_shared,
+       sa.n_shingles AS n_a, sb.n_shingles AS n_b,
+       (n_shared * 10000) // LEAST(sa.n_shingles, sb.n_shingles) AS containment_bp
+FROM shared
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""

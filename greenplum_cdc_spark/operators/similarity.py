@@ -932,3 +932,221 @@ ORDER BY t.query_id
 
 
 KNN_RECALL_SQL = _knn_recall_sql()
+
+
+SEM_MIN_SEEDS = 8   # floor for the sqrt(N) coarse-cell count
+SEM_TAU = NEARDUP_COS
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C58: semantic (embedding-space) dedup — cluster-scoped near-dup
+    removal with a keep-lowest-id policy, reported per cell.
+
+    The SemDeDup recipe (Abbas et al. 2023): coarse-cluster the corpus,
+    then search for near-duplicate pairs ONLY within a cluster and keep
+    one representative — candidate generation is an equi-join on the
+    cell id, never all-pairs. The cell count is max(8, floor(sqrt(N)))
+    — the single-level IVF balance point: assignment costs N*k dot
+    products and within-cell pairing costs ~N^2/(2k), so k = sqrt(N)
+    equalizes them at N^1.5 total (the probe measured a FIXED 8-cell
+    variant at 27x wall on 10x data — the quadratic cliff this formula
+    removes; sqrt-cells measures ~7x). Past that, the k-means quantizer
+    stacks into multiple levels (each level's fan-out stays ~sqrt),
+    which is exactly FAISS's IVF-in-IVF answer. Seeds are the first k
+    corpus vectors (deterministic k-means stand-in — the trained form
+    is kmeans_embeddings C45); both engines derive k from the same
+    COUNT via the same IEEE sqrt, so the cells agree bit-for-bit.
+
+    Output: per cell, corpus size, dropped near-dups (the larger vec_id
+    of any pair with cosine >= tau), and survivors.
+    """
+    import math
+
+    vecs = _with_norm(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    n = vecs.count()
+    n_seeds = max(SEM_MIN_SEEDS, int(math.floor(math.sqrt(float(n)))))
+    seeds = vecs.filter(F.col("vec_id") < n_seeds).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("se"),
+        F.col("norm").alias("sn"),
+    )
+    scored = vecs.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "embedding",
+        "norm",
+        "seed_id",
+        (_dot("embedding", "se") / (F.col("norm") * F.col("sn"))).alias("cos_seed"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_seed"), F.asc("seed_id"))
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cell"), "embedding", "norm")
+    )
+    pair_cos = _dot("a.embedding", "b.embedding") / (F.col("a.norm") * F.col("b.norm"))
+    dropped = (
+        cells.alias("a")
+        .join(
+            cells.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(pair_cos >= SEM_TAU)
+        .select(F.col("b.cell").alias("cell"), F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+    base = cells.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    return (
+        base.join(dropped, "cell", "left")
+        .select(
+            "cell",
+            "n_vecs",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias("n_kept"),
+        )
+        .orderBy("cell")
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding')}) AS norm
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id AS seed_id, embedding AS se, norm AS sn FROM v
+  WHERE vec_id < (SELECT GREATEST({SEM_MIN_SEEDS},
+                                  CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT))
+                  FROM embeddings)
+),
+scored AS (
+  SELECT v.vec_id, v.embedding, v.norm, s.seed_id,
+         {_dot_sql('v.embedding', 's.se')} / (v.norm * s.sn) AS cos_seed
+  FROM v, s
+),
+cells AS (
+  SELECT vec_id, seed_id AS cell, embedding, norm FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY cos_seed DESC, seed_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT cell, COUNT(DISTINCT vec_id) AS n_dropped FROM (
+    SELECT a.cell, b.vec_id
+    FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm) >= {SEM_TAU}
+  ) GROUP BY cell
+),
+base AS (SELECT cell, COUNT(*) AS n_vecs FROM cells GROUP BY cell)
+SELECT base.cell, n_vecs,
+       COALESCE(n_dropped, 0) AS n_dropped,
+       n_vecs - COALESCE(n_dropped, 0) AS n_kept
+FROM base LEFT JOIN dropped USING (cell)
+ORDER BY base.cell
+"""
+
+
+PQ_M = 4                 # subspaces
+PQ_SUB = DIM // PQ_M     # dims per subspace
+PQ_CODES = 4             # codebook entries per subspace
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C59: product-quantization encoding — the 100 TB embedding
+    compression path (Jegou et al., FAISS PQ): the 64-dim vector splits
+    into {PQ_M} subspaces and each stores only the id of its nearest
+    codebook entry, 64 floats -> {PQ_M} small ints (64x smaller, ADC
+    search decodes against the codebook instead of the corpus).
+
+    Codebooks here are the subvectors of a fixed seed set (vec_id <
+    {PQ_CODES} — the deterministic stand-in for per-subspace k-means,
+    c.f. knn_ivf's trained quantizer). The seed matrix is tiny so it is
+    collected once and inlined as literal arrays: encoding is a single
+    corpus scan of zip_with/aggregate folds in whole-stage codegen —
+    zero joins, zero shuffles (the FAISS encode loop's Spark analog).
+    Ties take the lowest code on both engines (array_position returns
+    the FIRST index of the min; the oracle's CASE chain tests code 0
+    first). err is the exact reconstruction error, summed per-subspace
+    in fixed order so the doubles are bit-identical.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed_rows = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in vecs.filter(F.col("vec_id") < PQ_CODES).collect()
+    }
+    out = [F.col("vec_id")]
+    mins = []
+    for m in range(PQ_M):
+        sub = F.slice("embedding", m * PQ_SUB + 1, PQ_SUB)
+        dists = []
+        for c in range(PQ_CODES):
+            lit = F.array(
+                *[
+                    F.lit(float(x))
+                    for x in seed_rows[c][m * PQ_SUB : (m + 1) * PQ_SUB]
+                ]
+            )
+            diff = F.zip_with(
+                sub, lit, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            )
+            dists.append(F.aggregate(diff, F.lit(0.0), lambda a, x: a + x))
+        darr = F.array(*dists)
+        out.append(
+            (F.array_position(darr, F.array_min(darr)) - 1)
+            .cast("int")
+            .alias(f"code{m}")
+        )
+        mins.append(F.least(*dists))
+    err = mins[0]
+    for dm in mins[1:]:
+        err = err + dm
+    out.append(err.alias("recon_err"))
+    return vecs.select(*out).orderBy("vec_id")
+
+
+def _pq_chain_sql(m: int) -> str:
+    terms = [
+        f"(CAST(v.embedding[{i}] AS DOUBLE) - CAST(s.c[{i}] AS DOUBLE))"
+        f" * (CAST(v.embedding[{i}] AS DOUBLE) - CAST(s.c[{i}] AS DOUBLE))"
+        for i in range(m * PQ_SUB + 1, (m + 1) * PQ_SUB + 1)
+    ]
+    return "(0.0 + " + " + ".join(terms) + ")"
+
+
+def _pq_code_case_sql(m: int) -> str:
+    arms = []
+    for c in range(PQ_CODES - 1):
+        conds = " AND ".join(
+            f"d{m}_{c} <= d{m}_{o}" for o in range(PQ_CODES) if o != c
+        )
+        arms.append(f"WHEN {conds} THEN {c}")
+    return "CASE " + " ".join(arms) + f" ELSE {PQ_CODES - 1} END"
+
+
+PQ_ENCODE_SQL = f"""
+WITH s AS (
+  SELECT vec_id AS code, embedding AS c FROM embeddings WHERE vec_id < {PQ_CODES}
+),
+d AS (
+  SELECT v.vec_id, s.code,
+         {', '.join(f'{_pq_chain_sql(m)} AS dm{m}' for m in range(PQ_M))}
+  FROM embeddings v, s
+),
+agg AS (
+  SELECT vec_id,
+         {', '.join(f'MIN(CASE WHEN code = {c} THEN dm{m} END) AS d{m}_{c}'
+                    for m in range(PQ_M) for c in range(PQ_CODES))}
+  FROM d GROUP BY vec_id
+)
+SELECT vec_id,
+       {', '.join(f'CAST({_pq_code_case_sql(m)} AS INT) AS code{m}' for m in range(PQ_M))},
+       {' + '.join(f'LEAST({", ".join(f"d{m}_{c}" for c in range(PQ_CODES))})' for m in range(PQ_M))}
+         AS recon_err
+FROM agg
+ORDER BY vec_id
+"""

@@ -550,3 +550,109 @@ FROM hashed, m
 WHERE h * 2 * maxc < n_chars * {1 << 28}
 ORDER BY doc_id
 """
+
+
+NGRAM_TOPK = 25
+
+
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C57: corpus-level top-K word bigrams — the n-gram LM / tokenizer
+    -training count table (the first pass of every BPE/WordPiece trainer
+    and of n-gram contamination indexes).
+
+    Bigrams are built array-side with one `transform` over the token
+    array (pure map stage, same shape as doc_fingerprint's 4-grams), so
+    the only shuffle is the map-side-combined count; the global top-K is
+    TakeOrdered (per-partition heaps + driver merge of K rows), never a
+    full sort. At 100 TB the count table is the big object, not the
+    rows: partial aggregation bounds each task's state to its distinct
+    bigrams, and K rows cross to the driver.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> concat_ws(' ', toks[i], toks[i+1])) "
+        "ELSE array() END"
+    )
+    return (
+        docs.withColumn("toks", F.filter(F.split("text", " "), lambda x: x != ""))
+        .select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(NGRAM_TOPK)
+    )
+
+
+NGRAM_TOPK_SQL = f"""
+WITH t AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+g AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t WHERE len(toks) >= 2)
+)
+SELECT bigram, COUNT(*) AS cnt
+FROM g GROUP BY bigram
+ORDER BY cnt DESC, bigram ASC
+LIMIT {NGRAM_TOPK}
+"""
+
+
+# fixed char-length curriculum boundaries (chars; half-open buckets)
+LEN_BUCKET_BOUNDS = (100, 200, 300, 400)
+
+
+def length_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C62: curriculum mixing table — document-length buckets x language,
+    with each language's share of its bucket in integer basis points.
+
+    The planning table behind length-bucketed batch packing and
+    curriculum schedules (short->long). Buckets are fixed literal
+    boundaries so assignment is a map-side CASE; the per-bucket share
+    uses integer floor division (cnt * 10000 div bucket_total) — the
+    engine-divergence-proof idiom (ADVICE r3) — over a window keyed by
+    the 5-row bucket id on the already-aggregated frame.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arms = " ".join(
+        f"WHEN n_chars < {b} THEN {i}" for i, b in enumerate(LEN_BUCKET_BOUNDS)
+    )
+    bucket = F.expr(f"CASE {arms} ELSE {len(LEN_BUCKET_BOUNDS)} END")
+    agg = (
+        docs.withColumn("len_bucket", bucket)
+        .groupBy("len_bucket", "lang")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("len_bucket")
+    return (
+        agg.withColumn("bucket_total", F.sum("cnt").over(w))
+        .withColumn("share_bp", F.expr("(cnt * 10000) div bucket_total"))
+        .select("len_bucket", "lang", "cnt", "bucket_total", "share_bp")
+        .orderBy("len_bucket", "lang")
+    )
+
+
+_LEN_BUCKET_CASE = " ".join(
+    f"WHEN n_chars < {b} THEN {i}" for i, b in enumerate(LEN_BUCKET_BOUNDS)
+)
+
+LENGTH_BUCKET_MIX_SQL = f"""
+WITH b AS (
+  SELECT CASE {_LEN_BUCKET_CASE} ELSE {len(LEN_BUCKET_BOUNDS)} END AS len_bucket, lang
+  FROM documents
+),
+agg AS (
+  SELECT len_bucket, lang, COUNT(*) AS cnt FROM b GROUP BY len_bucket, lang
+)
+SELECT len_bucket, lang, cnt,
+       CAST(SUM(cnt) OVER (PARTITION BY len_bucket) AS BIGINT) AS bucket_total,
+       CAST((cnt * 10000) // SUM(cnt) OVER (PARTITION BY len_bucket) AS BIGINT)
+         AS share_bp
+FROM agg
+ORDER BY len_bucket, lang
+"""

@@ -1576,3 +1576,43 @@ FROM labeled, total
 GROUP BY bucket, total_revenue
 ORDER BY revenue DESC, bucket
 """
+
+
+QNORM_TAIL = 0.99
+
+
+def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B75: per-group quantile (ECDF) normalization — the feature
+    transform that maps a raw metric onto its within-group percentile,
+    reported for the extreme tail (>= {QNORM_TAIL}).
+
+    percent_rank over the unique total order (value, event_id) within
+    each event_type: ties cannot occur, so rank == row_number and the
+    score is the single IEEE division (rank-1)/(n-1) — bit-identical
+    across engines with no rounding fudge. The window is PARTITIONED by
+    event_type (parallel, unlike a global rank); at 100 TB a group
+    still funnels to one task per event_type, so the upgrade path for
+    few-huge-groups data is `_global_row_number`-style range
+    partitioning inside each group (operators/stats.py).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("pct_rank", F.percent_rank().over(w))
+        .filter(F.col("pct_rank") >= QNORM_TAIL)
+        .select("event_id", "event_type", "value", "pct_rank")
+        .orderBy("event_type", "event_id")
+    )
+
+
+QUANTILE_NORMALIZE_SQL = f"""
+SELECT event_id, event_type, value, pct_rank
+FROM (
+  SELECT event_id, event_type, value,
+         percent_rank() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS pct_rank
+  FROM events
+)
+WHERE pct_rank >= {QNORM_TAIL}
+ORDER BY event_type, event_id
+"""

@@ -1519,3 +1519,58 @@ WHERE rn = 1 AND op <> 'delete'
 GROUP BY version
 ORDER BY version
 """
+
+
+def cdc_stale_replay_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A30: the ENFORCED ordering contract under at-least-once
+    redelivery — a full stale-batch replay must leave the replica
+    bit-identical.
+
+    The reference's bus is at-least-once (rabbitmq.go acks only after
+    the batch lands, so a crash between write and ack redelivers the
+    whole batch); its guard is the global maxwell_ts watermark
+    (maxwell_gpdb.sql:34-36). This query drives the per-key form
+    (operators/cdc.py `enforce_watermark`): build the replica from the
+    pre-split feed, keep the per-key high (ts, seq) watermark over ALL
+    applied events — including the deletes the snapshot absorbed — then
+    replay every pre-split INSERT as a stale batch. Without the guard,
+    inserts older than an absorbed delete resurrect dead keys (the
+    replica has no row to outrank them); with it, every stale event
+    loses to the watermark. The oracle is the pre-split snapshot, so
+    the hash match proves replay(replica, stale) == replica exactly.
+    The guard costs one extra equi-join against a |keys|-row watermark
+    table, shuffled on the same key as the merge itself.
+    """
+    feed = _feed(spark, sf_dir)
+    batch1 = feed.filter(F.col("ts") < F.lit(_SPLIT_TS).cast("timestamp"))
+    replica = cdc_ops.snapshot_latest(batch1)
+    wm = (
+        batch1.groupBy("pk")
+        .agg(F.max(F.struct("ts", "seq")).alias("m"))
+        .select("pk", F.col("m.ts").alias("ts"), F.col("m.seq").alias("seq"))
+    )
+    stale = batch1.filter(F.col("op") == "insert")
+    merged = cdc_ops.apply_incremental(
+        replica, stale, watermark=wm, enforce_watermark=True
+    )
+    return merged.select(
+        "pk",
+        F.col("ts").alias("last_ts"),
+        F.col("seq").alias("last_seq"),
+        F.col("value").alias("last_value"),
+        F.col("event_type").alias("last_event_type"),
+    ).orderBy("pk")
+
+
+CDC_STALE_REPLAY_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL}),
+b1 AS (SELECT * FROM cdc WHERE ts < TIMESTAMP '{_SPLIT_TS}'),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+  FROM b1
+)
+SELECT pk, ts AS last_ts, seq AS last_seq, value AS last_value, event_type AS last_event_type
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+ORDER BY pk
+"""

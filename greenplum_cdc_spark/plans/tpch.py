@@ -1632,3 +1632,151 @@ JOIN item_cnt cb ON cb.l_partkey = p.part_b
 CROSS JOIN n
 ORDER BY lift_x4 DESC, part_a, part_b
 """
+
+
+_IAM_SPLIT = "1997-06-01 00:00:00"
+
+
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B73: incremental materialized-rollup maintenance — merge a stored
+    monthly rollup with a delta batch and land on exactly the full
+    recompute.
+
+    The refresh pattern behind every warehouse summary table: the base
+    rollup (orders before the split date) is what a nightly job stored;
+    the delta (orders at/after it) is today's new partition. Both sides
+    keep the EXACT decimal partial sum (order-insensitive), so merging
+    is a union + re-aggregate over |groups| rows, and only the final
+    merged sum is rounded and surfaced as double — the same commutative
+    partial-aggregate contract Spark's own map-side combine relies on.
+    At 100 TB the delta is the only side that scans new data; the base
+    is |groups| pre-aggregated rows. The oracle is the full-table
+    rollup, so the hash match proves merge(base, delta) == recompute.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    split = F.lit(_IAM_SPLIT).cast("timestamp")
+
+    def partial(side: DataFrame) -> DataFrame:
+        return side.groupBy(month, "o_orderstatus").agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_money("o_totalprice")).alias("sum_total_dec"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < split))
+    delta = partial(orders.filter(F.col("o_orderdate") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("month", "o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.round(F.sum("sum_total_dec"), 4).cast("double").alias("sum_total"),
+        )
+        .orderBy("month", "o_orderstatus")
+    )
+
+
+INCREMENTAL_AGG_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY 1, 2
+ORDER BY month, o_orderstatus
+"""
+
+
+TOP_PCT = 100  # top 1% = rank <= ceil(n / TOP_PCT)
+
+
+def top_percent_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B74: exact top-1%-by-revenue per group — the percentile-threshold
+    report (pricing outliers, whale orders) done with EXACT counts, not
+    an approximate quantile.
+
+    rank <= ceil(n/100) over the unique order (revenue DESC, l_orderkey,
+    l_linenumber) inside each l_returnflag; the threshold is integer
+    math ((n + 99) div 100) so both engines cut at the same row.
+
+    Scale shape: a plain per-group window funnels each group through
+    ONE task — with few huge groups (3 return flags here) that is the
+    single-partition cliff at 100 TB. The executed plan is two-phase
+    top-K instead: every input partition keeps only its LOCAL top
+    K_g = ceil(n_g/100) per group (window keyed by (group,
+    spark_partition_id) — fully parallel, and provably a superset of
+    the global top-K_g since no partition can contribute more than K_g
+    winners), then the exact per-group rank runs over the <= K_g * P
+    surviving rows. n_g comes from one count aggregate inlined as a
+    literal CASE (3 groups). Same two-phase shape as
+    salted_hot_key_rollup; output identical to the naive window.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (_money("l_extendedprice") * (F.lit(1).cast(_RATE) - _rate("l_discount"))).alias(
+        "revenue"
+    )
+    from pyspark.sql import Window
+
+    sel = li.select("l_returnflag", "l_orderkey", "l_linenumber", rev)
+    counts = {
+        r["l_returnflag"]: r["n"]
+        for r in sel.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    n_arms = " ".join(
+        f"WHEN l_returnflag = '{flag}' THEN CAST({n} AS BIGINT)"
+        for flag, n in sorted(counts.items())
+    )
+    n_group = F.expr(f"CASE {n_arms} END")
+    w_local = Window.partitionBy("l_returnflag", "_pid").orderBy(
+        F.desc("revenue"), "l_orderkey", "l_linenumber"
+    )
+    pruned = (
+        sel.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_n", n_group)
+        .withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.expr(f"_lrk <= (_n + {TOP_PCT - 1}) div {TOP_PCT}"))
+        .drop("_pid", "_lrk")
+    )
+    w_rank = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("revenue"), "l_orderkey", "l_linenumber"
+    )
+    ranked = pruned.withColumn("rk", F.row_number().over(w_rank)).withColumnRenamed(
+        "_n", "n_group"
+    )
+    return (
+        ranked.filter(F.expr(f"rk <= (n_group + {TOP_PCT - 1}) div {TOP_PCT}"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n_group").alias("n_group"),
+            F.count("*").alias("n_top"),
+            F.round(F.sum("revenue"), 4).cast("double").alias("sum_top_revenue"),
+            F.round(F.min("revenue"), 4).cast("double").alias("min_top_revenue"),
+            F.round(F.max("revenue"), 4).cast("double").alias("max_top_revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+TOP_PERCENT_SQL = f"""
+WITH ranked AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DECIMAL(12,4))
+           * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) AS revenue,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY CAST(l_extendedprice AS DECIMAL(12,4))
+                                     * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4))) DESC,
+                                     l_orderkey, l_linenumber) AS rk,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n_group
+  FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(MAX(n_group) AS BIGINT) AS n_group,
+       COUNT(*) AS n_top,
+       CAST(ROUND(SUM(revenue), 4) AS DOUBLE) AS sum_top_revenue,
+       CAST(ROUND(MIN(revenue), 4) AS DOUBLE) AS min_top_revenue,
+       CAST(ROUND(MAX(revenue), 4) AS DOUBLE) AS max_top_revenue
+FROM ranked
+WHERE rk <= (n_group + {TOP_PCT - 1}) // {TOP_PCT}
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -43,6 +43,7 @@ _SKIP = {
 # broadcast (documented in their docstrings)
 _BNLJ_OK = {
     "kmeans_embeddings",  # K-row centroid table per Lloyd round
+    "semantic_dedup",  # 8-row coarse-quantizer broadcast (assignment pass)
     "knn_cosine_bruteforce",  # broadcast query set, != condition
     "knn_ivf",  # broadcast query set within cells
     "dedup_embedding",  # mapInPandas over broadcast matrix

@@ -284,3 +284,148 @@ class TestApplyIncrementalWatermarkGuard:
         out = cdc.apply_incremental(replica, fresh, watermark=wm)
         got = {r["pk"]: r["payload"] for r in out.collect()}
         assert got == {"L": "l-v5", "K": "k-reborn", "M": "m-v5"}, got
+
+
+class TestRound4Operators:
+    """Semantics pins for the round-4 operator batch (each also has a
+    DuckDB oracle twin in the gate; these tests pin the properties the
+    oracle alone can't see)."""
+
+    def test_ngram_topk_counts(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import text
+
+        rows = text.ngram_topk(spark, sf_dir).collect()
+        assert len(rows) == text.NGRAM_TOPK
+        cnts = [r["cnt"] for r in rows]
+        assert cnts == sorted(cnts, reverse=True)
+        # ties are broken lexicographically: equal-count runs are sorted
+        for a, b in zip(rows, rows[1:]):
+            if a["cnt"] == b["cnt"]:
+                assert a["bigram"] < b["bigram"]
+
+    def test_length_bucket_mix_shares_sum(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import text
+
+        rows = text.length_bucket_mix(spark, sf_dir).collect()
+        by_bucket: dict[int, list] = {}
+        for r in rows:
+            by_bucket.setdefault(r["len_bucket"], []).append(r)
+        for b, grp in by_bucket.items():
+            total = grp[0]["bucket_total"]
+            assert sum(r["cnt"] for r in grp) == total
+            # floor-division shares sum to <= 10000 and miss < |langs|
+            s = sum(r["share_bp"] for r in grp)
+            assert 10000 - len(grp) < s <= 10000
+
+    def test_semantic_dedup_conservation(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import similarity
+
+        rows = similarity.semantic_dedup(spark, sf_dir).collect()
+        total = sum(r["n_vecs"] for r in rows)
+        assert total == load_table(spark, sf_dir, "embeddings").count()
+        for r in rows:
+            assert r["n_kept"] + r["n_dropped"] == r["n_vecs"]
+            assert r["n_kept"] >= 1  # the min-id representative survives
+
+    def test_pq_codes_in_range_and_err_nonneg(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import similarity
+
+        rows = similarity.pq_encode(spark, sf_dir).collect()
+        for r in rows:
+            for m in range(similarity.PQ_M):
+                assert 0 <= r[f"code{m}"] < similarity.PQ_CODES
+            assert r["recon_err"] >= 0.0
+        # seeds encode to themselves with zero error
+        seeds = [r for r in rows if r["vec_id"] < similarity.PQ_CODES]
+        for r in seeds:
+            assert r["recon_err"] == 0.0
+            assert all(
+                r[f"code{m}"] == r["vec_id"] for m in range(similarity.PQ_M)
+            )
+
+    def test_quantile_normalize_tail(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import timeseries
+
+        rows = timeseries.quantile_normalize(spark, sf_dir).collect()
+        assert rows, "tail must be non-empty"
+        assert all(r["pct_rank"] >= timeseries.QNORM_TAIL for r in rows)
+        # each group's maximum-value row scores exactly 1.0
+        assert any(r["pct_rank"] == 1.0 for r in rows)
+
+    def test_source_overlap_bounds(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import dedup
+
+        rows = dedup.source_overlap(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["src_a"] < r["src_b"]
+            assert 0 < r["n_shared"] <= min(r["n_a"], r["n_b"])
+            assert 0 < r["containment_bp"] <= 10000
+
+    def test_incremental_agg_equals_full_recompute(self, spark, sf_dir):
+        """merge(base, delta) == recompute — and the split is real (both
+        sides non-empty), so the test isn't vacuous."""
+        from greenplum_cdc_spark.plans import tpch
+
+        orders = load_table(spark, sf_dir, "orders")
+        split = F.lit(tpch._IAM_SPLIT).cast("timestamp")
+        assert orders.filter(F.col("o_orderdate") < split).count() > 0
+        assert orders.filter(F.col("o_orderdate") >= split).count() > 0
+        merged = tpch.incremental_agg_maintenance(spark, sf_dir).collect()
+        full = (
+            orders.groupBy(
+                F.to_date(F.date_trunc("month", "o_orderdate")).alias("month"),
+                "o_orderstatus",
+            )
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum(tpch._money("o_totalprice")), 4)
+                .cast("double")
+                .alias("sum_total"),
+            )
+            .orderBy("month", "o_orderstatus")
+            .collect()
+        )
+        assert merged == full
+
+    def test_top_percent_threshold_exact(self, spark, sf_dir):
+        from greenplum_cdc_spark.plans import tpch
+
+        for r in tpch.top_percent_per_group(spark, sf_dir).collect():
+            assert r["n_top"] == (r["n_group"] + tpch.TOP_PCT - 1) // tpch.TOP_PCT
+            assert r["min_top_revenue"] <= r["max_top_revenue"]
+
+
+class TestStaleReplayGuard:
+    def test_replay_is_identity(self, spark, sf_dir):
+        """The graded query's invariant, stated directly: replaying every
+        pre-split insert into the guarded replica changes nothing."""
+        from greenplum_cdc_spark.plans import cdc_queries as cq
+        from greenplum_cdc_spark.operators import cdc as cdc_ops
+
+        feed = cq._feed(spark, sf_dir)
+        b1 = feed.filter(F.col("ts") < F.lit(cq._SPLIT_TS).cast("timestamp"))
+        replica = cdc_ops.snapshot_latest(b1)
+        guarded = cq.cdc_stale_replay_guard(spark, sf_dir)
+        assert guarded.count() == replica.count()
+
+    def test_without_guard_deleted_keys_resurrect(self, spark, sf_dir):
+        """The guard has teeth: the same replay WITHOUT the watermark
+        resurrects keys whose final pre-split event was a delete."""
+        from greenplum_cdc_spark.plans import cdc_queries as cq
+        from greenplum_cdc_spark.operators import cdc as cdc_ops
+
+        feed = cq._feed(spark, sf_dir)
+        b1 = feed.filter(F.col("ts") < F.lit(cq._SPLIT_TS).cast("timestamp"))
+        replica = cdc_ops.snapshot_latest(b1)
+        stale = b1.filter(F.col("op") == "insert")
+        unguarded = cdc_ops.apply_incremental(replica, stale)
+        # keys that died pre-split and had at least one earlier insert
+        dead_with_insert = (
+            cdc_ops.snapshot_latest(b1, keep_tombstones=True)
+            .filter(F.col("op") == "delete")
+            .join(stale.select("pk").distinct(), "pk")
+            .count()
+        )
+        assert dead_with_insert > 0, "corpus must exercise the resurrection case"
+        assert unguarded.count() == replica.count() + dead_with_insert

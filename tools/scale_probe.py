@@ -198,6 +198,16 @@ def _late_ops():
         "knn_recall_eval": similarity.knn_recall_eval,
         "cdc_heartbeat_lag": cdc_queries.cdc_heartbeat_lag,
         "lsh_band_tuning": dedup.lsh_band_tuning,
+        # round 4
+        "ngram_topk": text.ngram_topk,
+        "length_bucket_mix": text.length_bucket_mix,
+        "semantic_dedup": similarity.semantic_dedup,
+        "pq_encode": similarity.pq_encode,
+        "quantile_normalize": timeseries.quantile_normalize,
+        "source_overlap": dedup.source_overlap,
+        "incremental_agg_maintenance": tpch.incremental_agg_maintenance,
+        "top_percent_per_group": tpch.top_percent_per_group,
+        "cdc_stale_replay_guard": cdc_queries.cdc_stale_replay_guard,
     }
 
 
