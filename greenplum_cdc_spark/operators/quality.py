@@ -600,3 +600,72 @@ SELECT doc_id, n_words, total_chars, n_alpha_words, n_stopwords,
 FROM verdict
 ORDER BY doc_id
 """
+
+
+KEYWORDS_TOPN = 3
+KEYWORDS_SCALE = 1_000_000_000
+
+
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C65: per-document keyword extraction — the top-{KEYWORDS_TOPN}
+    rarest-weighted terms per doc, the tagging/routing signal a curation
+    pipeline attaches before mixing.
+
+    Scoring is rational TF-IDF with idf as inverse document frequency:
+    rank by tf/df, computed as the exact scaled integer
+    (tf * 1e9) div df — monotone in the ratio, no ln() (whose last-ulp
+    libm differences between the JVM and DuckDB are exactly the
+    engine-divergence class ADVICE r3 flags; bm25_rank C23 carries the
+    6-dp-rounded ln variant). No df floor: the synthetic vocabulary is
+    ~31 near-ubiquitous terms, so a web-style df cap would zero the
+    output — relative rarity still orders them (add a df cap for real
+    corpora). Shapes: one explode+count keyed by doc (tf), one
+    |vocab|-row aggregate (df, broadcast), one window per doc over its
+    own distinct terms — every stage map-side-combined, parallel in
+    doc_id.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.withColumn("toks", _toks_col())
+        .select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_u"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("score_u", F.expr(f"(tf * {KEYWORDS_SCALE}) div df"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KEYWORDS_TOPN)
+        .select("doc_id", "rk", "term", "tf", "df", "score_u")
+        .orderBy("doc_id", "rk")
+    )
+
+
+DOC_KEYWORDS_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+tfc AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY doc_id, term
+),
+dfc AS (
+  SELECT term, COUNT(*) AS df FROM tfc GROUP BY term
+),
+scored AS (
+  SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+         CAST((tfc.tf * {KEYWORDS_SCALE}) // dfc.df AS BIGINT) AS score_u
+  FROM tfc JOIN dfc USING (term)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score_u DESC, term ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, rk, term, tf, df, score_u
+FROM ranked WHERE rk <= {KEYWORDS_TOPN}
+ORDER BY doc_id, rk
+"""

@@ -1150,3 +1150,99 @@ SELECT vec_id,
 FROM agg
 ORDER BY vec_id
 """
+
+
+OUTLIER_TOPN = 5
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C64: embedding-space outlier audit — the top-{OUTLIER_TOPN}
+    farthest vectors from their own label centroid, per label.
+
+    The curation QA pass behind 'inspect the weirdest examples per
+    class': mislabeled / corrupted / off-distribution embeddings rank
+    first. Centroid training is knn_ivf's exact chain (posexplode ->
+    micro-unit LONG sums -> the shared decimal->double->6dp rounding,
+    similarity.py:knn_ivf) and the trained matrix is inlined as
+    literals, so the distance scan is map-side folds in codegen — zero
+    joins. Distances are exact integer micro-unit squares (bit-identical
+    to the oracle's DECIMAL form scaled 1e12); the per-label top-K
+    window is partitioned (parallel), K*|labels| rows out.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings")
+    ve = vecs.select("label", F.posexplode("embedding").alias("pos", "v")).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        (
+            F.round(F.col("v").cast("double"), 6).cast("decimal(16,6)")
+            * F.lit(1_000_000)
+        ).cast("long").alias("u"),
+    )
+    cent = ve.groupBy("label", "dim").agg(
+        F.sum("u").alias("su"), F.count("*").alias("n")
+    )
+    from decimal import ROUND_HALF_UP, Decimal
+
+    by_cell: dict[int, dict[int, object]] = {}
+    for r in cent.collect():
+        val = float(Decimal(r["su"]).scaleb(-6)) / r["n"]
+        by_cell.setdefault(int(r["label"]), {})[int(r["dim"])] = Decimal(
+            repr(val)
+        ).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    rv_arr = F.transform(
+        F.col("embedding"),
+        lambda x: (
+            F.round(x.cast("double"), 6).cast("decimal(16,6)") * F.lit(1_000_000)
+        ).cast("long"),
+    )
+    map_args = []
+    for c in sorted(by_cell):
+        c6_arr = F.array(
+            *[F.lit(int(by_cell[c][d].scaleb(6))) for d in range(1, DIM + 1)]
+        )
+        sq = F.zip_with(F.col("rv"), c6_arr, lambda x, y: (x - y) * (x - y))
+        map_args.extend(
+            [F.lit(c), F.aggregate(sq, F.lit(0).cast("long"), lambda a, x: a + x)]
+        )
+    dist_own = F.create_map(*map_args)[F.col("label")]
+    w = Window.partitionBy("label").orderBy(F.desc("dist2_u"), F.asc("vec_id"))
+    return (
+        vecs.withColumn("rv", rv_arr)
+        .select("label", "vec_id", dist_own.alias("dist2_u"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= OUTLIER_TOPN)
+        .select("label", "rk", "vec_id", "dist2_u")
+        .orderBy("label", "rk")
+    )
+
+
+EMBEDDING_OUTLIERS_SQL = f"""
+WITH ve AS (
+  SELECT vec_id, label,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(16,6)) AS rv
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS cell, dim,
+         CAST(ROUND(CAST(ROUND(SUM(rv), 6) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(16,6)) AS c6
+  FROM ve GROUP BY label, dim
+),
+dist AS (
+  SELECT ve.vec_id, ve.label,
+         CAST(SUM(CAST((ve.rv - cent.c6) * 1000000 AS BIGINT)
+                  * CAST((ve.rv - cent.c6) * 1000000 AS BIGINT))
+              AS BIGINT) AS dist2_u
+  FROM ve JOIN cent ON ve.dim = cent.dim AND ve.label = cent.cell
+  GROUP BY ve.vec_id, ve.label
+),
+ranked AS (
+  SELECT label, vec_id, dist2_u,
+         ROW_NUMBER() OVER (PARTITION BY label
+                            ORDER BY dist2_u DESC, vec_id ASC) AS rk
+  FROM dist
+)
+SELECT label, rk, vec_id, dist2_u
+FROM ranked WHERE rk <= {OUTLIER_TOPN}
+ORDER BY label, rk
+"""

@@ -429,3 +429,82 @@ class TestStaleReplayGuard:
         )
         assert dead_with_insert > 0, "corpus must exercise the resurrection case"
         assert unguarded.count() == replica.count() + dead_with_insert
+
+
+class TestSwapPersist:
+    def test_same_plan_reuses_cache(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import dedup
+
+        a = load_table(spark, sf_dir, "documents").select("doc_id")
+        cached = dedup._swap_persist("_test_swap", a)
+        again = dedup._swap_persist(
+            "_test_swap", load_table(spark, sf_dir, "documents").select("doc_id")
+        )
+        assert again is cached  # identical plan -> reuse, no unpersist churn
+
+    def test_different_plan_swaps(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import dedup
+
+        first = dedup._swap_persist(
+            "_test_swap2", load_table(spark, sf_dir, "documents").select("doc_id")
+        )
+        second = dedup._swap_persist(
+            "_test_swap2",
+            load_table(spark, sf_dir, "documents").select("doc_id", "lang"),
+        )
+        assert second is not first
+        assert first.storageLevel.useMemory is False  # unpersisted
+        assert dedup._PERSIST_CACHE["_test_swap2"] is second
+        second.unpersist()
+        del dedup._PERSIST_CACHE["_test_swap2"]
+        del dedup._PERSIST_CACHE["_test_swap"]
+
+
+class TestRound4SecondBatch:
+    def test_doc_keywords_shape(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import quality
+
+        rows = quality.doc_keywords(spark, sf_dir).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert len(by_doc) == n_docs  # every doc gets keywords
+        for grp in by_doc.values():
+            assert [r["rk"] for r in grp] == list(range(1, len(grp) + 1))
+            scores = [r["score_u"] for r in grp]
+            assert scores == sorted(scores, reverse=True)
+            assert all(r["score_u"] == (r["tf"] * quality.KEYWORDS_SCALE) // r["df"] for r in grp)
+
+    def test_dedup_incremental_lsh_verified_subset(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import dedup
+
+        rows = dedup.dedup_incremental_lsh(spark, sf_dir).collect()
+        n_new = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") >= dedup._INCR_SPLIT)
+            .count()
+        )
+        assert len(rows) == n_new  # one verdict per batch doc, no drops
+        for r in rows:
+            if r["is_dup"]:
+                assert r["match_doc"] < dedup._INCR_SPLIT  # matches history only
+                assert r["match_hashes"] >= dedup.INC_MIN_MATCH
+                assert r["n_cand"] >= 1
+            else:
+                assert r["match_doc"] == -1 and r["match_hashes"] == 0
+        assert any(r["is_dup"] for r in rows), "corpus must exercise matches"
+
+    def test_embedding_outliers_are_farthest(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import similarity
+
+        out = similarity.embedding_outliers(spark, sf_dir)
+        rows = out.collect()
+        by_label: dict[int, list] = {}
+        for r in rows:
+            by_label.setdefault(r["label"], []).append(r)
+        for grp in by_label.values():
+            assert len(grp) == similarity.OUTLIER_TOPN
+            d = [r["dist2_u"] for r in grp]
+            assert d == sorted(d, reverse=True)
+            assert all(x >= 0 for x in d)

@@ -208,6 +208,9 @@ def _late_ops():
         "incremental_agg_maintenance": tpch.incremental_agg_maintenance,
         "top_percent_per_group": tpch.top_percent_per_group,
         "cdc_stale_replay_guard": cdc_queries.cdc_stale_replay_guard,
+        "doc_keywords": quality.doc_keywords,
+        "dedup_incremental_lsh": dedup.dedup_incremental_lsh,
+        "embedding_outliers": similarity.embedding_outliers,
     }
 
 
