@@ -1589,16 +1589,54 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank over the unique total order (value, event_id) within
     each event_type: ties cannot occur, so rank == row_number and the
     score is the single IEEE division (rank-1)/(n-1) — bit-identical
-    across engines with no rounding fudge. The window is PARTITIONED by
-    event_type (parallel, unlike a global rank); at 100 TB a group
-    still funnels to one task per event_type, so the upgrade path for
-    few-huge-groups data is `_global_row_number`-style range
-    partitioning inside each group (operators/stats.py).
+    across engines with no rounding fudge.
+
+    Scale shape: a per-group window funnels each of the ~5 event types
+    through ONE task (the few-huge-groups cliff). Because only the tail
+    is emitted, the executed plan is the same two-phase top-K as
+    top_percent_per_group: every input partition keeps its LOCAL top
+    K_g rows per group, where K_g (from one 5-row count aggregate,
+    inlined) over-covers the tail — a provable superset since no
+    partition contributes more than K_g tail rows. The exact DESCENDING
+    rank over the <= K_g*P survivors converts back to the ascending
+    rank (rk_asc = n_g - rk_desc + 1), so the emitted pct_rank is
+    bit-identical to the full-group window the oracle states.
     """
+    import math
+
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    counts = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    n_arms, k_arms = [], []
+    for et, n in sorted(counts.items()):
+        # tail rows have rk_asc >= TAIL*(n-1)+1; +1 pads the floor
+        k = n - math.floor(QNORM_TAIL * (n - 1)) + 1
+        n_arms.append(f"WHEN event_type = '{et}' THEN CAST({n} AS BIGINT)")
+        k_arms.append(f"WHEN event_type = '{et}' THEN CAST({k} AS BIGINT)")
+    n_group = F.expr("CASE " + " ".join(n_arms) + " END")
+    k_group = F.expr("CASE " + " ".join(k_arms) + " END")
+    w_local = Window.partitionBy("event_type", "_pid").orderBy(
+        F.desc("value"), F.desc("event_id")
+    )
+    pruned = (
+        ev.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_k", k_group)
+        .withColumn("_lrk", F.row_number().over(w_local))
+        .filter(F.col("_lrk") <= F.col("_k"))
+        .drop("_pid", "_k", "_lrk")
+    )
+    w_desc = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.desc("event_id")
+    )
     return (
-        ev.withColumn("pct_rank", F.percent_rank().over(w))
+        pruned.withColumn("_n", n_group)
+        .withColumn("_rkd", F.row_number().over(w_desc))
+        .withColumn(
+            "pct_rank",
+            (F.col("_n") - F.col("_rkd")) / (F.col("_n") - F.lit(1)),
+        )
         .filter(F.col("pct_rank") >= QNORM_TAIL)
         .select("event_id", "event_type", "value", "pct_rank")
         .orderBy("event_type", "event_id")
