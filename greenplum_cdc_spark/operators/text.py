@@ -656,3 +656,72 @@ SELECT len_bucket, lang, cnt,
 FROM agg
 ORDER BY len_bucket, lang
 """
+
+
+HASH_FEAT_BUCKETS = 32
+
+
+def _hex7_sql(inner: str) -> str:
+    """DuckDB twin of conv(substr(md5(x),1,7),16,10): first 7 hex chars
+    of the md5 as a BIGINT (the weighted_sample idiom, generalized)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({inner}), {i + 1}, 1)) - 1) * {16 ** (6 - i)}"
+        for i in range(7)
+    ) + ")"
+
+
+def hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C66: hashing-trick featurization audit — the collision-load
+    profile of a {HASH_FEAT_BUCKETS}-bucket feature hasher
+    (Weinberger et al.; sklearn HashingVectorizer / fastText's bucket
+    trick), the fixed-width vectorizer a training pipeline uses when
+    the vocabulary cannot be held or shipped.
+
+    Every token routes to bucket md5(token) mod {HASH_FEAT_BUCKETS}
+    (content-addressed — no fitted vocabulary object, identical on any
+    engine or re-run); the output is the per-bucket load: how many docs
+    touch it, total token mass, and the heaviest single-doc count. A
+    skewed profile means collided hot tokens — the signal to widen the
+    table. One explode + two map-side-combined aggregates; the feature
+    table is {HASH_FEAT_BUCKETS} rows regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5("token"), 1, 7), 16, 10).cast("bigint")
+        % HASH_FEAT_BUCKETS
+    )
+    per_doc = (
+        docs.withColumn("toks", F.filter(F.split("text", " "), lambda x: x != ""))
+        .select("doc_id", F.explode("toks").alias("token"))
+        .withColumn("bucket", bucket)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("cnt").alias("total_cnt"),
+            F.max("cnt").alias("max_doc_cnt"),
+        )
+        .orderBy("bucket")
+    )
+
+
+HASH_FEATURES_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, {_hex7_sql('token')} % {HASH_FEAT_BUCKETS} AS bucket,
+         COUNT(*) AS cnt
+  FROM tok GROUP BY doc_id, bucket
+)
+SELECT bucket, COUNT(*) AS n_docs,
+       CAST(SUM(cnt) AS BIGINT) AS total_cnt,
+       MAX(cnt) AS max_doc_cnt
+FROM per_doc
+GROUP BY bucket
+ORDER BY bucket
+"""

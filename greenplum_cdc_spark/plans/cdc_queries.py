@@ -1574,3 +1574,83 @@ FROM ranked
 WHERE rn = 1 AND op <> 'delete'
 ORDER BY pk
 """
+
+
+def cdc_source_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31: dual-source reconciliation — two independent CDC feeds of
+    the same logical table (a primary and a backfill/mirror consumer,
+    each seeing only its half of the bus) compared key by key.
+
+    The operational sibling of replica_checksum (A19, replica vs its
+    own recompute): here the question is whether two INGEST PATHS agree
+    — the check a team runs before cutting over from the reference's
+    RabbitMQ consumer to a Kafka mirror (scripts/kafka_to_greenplum.sh
+    exists precisely because both paths ran side by side). Sources are
+    derived deterministically (even seq -> 'a', odd -> 'b'), each
+    source's replica is its latest-wins snapshot, and a full outer join
+    classifies every key: agree / disagree (both present, different
+    latest value) / only_a / only_b. One row per class with the key
+    count and span — the dashboard row, not a row-per-key dump.
+    """
+    feed = _feed(spark, sf_dir)
+    src = feed.withColumn(
+        "source", F.when(F.col("seq") % 2 == 0, "a").otherwise("b")
+    )
+    snaps = {}
+    for s in ("a", "b"):
+        snaps[s] = cdc_ops.snapshot_latest(src.filter(F.col("source") == s)).select(
+            F.col("pk"),
+            F.col("value").alias(f"value_{s}"),
+            F.col("seq").alias(f"seq_{s}"),
+        )
+    joined = snaps["a"].join(snaps["b"], "pk", "full_outer")
+    # presence is keyed on seq (never null for a surviving snapshot
+    # row), so a legitimately-NULL payload value can't read as "absent"
+    status = (
+        F.when(F.col("seq_a").isNull(), F.lit("only_b"))
+        .when(F.col("seq_b").isNull(), F.lit("only_a"))
+        .when(F.col("value_a") == F.col("value_b"), F.lit("agree"))
+        .otherwise(F.lit("disagree"))
+    )
+    return (
+        joined.withColumn("status", status)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.min("pk").alias("min_pk"),
+            F.max("pk").alias("max_pk"),
+        )
+        .orderBy("status")
+    )
+
+
+CDC_SOURCE_RECONCILE_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL}),
+src AS (
+  SELECT *, CASE WHEN seq % 2 = 0 THEN 'a' ELSE 'b' END AS source FROM cdc
+),
+snap_a AS (
+  SELECT pk, value AS value_a, seq AS seq_a FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+    FROM src WHERE source = 'a'
+  ) WHERE rn = 1 AND op <> 'delete'
+),
+snap_b AS (
+  SELECT pk, value AS value_b, seq AS seq_b FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+    FROM src WHERE source = 'b'
+  ) WHERE rn = 1 AND op <> 'delete'
+),
+joined AS (
+  SELECT COALESCE(a.pk, b.pk) AS pk,
+         CASE WHEN a.pk IS NULL THEN 'only_b'
+              WHEN b.pk IS NULL THEN 'only_a'
+              WHEN a.value_a = b.value_b THEN 'agree'
+              ELSE 'disagree' END AS status
+  FROM snap_a a FULL OUTER JOIN snap_b b ON a.pk = b.pk
+)
+SELECT status, COUNT(*) AS n_keys, MIN(pk) AS min_pk, MAX(pk) AS max_pk
+FROM joined
+GROUP BY status
+ORDER BY status
+"""

@@ -1780,3 +1780,85 @@ WHERE rk <= (n_group + {TOP_PCT - 1}) // {TOP_PCT}
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+
+COMPACT_FRAG_FILES = 64          # fragmented-ingest file count
+COMPACT_TARGET_BYTES = 1 << 20   # 1 MiB target output file size
+
+
+def archive_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B76: small-file compaction — the lakehouse maintenance job that
+    keeps a streamed-in archive scannable (every micro-batch commit
+    writes a file; a day of 1-minute triggers is 1440 tiny files whose
+    open/footer overhead dominates the scan at 100 TB).
+
+    This is a REAL write path, not a simulation (the replica_history
+    A29 pattern): events land as {COMPACT_FRAG_FILES} fragment files in
+    a scratch dir, the compactor sizes its output from the MEASURED
+    fragment bytes (ceil(bytes / {COMPACT_TARGET_BYTES}) files via
+    repartition), and both generations are read back and summarized.
+    The oracle states the invariant that makes compaction safe to run
+    online: both generations carry byte-identical content (row count,
+    key span, exact value-cents sum) equal to the source table; the
+    file-count collapse itself is engine-private (a filesystem fact),
+    so it is asserted in pytest, not hashed.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="compact_")
+    frag, compact = os.path.join(base, "frag"), os.path.join(base, "compact")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        ev.repartition(COMPACT_FRAG_FILES).write.mode("overwrite").parquet(frag)
+        frag_bytes = sum(
+            os.path.getsize(os.path.join(frag, f))
+            for f in os.listdir(frag)
+            if f.endswith(".parquet")
+        )
+        n_out = max(1, -(-frag_bytes // COMPACT_TARGET_BYTES))
+        spark.read.parquet(frag).repartition(n_out).write.mode(
+            "overwrite"
+        ).parquet(compact)
+
+        def summary(path: str, stage: str) -> DataFrame:
+            df = spark.read.parquet(path)
+            return df.agg(
+                F.lit(stage).alias("stage"),
+                F.count("*").alias("n_rows"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.min("event_id").alias("min_event_id"),
+                F.max("event_id").alias("max_event_id"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                    "sum_value_cents"
+                ),
+            )
+
+        from ..io import materialize
+
+        out = summary(frag, "1_fragmented").unionByName(
+            summary(compact, "2_compacted")
+        )
+        return materialize(out, "compact_out_").orderBy("stage")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+ARCHIVE_COMPACT_SQL = """
+WITH s AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(DISTINCT user_id) AS n_users,
+         MIN(event_id) AS min_event_id,
+         MAX(event_id) AS max_event_id,
+         CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+  FROM events
+)
+SELECT '1_fragmented' AS stage, n_rows, n_users, min_event_id, max_event_id, sum_value_cents FROM s
+UNION ALL
+SELECT '2_compacted', n_rows, n_users, min_event_id, max_event_id, sum_value_cents FROM s
+ORDER BY stage
+"""

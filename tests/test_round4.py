@@ -508,3 +508,64 @@ class TestRound4SecondBatch:
             d = [r["dist2_u"] for r in grp]
             assert d == sorted(d, reverse=True)
             assert all(x >= 0 for x in d)
+
+
+class TestRound4ThirdBatch:
+    def test_compaction_collapses_files(self, spark, sf_dir, tmp_path):
+        """The gate row proves content invariance; this pins the
+        filesystem fact the oracle can't see: fewer, larger files."""
+        import os
+
+        from greenplum_cdc_spark.plans import tpch
+
+        ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+        frag = str(tmp_path / "frag")
+        ev.repartition(tpch.COMPACT_FRAG_FILES).write.parquet(frag)
+        n_frag = sum(1 for f in os.listdir(frag) if f.endswith(".parquet"))
+        frag_bytes = sum(
+            os.path.getsize(os.path.join(frag, f))
+            for f in os.listdir(frag)
+            if f.endswith(".parquet")
+        )
+        n_out = max(1, -(-frag_bytes // tpch.COMPACT_TARGET_BYTES))
+        compact = str(tmp_path / "compact")
+        spark.read.parquet(frag).repartition(n_out).write.parquet(compact)
+        n_comp = sum(1 for f in os.listdir(compact) if f.endswith(".parquet"))
+        assert n_frag == tpch.COMPACT_FRAG_FILES
+        assert n_comp < n_frag
+        assert (
+            spark.read.parquet(compact).count()
+            == spark.read.parquet(frag).count()
+        )
+
+    def test_hash_features_conservation(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import quality, text
+
+        rows = text.hash_features(spark, sf_dir).collect()
+        assert all(0 <= r["bucket"] < text.HASH_FEAT_BUCKETS for r in rows)
+        total_tokens = (
+            load_table(spark, sf_dir, "documents")
+            .select(F.explode(quality._toks_col()).alias("t"))
+            .count()
+        )
+        assert sum(r["total_cnt"] for r in rows) == total_tokens
+        for r in rows:
+            assert r["max_doc_cnt"] <= r["total_cnt"]
+            assert r["n_docs"] >= 1
+
+    def test_source_reconcile_covers_all_keys(self, spark, sf_dir):
+        from greenplum_cdc_spark.plans import cdc_queries as cq
+        from greenplum_cdc_spark.operators import cdc as cdc_ops
+
+        rows = {r["status"]: r for r in cq.cdc_source_reconcile(spark, sf_dir).collect()}
+        feed = cq._feed(spark, sf_dir)
+        src = feed.withColumn(
+            "source", F.when(F.col("seq") % 2 == 0, "a").otherwise("b")
+        )
+        n_a = cdc_ops.snapshot_latest(src.filter("source = 'a'")).count()
+        n_b = cdc_ops.snapshot_latest(src.filter("source = 'b'")).count()
+        both = sum(
+            rows[s]["n_keys"] for s in ("agree", "disagree") if s in rows
+        )
+        assert both + rows.get("only_a", {"n_keys": 0})["n_keys"] == n_a
+        assert both + rows.get("only_b", {"n_keys": 0})["n_keys"] == n_b

@@ -211,6 +211,9 @@ def _late_ops():
         "doc_keywords": quality.doc_keywords,
         "dedup_incremental_lsh": dedup.dedup_incremental_lsh,
         "embedding_outliers": similarity.embedding_outliers,
+        "archive_compact_small_files": tpch.archive_compact_small_files,
+        "hash_features": text.hash_features,
+        "cdc_source_reconcile": cdc_queries.cdc_source_reconcile,
     }
 
 
