@@ -354,3 +354,80 @@ def test_stream_dedup_watermark_suppresses_replays(spark, sf_dir):
     n_src = load_table(spark, sf_dir, "events").count()
     assert n_out == n_src
     assert out.select(F.countDistinct("event_id")).first()[0] == n_src
+
+
+def test_socket_transport_end_to_end(spark, tmp_path):
+    """A REAL network transport through the production path: a local TCP
+    server plays the broker (the rabbitmq.go consumer slot), Spark's
+    socket source subscribes via `read_bus_stream('socket')`, and the
+    live stream runs through the REAL `parse_maxwell` — the closest a
+    no-external-network sandbox gets to the reference's RabbitMQ
+    subscription, and the first test that exercises the bus factory's
+    network kind against actual bytes on a wire."""
+    import json
+    import socket
+    import threading
+    import time
+
+    from greenplum_cdc_spark.sources.bus import read_bus_stream
+    from greenplum_cdc_spark.sources.maxwell import parse_maxwell
+
+    envelopes = [
+        json.dumps(
+            {
+                "database": "appdb",
+                "table": "events",
+                "type": "insert" if i % 2 == 0 else "delete",
+                "ts": 1700000000 + i,
+                "xid": 1000 + i,
+                "data": {"user_id": i, "value": float(i), "event_type": "page"},
+            }
+        )
+        for i in range(6)
+    ]
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+    done = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        try:
+            conn.sendall(("\n".join(envelopes) + "\n").encode())
+            done.wait(timeout=90)  # keep the wire open until the test read it all
+        finally:
+            conn.close()
+            server.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = read_bus_stream(spark, "socket", host="127.0.0.1", port=str(port))
+    parsed = parse_maxwell(stream)
+    got: list = []
+
+    def sink(batch, _bid):
+        got.extend(batch.collect())
+
+    q = (
+        parsed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and len(got) < len(envelopes):
+            time.sleep(0.5)
+    finally:
+        done.set()
+        q.stop()
+    assert len(got) == len(envelopes)
+    by_xid = {r["xid"]: r for r in got}
+    assert sorted(by_xid) == [1000 + i for i in range(6)]
+    for i in range(6):
+        r = by_xid[1000 + i]
+        assert r["op"] == ("insert" if i % 2 == 0 else "delete")
+        assert r["database_name"] == "appdb" and r["table_name"] == "events"
