@@ -1654,3 +1654,66 @@ FROM joined
 GROUP BY status
 ORDER BY status
 """
+
+
+_PRUNE_LO, _PRUNE_HI = "2024-01-10", "2024-01-20"
+
+
+def archive_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32: partition-pruned archive scan over a REAL partitioned write —
+    the read-side payoff of A2's date layout (maxwell_gpdb.sql:25-31
+    RANGE-partitions maxwell_event by ts precisely so Greenplum's
+    planner can skip months; this is the Spark twin, executed).
+
+    The event feed lands as a genuine `partitionBy(event_date)` parquet
+    tree in a scratch dir; the windowed query filters on the PARTITION
+    column, so Catalyst resolves matching directories at plan time and
+    non-matching dates are never opened (PartitionFilters — asserted on
+    the live plan in pytest, alongside files-read < total). The oracle
+    states the same window's per-day rollup straight from the source
+    table: a pruning bug that drops or double-reads a day breaks the
+    hash, not just a plan string.
+    """
+    import shutil
+    import tempfile
+
+    from ..io import materialize
+
+    base = tempfile.mkdtemp(prefix="prune_")
+    try:
+        feed = _feed(spark, sf_dir).withColumn(
+            "event_date", F.to_date(F.date_trunc("day", "ts"))
+        )
+        feed.write.mode("overwrite").partitionBy("event_date").parquet(base)
+        archive = spark.read.parquet(base)
+        windowed = (
+            archive.filter(
+                (F.col("event_date") >= F.lit(_PRUNE_LO).cast("date"))
+                & (F.col("event_date") < F.lit(_PRUNE_HI).cast("date"))
+            )
+            .groupBy("event_date")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("pk").alias("n_keys"),
+                F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                    "sum_value_cents"
+                ),
+            )
+            .orderBy("event_date")
+        )
+        return materialize(windowed, "prune_out_").orderBy("event_date")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+ARCHIVE_PRUNE_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL})
+SELECT CAST(ts AS DATE) AS event_date,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT pk) AS n_keys,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM cdc
+WHERE CAST(ts AS DATE) >= DATE '{_PRUNE_LO}' AND CAST(ts AS DATE) < DATE '{_PRUNE_HI}'
+GROUP BY CAST(ts AS DATE)
+ORDER BY event_date
+"""

@@ -569,3 +569,37 @@ class TestRound4ThirdBatch:
         )
         assert both + rows.get("only_a", {"n_keys": 0})["n_keys"] == n_a
         assert both + rows.get("only_b", {"n_keys": 0})["n_keys"] == n_b
+
+
+class TestArchivePartitionPrune:
+    def test_partition_filters_reach_the_scan(self, spark, sf_dir, tmp_path):
+        """The pruning the A32 oracle can't see: the date predicate must
+        land as a PartitionFilter (directory-level skip), not a
+        post-scan Filter, and the pruned scan reads fewer partitions."""
+        from greenplum_cdc_spark.plans import cdc_queries as cq
+
+        feed = cq._feed(spark, sf_dir).withColumn(
+            "event_date", F.to_date(F.date_trunc("day", "ts"))
+        )
+        base = str(tmp_path / "archive")
+        feed.write.partitionBy("event_date").parquet(base)
+        archive = spark.read.parquet(base)
+        filtered = archive.filter(
+            (F.col("event_date") >= F.lit(cq._PRUNE_LO).cast("date"))
+            & (F.col("event_date") < F.lit(cq._PRUNE_HI).cast("date"))
+        )
+        plan = filtered._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan
+        seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        assert "event_date" in seg and seg.strip(), (
+            "date predicate must prune at the partition level: " + seg
+        )
+        n_days_all = feed.select("event_date").distinct().count()
+        n_days_kept = filtered.select("event_date").distinct().count()
+        assert 0 < n_days_kept < n_days_all
+        # functional equality with the unpartitioned path
+        want = feed.filter(
+            (F.col("event_date") >= F.lit(cq._PRUNE_LO).cast("date"))
+            & (F.col("event_date") < F.lit(cq._PRUNE_HI).cast("date"))
+        ).count()
+        assert filtered.count() == want

@@ -214,6 +214,7 @@ def _late_ops():
         "archive_compact_small_files": tpch.archive_compact_small_files,
         "hash_features": text.hash_features,
         "cdc_source_reconcile": cdc_queries.cdc_source_reconcile,
+        "archive_partition_prune": cdc_queries.archive_partition_prune,
     }
 
 
