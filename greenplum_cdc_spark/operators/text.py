@@ -725,3 +725,248 @@ FROM per_doc
 GROUP BY bucket
 ORDER BY bucket
 """
+
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C67: sequence-packing plan — assign documents to fixed-budget
+    training bins ({PACK_BUDGET} tokens) by contiguous next-fit over the
+    (n_tokens DESC, doc_id) order, the batch-construction step between a
+    curated corpus and a dataloader (padding waste -> ~0).
+
+    The packing order's EXACT global running sum is computed
+    distributed, never through a single-partition window (the
+    `_global_row_number` construction, operators/stats.py, extended to
+    a running SUM): approxQuantile boundaries on the order key become
+    literal bucket bounds, per-bucket token totals give each bucket's
+    starting offset (one |buckets|-row collect), and a within-bucket
+    window adds the local prefix — offset + local prefix is the exact
+    global cumulative, bit-equal to the oracle's window SUM at any
+    partition count. bin = (cum-1) div budget. Output is the per-bin
+    manifest (docs, tokens, fill basis points).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias("n_tokens"),
+    )
+    spark_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
+    probs = [i / spark_parts for i in range(1, spark_parts)]
+    bounds = sorted(set(toks.stat.approxQuantile("n_tokens", probs, 0.01)))
+    if bounds:
+        # DESC order: bucket 0 holds the LARGEST values. pid = count of
+        # boundaries at/above the value, via a strict > chain reversed.
+        arms = " ".join(
+            f"WHEN n_tokens > {int(b)} THEN {len(bounds) - 1 - i}"
+            for i, b in reversed(list(enumerate(bounds)))
+        )
+        pid = F.expr(f"CASE {arms} ELSE {len(bounds)} END")
+    else:
+        pid = F.lit(0)
+    part = toks.withColumn("_pid", pid)
+    stats_rows = (
+        part.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("s"), F.count("*").alias("c"))
+        .collect()
+    )
+    sums = {r["_pid"]: r["s"] for r in stats_rows}
+    offsets, acc = [], 0
+    for b in sorted(sums):
+        offsets.extend([F.lit(b), F.lit(acc)])
+        acc += sums[b]
+    off = F.create_map(*offsets)[F.col("_pid")]
+    w = Window.partitionBy("_pid").orderBy(F.desc("n_tokens"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = (
+        part.withColumn("cum", (F.sum("n_tokens").over(w) + off).cast("bigint"))
+        .withColumn("bin_id", F.expr(f"(cum - 1) div {PACK_BUDGET}"))
+        .drop("_pid")
+    )
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .withColumn("fill_bp", F.expr(f"(n_tokens * 10000) div {PACK_BUDGET}"))
+        .orderBy("bin_id")
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+cums AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM toks
+),
+binned AS (
+  SELECT *, (cum - 1) // {PACK_BUDGET} AS bin_id FROM cums
+)
+SELECT bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       CAST((SUM(n_tokens) * 10000) // {PACK_BUDGET} AS BIGINT) AS fill_bp
+FROM binned
+GROUP BY bin_id
+ORDER BY bin_id
+"""
+
+
+CHUNK_LEN = 16    # tokens per context window
+CHUNK_STRIDE = 12 # tokens advanced per window (CHUNK_LEN - overlap)
+
+
+def context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C68: context-window chunking plan — the doc -> fixed-window
+    slicing every pretraining/RAG ingest does ({CHUNK_LEN}-token windows
+    advancing {CHUNK_STRIDE}, i.e. {CHUNK_LEN - CHUNK_STRIDE}-token
+    overlap), emitted as the per-document manifest.
+
+    n_chunks has the closed form 1 + ceil(max(0, n - L) / S) (one window
+    always; each stride adds one while tokens remain), so the whole
+    operator is a single map-side projection — integer arithmetic only,
+    no explode, nothing to shuffle but the final sort. The chunk TEXT
+    materialization is a transform/slice over the token array when a
+    consumer wants rows (same array-side idiom as doc_fingerprint); the
+    manifest is what the planner needs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    n_chunks = F.expr(
+        f"1 + (CASE WHEN n_tokens > {CHUNK_LEN} "
+        f"THEN (n_tokens - {CHUNK_LEN} + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE} "
+        "ELSE 0 END)"
+    )
+    return (
+        docs.select("doc_id", n.alias("n_tokens"))
+        .withColumn("n_chunks", n_chunks.cast("bigint"))
+        .withColumn(
+            "last_chunk_len",
+            F.expr(
+                f"CASE WHEN n_tokens <= {CHUNK_LEN} THEN n_tokens "
+                f"ELSE n_tokens - (n_chunks - 1) * {CHUNK_STRIDE} END"
+            ).cast("bigint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONTEXT_CHUNKS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(1 + (CASE WHEN n_tokens > {CHUNK_LEN}
+                        THEN (n_tokens - {CHUNK_LEN} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+                        ELSE 0 END) AS BIGINT) AS n_chunks
+  FROM toks
+)
+SELECT doc_id, n_tokens, n_chunks,
+       CAST(CASE WHEN n_tokens <= {CHUNK_LEN} THEN n_tokens
+                 ELSE n_tokens - (n_chunks - 1) * {CHUNK_STRIDE} END AS BIGINT)
+         AS last_chunk_len
+FROM c
+ORDER BY doc_id
+"""
+
+
+SPAN_MASK_RATE_MOD = 10  # a span starts where md5(doc:pos) % 10 == 0
+SPAN_MASK_LEN = 3
+
+
+def span_mask_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C69: deterministic span-corruption plan (the T5/UL2 denoising
+    objective's data half): mask spans of {SPAN_MASK_LEN} tokens
+    starting wherever md5(doc_id:pos) lands in 1/{SPAN_MASK_RATE_MOD}
+    of hash space — content-addressed, so every re-run, engine, and
+    shard boundary produces the same corruption pattern (no rand(), the
+    weighted_sample contract applied to pretraining masks).
+
+    A position is masked if ANY span covering it starts in the previous
+    {SPAN_MASK_LEN} positions; span starts are independent hashes, so
+    the plan is one posexplode + map-side hash + per-doc aggregate.
+    Output: per doc, span starts, masked-token count (overlaps counted
+    once), and the corruption rate in basis points.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    ).select("doc_id", F.size("toks").alias("n_tokens"))
+    # positions 0..n-1 explode map-side; is_start = hash(doc:pos) % MOD == 0
+    pos = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.expr("sequence(0, n_tokens - 1)")).alias("p"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "doc_id", "p")), 1, 7), 16, 10
+    ).cast("bigint")
+    flagged = pos.withColumn("is_start", (h % SPAN_MASK_RATE_MOD == 0).cast("int"))
+    # masked(p) = any start in (p - LEN, p]: window sum over the last LEN
+    # positions within the doc (positions are dense, so ROWS == RANGE)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(1 - SPAN_MASK_LEN, 0)
+    masked = flagged.withColumn(
+        "is_masked", (F.sum("is_start").over(w) > 0).cast("int")
+    )
+    return (
+        masked.groupBy("doc_id")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.sum("is_start").cast("bigint").alias("n_spans"),
+            F.sum("is_masked").cast("bigint").alias("n_masked"),
+        )
+        .withColumn("mask_rate_bp", F.expr("(n_masked * 10000) div n_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+SPAN_MASK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n_tokens, unnest(range(0, n_tokens)) AS p FROM toks
+),
+flagged AS (
+  SELECT doc_id, n_tokens, p,
+         CASE WHEN {_hex7_sql("doc_id || ':' || p")} % {SPAN_MASK_RATE_MOD} = 0
+              THEN 1 ELSE 0 END AS is_start
+  FROM pos
+),
+masked AS (
+  SELECT doc_id, n_tokens, is_start,
+         CASE WHEN SUM(is_start) OVER (PARTITION BY doc_id ORDER BY p
+                                       ROWS BETWEEN {SPAN_MASK_LEN - 1} PRECEDING
+                                       AND CURRENT ROW) > 0
+              THEN 1 ELSE 0 END AS is_masked
+  FROM flagged
+)
+SELECT doc_id, MAX(n_tokens) AS n_tokens,
+       CAST(SUM(is_start) AS BIGINT) AS n_spans,
+       CAST(SUM(is_masked) AS BIGINT) AS n_masked,
+       CAST((SUM(is_masked) * 10000) // MAX(n_tokens) AS BIGINT) AS mask_rate_bp
+FROM masked
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -603,3 +603,48 @@ class TestArchivePartitionPrune:
             & (F.col("event_date") < F.lit(cq._PRUNE_HI).cast("date"))
         ).count()
         assert filtered.count() == want
+
+
+class TestBatchConstructionOps:
+    def test_pack_sequences_exact_cumsum(self, spark, sf_dir):
+        """The distributed running sum equals the single-partition window
+        (the construction it replaces), and bins tile the token mass."""
+        from greenplum_cdc_spark.operators import text
+
+        rows = text.pack_sequences(spark, sf_dir).collect()
+        docs = load_table(spark, sf_dir, "documents")
+        total = docs.select(
+            F.sum(F.size(F.filter(F.split("text", " "), lambda x: x != "")))
+        ).first()[0]
+        assert sum(r["n_tokens"] for r in rows) == total
+        bins = [r["bin_id"] for r in rows]
+        assert bins == sorted(bins)
+        assert bins[-1] == (total - 1) // text.PACK_BUDGET
+        # interior bins are full to within one document's length
+        for r in rows[:-1]:
+            assert r["fill_bp"] >= 10000 - (10000 * 500 // text.PACK_BUDGET)
+
+    def test_context_chunks_closed_form(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import text
+
+        for r in text.context_chunks(spark, sf_dir).collect():
+            n, L, S = r["n_tokens"], text.CHUNK_LEN, text.CHUNK_STRIDE
+            want = 1 if n <= L else 1 + -(-(n - L) // S)
+            assert r["n_chunks"] == want
+            assert 0 < r["last_chunk_len"] <= max(L, n if n <= L else L)
+
+    def test_span_mask_deterministic_and_bounded(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import text
+
+        a = text.span_mask_plan(spark, sf_dir).collect()
+        b = text.span_mask_plan(spark, sf_dir).collect()
+        assert a == b  # content-addressed: bit-identical re-runs
+        for r in a:
+            assert r["n_masked"] <= min(
+                r["n_tokens"], r["n_spans"] * text.SPAN_MASK_LEN
+            )
+            assert 0 <= r["mask_rate_bp"] <= 10000
+        # the 1/10 start rate should mask roughly LEN/10 of tokens corpus-wide
+        tot = sum(r["n_tokens"] for r in a)
+        masked = sum(r["n_masked"] for r in a)
+        assert 0.1 < masked / tot < 0.5

@@ -215,6 +215,9 @@ def _late_ops():
         "hash_features": text.hash_features,
         "cdc_source_reconcile": cdc_queries.cdc_source_reconcile,
         "archive_partition_prune": cdc_queries.archive_partition_prune,
+        "pack_sequences": text.pack_sequences,
+        "context_chunks": text.context_chunks,
+        "span_mask_plan": text.span_mask_plan,
     }
 
 
