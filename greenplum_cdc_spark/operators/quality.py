@@ -669,3 +669,127 @@ SELECT doc_id, rk, term, tf, df, score_u
 FROM ranked WHERE rk <= {KEYWORDS_TOPN}
 ORDER BY doc_id, rk
 """
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C70: the end-to-end curation funnel — quality filter -> exact
+    dedup -> deterministic sample, composed in ONE declarative plan with
+    per-language stage counts (the run report every dataset release
+    ships; proves the individual operators COMPOSE, which is how a user
+    actually runs them).
+
+    Stages reuse the graded operators' exact semantics: the Gopher rule
+    battery (C37's integer-rational conditions), min-doc_id-per-md5
+    exact dedup (C1's keep rule), and the content-hash Bernoulli sample
+    (C14's 'sample:' threshold). Because each stage is a map-side
+    predicate or one hash-groupBy layered on the previous frame,
+    Catalyst pipelines the whole funnel into the same scan+shuffle
+    budget as dedup alone — no per-stage materialization, which is the
+    100 TB point of declarative composition.
+    """
+    from .text import _SAMPLE_THRESHOLD_HEX
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(text, ' '), w -> w <> '')"
+    stop_arr = "array('the', 'a', 'of', 'and', 'is', 'to')"
+    sig = (
+        docs.withColumn("n_words", F.expr(f"size({toks})").cast("bigint"))
+        .withColumn(
+            "total_chars",
+            F.expr(f"aggregate({toks}, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))"),
+        )
+        .withColumn(
+            "n_alpha_words",
+            F.expr(f"size(filter({toks}, w -> w rlike '[a-zA-Z]'))").cast("bigint"),
+        )
+        .withColumn(
+            "n_stopwords",
+            F.expr(f"size(array_intersect(array_distinct({toks}), {stop_arr}))").cast(
+                "bigint"
+            ),
+        )
+    )
+    keep_q = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("total_chars") * 10 >= F.col("n_words") * int(GOPHER_MIN_MEAN_WORD_LEN * 10))
+        & (F.col("total_chars") * 10 <= F.col("n_words") * int(GOPHER_MAX_MEAN_WORD_LEN * 10))
+        & (F.col("n_alpha_words") * 10 >= F.col("n_words") * 8)
+        & (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS)
+    )
+    quality = sig.filter(keep_q)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    sampled = deduped.filter(
+        F.substring(F.md5(F.concat(F.lit("sample:"), "text")), 1, 8)
+        <= F.lit(_SAMPLE_THRESHOLD_HEX)
+    )
+
+    def stage_counts(df: DataFrame, stage: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.lit(stage).alias("stage"), F.count("*").alias("n_docs")
+        )
+
+    out = (
+        stage_counts(docs, "1_input")
+        .unionByName(stage_counts(quality, "2_quality"))
+        .unionByName(stage_counts(deduped, "3_deduped"))
+        .unionByName(stage_counts(sampled, "4_sampled"))
+    )
+    return out.select("stage", "lang", "n_docs").orderBy("stage", "lang")
+
+
+CURATION_FUNNEL_SQL = f"""
+WITH sig AS (
+  SELECT *,
+         CAST(len({_GOPHER_TOKS}) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform({_GOPHER_TOKS}, w -> length(w))) AS BIGINT)
+           AS total_chars,
+         CAST(len(list_filter({_GOPHER_TOKS}, w -> regexp_matches(w, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_intersect(list_distinct({_GOPHER_TOKS}),
+                                 ['the', 'a', 'of', 'and', 'is', 'to'])) AS BIGINT)
+           AS n_stopwords
+  FROM documents
+),
+quality AS (
+  SELECT * FROM sig
+  WHERE n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+    AND total_chars * 10 >= n_words * {int(GOPHER_MIN_MEAN_WORD_LEN * 10)}
+    AND total_chars * 10 <= n_words * {int(GOPHER_MAX_MEAN_WORD_LEN * 10)}
+    AND n_alpha_words * 10 >= n_words * 8
+    AND n_stopwords >= {GOPHER_MIN_STOPWORDS}
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM quality
+  ) WHERE rn = 1
+),
+sampled AS (
+  SELECT * FROM deduped
+  WHERE substr(md5('sample:' || text), 1, 8) <= '{{thresh}}'
+)
+SELECT stage, lang, n_docs FROM (
+  SELECT '1_input' AS stage, lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+  UNION ALL
+  SELECT '2_quality', lang, COUNT(*) FROM quality GROUP BY lang
+  UNION ALL
+  SELECT '3_deduped', lang, COUNT(*) FROM deduped GROUP BY lang
+  UNION ALL
+  SELECT '4_sampled', lang, COUNT(*) FROM sampled GROUP BY lang
+)
+ORDER BY stage, lang
+"""
+
+
+def _curation_sql() -> str:
+    from .text import _SAMPLE_THRESHOLD_HEX
+
+    return CURATION_FUNNEL_SQL.replace("{thresh}", _SAMPLE_THRESHOLD_HEX)

@@ -648,3 +648,21 @@ class TestBatchConstructionOps:
         tot = sum(r["n_tokens"] for r in a)
         masked = sum(r["n_masked"] for r in a)
         assert 0.1 < masked / tot < 0.5
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    """Stage counts shrink monotonically per language and the funnel's
+    quality stage agrees with the graded gopher_filter verdicts."""
+    from greenplum_cdc_spark.operators import quality
+
+    rows = quality.curation_funnel(spark, sf_dir).collect()
+    by_lang: dict[str, dict[str, int]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["stage"]] = r["n_docs"]
+    for lang, st in by_lang.items():
+        seq = [st.get(s, 0) for s in ("1_input", "2_quality", "3_deduped", "4_sampled")]
+        assert seq == sorted(seq, reverse=True), (lang, seq)
+        assert seq[0] > 0
+    n_quality = sum(st.get("2_quality", 0) for st in by_lang.values())
+    n_gopher = quality.gopher_filter(spark, sf_dir).filter("keep").count()
+    assert n_quality == n_gopher

@@ -218,6 +218,7 @@ def _late_ops():
         "pack_sequences": text.pack_sequences,
         "context_chunks": text.context_chunks,
         "span_mask_plan": text.span_mask_plan,
+        "curation_funnel": quality.curation_funnel,
     }
 
 
