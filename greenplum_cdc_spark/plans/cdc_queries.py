@@ -1717,3 +1717,78 @@ WHERE CAST(ts AS DATE) >= DATE '{_PRUNE_LO}' AND CAST(ts AS DATE) < DATE '{_PRUN
 GROUP BY CAST(ts AS DATE)
 ORDER BY event_date
 """
+
+
+_ERASE_MOD = 97  # deterministic erasure set: pk % 97 == 0
+
+
+def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33: right-to-be-forgotten propagation plan — for a deterministic
+    erasure key set (pk % {_ERASE_MOD} == 0), the impact across every
+    surface the CDC pipeline maintains: live replica rows to delete,
+    archive events to scrub (the append-only maxwell_event history is
+    itself personal data), and the tombstone events to emit so
+    DOWNSTREAM consumers of the feed erase too.
+
+    This is the compliance pass a 100 TB lake runs as a batch job: each
+    surface is one filtered aggregate over the existing frames (replica
+    = latest-wins snapshot, archive = raw feed, downstream = one
+    synthesized delete per live erased key), all sharing the map-side
+    erasure predicate — no per-key loop, no driver-side key list; at
+    real scale the key set arrives as a table and the predicate becomes
+    a broadcast semi-join, same plan shape.
+    """
+    feed = _feed(spark, sf_dir)
+    erase = F.col("pk") % _ERASE_MOD == 0
+    replica = cdc_ops.snapshot_latest(feed)
+    surfaces = [
+        replica.filter(erase).agg(
+            F.lit("1_replica_rows").alias("surface"),
+            F.count("*").alias("n_affected"),
+            F.countDistinct("pk").alias("n_keys"),
+        ),
+        feed.filter(erase).agg(
+            F.lit("2_archive_events").alias("surface"),
+            F.count("*").alias("n_affected"),
+            F.countDistinct("pk").alias("n_keys"),
+        ),
+        # downstream tombstones: one delete per LIVE erased key
+        replica.filter(erase).agg(
+            F.lit("3_downstream_tombstones").alias("surface"),
+            F.countDistinct("pk").alias("n_affected"),
+            F.countDistinct("pk").alias("n_keys"),
+        ),
+        feed.filter(~erase).agg(
+            F.lit("4_archive_remaining").alias("surface"),
+            F.count("*").alias("n_affected"),
+            F.countDistinct("pk").alias("n_keys"),
+        ),
+    ]
+    out = surfaces[0]
+    for s in surfaces[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("surface")
+
+
+CDC_GDPR_SQL = f"""
+WITH cdc AS ({maxwell.EVENTS_AS_CDC_SQL}),
+replica AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+    FROM cdc
+  ) WHERE rn = 1 AND op <> 'delete'
+)
+SELECT '1_replica_rows' AS surface, COUNT(*) AS n_affected,
+       COUNT(DISTINCT pk) AS n_keys
+FROM replica WHERE pk % {_ERASE_MOD} = 0
+UNION ALL
+SELECT '2_archive_events', COUNT(*), COUNT(DISTINCT pk)
+FROM cdc WHERE pk % {_ERASE_MOD} = 0
+UNION ALL
+SELECT '3_downstream_tombstones', COUNT(DISTINCT pk), COUNT(DISTINCT pk)
+FROM replica WHERE pk % {_ERASE_MOD} = 0
+UNION ALL
+SELECT '4_archive_remaining', COUNT(*), COUNT(DISTINCT pk)
+FROM cdc WHERE NOT (pk % {_ERASE_MOD} = 0)
+ORDER BY surface
+"""

@@ -666,3 +666,23 @@ def test_curation_funnel_monotone(spark, sf_dir):
     n_quality = sum(st.get("2_quality", 0) for st in by_lang.values())
     n_gopher = quality.gopher_filter(spark, sf_dir).filter("keep").count()
     assert n_quality == n_gopher
+
+
+def test_gdpr_erasure_accounting(spark, sf_dir):
+    """The four surfaces reconcile: archive splits exactly into erased +
+    remaining, and tombstones == live erased keys."""
+    from greenplum_cdc_spark.plans import cdc_queries as cq
+
+    rows = {r["surface"]: r for r in cq.cdc_gdpr_erasure(spark, sf_dir).collect()}
+    feed = cq._feed(spark, sf_dir)
+    total = feed.count()
+    assert (
+        rows["2_archive_events"]["n_affected"]
+        + rows["4_archive_remaining"]["n_affected"]
+        == total
+    )
+    assert (
+        rows["3_downstream_tombstones"]["n_affected"]
+        == rows["1_replica_rows"]["n_keys"]
+    )
+    assert rows["1_replica_rows"]["n_affected"] > 0, "erasure set must be non-empty"

@@ -219,6 +219,7 @@ def _late_ops():
         "context_chunks": text.context_chunks,
         "span_mask_plan": text.span_mask_plan,
         "curation_funnel": quality.curation_funnel,
+        "cdc_gdpr_erasure": cdc_queries.cdc_gdpr_erasure,
     }
 
 
