@@ -150,3 +150,70 @@ def test_debounce_replay_stable(spark):
     a = _collect_sorted(timeseries.event_debounce(spark, sf))
     b = _collect_sorted(timeseries.event_debounce(spark, sf))
     assert a == b
+
+
+@given(n=st.integers(min_value=1, max_value=10**12))
+@settings(max_examples=300, deadline=None)
+def test_sqrt_cell_count_matches_duckdb(n):
+    """semantic_dedup derives its cell count as max(8, floor(sqrt(N)))
+    INDEPENDENTLY on each engine — Python math here, SQL there. The two
+    IEEE sqrt chains must agree for every corpus size or the cells (and
+    the whole dedup output) silently diverge."""
+    import math
+
+    import duckdb
+
+    py = max(8, int(math.floor(math.sqrt(float(n)))))
+    sql = duckdb.sql(
+        f"SELECT GREATEST(8, CAST(FLOOR(SQRT(CAST({n} AS BIGINT))) AS BIGINT))"
+    ).fetchone()[0]
+    assert py == sql
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=400),
+    n_parts=st.integers(min_value=1, max_value=8),
+    pct=st.sampled_from([100, 50, 10]),
+)
+@settings(max_examples=200, deadline=None)
+def test_local_topk_prune_is_superset(vals, n_parts, pct):
+    """The two-phase top-K argument (top_percent_per_group /
+    quantile_normalize): pruning each partition to its local top-K
+    keeps a superset of the global top-K, for ANY partition assignment.
+    Simulated exactly in Python over random data and random splits."""
+    k = (len(vals) + pct - 1) // pct
+    order = sorted(range(len(vals)), key=lambda i: (-vals[i], i))
+    global_top = set(order[:k])
+    rng = random.Random(42)
+    parts: dict[int, list[int]] = {}
+    for i in range(len(vals)):
+        parts.setdefault(rng.randrange(n_parts), []).append(i)
+    survivors = set()
+    for rows in parts.values():
+        rows.sort(key=lambda i: (-vals[i], i))
+        survivors.update(rows[:k])
+    assert global_top <= survivors
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=600), min_size=1, max_size=300),
+    budget=st.sampled_from([128, 512]),
+)
+@settings(max_examples=200, deadline=None)
+def test_pack_sequences_binning_invariants(toks, budget):
+    """pack_sequences' closed-form bin assignment over the cumulative
+    sum: bins are contiguous, tile the token mass, and every bin except
+    the last crosses its budget boundary by at most one document."""
+    order = sorted(range(len(toks)), key=lambda i: (-toks[i], i))
+    cum = 0
+    bins: dict[int, int] = {}
+    for i in order:
+        cum += toks[i]
+        b = (cum - 1) // budget
+        bins[b] = bins.get(b, 0) + toks[i]
+    ids = sorted(bins)
+    assert ids[-1] == (sum(toks) - 1) // budget
+    # bins tile the mass exactly
+    assert sum(bins.values()) == sum(toks)
+    # a bin's tokens never exceed budget + one doc's length
+    assert all(v <= budget + max(toks) for v in bins.values())
