@@ -1308,6 +1308,11 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_HASHES)
         ]
     )
+    # sig feeds FOUR consumers (banding + both verify sides + via them
+    # the candidate join); without a persist each re-runs the full
+    # shingle->hash->groupBy subtree — 4 corpus scans at 100 TB. Same
+    # bounded cache as lsh_band_tuning.
+    sig = _swap_persist("inc_lsh_sig", sig)
     rows_per_band = N_HASHES // N_BANDS
     band_cols = []
     for b in range(N_BANDS):

@@ -681,11 +681,13 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stages reuse the graded operators' exact semantics: the Gopher rule
     battery (C37's integer-rational conditions), min-doc_id-per-md5
     exact dedup (C1's keep rule), and the content-hash Bernoulli sample
-    (C14's 'sample:' threshold). Because each stage is a map-side
-    predicate or one hash-groupBy layered on the previous frame,
-    Catalyst pipelines the whole funnel into the same scan+shuffle
-    budget as dedup alone — no per-stage materialization, which is the
-    100 TB point of declarative composition.
+    (C14's 'sample:' threshold). Every stage is a FLAG on one frame —
+    keep_q map-side, the dedup keeper from a single window over
+    md5(text) (quality rows sort first, so rn=1 & keep_q IS C1's
+    min-id-among-quality rule), the sample another map-side predicate —
+    and the funnel report is ONE conditional aggregate + a 4-way stack:
+    one corpus scan, one window shuffle, one groupBy. The oracle states
+    the staged-CTE form; the flag form must (and does) hash-match it.
     """
     from .text import _SAMPLE_THRESHOLD_HEX
 
@@ -717,32 +719,46 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_alpha_words") * 10 >= F.col("n_words") * 8)
         & (F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS)
     )
-    quality = sig.filter(keep_q)
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    deduped = (
-        quality.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    # quality rows sort FIRST within each identical-text group, so the
+    # rn=1 row is the minimum-doc_id quality copy whenever one exists
+    w = Window.partitionBy(F.md5("text")).orderBy(
+        keep_q.cast("int").desc(), F.col("doc_id").asc()
     )
-    sampled = deduped.filter(
-        F.substring(F.md5(F.concat(F.lit("sample:"), "text")), 1, 8)
-        <= F.lit(_SAMPLE_THRESHOLD_HEX)
-    )
-
-    def stage_counts(df: DataFrame, stage: str) -> DataFrame:
-        return df.groupBy("lang").agg(
-            F.lit(stage).alias("stage"), F.count("*").alias("n_docs")
+    flags = (
+        sig.withColumn("keep_q", keep_q)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("is_keeper", F.col("keep_q") & (F.col("_rn") == 1))
+        .withColumn(
+            "is_sampled",
+            F.col("is_keeper")
+            & (
+                F.substring(F.md5(F.concat(F.lit("sample:"), "text")), 1, 8)
+                <= F.lit(_SAMPLE_THRESHOLD_HEX)
+            ),
         )
-
-    out = (
-        stage_counts(docs, "1_input")
-        .unionByName(stage_counts(quality, "2_quality"))
-        .unionByName(stage_counts(deduped, "3_deduped"))
-        .unionByName(stage_counts(sampled, "4_sampled"))
     )
-    return out.select("stage", "lang", "n_docs").orderBy("stage", "lang")
+    agg = flags.groupBy("lang").agg(
+        F.count("*").alias("n1"),
+        F.sum(F.col("keep_q").cast("long")).alias("n2"),
+        F.sum(F.col("is_keeper").cast("long")).alias("n3"),
+        F.sum(F.col("is_sampled").cast("long")).alias("n4"),
+    )
+    out = agg.select(
+        "lang",
+        F.expr(
+            "stack(4, '1_input', n1, '2_quality', n2, "
+            "'3_deduped', n3, '4_sampled', n4) as (stage, n_docs)"
+        ),
+    )
+    # the staged-CTE oracle emits a (stage, lang) row only when the
+    # stage's subset is non-empty
+    return (
+        out.filter(F.col("n_docs") > 0)
+        .select("stage", "lang", "n_docs")
+        .orderBy("stage", "lang")
+    )
 
 
 CURATION_FUNNEL_SQL = f"""

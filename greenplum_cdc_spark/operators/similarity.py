@@ -985,6 +985,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("seed_id").alias("cell"), "embedding", "norm")
     )
+    # cells feeds three consumers (both pair sides + the base counts);
+    # persist so the N x sqrt(N) assignment pass runs once, not thrice
+    # (bounded one-copy cache shared with the dedup module).
+    from .dedup import _swap_persist
+
+    cells = _swap_persist("semdedup_cells", cells)
     pair_cos = _dot("a.embedding", "b.embedding") / (F.col("a.norm") * F.col("b.norm"))
     dropped = (
         cells.alias("a")
