@@ -1414,12 +1414,17 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     constructions at 100 TB.
     """
     ev = load_table(spark, sf_dir, "events")
-    n = ev.count()
     import math
 
+    from .stats import _global_row_number
+
+    # the exact truth side ranks DISTRIBUTED (the same range-bucket
+    # construction as equi_depth_histogram) — no single-partition window
+    # even for the evaluation harness
+    ranked, n = _global_row_number(
+        ev.select("value", "event_id"), "value", ["event_id"], out="rk"
+    )
     exact_pos = {q: max(1, math.ceil(q * n)) for q in (0.5, 0.9, 0.99)}
-    w = Window.orderBy("value", "event_id")
-    ranked = ev.withColumn("rk", F.row_number().over(w))
     exact = ranked.filter(
         F.col("rk").isin(*exact_pos.values())
     ).select("rk", F.col("value").alias("exact_value"))
