@@ -1250,27 +1250,56 @@ def cdc_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence means the bus dropped or a consumer skipped (the failure
     the reference's ack-at-end framing in rabbitmq.go:39 exists to
     prevent). A deterministic fault (drop every 97th event) is injected
-    so the detector must find EXACTLY those holes: lag(seq) over the
-    replay order, emit every adjacent pair with a hole between, sized.
-    One shuffle (global seq order at gate scale; per-partition-stream
-    order in a real deployment, where the lag window keys on the
-    binlog shard and the sort is within-shard).
+    so the detector must find EXACTLY those holes.
+
+    The adjacency scan is DISTRIBUTED, not a global lag window:
+    approxQuantile boundaries on seq become literal range buckets
+    (monotone, so global adjacency = within-bucket adjacency plus one
+    pair per adjacent non-empty bucket); each bucket runs its own
+    parallel lag window, and the |buckets| cross-boundary pairs come
+    from a tiny per-bucket (min, max) aggregate stitched on the driver.
+    Exactly the holes the single-partition window would emit, at any
+    data size.
     """
     from pyspark.sql import Window
 
-    feed = _feed(spark, sf_dir).filter(F.col("seq") % _GAP_DROP_MOD != 0)
-    w = Window.orderBy("seq")
-    prev = F.lag("seq").over(w)
-    return (
-        feed.withColumn("prev_seq", prev)
+    spark_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
+    feed = _feed(spark, sf_dir).filter(F.col("seq") % _GAP_DROP_MOD != 0).select("seq")
+    probs = [i / spark_parts for i in range(1, spark_parts)]
+    bounds = sorted(set(feed.stat.approxQuantile("seq", probs, 1.0 / (4 * spark_parts))))
+    if bounds:
+        arms = " ".join(
+            f"WHEN seq <= {int(b)} THEN {i}" for i, b in enumerate(bounds)
+        )
+        pid = F.expr(f"CASE {arms} ELSE {len(bounds)} END")
+    else:
+        pid = F.lit(0)
+    part = feed.withColumn("_pid", pid)
+    w = Window.partitionBy("_pid").orderBy("seq")
+    intra = (
+        part.withColumn("prev_seq", F.lag("seq").over(w))
         .filter(F.col("seq") - F.col("prev_seq") > 1)
         .select(
             "prev_seq",
             F.col("seq").alias("next_seq"),
             (F.col("seq") - F.col("prev_seq") - 1).alias("n_missing"),
         )
-        .orderBy("prev_seq")
     )
+    stats = sorted(
+        part.groupBy("_pid").agg(F.min("seq").alias("lo"), F.max("seq").alias("hi")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    boundary = [
+        (int(a["hi"]), int(b["lo"]), int(b["lo"] - a["hi"] - 1))
+        for a, b in zip(stats, stats[1:])
+        if b["lo"] - a["hi"] > 1
+    ]
+    if boundary:
+        bdf = spark.createDataFrame(
+            boundary, "prev_seq bigint, next_seq bigint, n_missing bigint"
+        )
+        intra = intra.unionByName(bdf)
+    return intra.orderBy("prev_seq")
 
 
 CDC_GAP_SQL = f"""

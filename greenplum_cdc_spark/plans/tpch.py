@@ -1424,13 +1424,18 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The classic warehouse marketing query over the replicated orders.
     Per-customer aggregates (one groupBy shuffle: days since last
-    order, order count, DECIMAL revenue), then three ntile(5) windows
-    over deterministic total orders (metric + custkey tie-break).
-    Exact construction for the oracle; at 100 TB the quintile BOUNDS
-    come from approx_percentile and the scores are a map-side bucket
-    lookup (same stance as equi_depth_histogram B56).
+    order, order count, DECIMAL revenue), then EXACT quintiles per
+    metric — but never through a single-partition ntile window: each
+    metric's global rank is the distributed range-bucket construction
+    (`_global_row_number`, operators/stats.py — per-customer frame
+    persisted once for its six consumers) and the quintile is the
+    closed-form ntile over (rank, n), bit-identical to the oracle's
+    ntile(5) windows at any partition count (the equi_depth_histogram
+    B56 treatment applied to all three metrics; customers are the
+    REDUCED cardinality but still hundreds of millions at 100 TB).
     """
-    from pyspark.sql import Window
+    from ..operators.dedup import _swap_persist
+    from ..operators.stats import _global_row_number
 
     orders = load_table(spark, sf_dir, "orders")
     head = orders.agg(F.max("o_orderdate").alias("head_date"))
@@ -1444,16 +1449,33 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("frequency"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
         )
+        # recency ranks DESCENDING (fewer days = better): negate so all
+        # three ranks share the ascending helper. monetary is cents-
+        # exact in double (decimal(18,2) < 2^53 scaled), so the double
+        # rank order equals the decimal order.
+        .withColumn("neg_recency", -F.col("recency_days"))
+        .withColumn("monetary_d", F.col("monetary").cast("double"))
     )
-    # recency: fewer days = better = higher score → ascend by -days
-    w_r = Window.orderBy(F.col("recency_days").desc(), F.col("o_custkey"))
-    w_f = Window.orderBy(F.col("frequency"), F.col("o_custkey"))
-    w_m = Window.orderBy(F.col("monetary"), F.col("o_custkey"))
+    per_cust = _swap_persist("rfm_per_cust", per_cust)
+
+    def quintile(metric: str, out: str):
+        ranked, n = _global_row_number(
+            per_cust.select("o_custkey", metric), metric, ["o_custkey"], out="_rk"
+        )
+        q, r = divmod(n, 5)
+        score = F.expr(
+            f"CASE WHEN _rk <= {(q + 1) * r} THEN 1 + (_rk - 1) div {q + 1} "
+            f"ELSE {r} + 1 + (_rk - 1 - {r * (q + 1)}) div {max(q, 1)} END"
+        ).cast("int")
+        return ranked.select("o_custkey", score.alias(out))
+
+    scored = (
+        per_cust.join(quintile("neg_recency", "r_score"), "o_custkey")
+        .join(quintile("frequency", "f_score"), "o_custkey")
+        .join(quintile("monetary_d", "m_score"), "o_custkey")
+    )
     return (
-        per_cust.withColumn("r_score", F.ntile(5).over(w_r))
-        .withColumn("f_score", F.ntile(5).over(w_f))
-        .withColumn("m_score", F.ntile(5).over(w_m))
-        .select(
+        scored.select(
             "o_custkey",
             "recency_days",
             "frequency",
