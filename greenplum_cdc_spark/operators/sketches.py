@@ -140,15 +140,17 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = tok.groupBy("w").agg(F.count("*").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total_tokens"))
+    # top-N via TakeOrdered (per-partition heaps + driver merge of N
+    # rows) — a web-scale vocabulary never funnels through one window
+    # task; the rank window then sees only the N survivors.
     ranked = (
         counts.crossJoin(F.broadcast(total))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(HH_TOPN)
         .withColumn(
             "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("cnt"), F.asc("w"))
-            ),
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("w"))),
         )
-        .filter(F.col("rank") <= HH_TOPN)
     )
     return ranked.select(
         "rank",
