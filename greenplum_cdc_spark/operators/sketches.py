@@ -411,3 +411,293 @@ FROM verdict v
 LEFT JOIN members m ON v.c_custkey = m.k
 ORDER BY v.c_custkey
 """
+
+
+# --- C71: theta/KMV sketch set operations ------------------------------
+
+THETA_K = 64
+# 16^10 == 2^40 hash space: (K-1) * SPACE * 10000 ~= 7e17 stays inside
+# BIGINT, and collisions are negligible below ~2^20 distinct keys per
+# side (the sketch itself caps what crosses the wire at K rows).
+_THETA_SPACE = 16 ** 10
+
+
+def _hex10_to_bigint_sql(col: str) -> str:
+    """10-hex-digit prefix as a positional polynomial (DuckDB has no
+    base-16 conv; 16^9..16^0 are exact BIGINTs)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * {16 ** (9 - i)}"
+        for i in range(10)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C71: distinct-count set algebra from K-minimum-value (theta)
+    sketches — |A|, |B|, |A∪B|, |A∩B| estimated from two K=64 sketches,
+    with the exact truths alongside.
+
+    A = customers holding an even order, B = customers holding an odd
+    order (deterministic halves, heavy overlap — the interesting case
+    for intersection). The union sketch is min-K over the two sketches'
+    hash sets (the KMV merge property: min-K(A ∪ B) = min-K(min-K(A) ∪
+    min-K(B))), and the intersection uses the theta rule: of the K
+    hashes below the union's theta, the fraction present in BOTH
+    sketches scales the union estimate.
+
+    All estimates are x10000-scaled BIGINT floor divisions
+    ((K-1)*2^40*1e4 div theta) — no ROUND(double), no engine-divergent
+    decimal division (ADVICE r3 idiom).
+
+    At 100 TB: each side reduces to K=64 rows after one distinct
+    shuffle + per-side rank; sketches are mergeable per partition, the
+    set algebra happens on ≤2K rows. This is the cross-source audit
+    ("how many users do feeds A and B share?") that never joins the
+    full sets. Reference parity: the demo's exact observability counts
+    (demo poll queries), re-expressed as the sketch algebra that
+    replaces them at scale.
+    """
+    from .dedup import _swap_persist
+
+    orders = load_table(spark, sf_dir, "orders")
+    # one distinct shuffle feeds five consumers (two sketch sides, three
+    # exact audits) — persist the <= 2x NDV row set, swap-bounded cache
+    pairs = _swap_persist(
+        "theta_pairs",
+        orders.select(
+            (F.col("o_orderkey") % 2).cast("int").alias("half"),
+            F.col("o_custkey").alias("k"),
+        ).distinct(),
+    )
+    hashed = pairs.select(
+        "half",
+        "k",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("theta:"), F.col("k").cast("string"))), 1, 10),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    sketch = (
+        hashed.select("half", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.partitionBy("half").orderBy("h")))
+        .filter(F.col("rn") <= THETA_K)
+    )
+    # per-side theta (the K-th minimum hash)
+    kth = sketch.filter(F.col("rn") == THETA_K).select(
+        "half", F.col("h").alias("theta")
+    )
+    est = F.expr(f"({THETA_K - 1} * CAST({_THETA_SPACE} AS BIGINT) * 10000) div theta")
+    side = kth.select(
+        "half", est.alias("est_x10k")
+    )
+    # union sketch: min-K over the two sketches' combined hash set
+    flags = sketch.groupBy("h").agg(
+        F.max((F.col("half") == 0).cast("int")).alias("in_a"),
+        F.max((F.col("half") == 1).cast("int")).alias("in_b"),
+    )
+    # <= 2K rows from here down: the single-partition window is bounded
+    topk = (
+        flags.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= THETA_K)
+    )
+    union_agg = topk.agg(
+        F.max("h").alias("theta_u"),
+        F.sum((F.col("in_a") * F.col("in_b"))).alias("n_both"),
+    ).select(
+        F.expr(
+            f"({THETA_K - 1} * CAST({_THETA_SPACE} AS BIGINT) * 10000) div theta_u"
+        ).alias("est_union_x10k"),
+        "n_both",
+    )
+    exact = pairs.groupBy().agg(
+        F.countDistinct(F.when(F.col("half") == 0, F.col("k"))).alias("exact_a"),
+        F.countDistinct(F.when(F.col("half") == 1, F.col("k"))).alias("exact_b"),
+        F.countDistinct("k").alias("exact_union"),
+    )
+    exact_inter = (
+        pairs.groupBy("k")
+        .agg(F.countDistinct("half").alias("nh"))
+        .filter(F.col("nh") == 2)
+        .agg(F.count("*").alias("exact_inter"))
+    )
+    est_a = side.filter(F.col("half") == 0).select(F.col("est_x10k").alias("est_a_x10k"))
+    est_b = side.filter(F.col("half") == 1).select(F.col("est_x10k").alias("est_b_x10k"))
+    return (
+        exact.crossJoin(exact_inter)
+        .crossJoin(est_a)
+        .crossJoin(est_b)
+        .crossJoin(union_agg)
+        .select(
+            F.lit(THETA_K).alias("k"),
+            "exact_a",
+            "est_a_x10k",
+            "exact_b",
+            "est_b_x10k",
+            "exact_union",
+            "est_union_x10k",
+            "exact_inter",
+            F.expr("(n_both * est_union_x10k) div " + str(THETA_K)).alias(
+                "est_inter_x10k"
+            ),
+        )
+    )
+
+
+THETA_SETOPS_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT CAST(o_orderkey % 2 AS INT) AS half, o_custkey AS k FROM orders
+),
+hashed AS (
+  SELECT half, k,
+         {_hex10_to_bigint_sql("md5('theta:' || CAST(k AS VARCHAR))")} AS h
+  FROM pairs
+),
+sketch AS (
+  SELECT half, h, ROW_NUMBER() OVER (PARTITION BY half ORDER BY h) AS rn
+  FROM (SELECT DISTINCT half, h FROM hashed)
+  QUALIFY rn <= {THETA_K}
+),
+kth AS (
+  SELECT half, h AS theta FROM sketch WHERE rn = {THETA_K}
+),
+flags AS (
+  SELECT h, MAX(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS in_b
+  FROM sketch GROUP BY h
+),
+topk AS (
+  SELECT h, in_a, in_b, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM flags
+  QUALIFY rn <= {THETA_K}
+),
+union_agg AS (
+  SELECT ({THETA_K - 1} * CAST({_THETA_SPACE} AS BIGINT) * 10000) // MAX(h) AS est_union_x10k,
+         SUM(in_a * in_b) AS n_both
+  FROM topk
+),
+exact AS (
+  SELECT COUNT(DISTINCT CASE WHEN half = 0 THEN k END) AS exact_a,
+         COUNT(DISTINCT CASE WHEN half = 1 THEN k END) AS exact_b,
+         COUNT(DISTINCT k) AS exact_union
+  FROM pairs
+),
+exact_inter AS (
+  SELECT COUNT(*) AS exact_inter
+  FROM (SELECT k FROM pairs GROUP BY k HAVING COUNT(DISTINCT half) = 2)
+),
+est_a AS (
+  SELECT ({THETA_K - 1} * CAST({_THETA_SPACE} AS BIGINT) * 10000) // theta AS est_a_x10k
+  FROM kth WHERE half = 0
+),
+est_b AS (
+  SELECT ({THETA_K - 1} * CAST({_THETA_SPACE} AS BIGINT) * 10000) // theta AS est_b_x10k
+  FROM kth WHERE half = 1
+)
+SELECT {THETA_K} AS k,
+       exact_a, est_a_x10k, exact_b, est_b_x10k,
+       exact_union, est_union_x10k, exact_inter,
+       CAST((n_both * est_union_x10k) // {THETA_K} AS BIGINT) AS est_inter_x10k
+FROM exact, exact_inter, est_a, est_b, union_agg
+"""
+
+
+# --- C72: sampling-based NDV estimation (GEE) --------------------------
+
+# q = 1/16: sqrt(1/q) = 4 exactly, so the GEE estimator
+# sqrt(1/q)*f1 + (d - f1) = d + 3*f1 is pure integer arithmetic.
+_NDV_SAMPLE_SHIFT = 24  # keep h7 < 2^24 out of the 2^28 hash space
+
+
+def ndv_estimate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C72: ANALYZE-style NDV estimation from a deterministic row
+    sample (Charikar et al. GEE estimator) vs the exact distinct count.
+
+    Planners can't afford a full distinct per column; they sample rows
+    and extrapolate. The sample is content-hash Bernoulli (md5 of the
+    row key < 2^24 out of the 2^28 space, q = 1/16 — reproducible
+    across engines/runs, never rand()), and GEE with q = 1/16 is pure
+    integer math: est = d + 3*f1 (d = distinct-in-sample, f1 = values
+    seen exactly once in the sample). The exact NDV rides along with
+    the absolute error in basis points — floor division on the
+    absolute difference (signed div diverges between engines:
+    Spark truncates, DuckDB floors).
+
+    At 100 TB: the sampled branch scans with the pushed-down hash
+    predicate and aggregates |sample| rows; the exact branch is the
+    audit and would be dropped in production (it IS the thing the
+    estimator exists to avoid). Reference parity: Greenplum ANALYZE's
+    sampled pg_statistic NDV, the input to every join-cardinality
+    estimate (B58).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    h7 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ndv:"), F.col("o_orderkey").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sample = orders.withColumn("h7", h7).filter(
+        F.col("h7") < (1 << _NDV_SAMPLE_SHIFT)
+    )
+    per_val = sample.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    samp_agg = per_val.agg(
+        F.sum("cnt").alias("n_sampled"),
+        F.count("*").alias("d_sample"),
+        F.sum((F.col("cnt") == 1).cast("bigint")).alias("f1_sample"),
+    )
+    exact = orders.agg(
+        F.count("*").alias("n_total"),
+        F.countDistinct("o_custkey").alias("exact_ndv"),
+    )
+    return (
+        exact.crossJoin(samp_agg)
+        .select(
+            "n_total",
+            "n_sampled",
+            "d_sample",
+            "f1_sample",
+            F.expr("d_sample + 3 * f1_sample").alias("gee_estimate"),
+            "exact_ndv",
+            F.expr(
+                "(abs(d_sample + 3 * f1_sample - exact_ndv) * 10000) div exact_ndv"
+            ).alias("abs_err_bp"),
+        )
+    )
+
+
+def _hex7_to_bigint_sql(col: str) -> str:
+    """7-hex-digit prefix as a positional polynomial (2^28 space)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1) * {16 ** (6 - i)}"
+        for i in range(7)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+NDV_ESTIMATE_SQL = f"""
+WITH sample AS (
+  SELECT o_custkey
+  FROM orders
+  WHERE {_hex7_to_bigint_sql("md5('ndv:' || CAST(o_orderkey AS VARCHAR))")} < {1 << _NDV_SAMPLE_SHIFT}
+),
+per_val AS (
+  SELECT o_custkey, COUNT(*) AS cnt FROM sample GROUP BY o_custkey
+),
+samp_agg AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_sampled, COUNT(*) AS d_sample,
+         CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1_sample
+  FROM per_val
+),
+exact AS (
+  SELECT COUNT(*) AS n_total, COUNT(DISTINCT o_custkey) AS exact_ndv FROM orders
+)
+SELECT n_total, n_sampled, d_sample, f1_sample,
+       CAST(d_sample + 3 * f1_sample AS BIGINT) AS gee_estimate,
+       exact_ndv,
+       CAST((ABS(d_sample + 3 * f1_sample - exact_ndv) * 10000) // exact_ndv AS BIGINT) AS abs_err_bp
+FROM exact, samp_agg
+"""

@@ -592,3 +592,92 @@ SELECT expectation, n, n_violations, n_violations = 0 AS passed
 FROM stacked
 ORDER BY expectation
 """
+
+
+# --- B78: decile lift / gains table ------------------------------------
+
+LIFT_DECILES = 10
+
+
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B78: decile lift/gains table — customers ranked by total spend,
+    cut into spend deciles, with each decile's exact share and
+    cumulative capture of total revenue in integer basis points.
+
+    The model-evaluation staple (rank by score, read off "top 10% of
+    customers hold X% of revenue"). Score = exact spend cents; the
+    global rank comes from `_global_row_number` (literal range buckets
+    + per-bucket offsets — fully parallel, never a single-partition
+    window), descending via the negated score. Decile assignment is
+    the closed-form ntile split; shares are (x * 10000) div total —
+    floor division, the engine-divergence-proof idiom. The only
+    single-partition window is the cumulative sum over the 10-row
+    decile table.
+
+    Oracle: DuckDB NTILE(10) over the same unique order.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).alias(
+            "spend_cents"
+        )
+    )
+    ranked, n = _global_row_number(
+        spend.withColumn("neg_spend", -F.col("spend_cents")),
+        "neg_spend",
+        ["o_custkey"],
+    )
+    q, r = divmod(n, LIFT_DECILES)
+    decile = F.expr(
+        f"CASE WHEN rn <= {(q + 1) * r} THEN 1 + (rn - 1) div {q + 1} "
+        f"ELSE {r} + 1 + (rn - 1 - {r * (q + 1)}) div {max(q, 1)} END"
+    ).cast("int")
+    agg = (
+        ranked.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("spend_cents").alias("rev_cents"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        agg.withColumn("cum_rev_cents", F.sum("rev_cents").over(w))
+        .withColumn("total_rev_cents", F.sum("rev_cents").over(Window.partitionBy()))
+        .select(
+            "decile",
+            "n_customers",
+            "rev_cents",
+            F.expr("(rev_cents * 10000) div total_rev_cents").alias("share_bp"),
+            F.expr("(cum_rev_cents * 10000) div total_rev_cents").alias(
+                "cum_share_bp"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
+DECILE_LIFT_SQL = f"""
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS spend_cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT spend_cents,
+         NTILE({LIFT_DECILES}) OVER (ORDER BY spend_cents DESC, o_custkey) AS decile
+  FROM spend
+),
+agg AS (
+  SELECT decile, COUNT(*) AS n_customers, CAST(SUM(spend_cents) AS BIGINT) AS rev_cents
+  FROM ranked GROUP BY decile
+)
+SELECT CAST(decile AS INT) AS decile,
+       n_customers,
+       rev_cents,
+       CAST((rev_cents * 10000) // SUM(rev_cents) OVER () AS BIGINT) AS share_bp,
+       CAST((SUM(rev_cents) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) * 10000)
+         // SUM(rev_cents) OVER () AS BIGINT) AS cum_share_bp
+FROM agg
+ORDER BY decile
+"""

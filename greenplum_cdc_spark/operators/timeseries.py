@@ -1659,3 +1659,84 @@ FROM (
 WHERE pct_rank >= {QNORM_TAIL}
 ORDER BY event_type, event_id
 """
+
+
+# --- B79: marketing attribution ----------------------------------------
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # 7-day lookback
+
+
+def attribution_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B79: last-touch revenue attribution — every purchase credits its
+    value to the user's most recent view/click in the preceding 7 days
+    ('none' when no touch qualifies), rolled up per touch channel.
+
+    The touch is found with ONE conditional MAX over a µs RANGE frame
+    (no purchases x touches self-join): the frame [ts-7d, ts] sees only
+    the same user's earlier events, and the argmax is encoded as a
+    scalar key ts_us*8 + channel_code so 'which channel was latest'
+    survives the MAX (same-µs ties resolve to the higher code —
+    deterministic in both engines; epoch-µs * 8 stays far inside
+    BIGINT). One shuffle on user_id, then a tiny channel rollup;
+    revenue sums are DECIMAL. At 100 TB the frame is bounded by a
+    user's 7-day event count — the same state bound the streaming
+    interval join (B47) relies on.
+
+    Oracle: identical RANGE-frame SQL in DuckDB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-_ATTR_WINDOW_US, 0)
+    )
+    touch_key = F.max(
+        F.when(F.col("event_type") == "view", F.col("ts_us") * 8 + 1).when(
+            F.col("event_type") == "click", F.col("ts_us") * 8 + 2
+        )
+    ).over(w)
+    return (
+        ev.withColumn("ts_us", us)
+        .withColumn("touch_key", touch_key)
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "touch_channel",
+            F.when(F.col("touch_key").isNull(), "none")
+            .when(F.col("touch_key") % 8 == 1, "view")
+            .otherwise("click"),
+        )
+        .groupBy("touch_channel")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4)
+            .cast("double")
+            .alias("attributed_value"),
+        )
+        .orderBy("touch_channel")
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH stamped AS (
+  SELECT *, epoch_us(ts) AS ts_us FROM events
+),
+touched AS (
+  SELECT *,
+         MAX(CASE WHEN event_type = 'view' THEN ts_us * 8 + 1
+                  WHEN event_type = 'click' THEN ts_us * 8 + 2 END) OVER (
+           PARTITION BY user_id ORDER BY ts_us
+           RANGE BETWEEN {_ATTR_WINDOW_US} PRECEDING AND CURRENT ROW
+         ) AS touch_key
+  FROM stamped
+)
+SELECT CASE WHEN touch_key IS NULL THEN 'none'
+            WHEN touch_key % 8 = 1 THEN 'view'
+            ELSE 'click' END AS touch_channel,
+       COUNT(*) AS n_purchases,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS attributed_value
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY 1
+"""

@@ -1884,3 +1884,76 @@ UNION ALL
 SELECT '2_compacted', n_rows, n_users, min_event_id, max_event_id, sum_value_cents FROM s
 ORDER BY stage
 """
+
+
+# --- B77: hierarchy (BOM-style) subtree rollup -------------------------
+
+# 13 division levels cover every BIGINT key (10^12 > any custkey here;
+# extra levels collapse to duplicate zeros removed by array_distinct).
+_HIER_LEVELS = 12
+
+
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B77: recursive-CTE-class hierarchy rollup, Spark-first.
+
+    The decade tree over customer keys (parent(k) = k div 10, root 0)
+    stands in for any BOM / org / category hierarchy: for EVERY node,
+    aggregate its entire subtree (customers, orders, exact revenue
+    cents). Warehouses write this as WITH RECURSIVE — Spark has no
+    recursive CTE, and the naive port is an iterative self-join loop.
+
+    This plan has ZERO iterations and ZERO joins: a node's ancestor set
+    is closed-form (k div 10^i), so each customer emits its ancestor
+    chain map-side (transform over a literal sequence + array_distinct)
+    and one explode + one groupBy computes every subtree total in a
+    single shuffle. Depth is log10(maxkey) ~= 12 for any BIGINT key, so
+    the fan-out is a constant ~13x — at 100 TB this is one wide
+    aggregation, not a 12-round join loop with growing lineage.
+
+    Oracle: DuckDB's real WITH RECURSIVE walks the same tree, proving
+    the closed form == the recursion.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")
+        ).alias("rev_cents"),
+    )
+    ancestors = F.expr(
+        f"array_distinct(transform(sequence(0, {_HIER_LEVELS}), "
+        "i -> o_custkey div CAST(pow(10, i) AS BIGINT)))"
+    )
+    return (
+        per_cust.withColumn("anc", F.explode(ancestors))
+        .groupBy(F.col("anc").alias("node"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev_cents").alias("rev_cents"),
+        )
+        .orderBy("node")
+    )
+
+
+HIERARCHY_ROLLUP_SQL = """
+WITH RECURSIVE per_cust AS (
+  SELECT o_custkey,
+         COUNT(*) AS n_orders,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY o_custkey
+),
+walk(leaf, node) AS (
+  SELECT o_custkey, o_custkey FROM per_cust
+  UNION
+  SELECT leaf, node // 10 FROM walk WHERE node > 0
+),
+pairs AS (SELECT DISTINCT leaf, node FROM walk)
+SELECT p.node,
+       COUNT(*) AS n_customers,
+       CAST(SUM(c.n_orders) AS BIGINT) AS n_orders,
+       CAST(SUM(c.rev_cents) AS BIGINT) AS rev_cents
+FROM pairs p JOIN per_cust c ON c.o_custkey = p.leaf
+GROUP BY p.node
+ORDER BY p.node
+"""

@@ -220,6 +220,12 @@ def _late_ops():
         "span_mask_plan": text.span_mask_plan,
         "curation_funnel": quality.curation_funnel,
         "cdc_gdpr_erasure": cdc_queries.cdc_gdpr_erasure,
+        # round 4, second batch
+        "hierarchy_rollup": tpch.hierarchy_rollup,
+        "decile_lift_table": _stats().decile_lift_table,
+        "attribution_model": timeseries.attribution_model,
+        "theta_sketch_setops": _sketches().theta_sketch_setops,
+        "ndv_estimate_sample": _sketches().ndv_estimate_sample,
     }
 
 
