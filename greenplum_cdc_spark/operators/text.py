@@ -970,3 +970,243 @@ FROM masked
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# --- C73: one BPE merge iteration --------------------------------------
+
+BPE_TOPN = 5
+# sentinel for the merged token inside rewritten words; the corpus is
+# lowercase [a-z ]+ so '#' can never collide with a real symbol
+_BPE_SENTINEL = "#"
+
+
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C73: one iteration of byte-pair-encoding tokenizer training —
+    the top adjacent symbol pair before the merge, and the top pairs
+    after applying that merge to the vocabulary.
+
+    Classic BPE (Sennrich et al.) trains on the WORD-FREQUENCY table,
+    not the raw corpus: the corpus collapses to (word, freq) first (one
+    vocab-sized shuffle), every later pass touches only the vocabulary.
+    Pair counting is array-side (transform over the char sequence,
+    weighted by word freq); the winning pair is a 1-row broadcast; the
+    merge itself is a left-to-right non-overlapping string replace —
+    both engines agree replace('aaa','aa','#') = '#a', which IS the BPE
+    greedy-scan semantic. Post-merge pairs are re-counted on the
+    rewritten words with the sentinel mapped back to the merged token.
+
+    At 100 TB the per-iteration cost is O(|vocab|), not O(corpus) —
+    exactly why real BPE trainers work from the word histogram; the
+    expensive corpus pass happens once (the same shape as vocab_stats).
+
+    Output: the 5 heaviest pairs before and after the merge
+    (stage='pre'/'post'), deterministic tie-break on the pair.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    from .dedup import _swap_persist
+
+    words = _swap_persist("bpe_words", words)
+
+    def pair_counts(df: DataFrame, word_col: str) -> DataFrame:
+        grams = F.expr(
+            f"CASE WHEN length({word_col}) >= 2 THEN "
+            f"transform(sequence(0, length({word_col}) - 2), "
+            f"i -> substring({word_col}, i + 1, 2)) "
+            "ELSE array() END"
+        )
+        return (
+            df.select(F.explode(grams).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+
+    pre = pair_counts(words, "word")
+    top1 = pre.orderBy(F.desc("cnt"), F.asc("pair")).limit(1).select(
+        F.col("pair").alias("merge_pair")
+    )
+    merged = words.crossJoin(F.broadcast(top1)).select(
+        F.expr(f"replace(word, merge_pair, '{_BPE_SENTINEL}')").alias("word2"),
+        "freq",
+        "merge_pair",
+    )
+    post = (
+        pair_counts(merged.select(F.col("word2"), "freq"), "word2")
+        .crossJoin(F.broadcast(top1))
+        .select(
+            F.expr(
+                f"replace(substring(pair, 1, 1), '{_BPE_SENTINEL}', merge_pair)"
+            ).alias("token_a"),
+            F.expr(
+                f"replace(substring(pair, 2, 1), '{_BPE_SENTINEL}', merge_pair)"
+            ).alias("token_b"),
+            "cnt",
+        )
+        .groupBy("token_a", "token_b")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    pre_top = (
+        pre.select(
+            F.lit("pre").alias("stage"),
+            F.substring("pair", 1, 1).alias("token_a"),
+            F.substring("pair", 2, 1).alias("token_b"),
+            "cnt",
+        )
+        .orderBy(F.desc("cnt"), "token_a", "token_b")
+        .limit(BPE_TOPN)
+    )
+    post_top = (
+        post.select(F.lit("post").alias("stage"), "token_a", "token_b", "cnt")
+        .orderBy(F.desc("cnt"), "token_a", "token_b")
+        .limit(BPE_TOPN)
+    )
+    return pre_top.unionAll(post_top).orderBy(
+        "stage", F.desc("cnt"), "token_a", "token_b"
+    )
+
+
+BPE_MERGE_SQL = f"""
+WITH words AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+    FROM documents
+  )
+  GROUP BY word
+),
+pre AS (
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT substr(word, i, 2) AS pair, freq
+    FROM (SELECT word, freq, unnest(range(1, length(word))) AS i FROM words
+          WHERE length(word) >= 2)
+  )
+  GROUP BY pair
+),
+top1 AS (
+  SELECT pair AS merge_pair FROM pre ORDER BY cnt DESC, pair ASC LIMIT 1
+),
+merged AS (
+  SELECT replace(word, merge_pair, '{_BPE_SENTINEL}') AS word2, freq, merge_pair
+  FROM words, top1
+),
+post AS (
+  SELECT replace(substr(pair, 1, 1), '{_BPE_SENTINEL}', merge_pair) AS token_a,
+         replace(substr(pair, 2, 1), '{_BPE_SENTINEL}', merge_pair) AS token_b,
+         CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT substr(word2, i, 2) AS pair, freq, merge_pair
+    FROM (SELECT word2, freq, merge_pair, unnest(range(1, length(word2))) AS i
+          FROM merged WHERE length(word2) >= 2)
+  )
+  GROUP BY token_a, token_b
+),
+pre_top AS (
+  SELECT 'pre' AS stage, substr(pair, 1, 1) AS token_a, substr(pair, 2, 1) AS token_b, cnt
+  FROM pre ORDER BY cnt DESC, token_a, token_b LIMIT {BPE_TOPN}
+),
+post_top AS (
+  SELECT 'post' AS stage, token_a, token_b, cnt
+  FROM post ORDER BY cnt DESC, token_a, token_b LIMIT {BPE_TOPN}
+)
+SELECT * FROM pre_top
+UNION ALL
+SELECT * FROM post_top
+ORDER BY stage, cnt DESC, token_a, token_b
+"""
+
+
+# --- C74: token-budget mixture planning --------------------------------
+
+# target training-mixture shares in basis points (sum = 10000)
+_MIX_TARGET_BP = {"en": 4000, "de": 1500, "es": 1500, "fr": 1500, "zh": 1500}
+
+
+def data_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C74: token-budget planning for a target language mixture — the
+    table a training run reads before any sampling happens.
+
+    Given per-language available tokens and literal target shares, the
+    largest total budget that oversamples NO language is B_max =
+    min over langs of (available * 10000) div share_bp; each language
+    then contributes (B_max * share_bp) div 10000 tokens at sampling
+    rate (wanted * 10000) div available. Pure integer floor division
+    end to end — the plan is reproducible to the token across engines
+    and re-runs, which is what makes the downstream content-hash
+    samplers (C14/C30/C47) deterministic consumers of it.
+
+    One corpus scan (map-side token count), a 5-row rollup, and a
+    1-row broadcast minimum. At 100 TB the scan is the whole cost and
+    is shared with any other per-doc profiling pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    arms = " ".join(
+        f"WHEN lang = '{lang}' THEN {bp}" for lang, bp in _MIX_TARGET_BP.items()
+    )
+    share = F.expr(f"CASE {arms} ELSE 0 END")
+    avail = (
+        docs.withColumn(
+            "n_tokens", F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        )
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("available_tokens"))
+        .withColumn("target_share_bp", share)
+        .filter(F.col("target_share_bp") > 0)
+    )
+    bmax = avail.agg(
+        F.min(F.expr("(available_tokens * 10000) div target_share_bp")).alias(
+            "b_max"
+        )
+    )
+    return (
+        avail.crossJoin(F.broadcast(bmax))
+        .select(
+            "lang",
+            "available_tokens",
+            "target_share_bp",
+            F.expr("(b_max * target_share_bp) div 10000").alias("tokens_wanted"),
+            F.expr(
+                "((b_max * target_share_bp) div 10000 * 10000) div available_tokens"
+            ).alias("sample_rate_bp"),
+            (
+                F.expr("(available_tokens * 10000) div target_share_bp")
+                == F.col("b_max")
+            )
+            .cast("int")
+            .alias("is_limiting"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MIX_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {bp}" for lang, bp in _MIX_TARGET_BP.items()
+)
+
+DATA_TOKEN_BUDGET_SQL = f"""
+WITH avail AS (
+  SELECT lang,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+           AS available_tokens,
+         CASE {_MIX_CASE} ELSE 0 END AS target_share_bp
+  FROM documents
+  GROUP BY lang
+  HAVING target_share_bp > 0
+),
+bmax AS (
+  SELECT MIN((available_tokens * 10000) // target_share_bp) AS b_max FROM avail
+)
+SELECT lang, available_tokens, target_share_bp,
+       CAST((b_max * target_share_bp) // 10000 AS BIGINT) AS tokens_wanted,
+       CAST(((b_max * target_share_bp) // 10000 * 10000) // available_tokens AS BIGINT)
+         AS sample_rate_bp,
+       CAST((available_tokens * 10000) // target_share_bp = b_max AS INT) AS is_limiting
+FROM avail, bmax
+ORDER BY lang
+"""

@@ -1821,3 +1821,112 @@ SELECT '4_archive_remaining', COUNT(*), COUNT(DISTINCT pk)
 FROM cdc WHERE NOT (pk % {_ERASE_MOD} = 0)
 ORDER BY surface
 """
+
+
+# --- A34: cross-table consistent snapshot cut --------------------------
+
+# simulated per-table apply lag (events held back from the applied set),
+# deterministic stand-in for tables replicating at different speeds
+_CUT_LAGS = {"accounts": 0, "activity": 50}
+
+
+def cdc_consistent_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A34: transactionally-consistent MULTI-table snapshot — every
+    routed table snapshotted at the same global cut, the minimum of the
+    per-table applied watermarks.
+
+    A20 routes tables independently, so their applied watermarks drift
+    (here: 'activity' lags 50 seq behind 'accounts', a deterministic
+    stand-in for uneven consumer progress). Reading each table at its
+    OWN watermark yields a cross-table inconsistency (an account row
+    whose activity hasn't landed); the fix is the classic consistent
+    cut: cut = MIN(table watermarks), snapshot every table at ts <=
+    cut. One latest-wins window over the routed feed with the cut as a
+    broadcast scalar — per-table output: its own watermark, the global
+    cut, live keys and exact value cents at the cut.
+
+    The reference's maxwell_ts watermark (maxwell_gpdb.sql:34-36) is
+    global across tables for exactly this reason; this operator is the
+    multi-speed generalization.
+    """
+    from pyspark.sql import Window
+
+    feed = _feed(spark, sf_dir).withColumn(
+        "table_name",
+        F.when(F.col("event_type").isin("purchase", "signup"), F.lit("accounts"))
+        .otherwise(F.lit("activity")),
+    )
+    lag_expr = F.when(F.col("table_name") == "accounts", F.lit(_CUT_LAGS["accounts"])).otherwise(
+        F.lit(_CUT_LAGS["activity"])
+    )
+    applied = feed.withColumn("lag", lag_expr)
+    wm = (
+        applied.withColumn(
+            "max_seq", F.max("seq").over(Window.partitionBy("table_name"))
+        )
+        .filter(F.col("seq") <= F.col("max_seq") - F.col("lag"))
+        .groupBy("table_name")
+        .agg(F.max(F.unix_micros(F.col("ts"))).alias("applied_wm_us"))
+    )
+    cut = wm.agg(F.min("applied_wm_us").alias("cut_us"))
+    w = Window.partitionBy("table_name", "pk").orderBy(F.desc("ts"), F.desc("seq"))
+    snap = (
+        feed.crossJoin(F.broadcast(cut))
+        .filter(F.unix_micros(F.col("ts")) <= F.col("cut_us"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "delete"))
+        .groupBy("table_name")
+        .agg(
+            F.count("*").alias("live_keys"),
+            F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias(
+                "value_cents"
+            ),
+        )
+    )
+    return (
+        wm.join(snap, "table_name")
+        .crossJoin(F.broadcast(cut))
+        .select("table_name", "applied_wm_us", "cut_us", "live_keys", "value_cents")
+        .orderBy("table_name")
+    )
+
+
+CDC_CONSISTENT_CUT_SQL = f"""
+WITH cdc AS ({{events_as_cdc}}),
+routed AS (
+  SELECT *,
+         CASE WHEN event_type IN ('purchase', 'signup')
+              THEN 'accounts' ELSE 'activity' END AS table_name,
+         CASE WHEN event_type IN ('purchase', 'signup')
+              THEN {_CUT_LAGS['accounts']} ELSE {_CUT_LAGS['activity']} END AS lag
+  FROM cdc
+),
+wm AS (
+  SELECT table_name, MAX(epoch_us(ts)) AS applied_wm_us
+  FROM (
+    SELECT *, MAX(seq) OVER (PARTITION BY table_name) AS max_seq FROM routed
+  )
+  WHERE seq <= max_seq - lag
+  GROUP BY table_name
+),
+cut AS (SELECT MIN(applied_wm_us) AS cut_us FROM wm),
+ranked AS (
+  SELECT r.*, c.cut_us, ROW_NUMBER() OVER (
+    PARTITION BY r.table_name, r.pk ORDER BY r.ts DESC, r.seq DESC) AS rn
+  FROM routed r, cut c
+  WHERE epoch_us(r.ts) <= c.cut_us
+),
+snap AS (
+  SELECT table_name, COUNT(*) AS live_keys,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM ranked
+  WHERE rn = 1 AND op <> 'delete'
+  GROUP BY table_name
+)
+SELECT w.table_name, w.applied_wm_us, c.cut_us, s.live_keys, s.value_cents
+FROM wm w JOIN snap s USING (table_name), cut c
+ORDER BY w.table_name
+"""
+CDC_CONSISTENT_CUT_SQL = CDC_CONSISTENT_CUT_SQL.replace(
+    "{events_as_cdc}", maxwell.EVENTS_AS_CDC_SQL
+)

@@ -1957,3 +1957,124 @@ FROM pairs p JOIN per_cust c ON c.o_custkey = p.leaf
 GROUP BY p.node
 ORDER BY p.node
 """
+
+
+# --- B80: PageRank over the co-purchase graph --------------------------
+
+_PR_MIN_SUP = 2       # co-purchase support for a graph edge
+_PR_ITERS = 3         # fixed power iterations
+_PR_SCALE = 1_000_000  # integer PageRank unit
+PR_TOPN = 50
+
+
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B80: PageRank (3 power iterations, damping 0.85) over the
+    co-purchase part graph — "which parts anchor the catalog".
+
+    Edges are B38's basket pairs at support >= 2, symmetrized; each
+    iteration is one equi-join (edges x ranks) + one aggregate — the
+    textbook distributed PageRank plan, no driver-side graph. All
+    arithmetic is scaled-integer and order-insensitive: contribution =
+    pr div deg (floor), next pr = 0.15*SCALE + (85 * sum) div 100 —
+    bit-identical across engines and partitionings, no doubles. The
+    undirected graph has no dangling nodes (every node owns an edge),
+    so no dangling-mass correction term is needed.
+
+    At 100 TB: iterations are bounded (3), each a shuffle on the node
+    key; the rank table is |nodes| rows — the same join shape GraphX /
+    Pregel lowers to, expressed declaratively so AQE handles skewed
+    hubs. Output: top-50 parts by final rank.
+
+    Oracle: the same three iterations as chained CTEs in DuckDB.
+    """
+    from ..operators.dedup import _swap_persist
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= _PR_MIN_SUP)
+    )
+    edges = _swap_persist(
+        "pagerank_edges",
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        ),
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = deg.select("src", F.lit(_PR_SCALE).cast("bigint").alias("pr"), "deg")
+    for _ in range(_PR_ITERS):
+        contribs = (
+            edges.join(ranks, "src")
+            .select("dst", F.expr("pr div deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            deg.join(contribs, deg["src"] == contribs["dst"])
+            .select(
+                "src",
+                F.expr(f"{int(0.15 * _PR_SCALE)} + (85 * s) div 100").alias("pr"),
+                "deg",
+            )
+        )
+    return (
+        ranks.select(F.col("src").alias("part"), "pr", "deg")
+        .orderBy(F.desc("pr"), F.asc("part"))
+        .limit(PR_TOPN)
+    )
+
+
+PAGERANK_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS sup
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY pa, pb
+  HAVING COUNT(*) >= {_PR_MIN_SUP}
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb, pa FROM pairs
+),
+deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+),
+it0 AS (
+  SELECT src, CAST({_PR_SCALE} AS BIGINT) AS pr, deg FROM deg
+),
+it1 AS (
+  SELECT d.src, {int(0.15 * _PR_SCALE)} + (85 * CAST(SUM(r.pr // r.deg) AS BIGINT)) // 100 AS pr, d.deg
+  FROM edges e JOIN it0 r ON r.src = e.src JOIN deg d ON d.src = e.dst
+  GROUP BY d.src, d.deg
+),
+it2 AS (
+  SELECT d.src, {int(0.15 * _PR_SCALE)} + (85 * CAST(SUM(r.pr // r.deg) AS BIGINT)) // 100 AS pr, d.deg
+  FROM edges e JOIN it1 r ON r.src = e.src JOIN deg d ON d.src = e.dst
+  GROUP BY d.src, d.deg
+),
+it3 AS (
+  SELECT d.src, {int(0.15 * _PR_SCALE)} + (85 * CAST(SUM(r.pr // r.deg) AS BIGINT)) // 100 AS pr, d.deg
+  FROM edges e JOIN it2 r ON r.src = e.src JOIN deg d ON d.src = e.dst
+  GROUP BY d.src, d.deg
+)
+SELECT src AS part, CAST(pr AS BIGINT) AS pr, deg
+FROM it3
+ORDER BY pr DESC, part ASC
+LIMIT {PR_TOPN}
+"""

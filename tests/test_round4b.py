@@ -120,3 +120,96 @@ class TestNdvEstimate:
             r["abs_err_bp"]
             == abs(r["gee_estimate"] - r["exact_ndv"]) * 10000 // r["exact_ndv"]
         )
+
+
+class TestBpeMergeStep:
+    def test_merge_semantics(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import text as text_ops
+
+        rows = text_ops.bpe_merge_step(spark, sf_dir).collect()
+        pre = [r for r in rows if r["stage"] == "pre"]
+        post = [r for r in rows if r["stage"] == "post"]
+        assert len(pre) == 5 and len(post) == 5
+        # pre tokens are single chars
+        assert all(
+            len(r["token_a"]) == 1 and len(r["token_b"]) == 1 for r in pre
+        )
+        # post tokens are single chars or exactly the merged token
+        top_pre = max(pre, key=lambda r: r["cnt"])
+        merge = top_pre["token_a"] + top_pre["token_b"]
+        post_tokens = {r["token_a"] for r in post} | {r["token_b"] for r in post}
+        assert all(t == merge or len(t) == 1 for t in post_tokens)
+        # the merged pair itself can no longer occur as two bare chars
+        assert not any(
+            r["token_a"] == top_pre["token_a"]
+            and r["token_b"] == top_pre["token_b"]
+            for r in post
+        )
+        # merging strictly removes the heaviest pair: every post count
+        # is below the winning pre count
+        assert all(r["cnt"] <= top_pre["cnt"] for r in post)
+
+    def test_pre_counts_match_bruteforce(self, spark, sf_dir):
+        """Pre-merge top pair count equals a pure-python recount."""
+        from collections import Counter
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators import text as text_ops
+
+        docs = load_table(spark, sf_dir, "documents").select("text").collect()
+        c = Counter()
+        for r in docs:
+            for w in r["text"].split(" "):
+                for i in range(len(w) - 1):
+                    c[w[i : i + 2]] += 1
+        rows = text_ops.bpe_merge_step(spark, sf_dir).collect()
+        top = max(
+            (r for r in rows if r["stage"] == "pre"), key=lambda r: r["cnt"]
+        )
+        best = max(c.items(), key=lambda kv: (kv[1], [-ord(ch) for ch in kv[0]]))
+        assert top["cnt"] == best[1]
+        assert top["token_a"] + top["token_b"] == best[0]
+
+
+class TestPagerank:
+    def test_rank_mass_and_bounds(self, spark, sf_dir):
+        from greenplum_cdc_spark.plans import tpch as tpch_plans
+
+        rows = tpch_plans.pagerank_parts(spark, sf_dir).collect()
+        assert 0 < len(rows) <= tpch_plans.PR_TOPN
+        # every rank >= the teleport floor and the list is sorted desc
+        assert all(r["pr"] >= 150000 for r in rows)
+        prs = [r["pr"] for r in rows]
+        assert prs == sorted(prs, reverse=True)
+        assert all(r["deg"] >= 1 for r in rows)
+
+
+class TestConsistentCut:
+    def test_cut_is_min_watermark_and_consistent(self, spark, sf_dir):
+        from greenplum_cdc_spark.plans import cdc_queries as cq
+
+        rows = cq.cdc_consistent_cut(spark, sf_dir).collect()
+        assert {r["table_name"] for r in rows} == {"accounts", "activity"}
+        cut = rows[0]["cut_us"]
+        assert all(r["cut_us"] == cut for r in rows)
+        assert cut == min(r["applied_wm_us"] for r in rows)
+        # the lagged table's watermark is strictly behind the other's
+        wm = {r["table_name"]: r["applied_wm_us"] for r in rows}
+        assert wm["activity"] <= wm["accounts"]
+
+
+class TestTokenBudget:
+    def test_no_lang_oversampled_and_budget_maximal(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import text as text_ops
+
+        rows = text_ops.data_token_budget(spark, sf_dir).collect()
+        assert len(rows) == 5
+        assert sum(r["target_share_bp"] for r in rows) == 10000
+        for r in rows:
+            assert 0 < r["tokens_wanted"] <= r["available_tokens"]
+            assert r["sample_rate_bp"] <= 10000
+        limiting = [r for r in rows if r["is_limiting"]]
+        assert limiting
+        # the limiting language is (near-)fully consumed: its rate is
+        # within floor-division slack of 10000 bp
+        assert all(r["sample_rate_bp"] >= 9990 for r in limiting)

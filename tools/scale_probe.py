@@ -226,6 +226,10 @@ def _late_ops():
         "attribution_model": timeseries.attribution_model,
         "theta_sketch_setops": _sketches().theta_sketch_setops,
         "ndv_estimate_sample": _sketches().ndv_estimate_sample,
+        "bpe_merge_step": text.bpe_merge_step,
+        "pagerank_parts": tpch.pagerank_parts,
+        "cdc_consistent_cut": cdc_queries.cdc_consistent_cut,
+        "data_token_budget": text.data_token_budget,
     }
 
 
