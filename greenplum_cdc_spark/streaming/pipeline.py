@@ -854,3 +854,238 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# --- B81: stream-stream LEFT OUTER interval join -----------------------
+
+_OJ_S1 = "2024-01-10 00:00:00"
+_OJ_S2 = "2024-01-20 00:00:00"
+
+
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B81: REAL stream-stream LEFT OUTER interval join — every view,
+    matched to same-user clicks within 2 hours, with unmatched views
+    emitted as null rows once their join window can no longer match.
+
+    The outer side is where streaming joins get subtle: an unmatched
+    view emits only after the join watermark passes v_ts + 2h (its
+    state is then provably final and evicted). Three real micro-batches
+    (maxFilesPerTrigger=1, mtime-ordered) advance the watermark so
+    eviction actually happens mid-stream. The engine-probed contract
+    on this Spark version (probed at sf0.001 AND sf0.01): availableNow
+    runs a final no-data flush batch, so null rows exist exactly for
+    unmatched views with v_ts + 2h <= wmF, where wmF = floor_ms(min(
+    max view ts, max click ts)) - 1h over the WHOLE stream — the join
+    watermark is the min over both inputs, ms-floored the way the
+    engine advances it (probed: zero spurious nulls, the withheld rows
+    are exactly the post-wmF tail). Matched rows emit immediately,
+    batch-independently.
+
+    At 100 TB/day this is the join that powers "views that never
+    converted" without a second batch pass: state per side is O(2h of
+    traffic), keyed by user, evicted by watermark — the oracle states
+    the drained table in closed form.
+    """
+    import shutil
+    import tempfile
+
+    from ..io import load_table, shuffle_partitions
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    base = tempfile.mkdtemp(prefix="outer_join_")
+    in_dir = os.path.join(base, "in")
+    os.makedirs(in_dir)
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        s1 = F.lit(_OJ_S1).cast("timestamp")
+        s2 = F.lit(_OJ_S2).cast("timestamp")
+        b0 = ev.filter(F.col("ts") <= s1)
+        b1 = ev.filter((F.col("ts") > s1) & (F.col("ts") <= s2))
+        b2 = ev.filter(F.col("ts") > s2)
+        paths = []
+        for i, b in enumerate((b0, b1, b2)):
+            p = os.path.join(in_dir, f"b{i}")
+            b.coalesce(1).write.mode("overwrite").parquet(p)
+            paths.append(p)
+        now = 1_700_000_000
+        for i, p in enumerate(paths):
+            for f in os.listdir(p):
+                os.utime(os.path.join(p, f), (now + i * 10, now + i * 10))
+
+        stream = (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(in_dir + "/*")
+        )
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_event_id"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("event_id").alias("click_event_id"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        joined = views.join(
+            clicks,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 2 HOURS")),
+            "leftOuter",
+        ).select(
+            F.col("v_user").alias("user_id"),
+            "view_event_id",
+            "click_event_id",
+            (
+                F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("v_ts"))
+            ).alias("gap_us"),
+        )
+        name = "outer_join_sink"
+        with shuffle_partitions(spark, 8):
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return (
+            spark.table(name)
+            .orderBy("user_id", "view_event_id", "click_event_id")
+            .cache()
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+STREAM_OUTER_JOIN_SQL = f"""
+WITH matched AS (
+  SELECT v.user_id, v.event_id AS view_event_id, c.event_id AS click_event_id,
+         epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+  FROM events v JOIN events c
+    ON c.user_id = v.user_id
+   AND v.event_type = 'view' AND c.event_type = 'click'
+   AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+),
+wmf AS (
+  SELECT make_timestamp((epoch_us(LEAST(
+           (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+           (SELECT MAX(ts) FROM events WHERE event_type = 'click')
+         )) // 1000) * 1000) - INTERVAL 1 HOUR AS wm
+),
+unmatched AS (
+  SELECT v.user_id, v.event_id AS view_event_id,
+         CAST(NULL AS BIGINT) AS click_event_id,
+         CAST(NULL AS BIGINT) AS gap_us
+  FROM events v, wmf
+  WHERE v.event_type = 'view'
+    AND NOT EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.user_id = v.user_id AND c.event_type = 'click'
+        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR
+    )
+    AND v.ts + INTERVAL 2 HOUR <= wmf.wm
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM unmatched
+ORDER BY user_id, view_event_id, click_event_id
+"""
+
+
+# --- B82: chained stateful streaming aggregations ----------------------
+
+
+def stream_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B82: TWO stateful windowed aggregations chained in ONE streaming
+    query — 10-minute tumbling counts rolled up into hourly totals
+    (`window(window_time(w10), '1 hour')`), the multi-stateful-operator
+    pipeline Spark supports natively since 3.4.
+
+    Why it matters at 100 TB/day: the pre-aggregation is the classic
+    two-level rollup — the first operator's state is per-(10-min, type)
+    and its OUTPUT (not the raw stream) feeds the hourly state, so the
+    second shuffle moves 1/600th of the events. Before multi-stateful
+    support this took two queries with an intermediate sink; here it is
+    one lineage, one checkpoint, exactly-once end to end.
+
+    Append semantics (engine-probed, same contract as A11/B50): a
+    window emits once its end passes the final watermark wmF =
+    floor_ms(max ts) - 1h; an hourly window is withheld unless its OWN
+    end clears wmF, even when some of its 10-minute children closed —
+    the oracle states the closed form (hours with end <= wmF,
+    n_subwindows counting non-empty children).
+    """
+    from ..io import shuffle_partitions
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = read_events_stream(spark, sf_dir)
+    ten = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w10"), "event_type")
+        .agg(F.count("*").alias("n10"))
+    )
+    hour = (
+        ten.groupBy(
+            F.window(F.window_time("w10"), "1 hour").alias("w60"), "event_type"
+        )
+        .agg(F.sum("n10").alias("n60"), F.count("*").alias("n_subwindows"))
+    )
+    name = "window_chain_sink"
+    with shuffle_partitions(spark, 8):
+        q = (
+            hour.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.col("w60.start").alias("hour_start"),
+            "event_type",
+            "n60",
+            "n_subwindows",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+STREAM_WINDOW_CHAIN_SQL = """
+WITH wmf AS (
+  SELECT make_timestamp((epoch_us(MAX(ts)) // 1000) * 1000) - INTERVAL 1 HOUR AS wm
+  FROM events
+),
+ten AS (
+  SELECT time_bucket(INTERVAL 10 MINUTE, ts) AS w10_start, event_type,
+         COUNT(*) AS n10
+  FROM events
+  GROUP BY w10_start, event_type
+),
+hour AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, w10_start) AS hour_start, event_type,
+         CAST(SUM(n10) AS BIGINT) AS n60,
+         COUNT(*) AS n_subwindows
+  FROM ten
+  GROUP BY hour_start, event_type
+)
+SELECT h.hour_start, h.event_type, h.n60, h.n_subwindows
+FROM hour h, wmf
+WHERE h.hour_start + INTERVAL 1 HOUR <= wmf.wm
+ORDER BY h.hour_start, h.event_type
+"""

@@ -213,3 +213,58 @@ class TestTokenBudget:
         # the limiting language is (near-)fully consumed: its rate is
         # within floor-division slack of 10000 bp
         assert all(r["sample_rate_bp"] >= 9990 for r in limiting)
+
+
+class TestStreamOuterJoin:
+    def test_matched_equals_batch_inner_and_no_spurious_nulls(
+        self, spark, sf_dir
+    ):
+        from greenplum_cdc_spark.streaming import pipeline as P
+
+        out = P.stream_outer_join(spark, sf_dir)
+        ev = load_table(spark, sf_dir, "events")
+        v = ev.filter(F.col("event_type") == "view").alias("v")
+        c = ev.filter(F.col("event_type") == "click").alias("c")
+        cond = (
+            (F.col("v.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") > F.col("v.ts"))
+            & (F.col("c.ts") <= F.col("v.ts") + F.expr("INTERVAL 2 HOURS"))
+        )
+        inner = v.join(c, cond).count()
+        matched = out.filter(F.col("click_event_id").isNotNull()).count()
+        assert matched == inner
+        # every emitted null row is truly unmatched in batch semantics
+        truth_unmatched = v.join(c, cond, "left_anti").select(
+            F.col("event_id").alias("view_event_id")
+        )
+        nulls = out.filter(F.col("click_event_id").isNull()).select(
+            "view_event_id"
+        )
+        spurious = nulls.join(truth_unmatched, "view_event_id", "left_anti")
+        assert spurious.count() == 0
+
+
+class TestStreamWindowChain:
+    def test_rollup_conserves_counts_for_closed_hours(self, spark, sf_dir):
+        from greenplum_cdc_spark.streaming import pipeline as P
+
+        out = P.stream_window_chain(spark, sf_dir).cache()
+        rows = out.collect()
+        assert rows
+        assert all(1 <= r["n_subwindows"] <= 6 for r in rows)
+        # each emitted hourly total equals the batch recount
+        ev = load_table(spark, sf_dir, "events")
+        truth = (
+            ev.groupBy(
+                F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+            )
+            .agg(F.count("*").alias("n_true"))
+        )
+        bad = (
+            out.join(truth, ["hour_start", "event_type"], "left")
+            .filter(
+                F.col("n_true").isNull() | (F.col("n60") != F.col("n_true"))
+            )
+            .count()
+        )
+        assert bad == 0
