@@ -537,3 +537,118 @@ FROM seeded
 GROUP BY th, kind_idx
 ORDER BY keeper_doc_id
 """
+
+
+# --- C75: perceptual hash (dHash) over REAL decoded images -------------
+
+_PH_W, _PH_H = 9, 8  # dHash sample grid: 9 columns x 8 rows -> 64 bits
+
+
+def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C75: perceptual difference-hash (dHash) computed from REAL
+    decoded BMP bytes — the near-dup fingerprint for image dedup.
+
+    The image corpus is encoded to genuine 24-bit BMPs (C12/C32 path),
+    then `mapInPandas` DECODES the actual bytes (header validation,
+    padding, bottom-up rows) and computes the classic dHash: grayscale
+    (integer channel SUM — no division, no float), nearest-neighbor
+    9x8 downsample (the same (i*src) // dst grid as codecs.
+    resize_nearest), one bit per horizontally adjacent comparison.
+    64 bits are emitted as two 32-bit halves (phash_hi/phash_lo) so
+    the BIGINT stays positive in both engines, plus the popcount.
+
+    The oracle recomputes the hash from the closed-form generative
+    pixel formula with generate_series — so a decode bug ANYWHERE
+    (stride math, BGR order, row flip, grid rounding) breaks the hash
+    match. At 100 TB this is one Arrow-batched map pass over the
+    binary column; only (doc_id, 2x32-bit ints) shuffle.
+
+    Reference parity: the curation twin of C56's exact media dedup —
+    exact digest catches identical bytes, dHash catches re-encodes and
+    resizes (Manku-style near-dup, image modality).
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    media = media_table_encoded(spark, sf_dir).filter(
+        F.col("media_type") == "image"
+    )
+
+    def _phash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from . import codecs
+
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pix = codecs.decode_bmp(bytes(payload))
+                h, w, _ = pix.shape
+                gray = pix.astype(np.int64).sum(axis=2)  # (h, w)
+                yi = (np.arange(_PH_H) * h) // _PH_H
+                xi = (np.arange(_PH_W) * w) // _PH_W
+                g = gray[yi][:, xi]  # (8, 9)
+                bits = (g[:, :-1] > g[:, 1:]).astype(np.int64)  # (8, 8)
+                ks = np.arange(64).reshape(_PH_H, _PH_W - 1)
+                lo = int((bits * np.where(ks < 32, 1 << ks, 0)).sum())
+                hi = int(
+                    (bits * np.where(ks >= 32, 1 << (ks - 32), 0)).sum()
+                )
+                out.append(
+                    (int(doc_id), w, h, hi, lo, int(bits.sum()))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "w", "h", "phash_hi", "phash_lo", "n_set_bits",
+                ],
+            )
+
+    schema = (
+        "doc_id bigint, w int, h int, phash_hi bigint, phash_lo bigint, "
+        "n_set_bits int"
+    )
+    return media.mapInPandas(_phash, schema=schema).orderBy("doc_id")
+
+
+MEDIA_PHASH_SQL = f"""
+WITH imgs AS (
+  SELECT doc_id,
+         CAST(n_chars % 64 + 16 AS INT) AS w,
+         CAST(n_chars % 48 + 12 AS INT) AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+grid AS (
+  SELECT doc_id, w, h, yy, xx,
+         (yy * h) // {_PH_H} AS yi,
+         (xx * w) // {_PH_W} AS xi
+  FROM imgs,
+       (SELECT unnest(generate_series(0, {_PH_H - 1})) AS yy),
+       (SELECT unnest(generate_series(0, {_PH_W - 1})) AS xx)
+),
+gray AS (
+  SELECT doc_id, w, h, yy, xx,
+         ((doc_id + (yi * w + xi) * 3) % 256)
+       + ((doc_id + (yi * w + xi) * 3 + 1) % 256)
+       + ((doc_id + (yi * w + xi) * 3 + 2) % 256) AS g
+  FROM grid
+),
+bits AS (
+  SELECT doc_id, w, h, yy, xx,
+         CASE WHEN g > LEAD(g) OVER (
+           PARTITION BY doc_id, yy ORDER BY xx) THEN 1 ELSE 0 END AS bit
+  FROM gray
+  QUALIFY xx < {_PH_W - 1}
+)
+SELECT doc_id, w, h,
+       CAST(SUM(CASE WHEN yy * 8 + xx >= 32
+                     THEN bit * (1::BIGINT << (yy * 8 + xx - 32))
+                     ELSE 0 END) AS BIGINT) AS phash_hi,
+       CAST(SUM(CASE WHEN yy * 8 + xx < 32
+                     THEN bit * (1::BIGINT << (yy * 8 + xx))
+                     ELSE 0 END) AS BIGINT) AS phash_lo,
+       CAST(SUM(bit) AS INT) AS n_set_bits
+FROM bits
+GROUP BY doc_id, w, h
+ORDER BY doc_id
+"""

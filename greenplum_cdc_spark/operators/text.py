@@ -1210,3 +1210,94 @@ SELECT lang, available_tokens, target_share_bp,
 FROM avail, bmax
 ORDER BY lang
 """
+
+
+# --- C76: deterministic train/validation/test split --------------------
+
+# content-hash percent thresholds: [0,80) train, [80,90) val, [90,100) test
+_SPLIT_BOUNDS = (("train", 0, 80), ("val", 80, 90), ("test", 90, 100))
+
+
+def train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C76: deterministic train/val/test split manifest with per-split,
+    per-language stratification audit.
+
+    Split assignment is content-hash mod 100 (md5('split:'||doc_id)) —
+    reproducible across engines, re-runs and shards, never rand(): a
+    document's split NEVER changes when the corpus grows, which is the
+    property that prevents silent eval contamination across dataset
+    versions (the same reason C14/C30 hash instead of sampling). The
+    audit rolls up docs and exact token counts per (split, lang) with
+    integer-bp shares of each split.
+
+    One corpus scan, one |splits x langs|-row rollup. The leakage
+    check is structural (a hash lands in exactly one band) and pinned
+    by the pytest partition test.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h7 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    arms = " ".join(
+        f"WHEN pct < {hi} THEN '{name}'" for name, _lo, hi in _SPLIT_BOUNDS
+    )
+    from pyspark.sql import Window
+
+    agg = (
+        docs.withColumn("pct", h7 % 100)
+        .withColumn("split", F.expr(f"CASE {arms} END"))
+        .withColumn(
+            "n_tokens", F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("split")
+    return (
+        agg.withColumn("split_docs", F.sum("n_docs").over(w))
+        .withColumn("lang_share_bp", F.expr("(n_docs * 10000) div split_docs"))
+        .select("split", "lang", "n_docs", "n_tokens", "split_docs", "lang_share_bp")
+        .orderBy("split", "lang")
+    )
+
+
+_SPLIT_CASE = " ".join(
+    f"WHEN pct < {hi} THEN '{name}'" for name, _lo, hi in _SPLIT_BOUNDS
+)
+
+_split_hex7 = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5('split:' || CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (6 - i)}"
+    for i in range(7)
+) + ")"
+
+TRAIN_EVAL_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT lang,
+         CASE {_SPLIT_CASE} END AS split,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+  FROM (
+    SELECT *,
+           {_split_hex7} % 100
+             AS pct
+    FROM documents
+  )
+),
+agg AS (
+  SELECT split, lang, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM assigned GROUP BY split, lang
+)
+SELECT split, lang, n_docs, n_tokens,
+       CAST(SUM(n_docs) OVER (PARTITION BY split) AS BIGINT) AS split_docs,
+       CAST((n_docs * 10000) // SUM(n_docs) OVER (PARTITION BY split) AS BIGINT)
+         AS lang_share_bp
+FROM agg
+ORDER BY split, lang
+"""

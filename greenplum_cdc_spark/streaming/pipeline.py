@@ -1089,3 +1089,74 @@ FROM hour h, wmf
 WHERE h.hour_start + INTERVAL 1 HOUR <= wmf.wm
 ORDER BY h.hour_start, h.event_type
 """
+
+
+# --- B83: stream-static broadcast enrichment ---------------------------
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B83: stream-static join — the live event stream enriched against
+    the static `customer` dimension, then rolled up per market segment.
+
+    The stateless half of the streaming-join surface (B47/B81 are the
+    stateful stream-stream half): a static DataFrame joined to a
+    stream needs NO watermark and NO state store — each micro-batch
+    plans a fresh broadcast-hash join against the dim, which also
+    means the dim can be swapped between batches (slowly-changing
+    enrichment). Unmatched events fall into the 'UNKNOWN' bucket via a
+    left join, value sums stay DECIMAL.
+
+    At 100 TB/day this is THE highest-volume join shape in practice
+    (fact stream x dim); keeping it broadcast means zero shuffle on
+    the stream side — the plan the reference's external-web-table ->
+    replica join would hand Greenplum, expressed as a streaming
+    enrichment. The drained sink is aggregated batch-side; the oracle
+    states the whole composition.
+    """
+    from ..io import load_table, shuffle_partitions
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = read_events_stream(spark, sf_dir)
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
+    )
+    name = "static_enrich_sink"
+    with shuffle_partitions(spark, 8):
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 4)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(12,2))), 4) AS DOUBLE) AS sum_value
+FROM events e
+LEFT JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1
+ORDER BY 1
+"""

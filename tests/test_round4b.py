@@ -268,3 +268,110 @@ class TestStreamWindowChain:
             .count()
         )
         assert bad == 0
+
+
+class TestMediaPhash:
+    def test_phash_matches_pure_python(self, spark, sf_dir):
+        """Spark's decoded-bytes dHash equals a from-scratch python
+        recomputation over the generative pixel formula."""
+        from greenplum_cdc_spark.operators import multimodal as mm
+
+        rows = {
+            r["doc_id"]: r for r in mm.media_phash(spark, sf_dir).collect()
+        }
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 3 == 0)
+            .select("doc_id", "n_chars")
+            .collect()
+        )
+        import numpy as np
+
+        for d in docs[:20]:
+            doc_id, n_chars = d["doc_id"], d["n_chars"]
+            w, h = n_chars % 64 + 16, n_chars % 48 + 12
+            pix = ((doc_id + np.arange(h * w * 3)) % 256).reshape(h, w, 3)
+            gray = pix.astype(np.int64).sum(axis=2)
+            yi = (np.arange(8) * h) // 8
+            xi = (np.arange(9) * w) // 9
+            g = gray[yi][:, xi]
+            bits = (g[:, :-1] > g[:, 1:]).astype(np.int64).ravel()
+            lo = int(sum(b << k for k, b in enumerate(bits[:32])))
+            hi = int(sum(b << k for k, b in enumerate(bits[32:])))
+            r = rows[doc_id]
+            assert (r["phash_lo"], r["phash_hi"], r["n_set_bits"]) == (
+                lo,
+                hi,
+                int(bits.sum()),
+            ), doc_id
+
+    def test_halves_fit_32_bits(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import multimodal as mm
+
+        rows = mm.media_phash(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert 0 <= r["phash_lo"] < (1 << 32)
+            assert 0 <= r["phash_hi"] < (1 << 32)
+            assert 0 <= r["n_set_bits"] <= 64
+
+
+class TestStreamStaticEnrich:
+    def test_conserves_events_and_buckets_unknowns(self, spark, sf_dir):
+        from greenplum_cdc_spark.streaming import pipeline as P
+
+        rows = P.stream_static_enrich(spark, sf_dir).collect()
+        total = sum(r["n_events"] for r in rows)
+        assert total == load_table(spark, sf_dir, "events").count()
+        segs = {r["segment"] for r in rows}
+        # every user_id at this sf resolves against the customer dim
+        dim_segs = {
+            r["c_mktsegment"]
+            for r in load_table(spark, sf_dir, "customer")
+            .select("c_mktsegment")
+            .distinct()
+            .collect()
+        }
+        assert segs <= dim_segs | {"UNKNOWN"}
+
+
+class TestTrainEvalSplit:
+    def test_partition_is_total_and_disjoint(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import text as text_ops
+
+        rows = text_ops.train_eval_split(spark, sf_dir).collect()
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert sum(r["n_docs"] for r in rows) == n_docs
+        splits = {r["split"] for r in rows}
+        assert splits == {"train", "val", "test"}
+        per_split = {}
+        for r in rows:
+            per_split.setdefault(r["split"], 0)
+            per_split[r["split"]] += r["n_docs"]
+        # hash mod 100 bands: train ~80%, val ~10%, test ~10% (loose)
+        assert per_split["train"] > per_split["val"]
+        assert per_split["train"] > per_split["test"]
+
+    def test_assignment_is_stable_under_growth(self, spark, sf_dir):
+        """A document's split never changes when the corpus grows: the
+        same doc_ids get the same split at two scale factors."""
+        from greenplum_cdc_spark.operators import text as text_ops
+
+        import hashlib
+
+        def split_of(doc_id: int) -> str:
+            h = int(hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:7], 16)
+            pct = h % 100
+            return "train" if pct < 80 else ("val" if pct < 90 else "test")
+
+        # closed form IS the operator's assignment — spot-check via the
+        # rollup: recompute expected counts from the raw table
+        docs = load_table(spark, sf_dir, "documents").select("doc_id").collect()
+        from collections import Counter
+
+        expect = Counter(split_of(r["doc_id"]) for r in docs)
+        rows = text_ops.train_eval_split(spark, sf_dir).collect()
+        got = Counter()
+        for r in rows:
+            got[r["split"]] += r["n_docs"]
+        assert got == expect

@@ -230,6 +230,8 @@ def _late_ops():
         "pagerank_parts": tpch.pagerank_parts,
         "cdc_consistent_cut": cdc_queries.cdc_consistent_cut,
         "data_token_budget": text.data_token_budget,
+        "media_phash": _multimodal().media_phash,
+        "train_eval_split": text.train_eval_split,
     }
 
 
@@ -237,6 +239,12 @@ def _stats():
     from greenplum_cdc_spark.operators import stats
 
     return stats
+
+
+def _multimodal():
+    from greenplum_cdc_spark.operators import multimodal
+
+    return multimodal
 
 
 def _sketches():
