@@ -1252,3 +1252,209 @@ SELECT label, rk, vec_id, dist2_u
 FROM ranked WHERE rk <= {OUTLIER_TOPN}
 ORDER BY label, rk
 """
+
+
+# --- C77: contrastive hard-negative mining -----------------------------
+
+HNM_BASE_MOD = 25   # query-stride at the 500-vector reference corpus
+HNM_REF_N = 500
+
+
+def _hnm_mod(n: int) -> int:
+    """Query stride grows as sqrt(N): |Q| ~ sqrt(N)-proportional, so
+    the positive join's pair mass (|Q| * N/L) stays ~N^1.5 — the same
+    balance point as semantic_dedup's sqrt-cells. Both engines derive
+    it from COUNT(*) with the same IEEE double ops."""
+    import math
+
+    return max(
+        HNM_BASE_MOD,
+        int(math.floor(math.sqrt(float(n)) * HNM_BASE_MOD / math.sqrt(float(HNM_REF_N)))),
+    )
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C77: contrastive-pair mining for embedding training — for each
+    query vector, the nearest SAME-label vector (positive) and the
+    nearest OTHER-label vector in its coarse cell (hard negative), with
+    the margin between them.
+
+    The candidate sets are the two bounded joins every production miner
+    uses: positives block on the label (|Q|·N/L pairs), negatives block
+    on the IVF cell (|Q|·N/k pairs, k = max(8, floor(sqrt N)) — the
+    same sqrt-cell balance as semantic_dedup C58), never all-pairs.
+    The in-cell restriction makes the negative the *approximate*
+    nearest — which is the point: SimCLR/DPR-style miners want hard
+    (close) negatives from an ANN index, not the global argmin. All
+    distances are exact integer µ-unit squares (bit-identical across
+    engines, embedding_outliers idiom); argmins tie-break on vec_id.
+    Queries whose cell holds no other-label vector emit a NULL negative
+    (visible, not dropped).
+
+    At 100 TB: assignment is N·k map-side folds against broadcast
+    seeds; both candidate joins are equi-joins with per-row zip_with
+    folds in codegen. Output: |Q| rows.
+    """
+    import math
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    u_arr = F.transform(
+        F.col("embedding"),
+        lambda x: (
+            F.round(x.cast("double"), 6).cast("decimal(16,6)") * F.lit(1_000_000)
+        ).cast("long"),
+    )
+    uv = vecs.select("vec_id", "label", u_arr.alias("u"))
+    n = uv.count()
+    k = max(8, int(math.floor(math.sqrt(float(n)))))
+    qmod = _hnm_mod(n)
+    seeds = uv.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("seed_id"), F.col("u").alias("su")
+    )
+
+    def dist2(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    w_cell = Window.partitionBy("vec_id").orderBy("d", "seed_id")
+    cells = (
+        uv.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "label", "u", "seed_id", dist2("u", "su").alias("d"))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "u", F.col("seed_id").alias("cell"))
+    )
+    from .dedup import _swap_persist
+
+    cells = _swap_persist("hnm_cells", cells)
+    q = cells.filter(F.col("vec_id") % qmod == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("u").alias("qu"),
+        F.col("cell").alias("q_cell"),
+    )
+    w_pos = Window.partitionBy("q_id").orderBy("d", "c_id")
+    pos = (
+        q.join(
+            cells.select(
+                F.col("vec_id").alias("c_id"),
+                F.col("label").alias("c_label"),
+                F.col("u").alias("cu"),
+            ),
+            (F.col("q_label") == F.col("c_label"))
+            & (F.col("q_id") != F.col("c_id")),
+        )
+        .select("q_id", "c_id", dist2("qu", "cu").alias("d"))
+        .withColumn("rn", F.row_number().over(w_pos))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("c_id").alias("pos_id"), F.col("d").alias("pos_dist2_u"))
+    )
+    neg = (
+        q.join(
+            cells.select(
+                F.col("vec_id").alias("c_id"),
+                F.col("label").alias("c_label"),
+                F.col("u").alias("cu"),
+                F.col("cell").alias("c_cell"),
+            ),
+            (F.col("q_cell") == F.col("c_cell"))
+            & (F.col("q_label") != F.col("c_label")),
+        )
+        .select("q_id", "c_id", dist2("qu", "cu").alias("d"))
+        .withColumn("rn", F.row_number().over(w_pos))
+        .filter(F.col("rn") == 1)
+        .select("q_id", F.col("c_id").alias("neg_id"), F.col("d").alias("neg_dist2_u"))
+    )
+    return (
+        q.select("q_id", "q_label", "q_cell")
+        .join(pos, "q_id", "left")
+        .join(neg, "q_id", "left")
+        .select(
+            "q_id",
+            "q_label",
+            "q_cell",
+            "pos_id",
+            "pos_dist2_u",
+            "neg_id",
+            "neg_dist2_u",
+            (F.col("neg_dist2_u") - F.col("pos_dist2_u")).alias("margin_u"),
+        )
+        .orderBy("q_id")
+    )
+
+
+HARD_NEGATIVE_SQL = f"""
+WITH uvec AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(CAST(ROUND(CAST(x AS DOUBLE), 6) AS DECIMAL(16,6)) * 1000000
+                     AS BIGINT)) AS u
+  FROM embeddings
+),
+kk AS (
+  SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS k FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS seed_id, u AS su FROM uvec, kk WHERE vec_id < kk.k
+),
+assign AS (
+  SELECT vec_id, label, u, seed_id,
+         list_sum(list_transform(range(1, len(u) + 1),
+           i -> (u[i] - su[i]) * (u[i] - su[i]))) AS d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY list_sum(list_transform(range(1, len(u) + 1),
+                              i -> (u[i] - su[i]) * (u[i] - su[i]))) ASC,
+                            seed_id ASC) AS rn
+  FROM uvec, seeds
+),
+cells AS (
+  SELECT vec_id, label, u, seed_id AS cell FROM assign WHERE rn = 1
+),
+qmod AS (
+  SELECT GREATEST({HNM_BASE_MOD}, CAST(FLOOR(
+           SQRT(COUNT(*)) * {HNM_BASE_MOD} / SQRT({HNM_REF_N}.0)) AS BIGINT)) AS m
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS q_id, label AS q_label, u AS qu, cell AS q_cell
+  FROM cells, qmod WHERE vec_id % qmod.m = 0
+),
+pos AS (
+  SELECT q_id, c_id AS pos_id, d AS pos_dist2_u
+  FROM (
+    SELECT q.q_id, c.vec_id AS c_id,
+           CAST(list_sum(list_transform(range(1, len(q.qu) + 1),
+             i -> (q.qu[i] - c.u[i]) * (q.qu[i] - c.u[i]))) AS BIGINT) AS d,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY list_sum(list_transform(range(1, len(q.qu) + 1),
+               i -> (q.qu[i] - c.u[i]) * (q.qu[i] - c.u[i]))) ASC,
+               c.vec_id ASC) AS rn
+    FROM q JOIN cells c ON c.label = q.q_label AND c.vec_id <> q.q_id
+  ) WHERE rn = 1
+),
+neg AS (
+  SELECT q_id, c_id AS neg_id, d AS neg_dist2_u
+  FROM (
+    SELECT q.q_id, c.vec_id AS c_id,
+           CAST(list_sum(list_transform(range(1, len(q.qu) + 1),
+             i -> (q.qu[i] - c.u[i]) * (q.qu[i] - c.u[i]))) AS BIGINT) AS d,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+             ORDER BY list_sum(list_transform(range(1, len(q.qu) + 1),
+               i -> (q.qu[i] - c.u[i]) * (q.qu[i] - c.u[i]))) ASC,
+               c.vec_id ASC) AS rn
+    FROM q JOIN cells c ON c.cell = q.q_cell AND c.label <> q.q_label
+  ) WHERE rn = 1
+)
+SELECT q.q_id, q.q_label, q.q_cell,
+       p.pos_id, p.pos_dist2_u, n.neg_id, n.neg_dist2_u,
+       n.neg_dist2_u - p.pos_dist2_u AS margin_u
+FROM q
+LEFT JOIN pos p ON p.q_id = q.q_id
+LEFT JOIN neg n ON n.q_id = q.q_id
+ORDER BY q.q_id
+"""

@@ -1740,3 +1740,62 @@ WHERE event_type = 'purchase'
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# --- B84: Markov transition matrix -------------------------------------
+
+
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B84: user-journey transition matrix — P(next event type | current
+    event type) as exact integer basis points, from per-user event
+    sequences.
+
+    One lag pipeline: lead(event_type) over (user_id ORDER BY ts,
+    event_id) — the unique (ts, event_id) order makes peer order
+    engine-independent — then a 5x5-ish rollup. Terminal events (no
+    successor) transition to 'END' so every row of the matrix sums to
+    ~10000 bp (floor-division slack), which the pytest asserts. One
+    shuffle on user_id, then a |types|^2 aggregate; the probability
+    denominator is a window over the tiny aggregated frame.
+
+    The journey-analysis staple (what follows a view?) and the
+    verification twin of funnel/pattern ops (B36/B61): their ordered
+    steps are this matrix's heavy cells.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.coalesce(F.col("next_type"), F.lit("END")).alias("to_type"),
+        )
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    w_tot = Window.partitionBy("from_type")
+    return (
+        trans.withColumn("row_total", F.sum("n").over(w_tot))
+        .withColumn("prob_bp", F.expr("(n * 10000) div row_total"))
+        .select("from_type", "to_type", "n", "row_total", "prob_bp")
+        .orderBy("from_type", "to_type")
+    )
+
+
+MARKOV_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         COALESCE(LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id), 'END') AS to_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+       CAST((n * 10000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_bp
+FROM trans
+ORDER BY from_type, to_type
+"""

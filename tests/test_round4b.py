@@ -375,3 +375,89 @@ class TestTrainEvalSplit:
         for r in rows:
             got[r["split"]] += r["n_docs"]
         assert got == expect
+
+
+class TestHardNegativeMining:
+    def test_pairs_are_valid_and_margins_consistent(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import similarity as sim
+
+        rows = sim.hard_negative_mining(spark, sf_dir).collect()
+        assert rows
+        vecs = {
+            r["vec_id"]: r["label"]
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "label")
+            .collect()
+        }
+        qmod = sim._hnm_mod(len(vecs))
+        for r in rows:
+            assert r["q_id"] % qmod == 0
+            if r["pos_id"] is not None:
+                assert vecs[r["pos_id"]] == r["q_label"]
+                assert r["pos_id"] != r["q_id"]
+                assert r["pos_dist2_u"] >= 0
+            if r["neg_id"] is not None:
+                assert vecs[r["neg_id"]] != r["q_label"]
+                assert r["neg_dist2_u"] >= 0
+            if r["pos_id"] is not None and r["neg_id"] is not None:
+                assert r["margin_u"] == r["neg_dist2_u"] - r["pos_dist2_u"]
+
+    def test_positive_is_true_nearest_same_label(self, spark, sf_dir):
+        """The positive is the EXACT same-label nearest (label blocks
+        are complete, unlike the cell-approximate negative)."""
+        import numpy as np
+
+        from greenplum_cdc_spark.operators import similarity as sim
+
+        emb = {
+            r["vec_id"]: (r["label"], np.array(r["embedding"], dtype=np.float64))
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        }
+
+        def u(v):
+            from decimal import ROUND_HALF_UP, Decimal
+
+            return np.array(
+                [
+                    int(
+                        Decimal(repr(round(float(x), 6))).quantize(
+                            Decimal("0.000001"), rounding=ROUND_HALF_UP
+                        )
+                        * 1_000_000
+                    )
+                    for x in v
+                ],
+                dtype=np.int64,
+            )
+
+        rows = sim.hard_negative_mining(spark, sf_dir).collect()
+        for r in rows[:5]:
+            ql, qv = emb[r["q_id"]]
+            qu = u(qv)
+            best = min(
+                (
+                    (int(((u(v) - qu) ** 2).sum()), vid)
+                    for vid, (lbl, v) in emb.items()
+                    if lbl == ql and vid != r["q_id"]
+                ),
+            )
+            assert (r["pos_dist2_u"], r["pos_id"]) == best
+
+
+class TestMarkovTransitions:
+    def test_rows_sum_to_one_and_conserve_events(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import timeseries as ts
+
+        rows = ts.markov_transitions(spark, sf_dir).collect()
+        total_n = sum(r["n"] for r in rows)
+        assert total_n == load_table(spark, sf_dir, "events").count()
+        from collections import defaultdict
+
+        by_from = defaultdict(list)
+        for r in rows:
+            by_from[r["from_type"]].append(r)
+        for _ft, rs in by_from.items():
+            bp = sum(r["prob_bp"] for r in rs)
+            # floor division: within |cells| bp below 10000
+            assert 10000 - len(rs) <= bp <= 10000
+            assert all(r["row_total"] == sum(x["n"] for x in rs) for r in rs)

@@ -232,6 +232,8 @@ def _late_ops():
         "data_token_budget": text.data_token_budget,
         "media_phash": _multimodal().media_phash,
         "train_eval_split": text.train_eval_split,
+        "hard_negative_mining": similarity.hard_negative_mining,
+        "markov_transitions": timeseries.markov_transitions,
     }
 
 
