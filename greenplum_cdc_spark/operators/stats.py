@@ -681,3 +681,101 @@ SELECT CAST(decile AS INT) AS decile,
 FROM agg
 ORDER BY decile
 """
+
+
+# --- B85: column entropy profile ---------------------------------------
+
+_ENTROPY_COLS = ("event_type", "user_id", "event_date")
+
+
+def column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B85: Shannon-entropy column profile — for each profiled events
+    column: cardinality, entropy, max entropy (ln NDV) and normalized
+    entropy in basis points (uniformity score).
+
+    The planner/profiler signal column_profile (B57) doesn't carry:
+    entropy separates '1500 evenly-loaded users' from '1500 users where
+    one holds half the rows' — the skew early-warning for shuffle-key
+    choice (B54's exact profile is the per-key drill-down). All three
+    columns profile in ONE pass: a stack() fan-out to (col, value)
+    pairs, one groupBy, one |values|-sized rollup.
+
+    Determinism: H = Σ cnt·ln(total/cnt) / total accumulates integer
+    MICRO-nat contributions (ln rounded to 6 dp — the unigram_logprob
+    idiom both engines agree on — then ×1e6 as BIGINT), so sums are
+    order-insensitive and floor divisions exact; normalized bp =
+    (H_sum·10⁴) div (total·maxu).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.expr(
+            "stack(3, 'event_type', event_type, "
+            "'user_id', CAST(user_id AS STRING), "
+            "'event_date', CAST(CAST(ts AS DATE) AS STRING)) AS (col_name, val)"
+        )
+    )
+    counts = pairs.groupBy("col_name", "val").agg(F.count("*").alias("cnt"))
+    total = ev.count()
+    nll_u = (
+        F.round(F.log(F.lit(float(total)) / F.col("cnt")), 6)
+        .cast("decimal(16,6)")
+        * F.lit(1_000_000)
+    ).cast("long")
+    per_col = counts.groupBy("col_name").agg(
+        F.count("*").alias("ndv"),
+        F.sum(F.col("cnt") * nll_u).alias("h_sum_u"),
+    )
+    max_u = (
+        F.round(F.log(F.col("ndv").cast("double")), 6).cast("decimal(16,6)")
+        * F.lit(1_000_000)
+    ).cast("long")
+    return (
+        per_col.withColumn("n_rows", F.lit(total))
+        .withColumn("max_entropy_micro", max_u)
+        .select(
+            "col_name",
+            "n_rows",
+            "ndv",
+            F.expr("h_sum_u div n_rows").alias("entropy_micro"),
+            "max_entropy_micro",
+            F.expr(
+                "CASE WHEN max_entropy_micro > 0 "
+                "THEN (h_sum_u * 10000) div (n_rows * max_entropy_micro) "
+                "ELSE 10000 END"
+            ).alias("uniformity_bp"),
+        )
+        .orderBy("col_name")
+    )
+
+
+COLUMN_ENTROPY_SQL = """
+WITH pairs AS (
+  SELECT 'event_type' AS col_name, event_type AS val FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+  UNION ALL
+  SELECT 'event_date', CAST(CAST(ts AS DATE) AS VARCHAR) FROM events
+),
+counts AS (
+  SELECT col_name, val, COUNT(*) AS cnt FROM pairs GROUP BY col_name, val
+),
+n AS (SELECT COUNT(*) AS total FROM events),
+per_col AS (
+  SELECT col_name, COUNT(*) AS ndv,
+         CAST(SUM(cnt * CAST(CAST(ROUND(ln(CAST((SELECT total FROM n) AS DOUBLE) / cnt), 6)
+                        AS DECIMAL(16,6)) * 1000000 AS BIGINT)) AS BIGINT) AS h_sum_u
+  FROM counts GROUP BY col_name
+)
+SELECT col_name,
+       (SELECT total FROM n) AS n_rows,
+       ndv,
+       CAST(h_sum_u // (SELECT total FROM n) AS BIGINT) AS entropy_micro,
+       CAST(CAST(ROUND(ln(CAST(ndv AS DOUBLE)), 6) AS DECIMAL(16,6)) * 1000000 AS BIGINT)
+         AS max_entropy_micro,
+       CAST(CASE WHEN ndv > 1
+            THEN (h_sum_u * 10000) // ((SELECT total FROM n)
+                 * CAST(CAST(ROUND(ln(CAST(ndv AS DOUBLE)), 6) AS DECIMAL(16,6)) * 1000000 AS BIGINT))
+            ELSE 10000 END AS BIGINT) AS uniformity_bp
+FROM per_col
+ORDER BY col_name
+"""

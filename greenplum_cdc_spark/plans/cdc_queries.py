@@ -1930,3 +1930,136 @@ ORDER BY w.table_name
 CDC_CONSISTENT_CUT_SQL = CDC_CONSISTENT_CUT_SQL.replace(
     "{events_as_cdc}", maxwell.EVENTS_AS_CDC_SQL
 )
+
+
+# --- A35: merkle-style anti-entropy repair -----------------------------
+
+_AE_BUCKETS = 64
+_AE_DROP_MOD = 101   # replica B lost every 101st key
+_AE_SKEW_MOD = 97    # replica B's value drifted +0.01 on every 97th key
+
+
+def anti_entropy_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A35: anti-entropy repair plan between two replicas — the
+    Dynamo/Cassandra merkle-descent pattern on the CDC snapshot.
+
+    Replica A is the latest-wins snapshot; replica B is A with
+    deterministic divergence (every 101st key lost, every 97th key's
+    value drifted one cent — the corruption classes an at-least-once
+    pipeline actually produces). Repair never diffs whole replicas:
+
+    1. each side reduces to {_AE_BUCKETS} per-bucket content digests
+       (pk mod bucket; order-insensitive mod-2^61-1 hash sums — A19's
+       digest, bucketed);
+    2. ONLY buckets whose digests disagree rejoin row-level (full
+       outer on pk) to emit repair ops: upsert (missing/drifted in B)
+       or delete (extra in B).
+
+    At 100 TB step 1 is one map-side hash + a 64-row exchange per
+    side; step 2's row join is confined to the diverged key space —
+    the network cost scales with the DAMAGE, not the table. Output:
+    the repair operations, which the pytest replays onto B to prove
+    convergence to A. Reference parity: the 100 TB form of the demo's
+    row-by-row MySQL-vs-replica equality poll (same lineage as A19/
+    A31, but emitting the fix, not just the verdict).
+    """
+    from pyspark.sql import Window
+
+    snap = cdc_ops.snapshot_latest(_feed(spark, sf_dir)).select(
+        "pk", F.col("value").cast("decimal(12,2)").alias("value")
+    )
+    rep_a = snap
+    rep_b = snap.filter(F.col("pk") % _AE_DROP_MOD != 0).withColumn(
+        "value",
+        F.when(
+            F.col("pk") % _AE_SKEW_MOD == 0,
+            (F.col("value") + F.lit(0.01).cast("decimal(12,2)")).cast(
+                "decimal(12,2)"
+            ),
+        ).otherwise(F.col("value")),
+    )
+
+    def digests(df: DataFrame) -> DataFrame:
+        canon = F.concat_ws("|", F.col("pk"), F.col("value").cast("string"))
+        h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+        return (
+            df.withColumn("bucket", F.col("pk") % _AE_BUCKETS)
+            .withColumn("h", h)
+            .groupBy("bucket")
+            .agg(
+                (F.sum("h") % F.lit(2305843009213693951).cast("decimal(38,0)"))
+                .cast("bigint")
+                .alias("digest")
+            )
+        )
+    da = digests(rep_a).select("bucket", F.col("digest").alias("digest_a"))
+    db = digests(rep_b).select("bucket", F.col("digest").alias("digest_b"))
+    bad = (
+        da.join(db, "bucket", "full_outer")
+        .filter(
+            F.col("digest_a").isNull()
+            | F.col("digest_b").isNull()
+            | (F.col("digest_a") != F.col("digest_b"))
+        )
+        .select("bucket")
+    )
+    a_rows = rep_a.withColumn("bucket", F.col("pk") % _AE_BUCKETS).join(
+        F.broadcast(bad), "bucket"
+    )
+    b_rows = rep_b.withColumn("bucket", F.col("pk") % _AE_BUCKETS).join(
+        F.broadcast(bad), "bucket"
+    )
+    joined = a_rows.select(
+        "bucket", "pk", F.col("value").alias("a_value")
+    ).join(
+        b_rows.select("pk", F.col("value").alias("b_value")), "pk", "full_outer"
+    )
+    return (
+        joined.filter(
+            F.col("a_value").isNull()
+            | F.col("b_value").isNull()
+            | (F.col("a_value") != F.col("b_value"))
+        )
+        .select(
+            "pk",
+            F.when(F.col("a_value").isNull(), "delete")
+            .otherwise("upsert")
+            .alias("repair_op"),
+            F.col("a_value").cast("double").alias("a_value"),
+            F.col("b_value").cast("double").alias("b_value"),
+        )
+        .orderBy("pk")
+    )
+
+
+ANTI_ENTROPY_SQL = f"""
+WITH cdc AS ({{events_as_cdc}}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+  FROM cdc
+),
+rep_a AS (
+  SELECT pk, CAST(value AS DECIMAL(12,2)) AS value
+  FROM ranked WHERE rn = 1 AND op <> 'delete'
+),
+rep_b AS (
+  SELECT pk,
+         CASE WHEN pk % {_AE_SKEW_MOD} = 0
+              THEN CAST(value + 0.01 AS DECIMAL(12,2)) ELSE value END AS value
+  FROM rep_a WHERE pk % {_AE_DROP_MOD} <> 0
+),
+joined AS (
+  SELECT COALESCE(a.pk, b.pk) AS pk, a.value AS a_value, b.value AS b_value
+  FROM rep_a a FULL OUTER JOIN rep_b b ON a.pk = b.pk
+)
+SELECT pk,
+       CASE WHEN a_value IS NULL THEN 'delete' ELSE 'upsert' END AS repair_op,
+       CAST(a_value AS DOUBLE) AS a_value,
+       CAST(b_value AS DOUBLE) AS b_value
+FROM joined
+WHERE a_value IS NULL OR b_value IS NULL OR a_value <> b_value
+ORDER BY pk
+"""
+ANTI_ENTROPY_SQL = ANTI_ENTROPY_SQL.replace(
+    "{events_as_cdc}", maxwell.EVENTS_AS_CDC_SQL
+)

@@ -37,6 +37,12 @@ _SKIP = {
     "bucketed_colocated_join",
     "cdc_event_archive",
     "cdc_apply_incremental",  # plan built over written replica
+    # round-4 streaming additions (real multi-batch streams; dedicated
+    # contract tests in test_round4b.py cover them)
+    "stream_outer_join",
+    "stream_window_chain",
+    "stream_static_enrich",
+    "stream_update_mode_counts",
 }
 
 # ops whose BroadcastNestedLoopJoin is a deliberate constant-size
@@ -80,6 +86,13 @@ _BNLJ_OK = {
     "q22_sales_opportunity",
     "user_retention_cohorts",
     "q13_customer_distribution",
+    # round-4 second batch: deliberate constant-size scalar broadcasts
+    "theta_sketch_setops",  # 1-row exact/estimate frames assembled
+    "ndv_estimate_sample",  # 1-row sample stats x 1-row exact stats
+    "bpe_merge_step",  # 1-row winning-pair broadcast
+    "cdc_consistent_cut",  # 1-row global-cut scalar
+    "data_token_budget",  # 1-row B_max scalar
+    "hard_negative_mining",  # sqrt(N)-row seed table (IVF assignment)
 }
 
 

@@ -461,3 +461,69 @@ class TestMarkovTransitions:
             # floor division: within |cells| bp below 10000
             assert 10000 - len(rs) <= bp <= 10000
             assert all(r["row_total"] == sum(x["n"] for x in rs) for r in rs)
+
+
+class TestColumnEntropy:
+    def test_bounds_and_event_type_value(self, spark, sf_dir):
+        import math
+
+        from greenplum_cdc_spark.operators import stats as stats_ops
+
+        rows = {r["col_name"]: r for r in stats_ops.column_entropy(spark, sf_dir).collect()}
+        assert set(rows) == {"event_type", "user_id", "event_date"}
+        for r in rows.values():
+            assert 0 <= r["entropy_micro"] <= r["max_entropy_micro"] + 1
+            assert 0 <= r["uniformity_bp"] <= 10000
+        # event_type is ~uniform over 5 types: entropy near ln(5)
+        et = rows["event_type"]
+        assert abs(et["entropy_micro"] / 1e6 - math.log(5)) < 0.01
+        assert et["uniformity_bp"] > 9900
+
+    def test_entropy_matches_python(self, spark, sf_dir):
+        """event_type entropy equals a from-scratch recomputation with
+        the same 6-dp micro-nat contract."""
+        import math
+        from collections import Counter
+
+        from greenplum_cdc_spark.operators import stats as stats_ops
+
+        ev = load_table(spark, sf_dir, "events").select("event_type").collect()
+        c = Counter(r["event_type"] for r in ev)
+        total = sum(c.values())
+        h_u = sum(
+            cnt * int(round(round(math.log(total / cnt), 6) * 1_000_000))
+            for cnt in c.values()
+        )
+        got = {
+            r["col_name"]: r
+            for r in stats_ops.column_entropy(spark, sf_dir).collect()
+        }["event_type"]
+        assert got["entropy_micro"] == h_u // total
+        assert got["ndv"] == len(c)
+
+
+class TestAntiEntropyRepair:
+    def test_repair_converges_b_to_a(self, spark, sf_dir):
+        """Applying the emitted ops to replica B reproduces replica A."""
+        from greenplum_cdc_spark.operators import cdc as cdc_ops
+        from greenplum_cdc_spark.plans import cdc_queries as cq
+
+        snap = cdc_ops.snapshot_latest(cq._feed(spark, sf_dir)).select(
+            "pk", F.col("value").cast("decimal(12,2)").alias("value")
+        )
+        a = {r["pk"]: float(r["value"]) for r in snap.collect()}
+        b = {
+            pk: (round(v + 0.01, 2) if pk % cq._AE_SKEW_MOD == 0 else v)
+            for pk, v in a.items()
+            if pk % cq._AE_DROP_MOD != 0
+        }
+        ops = cq.anti_entropy_repair(spark, sf_dir).collect()
+        assert ops  # divergence exists at this sf
+        for r in ops:
+            if r["repair_op"] == "upsert":
+                b[r["pk"]] = r["a_value"]
+            else:
+                b.pop(r["pk"], None)
+        assert {k: round(v, 2) for k, v in b.items()} == {
+            k: round(v, 2) for k, v in a.items()
+        }

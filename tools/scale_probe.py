@@ -234,6 +234,8 @@ def _late_ops():
         "train_eval_split": text.train_eval_split,
         "hard_negative_mining": similarity.hard_negative_mining,
         "markov_transitions": timeseries.markov_transitions,
+        "column_entropy": _stats().column_entropy,
+        "anti_entropy_repair": cdc_queries.anti_entropy_repair,
     }
 
 
