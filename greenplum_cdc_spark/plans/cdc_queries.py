@@ -2063,3 +2063,90 @@ ORDER BY pk
 ANTI_ENTROPY_SQL = ANTI_ENTROPY_SQL.replace(
     "{events_as_cdc}", maxwell.EVENTS_AS_CDC_SQL
 )
+
+
+# --- A36: bootstrap snapshot → incremental tail handoff ----------------
+
+_BOOT_CUT = "2024-01-20 00:00:00"
+_BOOT_OVERLAP = "2024-01-19 00:00:00"  # tail starts 1 day BEFORE the cut
+
+
+def cdc_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A36: initial-load → streaming-tail handoff, with overlap: the
+    bootstrap consistency problem every CDC deployment hits on day one.
+
+    The reference bootstraps with a dump (mysqldump) and then starts
+    Maxwell; the dump cut and the binlog start never align exactly, so
+    the tail is started EARLY (here: one day before the cut) and the
+    overlap region is REPLAYED onto the bootstrap. Replaying
+    already-applied events is only safe if the replica is
+    out-of-order-proof: the bootstrap keeps tombstones
+    (keep_tombstones=True), so a delete absorbed before the cut cannot
+    be resurrected by its own pre-delete events arriving again in the
+    overlap. Construction: snapshot(events <= cut) tombstoned, then
+    apply_incremental(tail = events > cut - 1d) — the oracle is the
+    single-shot full snapshot, so the hash match PROVES
+    bootstrap + overlapping tail == full history replay, per
+    event_type (count, exact cents, content digest).
+
+    At 100 TB: bootstrap is one keyed window over the dump, the tail is
+    the ordinary incremental path; the overlap costs one extra day of
+    events, not a second full pass. Reference parity: maxwell
+    bootstrap + maxwell_ts watermark (maxwell_gpdb.sql:34-36) made
+    per-key-safe.
+    """
+    feed = _feed(spark, sf_dir)
+    cut = F.lit(_BOOT_CUT).cast("timestamp")
+    bootstrap = cdc_ops.snapshot_latest(
+        feed.filter(F.col("ts") <= cut), keep_tombstones=True
+    )
+    tail = feed.filter(F.col("ts") > F.lit(_BOOT_OVERLAP).cast("timestamp"))
+    final = cdc_ops.apply_incremental(
+        bootstrap, tail, keep_tombstones=True
+    )
+    live = final.filter(F.col("op") != "delete")
+    canon = F.concat_ws(
+        "|",
+        F.col("pk"),
+        F.unix_micros("ts"),
+        F.col("seq"),
+        F.col("value").cast("decimal(12,2)").cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("decimal(38,0)")
+    return (
+        live.withColumn("row_hash", h)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias(
+                "value_cents"
+            ),
+            (F.sum("row_hash") % F.lit(2305843009213693951).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("content_digest"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CDC_BOOTSTRAP_SQL = f"""
+WITH cdc AS ({{events_as_cdc}}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC) AS rn
+  FROM cdc
+),
+live AS (
+  SELECT * FROM ranked WHERE rn = 1 AND op <> 'delete'
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(SUM(CAST({_hex15_to_bigint_sql(f"md5({_CHECKSUM_CANON})")} AS DECIMAL(38,0)))
+            % 2305843009213693951 AS BIGINT) AS content_digest
+FROM live
+GROUP BY event_type
+ORDER BY event_type
+"""
+CDC_BOOTSTRAP_SQL = CDC_BOOTSTRAP_SQL.replace(
+    "{events_as_cdc}", maxwell.EVENTS_AS_CDC_SQL
+)

@@ -527,3 +527,47 @@ class TestAntiEntropyRepair:
         assert {k: round(v, 2) for k, v in b.items()} == {
             k: round(v, 2) for k, v in a.items()
         }
+
+
+class TestBootstrapHandoff:
+    def test_handoff_equals_full_replay(self, spark, sf_dir):
+        """bootstrap(<=cut, tombstoned) + overlapping tail == one-shot
+        full-history snapshot, per event_type."""
+        from greenplum_cdc_spark.operators import cdc as cdc_ops
+        from greenplum_cdc_spark.plans import cdc_queries as cq
+
+        got = {
+            r["event_type"]: (r["n_rows"], r["value_cents"], r["content_digest"])
+            for r in cq.cdc_bootstrap_handoff(spark, sf_dir).collect()
+        }
+        snap = cdc_ops.snapshot_latest(cq._feed(spark, sf_dir))
+        truth = {
+            r["event_type"]: (r["n"], r["cents"])
+            for r in snap.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias(
+                    "cents"
+                ),
+            )
+            .collect()
+        }
+        assert set(got) == set(truth)
+        for et, (n, cents, _dig) in got.items():
+            assert (n, cents) == truth[et]
+
+
+class TestCheckpointResume:
+    def test_exactly_once_across_restart(self, spark, sf_dir):
+        from greenplum_cdc_spark.streaming import pipeline as P
+
+        rows = P.stream_checkpoint_resume(spark, sf_dir).collect()
+        ev = load_table(spark, sf_dir, "events")
+        truth = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+        }
+        got = {r["event_type"]: r["n_events"] for r in rows}
+        assert got == truth  # no loss, and...
+        for r in rows:  # ...no duplicates from the restart
+            assert r["n_events"] == r["n_distinct"]

@@ -236,6 +236,7 @@ def _late_ops():
         "markov_transitions": timeseries.markov_transitions,
         "column_entropy": _stats().column_entropy,
         "anti_entropy_repair": cdc_queries.anti_entropy_repair,
+        "cdc_bootstrap_handoff": cdc_queries.cdc_bootstrap_handoff,
     }
 
 
