@@ -1448,3 +1448,64 @@ ORDER BY d.doc_id
 
 
 DEDUP_INCREMENTAL_LSH_SQL = _incremental_lsh_sql()
+
+
+# --- C78: soft-dedup training weights ----------------------------------
+
+
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C78: soft deduplication — instead of DROPPING near-duplicates,
+    every document gets a training weight 1/cluster_size (in integer
+    basis points), so each duplicate CLUSTER contributes one document's
+    worth of gradient regardless of how many copies exist.
+
+    The down-weighting alternative to hard dedup (used when copies
+    carry signal — popularity, freshness — that outright dropping
+    destroys): layered directly on C27's connected components, it adds
+    one |docs|-row map (weight_bp = 10000 div cluster_size) and a
+    corpus-level audit (sum of weights == number of clusters, up to
+    floor-division slack — the pytest invariant). Singletons keep
+    weight 10000; a 4-copy cluster's members get 2500 each.
+
+    At 100 TB the added cost over C27 is one broadcast-free window on
+    the already-shuffled cluster key. Output: per-doc weight + cluster
+    context, ordered by doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _cluster_labels(docs)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("weight_bp", F.expr("10000 div cluster_size"))
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_SOFT_WEIGHTS_SQL = f"""
+WITH RECURSIVE {_minhash_cte_block()},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.label
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.label < e.dst
+),
+labels AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(10000 // COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS weight_bp
+FROM labels
+ORDER BY doc_id
+"""

@@ -571,3 +571,18 @@ class TestCheckpointResume:
         assert got == truth  # no loss, and...
         for r in rows:  # ...no duplicates from the restart
             assert r["n_events"] == r["n_distinct"]
+
+
+class TestSoftWeights:
+    def test_weight_mass_equals_cluster_count(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import dedup as dd
+
+        rows = dd.dedup_soft_weights(spark, sf_dir).collect()
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert len(rows) == n_docs
+        clusters = {r["cluster_id"] for r in rows}
+        mass = sum(r["weight_bp"] for r in rows)
+        # sum over a cluster of 10000 div size is 10000 - (slack < size)
+        assert len(clusters) * 10000 - n_docs < mass <= len(clusters) * 10000
+        for r in rows:
+            assert r["weight_bp"] == 10000 // r["cluster_size"]

@@ -237,6 +237,7 @@ def _late_ops():
         "column_entropy": _stats().column_entropy,
         "anti_entropy_repair": cdc_queries.anti_entropy_repair,
         "cdc_bootstrap_handoff": cdc_queries.cdc_bootstrap_handoff,
+        "dedup_soft_weights": dedup.dedup_soft_weights,
     }
 
 
