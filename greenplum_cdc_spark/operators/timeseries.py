@@ -1799,3 +1799,107 @@ SELECT from_type, to_type, n,
 FROM trans
 ORDER BY from_type, to_type
 """
+
+
+# --- B87: period-over-period top movers --------------------------------
+
+TOP_MOVERS_N = 5
+
+
+def top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B87: week-over-week top movers — the biggest gainers and
+    decliners by (event_type, week) revenue, with integer-bp deltas.
+
+    The drill-down BI staple on top of B60's growth series: rank every
+    (type, week) pair by its signed bp change vs the prior week and
+    keep the top/bottom {TOP_MOVERS_N}. Exact DECIMAL weekly sums; the
+    delta is integer cents so the ranking key is engine-exact, and the
+    bp change uses cross-multiplied integer floor division against the
+    prior week (sign handled by separate gainer/decliner rankings over
+    positive/negative deltas — no signed floor-division divergence).
+    One shuffle (week rollup), a lag window over the tiny (type, week)
+    frame, and two TakeOrdered top-Ns.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    monthly = (
+        ev.groupBy(
+            F.col("event_type"),
+            F.date_trunc("week", F.col("ts")).alias("period"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100, 0) AS BIGINT)")).alias("cents")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("period")
+    deltas = (
+        monthly.withColumn("prev_cents", F.lag("cents").over(w))
+        .filter(F.col("prev_cents").isNotNull() & (F.col("prev_cents") != 0))
+        .withColumn("delta_cents", F.col("cents") - F.col("prev_cents"))
+        .withColumn(
+            "abs_change_bp",
+            F.expr("(abs(delta_cents) * 10000) div abs(prev_cents)"),
+        )
+    )
+    gain = (
+        deltas.filter(F.col("delta_cents") >= 0)
+        .withColumn("direction", F.lit("gain"))
+        .orderBy(F.desc("abs_change_bp"), "event_type", "period")
+        .limit(TOP_MOVERS_N)
+    )
+    drop = (
+        deltas.filter(F.col("delta_cents") < 0)
+        .withColumn("direction", F.lit("drop"))
+        .orderBy(F.desc("abs_change_bp"), "event_type", "period")
+        .limit(TOP_MOVERS_N)
+    )
+    return (
+        gain.unionAll(drop)
+        .select(
+            "direction",
+            "event_type",
+            F.col("period").cast("date").alias("period"),
+            "cents",
+            "prev_cents",
+            "delta_cents",
+            "abs_change_bp",
+        )
+        .orderBy("direction", F.desc("abs_change_bp"), "event_type", "period")
+    )
+
+
+TOP_MOVERS_SQL = f"""
+WITH monthly AS (
+  SELECT event_type, date_trunc('week', ts) AS period,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY event_type, period
+),
+deltas AS (
+  SELECT *, cents - prev_cents AS delta_cents,
+         CAST((ABS(cents - prev_cents) * 10000) // ABS(prev_cents) AS BIGINT)
+           AS abs_change_bp
+  FROM (
+    SELECT *, LAG(cents) OVER (PARTITION BY event_type ORDER BY period)
+                AS prev_cents
+    FROM monthly
+  )
+  WHERE prev_cents IS NOT NULL AND prev_cents <> 0
+),
+gain AS (
+  SELECT 'gain' AS direction, event_type, period, cents, prev_cents,
+         delta_cents, abs_change_bp
+  FROM deltas WHERE delta_cents >= 0
+  ORDER BY abs_change_bp DESC, event_type, period
+  LIMIT {TOP_MOVERS_N}
+),
+drop_ AS (
+  SELECT 'drop' AS direction, event_type, period, cents, prev_cents,
+         delta_cents, abs_change_bp
+  FROM deltas WHERE delta_cents < 0
+  ORDER BY abs_change_bp DESC, event_type, period
+  LIMIT {TOP_MOVERS_N}
+)
+SELECT direction, event_type, CAST(period AS DATE) AS period,
+       cents, prev_cents, delta_cents, abs_change_bp
+FROM (SELECT * FROM gain UNION ALL SELECT * FROM drop_)
+ORDER BY direction, abs_change_bp DESC, event_type, period
+"""

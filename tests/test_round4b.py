@@ -586,3 +586,25 @@ class TestSoftWeights:
         assert len(clusters) * 10000 - n_docs < mass <= len(clusters) * 10000
         for r in rows:
             assert r["weight_bp"] == 10000 // r["cluster_size"]
+
+
+class TestTopMovers:
+    def test_directions_and_bp_math(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import timeseries as ts
+
+        rows = ts.top_movers(spark, sf_dir).collect()
+        assert 0 < len(rows) <= 2 * ts.TOP_MOVERS_N
+        for r in rows:
+            if r["direction"] == "gain":
+                assert r["delta_cents"] >= 0
+            else:
+                assert r["delta_cents"] < 0
+            assert r["delta_cents"] == r["cents"] - r["prev_cents"]
+            assert (
+                r["abs_change_bp"]
+                == abs(r["delta_cents"]) * 10000 // abs(r["prev_cents"])
+            )
+        # within each direction the list is sorted by |change| desc
+        for d in ("gain", "drop"):
+            bps = [r["abs_change_bp"] for r in rows if r["direction"] == d]
+            assert bps == sorted(bps, reverse=True)

@@ -238,6 +238,7 @@ def _late_ops():
         "anti_entropy_repair": cdc_queries.anti_entropy_repair,
         "cdc_bootstrap_handoff": cdc_queries.cdc_bootstrap_handoff,
         "dedup_soft_weights": dedup.dedup_soft_weights,
+        "top_movers": timeseries.top_movers,
     }
 
 
