@@ -215,10 +215,15 @@ DECODE_SCHEMA = (
 )
 
 
-def media_table_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_table_encoded(
+    spark: SparkSession, sf_dir: str, only_kind: str | None = None
+) -> DataFrame:
     """Encode each document into a REAL media payload (BMP / WAV / RVID)
     inside an Arrow-batched ``mapInPandas`` — the binary ingest path a
-    production pipeline would run at the edge."""
+    production pipeline would run at the edge. ``only_kind`` prunes the
+    input BEFORE encoding (kind is doc_id mod 3 — a pushed-down integer
+    predicate), so single-modality consumers don't pay for the other
+    two codecs."""
 
     def _encode(batches):
         import numpy as np
@@ -257,6 +262,9 @@ def media_table_encoded(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    if only_kind is not None:
+        kind_idx = ("image", "audio", "video").index(only_kind)
+        docs = docs.filter(F.col("doc_id") % 3 == kind_idx)
     return docs.mapInPandas(_encode, schema=ENCODED_SCHEMA)
 
 
@@ -569,9 +577,7 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
-    media = media_table_encoded(spark, sf_dir).filter(
-        F.col("media_type") == "image"
-    )
+    media = media_table_encoded(spark, sf_dir, only_kind="image")
 
     def _phash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np

@@ -896,8 +896,13 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir = os.path.join(base, "in")
     os.makedirs(in_dir)
     try:
-        ev = load_table(spark, sf_dir, "events").select(
-            "event_id", "ts", "user_id", "event_type"
+        # only the two joined types reach the batch files: the stream
+        # sides filter to view/click anyway, so writing other types
+        # would be pure wasted I/O + parse per micro-batch
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "ts", "user_id", "event_type")
+            .filter(F.col("event_type").isin("view", "click"))
         )
         s1 = F.lit(_OJ_S1).cast("timestamp")
         s2 = F.lit(_OJ_S2).cast("timestamp")
