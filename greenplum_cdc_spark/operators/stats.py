@@ -779,3 +779,154 @@ SELECT col_name,
 FROM per_col
 ORDER BY col_name
 """
+
+
+# --- B88: Hilbert vs Z-order layout comparison -------------------------
+
+HILBERT_N = 256  # curve order 8: 256x256 grid, index in [0, 65536)
+
+
+def _hilbert_sql(xcol: str, ycol: str) -> str:
+    """One nested-subquery chain computing the Hilbert index of
+    ({xcol}, {ycol}) — generated once, executed verbatim by BOTH
+    engines (only +,-,*,%,CASE — no engine-specific division or
+    bitwise operators)."""
+    inner = f"SELECT *, CAST({xcol} AS BIGINT) AS x0, CAST({ycol} AS BIGINT) AS y0, CAST(0 AS BIGINT) AS d0 FROM __SRC__"
+    s = HILBERT_N // 2
+    i = 0
+    while s >= 1:
+        # bit test without bitwise ops or integer-division dialect
+        # differences: (x div s) % 2 == 1  <=>  x % 2s >= s  (x >= 0)
+        rx = f"(CASE WHEN x{i} % {2 * s} >= {s} THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN y{i} % {2 * s} >= {s} THEN 1 ELSE 0 END)"
+        d_next = f"d{i} + {s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})"
+        # rotation: ry==1 -> unchanged; else flip when rx==1, then swap
+        # canonical rotation flips with N-1 (NOT s-1): coordinates stay
+        # in [0, N) so % never sees a negative operand — Python floors
+        # negative %, SQL truncates, and that divergence is exactly why
+        # the s-1 variant is unusable cross-engine
+        x_next = (
+            f"CASE WHEN {ry} = 1 THEN x{i} "
+            f"WHEN {rx} = 0 THEN y{i} "
+            f"ELSE {HILBERT_N - 1} - y{i} END"
+        )
+        y_next = (
+            f"CASE WHEN {ry} = 1 THEN y{i} "
+            f"WHEN {rx} = 0 THEN x{i} "
+            f"ELSE {HILBERT_N - 1} - x{i} END"
+        )
+        inner = (
+            f"SELECT *, CAST({d_next} AS BIGINT) AS d{i + 1}, "
+            f"CAST({x_next} AS BIGINT) AS x{i + 1}, "
+            f"CAST({y_next} AS BIGINT) AS y{i + 1} FROM ({inner})"
+        )
+        s //= 2
+        i += 1
+    return inner, f"d{i}"
+
+
+def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B88: Hilbert-curve layout vs Z-order, head to head — per-block
+    zone maps for BOTH curves over the same (custkey, order-day) grid,
+    so the locality advantage is measurable, not asserted.
+
+    Databricks' liquid clustering moved from Z-order to Hilbert for a
+    reason: Morton order has long diagonal jumps, so some blocks span
+    half the grid in one dimension; the Hilbert walk is unit-step and
+    its blocks stay compact. This operator lays the SAME rows out both
+    ways (curve value = map-side integer math; block split = the
+    distributed global rank, no single-partition window) and emits
+    per-(curve, block) min/max spans of both dimensions.
+
+    The 8-level xy2d Hilbert walk is generated ONCE as arithmetic-only
+    SQL (+,-,*,%,CASE — xor over {0,1} rewritten as the polynomial
+    3rx+ry-2rx·ry since DuckDB's ^ is POWER; bit tests as x%2s>=s
+    since the engines' integer-division spellings differ) and executed verbatim by
+    both engines — bit-identical by construction, like the shared
+    Morton interleave it sits beside.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % HILBERT_N).cast("bigint").alias("xd"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            % HILBERT_N
+        )
+        .cast("bigint")
+        .alias("yd"),
+    )
+    chain, dcol = _hilbert_sql("xd", "yd")
+    orders.createOrReplaceTempView("__hilbert_src__")
+    hil = spark.sql(chain.replace("__SRC__", "__hilbert_src__")).select(
+        "o_orderkey", "xd", "yd", F.col(dcol).alias("curve_val")
+    )
+    zed = orders.select(
+        "o_orderkey",
+        "xd",
+        "yd",
+        _z_value(F.col("xd"), F.col("yd")).alias("curve_val"),
+    )
+
+    def blocks(df: DataFrame, curve: str) -> DataFrame:
+        ranked, _ = _global_row_number(df, "curve_val", ["o_orderkey"])
+        return (
+            ranked.withColumn("blk", F.expr(f"(rn - 1) div {ZORDER_BLOCK}"))
+            .groupBy("blk")
+            .agg(
+                F.count("*").alias("n_rows"),
+                (F.max("xd") - F.min("xd")).alias("span_x"),
+                (F.max("yd") - F.min("yd")).alias("span_y"),
+            )
+            .withColumn("curve", F.lit(curve))
+        )
+
+    return (
+        blocks(hil, "hilbert")
+        .unionByName(blocks(zed, "zorder"))
+        .select("curve", "blk", "n_rows", "span_x", "span_y")
+        .orderBy("curve", "blk")
+    )
+
+
+def _hilbert_oracle_sql() -> str:
+    chain, dcol = _hilbert_sql("xd", "yd")
+    src = (
+        f"SELECT o_orderkey, CAST(o_custkey % {HILBERT_N} AS BIGINT) AS xd, "
+        f"CAST(date_diff('day', DATE '1992-01-01', o_orderdate) % {HILBERT_N} AS BIGINT) AS yd "
+        "FROM orders"
+    )
+    chain = chain.replace("FROM __SRC__", f"FROM ({src})")
+    return f"""
+WITH hil AS (
+  SELECT o_orderkey, xd, yd, {dcol} AS curve_val FROM ({chain})
+),
+zed AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % {HILBERT_N} AS BIGINT) AS xd,
+         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) % {HILBERT_N} AS BIGINT) AS yd,
+         {_z_value_sql(f"(o_custkey % {HILBERT_N})", f"(date_diff('day', DATE '1992-01-01', o_orderdate) % {HILBERT_N})")} AS curve_val
+  FROM orders
+),
+hb AS (
+  SELECT 'hilbert' AS curve,
+         CAST((ROW_NUMBER() OVER (ORDER BY curve_val, o_orderkey) - 1) // {ZORDER_BLOCK} AS BIGINT) AS blk,
+         xd, yd
+  FROM hil
+),
+zb AS (
+  SELECT 'zorder' AS curve,
+         CAST((ROW_NUMBER() OVER (ORDER BY curve_val, o_orderkey) - 1) // {ZORDER_BLOCK} AS BIGINT) AS blk,
+         xd, yd
+  FROM zed
+),
+unioned AS (SELECT * FROM hb UNION ALL SELECT * FROM zb)
+SELECT curve, blk, COUNT(*) AS n_rows,
+       CAST(MAX(xd) - MIN(xd) AS BIGINT) AS span_x,
+       CAST(MAX(yd) - MIN(yd) AS BIGINT) AS span_y
+FROM unioned
+GROUP BY curve, blk
+ORDER BY curve, blk
+"""
+
+
+HILBERT_LAYOUT_SQL = _hilbert_oracle_sql()

@@ -608,3 +608,48 @@ class TestTopMovers:
         for d in ("gain", "drop"):
             bps = [r["abs_change_bp"] for r in rows if r["direction"] == d]
             assert bps == sorted(bps, reverse=True)
+
+
+class TestHilbertLayout:
+    def test_hilbert_index_matches_reference(self, spark, sf_dir):
+        """The arithmetic-only SQL chain equals the canonical bitwise
+        xy2d on a sampled grid."""
+        from greenplum_cdc_spark.operators import stats as stats_ops
+
+        chain, dcol = stats_ops._hilbert_sql("xd", "yd")
+        grid = spark.createDataFrame(
+            [(x, y) for x in range(0, 256, 17) for y in range(0, 256, 13)],
+            "xd bigint, yd bigint",
+        )
+        grid.createOrReplaceTempView("__SRC__TEST")
+        out = spark.sql(
+            chain.replace("FROM __SRC__", "FROM __SRC__TEST")
+        ).select("xd", "yd", dcol)
+
+        def xy2d(n, x, y):
+            d, s = 0, n // 2
+            while s >= 1:
+                rx = 1 if (x & s) else 0
+                ry = 1 if (y & s) else 0
+                d += s * s * ((3 * rx) ^ ry)
+                if ry == 0:
+                    if rx == 1:
+                        x, y = n - 1 - x, n - 1 - y
+                    x, y = y, x
+                s //= 2
+            return d
+
+        for r in out.collect():
+            assert r[dcol] == xy2d(256, r["xd"], r["yd"]), (r["xd"], r["yd"])
+
+    def test_hilbert_blocks_tighter_than_zorder(self, spark, sf_dir):
+        """The measurable claim: average per-block span (x+y) under the
+        Hilbert layout is no worse than under Z-order."""
+        from greenplum_cdc_spark.operators import stats as stats_ops
+
+        rows = stats_ops.hilbert_layout(spark, sf_dir).collect()
+        spans = {"hilbert": [], "zorder": []}
+        for r in rows:
+            spans[r["curve"]].append(r["span_x"] + r["span_y"])
+        avg = {c: sum(v) / len(v) for c, v in spans.items()}
+        assert avg["hilbert"] <= avg["zorder"] * 1.05

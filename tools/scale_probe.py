@@ -239,6 +239,7 @@ def _late_ops():
         "cdc_bootstrap_handoff": cdc_queries.cdc_bootstrap_handoff,
         "dedup_soft_weights": dedup.dedup_soft_weights,
         "top_movers": timeseries.top_movers,
+        "hilbert_layout": _stats().hilbert_layout,
     }
 
 
