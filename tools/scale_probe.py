@@ -24,7 +24,8 @@ from greenplum_cdc_spark.io import load_table  # noqa: E402
 from greenplum_cdc_spark.operators import dedup, text, timeseries  # noqa: E402
 from greenplum_cdc_spark.session import get_spark  # noqa: E402
 
-MULT = 10
+import os as _os
+MULT = int(_os.environ.get("SCALE_PROBE_MULT", "10"))
 
 
 def synthesize(spark, sf_dir: str, out_dir: str) -> None:
@@ -263,7 +264,7 @@ def _sketches():
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    big_dir = "/tmp/scale_probe_10x"
+    big_dir = f"/tmp/scale_probe_{MULT}x"
     spark = get_spark("scale-probe")
     synthesize(spark, sf_dir, big_dir)
     only = set(sys.argv[2:])
