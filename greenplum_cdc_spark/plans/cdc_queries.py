@@ -2150,3 +2150,89 @@ ORDER BY event_type
 CDC_BOOTSTRAP_SQL = CDC_BOOTSTRAP_SQL.replace(
     "{events_as_cdc}", maxwell.EVENTS_AS_CDC_SQL
 )
+
+
+# --- A37: payload schema drift monitor ---------------------------------
+
+
+def schema_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A37: schema drift observability — which payload keys does the
+    live envelope stream actually carry, since when, and which ones
+    appeared mid-stream?
+
+    A14 proves apply survives ADD COLUMN; this is the monitoring half a
+    platform team runs continuously: parse the REAL mixed-schema
+    envelopes (pre-DDL payloads lack `event_type`), explode
+    `map_keys(data)`, and roll up per key: envelope count, first/last
+    seen date, and the drift verdict — 'added' when a key's first
+    sighting postdates the stream start (the ALTER TABLE fingerprint),
+    'stable' otherwise. One parse pass (shared shape with A1/A14), one
+    |keys|-row rollup; at 100 TB this rides the existing archive scan.
+
+    Oracle: key presence is a closed-form function of ts vs the DDL
+    split, so DuckDB states the same rollup without JSON parsing —
+    the hash match proves the parser-side key inventory.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pre = F.col("ts") < F.lit(_SPLIT_TS).cast("timestamp")
+    epoch_ms = F.expr("unix_micros(ts) div 1000")
+    head = [
+        F.lit("appdb").alias("database"),
+        F.lit("events").alias("table"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("insert"))
+        .alias("type"),
+        epoch_ms.alias("ts"),
+        F.col("event_id").alias("xid"),
+    ]
+    data_pre = F.struct(F.col("user_id"), F.col("value")).alias("data")
+    data_post = F.struct(
+        F.col("user_id"), F.col("value"), F.col("event_type")
+    ).alias("data")
+    line = F.when(pre, F.to_json(F.struct(*head, data_pre))).otherwise(
+        F.to_json(F.struct(*head, data_post))
+    )
+    parsed = maxwell.parse_maxwell(ev.select(line.alias("line")))
+    keyed = parsed.select(
+        F.explode(F.map_keys(F.col("data"))).alias("key"),
+        F.col("ts").cast("date").alias("d"),
+    )
+    bounds = keyed.agg(F.min("d").alias("stream_start")).collect()[0]
+    return (
+        keyed.groupBy("key")
+        .agg(
+            F.count("*").alias("n_envelopes"),
+            F.min("d").alias("first_seen"),
+            F.max("d").alias("last_seen"),
+        )
+        .withColumn(
+            "status",
+            F.when(
+                F.col("first_seen") > F.lit(bounds["stream_start"]), "added"
+            ).otherwise("stable"),
+        )
+        .orderBy("key")
+    )
+
+
+SCHEMA_DRIFT_SQL = f"""
+WITH keyed AS (
+  SELECT k.key, CAST(ts AS DATE) AS d
+  FROM events,
+       (SELECT UNNEST(['user_id', 'value']) AS key) k
+  WHERE ts < TIMESTAMP '{_SPLIT_TS}'
+  UNION ALL
+  SELECT k.key, CAST(ts AS DATE) AS d
+  FROM events,
+       (SELECT UNNEST(['user_id', 'value', 'event_type']) AS key) k
+  WHERE ts >= TIMESTAMP '{_SPLIT_TS}'
+),
+bounds AS (SELECT MIN(d) AS stream_start FROM keyed)
+SELECT key, COUNT(*) AS n_envelopes,
+       MIN(d) AS first_seen, MAX(d) AS last_seen,
+       CASE WHEN MIN(d) > (SELECT stream_start FROM bounds)
+            THEN 'added' ELSE 'stable' END AS status
+FROM keyed
+GROUP BY key
+ORDER BY key
+"""

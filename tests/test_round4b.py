@@ -653,3 +653,17 @@ class TestHilbertLayout:
             spans[r["curve"]].append(r["span_x"] + r["span_y"])
         avg = {c: sum(v) / len(v) for c, v in spans.items()}
         assert avg["hilbert"] <= avg["zorder"] * 1.05
+
+
+class TestSchemaDrift:
+    def test_added_key_detected(self, spark, sf_dir):
+        from greenplum_cdc_spark.plans import cdc_queries as cq
+
+        rows = {r["key"]: r for r in cq.schema_drift_monitor(spark, sf_dir).collect()}
+        assert set(rows) == {"user_id", "value", "event_type"}
+        assert rows["user_id"]["status"] == "stable"
+        assert rows["value"]["status"] == "stable"
+        assert rows["event_type"]["status"] == "added"
+        # the added key appears only in post-DDL envelopes
+        assert rows["event_type"]["n_envelopes"] < rows["user_id"]["n_envelopes"]
+        assert rows["event_type"]["first_seen"] > rows["user_id"]["first_seen"]
