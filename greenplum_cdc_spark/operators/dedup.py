@@ -1509,3 +1509,126 @@ SELECT doc_id, cluster_id,
 FROM labels
 ORDER BY doc_id
 """
+
+
+# --- C80: bloom-prefiltered incremental dedup --------------------------
+
+BLOOMDOC_M = 4096
+BLOOMDOC_K = 3
+
+
+def _bloomdoc_pos(col, j: int):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bdoc{j}:"), col)), 1, 7), 16, 10
+        ).cast("bigint")
+        % BLOOMDOC_M
+    )
+
+
+def _bloomdoc_pos_sql(col: str, j: int) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('bdoc{j}:' || {col}), {i + 1}, 1)) - 1) * {16 ** (6 - i)}"
+        for i in range(7)
+    )
+    return f"(({terms}) % {BLOOMDOC_M})"
+
+
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C80: incremental dedup with a Bloom prefilter — the shuffle-
+    reduction pattern that makes C19 cheap when duplicates are rare.
+
+    The historical hash set summarizes to an m={BLOOMDOC_M}, k=
+    {BLOOMDOC_K} Bloom filter (md5-derived positions — deterministic,
+    so the filter is ORACLE-STATABLE, unlike an RNG-seeded one). Every
+    new-batch row probes the broadcast bit set map-side:
+    bloom-NEGATIVE rows are PROVABLY new (no false negatives — the
+    pytest invariant) and skip the join entirely; only bloom-positive
+    rows (true dups + false positives) anti-join the historical set.
+    At 100 TB with a ~1% dup rate the exact-join shuffle shrinks ~100x
+    while the answer stays exactly C19's — Spark's own runtime bloom
+    pruning applies this idea inside joins; here it is explicit,
+    auditable, and its FP overhead is part of the checked output.
+
+    Output: per new-batch doc, the bloom verdict and the exact truth.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.filter(F.col("doc_id") < _INCR_SPLIT)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    bits = (
+        hist.select(
+            F.explode(
+                F.array(
+                    *[_bloomdoc_pos(F.col("text_hash"), j) for j in range(BLOOMDOC_K)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    new = docs.filter(F.col("doc_id") >= _INCR_SPLIT).select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    probed = (
+        new.select(
+            "doc_id",
+            "text_hash",
+            F.explode(
+                F.array(
+                    *[_bloomdoc_pos(F.col("text_hash"), j) for j in range(BLOOMDOC_K)]
+                )
+            ).alias("pos"),
+        )
+        .join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id", "text_hash")
+        .agg(
+            (
+                F.coalesce(F.sum(F.col("hit").cast("int")), F.lit(0))
+                == BLOOMDOC_K
+            ).alias("bloom_positive")
+        )
+    )
+    # only bloom-positive rows reach the exact join; negatives are new
+    candidates = probed.filter(F.col("bloom_positive"))
+    confirmed = candidates.join(hist, "text_hash", "left_semi").select(
+        "doc_id", F.lit(True).alias("is_dup")
+    )
+    return (
+        probed.join(confirmed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text_hash",
+            "bloom_positive",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_BLOOM_PREFILTER_SQL = f"""
+WITH hist AS (
+  SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id < {_INCR_SPLIT}
+),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(f"SELECT {_bloomdoc_pos_sql('text_hash', j)} AS pos FROM hist" for j in range(BLOOMDOC_K))}
+  )
+),
+new_batch AS (
+  SELECT doc_id, md5(text) AS text_hash FROM documents WHERE doc_id >= {_INCR_SPLIT}
+),
+probed AS (
+  SELECT doc_id, text_hash,
+         {" AND ".join(f"{_bloomdoc_pos_sql('text_hash', j)} IN (SELECT pos FROM bits)" for j in range(BLOOMDOC_K))}
+           AS bloom_positive
+  FROM new_batch
+)
+SELECT p.doc_id, p.text_hash, p.bloom_positive,
+       (p.bloom_positive AND EXISTS (
+          SELECT 1 FROM hist h WHERE h.text_hash = p.text_hash)) AS is_dup
+FROM probed p
+ORDER BY p.doc_id
+"""

@@ -1301,3 +1301,87 @@ SELECT split, lang, n_docs, n_tokens,
 FROM agg
 ORDER BY split, lang
 """
+
+
+# --- C79: vocabulary coverage curve ------------------------------------
+
+COVERAGE_KS = (10, 100, 1000, 10000)
+
+
+def ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C79: vocabulary coverage curve — what fraction of corpus tokens
+    does a top-K vocabulary cover, for K in {10, 100, 1000, 10000}?
+
+    The tokenizer-sizing question (vocab size vs OOV rate) answered
+    from one term-frequency table: words ranked by (tf desc, word) via
+    the DISTRIBUTED global rank (`_global_row_number` — no
+    single-partition window even over the vocab), then ONE aggregate
+    computes all four cumulative coverages as conditional sums and
+    stack() unpivots them to rows. Coverage is integer bp (floor
+    division). At 100 TB the vocab table is the only shuffled object —
+    the same artifact vocab_stats/bpe_merge_step already build.
+    """
+    from .stats import _global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("tf"))
+    )
+    ranked, vocab_size = _global_row_number(
+        tf.withColumn("neg_tf", -F.col("tf")), "neg_tf", ["w"]
+    )
+    covered = [
+        F.sum(F.when(F.col("rn") <= k, F.col("tf")).otherwise(0)).alias(f"c{k}")
+        for k in COVERAGE_KS
+    ]
+    agg = ranked.agg(F.sum("tf").alias("total_tokens"), *covered)
+    stack_args = ", ".join(f"{k}, c{k}" for k in COVERAGE_KS)
+    return (
+        agg.select(
+            F.expr(
+                f"stack({len(COVERAGE_KS)}, {stack_args}) AS (k, tokens_covered)"
+            ),
+            "total_tokens",
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.lit(vocab_size).cast("bigint").alias("vocab_size"),
+            "total_tokens",
+            "tokens_covered",
+            F.expr("(tokens_covered * 10000) div total_tokens").alias(
+                "coverage_bp"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+NGRAM_COVERAGE_SQL = f"""
+WITH tf AS (
+  SELECT w, COUNT(*) AS tf
+  FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents
+  )
+  GROUP BY w
+),
+ranked AS (
+  SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, w ASC) AS rn FROM tf
+),
+agg AS (
+  SELECT CAST(SUM(tf) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         {", ".join(f"CAST(SUM(CASE WHEN rn <= {k} THEN tf ELSE 0 END) AS BIGINT) AS c{k}" for k in COVERAGE_KS)}
+  FROM ranked
+)
+SELECT k, vocab_size, total_tokens, tokens_covered,
+       CAST((tokens_covered * 10000) // total_tokens AS BIGINT) AS coverage_bp
+FROM (
+  {" UNION ALL ".join(f"SELECT {k} AS k, vocab_size, total_tokens, c{k} AS tokens_covered FROM agg" for k in COVERAGE_KS)}
+)
+ORDER BY k
+"""

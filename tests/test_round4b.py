@@ -667,3 +667,41 @@ class TestSchemaDrift:
         # the added key appears only in post-DDL envelopes
         assert rows["event_type"]["n_envelopes"] < rows["user_id"]["n_envelopes"]
         assert rows["event_type"]["first_seen"] > rows["user_id"]["first_seen"]
+
+
+class TestNgramCoverage:
+    def test_monotone_and_bounded(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import text as text_ops
+
+        rows = text_ops.ngram_coverage_curve(spark, sf_dir).collect()
+        assert [r["k"] for r in rows] == [10, 100, 1000, 10000]
+        covs = [r["coverage_bp"] for r in rows]
+        assert covs == sorted(covs)
+        assert all(0 < c <= 10000 for c in covs)
+        last = rows[-1]
+        if last["vocab_size"] <= last["k"]:
+            # vocab fits in the largest K: full coverage
+            assert last["tokens_covered"] == last["total_tokens"]
+
+
+class TestBloomPrefilter:
+    def test_no_false_negatives_and_matches_plain_dedup(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import dedup as dd
+
+        rows = dd.dedup_bloom_prefilter(spark, sf_dir).collect()
+        assert rows
+        # a bloom-negative row is NEVER a true duplicate
+        for r in rows:
+            if r["is_dup"]:
+                assert r["bloom_positive"]
+        # exact verdicts equal the plain C19 anti-join semantics
+        docs = load_table(spark, sf_dir, "documents")
+        hist_hashes = {
+            r["h"]
+            for r in docs.filter(F.col("doc_id") < dd._INCR_SPLIT)
+            .select(F.md5("text").alias("h"))
+            .distinct()
+            .collect()
+        }
+        for r in rows:
+            assert r["is_dup"] == (r["text_hash"] in hist_hashes)

@@ -241,6 +241,8 @@ def _late_ops():
         "dedup_soft_weights": dedup.dedup_soft_weights,
         "top_movers": timeseries.top_movers,
         "hilbert_layout": _stats().hilbert_layout,
+        "ngram_coverage_curve": text.ngram_coverage_curve,
+        "dedup_bloom_prefilter": dedup.dedup_bloom_prefilter,
     }
 
 
