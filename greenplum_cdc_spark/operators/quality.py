@@ -809,3 +809,108 @@ def _curation_sql() -> str:
     from .text import _SAMPLE_THRESHOLD_HEX
 
     return CURATION_FUNNEL_SQL.replace("{thresh}", _SAMPLE_THRESHOLD_HEX)
+
+
+# --- B89: boolean + phrase full-text search ----------------------------
+
+_FTS_AND = ("spark", "table")
+_FTS_PHRASE = ("fast", "key")
+
+
+def full_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B89: boolean full-text search with phrase support — the
+    tsquery/tsvector surface Greenplum ships (`'spark' & 'table' |
+    "fast key"`), expressed as posting-list joins.
+
+    The positional index (doc_id, pos, term) is ONE posexplode of the
+    token array — the same inverted-index artifact BM25 (C23) and
+    passage dedup (C28) build. AND is a grouped term-coverage filter
+    (count distinct matched terms == |query|), the phrase is a
+    self-equi-join on (doc_id, pos+1) — adjacency as an equi-condition,
+    not a regex scan. Hit counts ride along so ranking (C23) can
+    consume the same frame. At 100 TB the index is term-partitioned;
+    both match modes are shuffles on doc_id — no full-text scan of
+    documents happens anywhere (the scan builds the index once).
+
+    Output: matching docs with which predicate matched ('and',
+    'phrase', 'both') and per-mode hit counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "pos", "w"
+        ),
+    )
+    and_hits = (
+        pos.filter(F.col("w").isin(*_FTS_AND))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("w").alias("n_terms"),
+            F.count("*").alias("and_hits"),
+        )
+        .filter(F.col("n_terms") == len(_FTS_AND))
+        .select("doc_id", "and_hits")
+    )
+    p1 = pos.filter(F.col("w") == _FTS_PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("p1")
+    )
+    p2 = pos.filter(F.col("w") == _FTS_PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("p2")
+    )
+    phrase_hits = (
+        p1.join(p2, (p1["doc_id"] == p2["doc_id"]) & (p2["p2"] == p1["p1"] + 1))
+        .groupBy(p1["doc_id"].alias("doc_id"))
+        .agg(F.count("*").alias("phrase_hits"))
+    )
+    return (
+        and_hits.join(phrase_hits, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("and_hits").isNotNull() & F.col("phrase_hits").isNotNull(),
+                "both",
+            )
+            .when(F.col("and_hits").isNotNull(), "and")
+            .otherwise("phrase")
+            .alias("matched_via"),
+            F.coalesce("and_hits", F.lit(0)).alias("and_hits"),
+            F.coalesce("phrase_hits", F.lit(0)).alias("phrase_hits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+FULL_TEXT_SEARCH_SQL = f"""
+WITH pos AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS w
+  FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+    FROM (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+  )
+),
+and_hits AS (
+  SELECT doc_id, COUNT(*) AS and_hits
+  FROM pos WHERE w IN ('{_FTS_AND[0]}', '{_FTS_AND[1]}')
+  GROUP BY doc_id
+  HAVING COUNT(DISTINCT w) = {len(_FTS_AND)}
+),
+phrase_hits AS (
+  SELECT a.doc_id, COUNT(*) AS phrase_hits
+  FROM pos a JOIN pos b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.w = '{_FTS_PHRASE[0]}' AND b.w = '{_FTS_PHRASE[1]}'
+  GROUP BY a.doc_id
+)
+SELECT COALESCE(a.doc_id, p.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NOT NULL AND p.doc_id IS NOT NULL THEN 'both'
+            WHEN a.doc_id IS NOT NULL THEN 'and'
+            ELSE 'phrase' END AS matched_via,
+       COALESCE(a.and_hits, 0) AS and_hits,
+       COALESCE(p.phrase_hits, 0) AS phrase_hits
+FROM and_hits a FULL OUTER JOIN phrase_hits p ON a.doc_id = p.doc_id
+ORDER BY doc_id
+"""

@@ -705,3 +705,28 @@ class TestBloomPrefilter:
         }
         for r in rows:
             assert r["is_dup"] == (r["text_hash"] in hist_hashes)
+
+
+class TestFullTextSearch:
+    def test_verdicts_match_python(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import quality as q
+
+        got = {r["doc_id"]: r for r in q.full_text_search(spark, sf_dir).collect()}
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        for d in docs:
+            toks = [t for t in d["text"].split(" ") if t]
+            has_and = "spark" in toks and "table" in toks
+            phrase = sum(
+                1
+                for i in range(len(toks) - 1)
+                if toks[i] == "fast" and toks[i + 1] == "key"
+            )
+            if not has_and and not phrase:
+                assert d["doc_id"] not in got
+                continue
+            r = got[d["doc_id"]]
+            expect = (
+                "both" if has_and and phrase else ("and" if has_and else "phrase")
+            )
+            assert r["matched_via"] == expect, d["doc_id"]
+            assert r["phrase_hits"] == phrase

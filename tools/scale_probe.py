@@ -243,6 +243,7 @@ def _late_ops():
         "hilbert_layout": _stats().hilbert_layout,
         "ngram_coverage_curve": text.ngram_coverage_curve,
         "dedup_bloom_prefilter": dedup.dedup_bloom_prefilter,
+        "full_text_search": quality.full_text_search,
     }
 
 
