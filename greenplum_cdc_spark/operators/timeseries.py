@@ -1903,3 +1903,193 @@ SELECT direction, event_type, CAST(period AS DATE) AS period,
 FROM (SELECT * FROM gain UNION ALL SELECT * FROM drop_)
 ORDER BY direction, abs_change_bp DESC, event_type, period
 """
+
+
+# --- B90: grid-bucketed spatial self-join ------------------------------
+
+_GEO_SPACE = 1_000_000  # micro-degree coordinate space per axis
+_GEO_RADIUS = 10_000    # pair radius (1% of the axis)
+
+
+def _geo_coord(prefix: str, col):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _GEO_SPACE
+    )
+
+
+def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B90: radius self-join via grid bucketing — all customer pairs
+    within distance d, with candidate generation that is an EQUI-join
+    on grid cells, never a cross join (the 2-D sibling of B49's
+    interval bins).
+
+    Coordinates are deterministic micro-unit integers (content-hash of
+    the key — engine-identical, no floats anywhere). Cell size == the
+    radius, so a qualifying pair's cells differ by at most 1 per axis:
+    the left side enumerates its 3x3 neighbor cells (explode of 9
+    literal offsets), the right side keeps its own cell, and the join
+    is a plain equi-join on the cell id + exact integer dist² filter.
+    Each pair is produced exactly once (one neighbor offset matches
+    the right cell; key_a < key_b halves the space). Candidates scale
+    with local density x N — the geohash-join shape every spatial
+    engine lowers to at 100 TB.
+
+    Oracle: the O(N²) direct filter — small at gate scale, provably
+    the same semantics the bucketing must reproduce.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        _geo_coord("gx:", F.col("c_custkey")).alias("x"),
+        _geo_coord("gy:", F.col("c_custkey")).alias("y"),
+    )
+    d = _GEO_RADIUS
+    pts = cust.withColumn("cx", F.expr(f"x div {d}")).withColumn(
+        "cy", F.expr(f"y div {d}")
+    )
+    offsets = F.expr(
+        "explode(array("
+        + ", ".join(f"struct({dx} AS dx, {dy} AS dy)" for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+        + "))"
+    )
+    left = pts.select(
+        F.col("k").alias("key_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        "cx",
+        "cy",
+        offsets.alias("o"),
+    ).select(
+        "key_a",
+        "xa",
+        "ya",
+        (F.col("cx") + F.col("o.dx")).alias("jx"),
+        (F.col("cy") + F.col("o.dy")).alias("jy"),
+    )
+    right = pts.select(
+        F.col("k").alias("key_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    return (
+        left.join(right, ["jx", "jy"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn(
+            "dist2_u",
+            (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+            + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")),
+        )
+        .filter(F.col("dist2_u") <= d * d)
+        .select("key_a", "key_b", "dist2_u")
+        .orderBy("key_a", "key_b")
+    )
+
+
+def _geo_coord_sql(prefix: str, col: str) -> str:
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('{prefix}' || CAST({col} AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (6 - i)}"
+        for i in range(7)
+    )
+    return f"(({terms}) % {_GEO_SPACE})"
+
+
+GEO_GRID_JOIN_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey AS k,
+         {_geo_coord_sql('gx:', 'c_custkey')} AS x,
+         {_geo_coord_sql('gy:', 'c_custkey')} AS y
+  FROM customer
+)
+SELECT a.k AS key_a, b.k AS key_b,
+       CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT)
+         AS dist2_u
+FROM pts a JOIN pts b ON a.k < b.k
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {_GEO_RADIUS * _GEO_RADIUS}
+ORDER BY key_a, key_b
+"""
+
+
+# --- B91: CUSUM changepoint detection ----------------------------------
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B91: CUSUM changepoint detection over the daily revenue series —
+    where did the level shift?
+
+    Classic mean-shift CUSUM with the division-free integer form:
+    S_t = Σ_{i<=t} (n·x_i − total) (x in exact cents; n = series
+    length) is n times the usual cumulative deviation from the mean,
+    so argmax |S_t| — the changepoint estimate — is unchanged and every
+    intermediate is a BIGINT (order-insensitive, engine-exact; no
+    mean rounding anywhere). The raw series aggregates from orders
+    (one shuffle); the running sum is a window over the |days|-row
+    daily frame, which is CONSTANT-size in data volume — more data
+    fattens the days, it doesn't lengthen the window.
+
+    Output: the daily series with S_t and the changepoint flag
+    (ties → earliest day, stated identically in both engines).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).alias(
+                "cents"
+            )
+        )
+    )
+    totals = daily.agg(
+        F.count("*").alias("n"), F.sum("cents").alias("total")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    scored = (
+        daily.crossJoin(F.broadcast(totals))
+        .withColumn("dev", F.col("n") * F.col("cents") - F.col("total"))
+        .withColumn("s_t", F.sum("dev").over(w))
+    )
+    best = scored.agg(F.max(F.abs(F.col("s_t"))).alias("peak"))
+    first_peak = (
+        scored.crossJoin(F.broadcast(best))
+        .filter(F.abs(F.col("s_t")) == F.col("peak"))
+        .agg(F.min("d").alias("cp_day"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(first_peak))
+        .select(
+            "d",
+            "cents",
+            "s_t",
+            (F.col("d") == F.col("cp_day")).cast("int").alias("is_changepoint"),
+        )
+        .orderBy("d")
+    )
+
+
+CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY d
+),
+tot AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total FROM daily),
+scored AS (
+  SELECT d, cents,
+         CAST(SUM(n * cents - total) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS s_t
+  FROM daily, tot
+),
+best AS (SELECT MAX(ABS(s_t)) AS peak FROM scored),
+cp AS (SELECT MIN(d) AS cp_day FROM scored, best WHERE ABS(s_t) = peak)
+SELECT d, cents, s_t, CAST(d = (SELECT cp_day FROM cp) AS INT) AS is_changepoint
+FROM scored
+ORDER BY d
+"""

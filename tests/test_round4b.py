@@ -730,3 +730,55 @@ class TestFullTextSearch:
             )
             assert r["matched_via"] == expect, d["doc_id"]
             assert r["phrase_hits"] == phrase
+
+
+class TestGeoGridJoin:
+    def test_bucketing_equals_bruteforce(self, spark, sf_dir):
+        """Grid-bucketed candidates reproduce the O(N^2) truth exactly
+        (completeness AND no duplicates)."""
+        import hashlib
+
+        from greenplum_cdc_spark.operators import timeseries as ts
+
+        rows = [
+            (r["key_a"], r["key_b"], r["dist2_u"])
+            for r in ts.geo_grid_join(spark, sf_dir).collect()
+        ]
+        keys = [
+            r["c_custkey"]
+            for r in load_table(spark, sf_dir, "customer")
+            .select("c_custkey")
+            .collect()
+        ]
+
+        def coord(prefix, k):
+            return int(
+                hashlib.md5(f"{prefix}{k}".encode()).hexdigest()[:7], 16
+            ) % ts._GEO_SPACE
+
+        pts = {k: (coord("gx:", k), coord("gy:", k)) for k in keys}
+        d2 = ts._GEO_RADIUS ** 2
+        truth = sorted(
+            (a, b, (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2)
+            for i, a in enumerate(sorted(keys))
+            for b in sorted(keys)[i + 1 :]
+            if (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2 <= d2
+        )
+        assert sorted(rows) == truth
+        assert len(rows) == len(set((a, b) for a, b, _ in rows))
+
+
+class TestCusum:
+    def test_changepoint_is_argmax_and_series_conserves(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import timeseries as ts
+
+        rows = ts.cusum_changepoint(spark, sf_dir).collect()
+        assert rows
+        # exactly one changepoint, at the first |S| peak
+        cps = [r for r in rows if r["is_changepoint"]]
+        assert len(cps) == 1
+        peak = max(abs(r["s_t"]) for r in rows)
+        firsts = [r["d"] for r in rows if abs(r["s_t"]) == peak]
+        assert cps[0]["d"] == min(firsts)
+        # the full cumulative deviation telescopes to zero
+        assert rows[-1]["s_t"] == 0

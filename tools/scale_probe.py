@@ -244,6 +244,8 @@ def _late_ops():
         "ngram_coverage_curve": text.ngram_coverage_curve,
         "dedup_bloom_prefilter": dedup.dedup_bloom_prefilter,
         "full_text_search": quality.full_text_search,
+        "geo_grid_join": timeseries.geo_grid_join,
+        "cusum_changepoint": timeseries.cusum_changepoint,
     }
 
 
