@@ -93,6 +93,7 @@ _BNLJ_OK = {
     "cdc_consistent_cut",  # 1-row global-cut scalar
     "data_token_budget",  # 1-row B_max scalar
     "hard_negative_mining",  # sqrt(N)-row seed table (IVF assignment)
+    "cusum_changepoint",  # three 1-row scalars (totals, peak, first-peak day)
 }
 
 
