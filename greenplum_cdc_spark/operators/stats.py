@@ -930,3 +930,178 @@ ORDER BY curve, blk
 
 
 HILBERT_LAYOUT_SQL = _hilbert_oracle_sql()
+
+
+# --- B92: exact integer OLS trend slope --------------------------------
+
+
+def trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B92: revenue trend per order priority — the OLS slope of daily
+    revenue against the day index, in closed form with EXACT integer
+    arithmetic end to end.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²): numerator and
+    denominator are exact DECIMAL(38,0) products of BIGINT sums (x =
+    days since 1992-01-01 — a literal epoch, no scalar subquery; y =
+    exact cents), emitted alongside a µ-cents/day slope via
+    sign-decomposed floor division (the denominator — a scaled
+    variance — is strictly positive; the numerator's sign is handled
+    by CASE so Spark's truncating div and DuckDB's flooring // can
+    never disagree on a negative quotient). One rollup shuffle + a
+    5-row aggregate; at 100 TB the daily frame stays |days|-sized.
+
+    The parametric-trend complement of B91's CUSUM level-shift test.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            "o_orderpriority",
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("x"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)")).alias(
+                "y"
+            )
+        )
+    )
+    agg = daily.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    dec = "decimal(38,0)"
+    num = F.expr(
+        f"CAST(n AS {dec}) * CAST(sxy AS {dec}) - CAST(sx AS {dec}) * CAST(sy AS {dec})"
+    )
+    den = F.expr(
+        f"CAST(n AS {dec}) * CAST(sxx AS {dec}) - CAST(sx AS {dec}) * CAST(sx AS {dec})"
+    )
+    return (
+        agg.withColumn("num", num)
+        .withColumn("den", den)
+        .select(
+            "o_orderpriority",
+            "n",
+            # exact digit strings: these can exceed 2^53 and the
+            # int128/decimal -> double cast is a known cross-engine
+            # bit-identity hazard (see verify gotchas)
+            F.col("num").cast("string").alias("slope_num"),
+            F.col("den").cast("string").alias("slope_den"),
+            F.expr(
+                "CASE WHEN num >= 0 THEN (num * 1000000) div den "
+                "ELSE -((-num * 1000000) div den) END"
+            )
+            .cast("bigint")
+            .alias("slope_micro_cents_per_day"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+TREND_SLOPE_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority,
+         date_diff('day', DATE '1992-01-01', o_orderdate) AS x,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders GROUP BY o_orderpriority, x
+),
+agg AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY o_orderpriority
+),
+terms AS (
+  SELECT o_orderpriority, n,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den
+  FROM agg
+)
+SELECT o_orderpriority, n,
+       CAST(num AS VARCHAR) AS slope_num,
+       CAST(den AS VARCHAR) AS slope_den,
+       CAST(CASE WHEN num >= 0 THEN (num * 1000000) // den
+                 ELSE -((-num * 1000000) // den) END AS BIGINT)
+         AS slope_micro_cents_per_day
+FROM terms
+ORDER BY o_orderpriority
+"""
+
+
+# --- B93: deterministic missing-value imputation -----------------------
+
+_IMPUTE_MOD = 13  # every 13th event's value plays "missing"
+
+
+def impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B93: group-mean imputation audit — missing values filled with
+    their group's exact mean, all in integer cents.
+
+    Missingness is simulated deterministically (event_id % 13 — the
+    same reproducibility stance as every sampler here: no rand()).
+    The fill value is the OBSERVED-rows mean as integer floor division
+    (observed_cents div n_observed — engine-exact, no double mean),
+    and the audit emits per type: row/missing counts, the fill value,
+    and the post-imputation total (observed + missing·fill) — the
+    conservation arithmetic a feature-engineering pipeline checks
+    before training. One scan, one |types|-row rollup; the imputed
+    column itself is a map-side join of this tiny table back onto the
+    stream (the rollup IS the operator's state).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    flagged = ev.select(
+        "event_type",
+        (F.col("event_id") % _IMPUTE_MOD == 0).alias("is_missing"),
+        F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("cents"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("is_missing").cast("bigint")).alias("n_missing"),
+            F.sum(
+                F.when(~F.col("is_missing"), F.col("cents")).otherwise(0)
+            ).alias("observed_cents"),
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "n_missing",
+            "observed_cents",
+            F.expr("observed_cents div (n_rows - n_missing)").alias(
+                "fill_cents"
+            ),
+            F.expr(
+                "observed_cents + n_missing * "
+                "(observed_cents div (n_rows - n_missing))"
+            ).alias("total_after_impute_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+IMPUTE_MISSING_SQL = f"""
+WITH flagged AS (
+  SELECT event_type,
+         (event_id % {_IMPUTE_MOD} = 0) AS is_missing,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN is_missing THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+         CAST(SUM(CASE WHEN is_missing THEN 0 ELSE cents END) AS BIGINT) AS observed_cents
+  FROM flagged GROUP BY event_type
+)
+SELECT event_type, n_rows, n_missing, observed_cents,
+       CAST(observed_cents // (n_rows - n_missing) AS BIGINT) AS fill_cents,
+       CAST(observed_cents + n_missing *
+            (observed_cents // (n_rows - n_missing)) AS BIGINT)
+         AS total_after_impute_cents
+FROM agg
+ORDER BY event_type
+"""

@@ -782,3 +782,38 @@ class TestCusum:
         assert cps[0]["d"] == min(firsts)
         # the full cumulative deviation telescopes to zero
         assert rows[-1]["s_t"] == 0
+
+
+class TestTrendSlope:
+    def test_closed_form_matches_python(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import stats as stats_ops
+
+        rows = stats_ops.trend_slope(spark, sf_dir).collect()
+        assert len(rows) == 5
+        for r in rows:
+            num, den = int(r["slope_num"]), int(r["slope_den"])
+            assert den > 0
+            expect = (
+                (num * 1_000_000) // den
+                if num >= 0
+                else -((-num * 1_000_000) // den)
+            )
+            assert r["slope_micro_cents_per_day"] == expect
+
+
+class TestImputeMissing:
+    def test_conservation_and_fill(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import stats as stats_ops
+
+        rows = stats_ops.impute_missing(spark, sf_dir).collect()
+        total_rows = sum(r["n_rows"] for r in rows)
+        assert total_rows == load_table(spark, sf_dir, "events").count()
+        for r in rows:
+            assert 0 < r["n_missing"] < r["n_rows"]
+            assert r["fill_cents"] == r["observed_cents"] // (
+                r["n_rows"] - r["n_missing"]
+            )
+            assert (
+                r["total_after_impute_cents"]
+                == r["observed_cents"] + r["n_missing"] * r["fill_cents"]
+            )

@@ -246,6 +246,8 @@ def _late_ops():
         "full_text_search": quality.full_text_search,
         "geo_grid_join": timeseries.geo_grid_join,
         "cusum_changepoint": timeseries.cusum_changepoint,
+        "trend_slope": _stats().trend_slope,
+        "impute_missing": _stats().impute_missing,
     }
 
 
