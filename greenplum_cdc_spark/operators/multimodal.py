@@ -596,9 +596,21 @@ def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 g = gray[yi][:, xi]  # (8, 9)
                 bits = (g[:, :-1] > g[:, 1:]).astype(np.int64)  # (8, 8)
                 ks = np.arange(64).reshape(_PH_H, _PH_W - 1)
-                lo = int((bits * np.where(ks < 32, 1 << ks, 0)).sum())
+                # clip shift counts BEFORE shifting: np.where evaluates
+                # both branches, and 1 << (ks - 32) with ks < 32 is a
+                # negative-count shift (C-level UB in numpy) even though
+                # the mask discards it.  Clipped counts stay in [0, 31].
+                lo = int(
+                    (bits * np.where(ks < 32, 1 << np.clip(ks, 0, 31), 0))
+                    .sum()
+                )
                 hi = int(
-                    (bits * np.where(ks >= 32, 1 << (ks - 32), 0)).sum()
+                    (
+                        bits
+                        * np.where(
+                            ks >= 32, 1 << np.clip(ks - 32, 0, 31), 0
+                        )
+                    ).sum()
                 )
                 out.append(
                     (int(doc_id), w, h, hi, lo, int(bits.sum()))

@@ -490,6 +490,19 @@ def theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     kth = sketch.filter(F.col("rn") == THETA_K).select(
         "half", F.col("h").alias("theta")
     )
+    # loud guard (ADVICE r4): if a side has fewer than K distinct
+    # hashed keys, its K-th minimum doesn't exist, kth loses that side,
+    # and the chained crossJoins would silently collapse to ZERO rows.
+    # The KMV small-set rule is "NDV < K ⇒ the sketch is exact" — that's
+    # a different estimator, so rather than silently switching semantics
+    # (and diverging from the SQL oracle) the degenerate case fails
+    # loudly.  kth is ≤ 2 rows; the count is a trivially cheap job.
+    if kth.count() < 2:
+        raise ValueError(
+            f"theta_sketch_setops: a side has fewer than K={THETA_K} "
+            "distinct keys; the KMV theta estimate is undefined there — "
+            "use exact countDistinct for sub-K sets"
+        )
     est = F.expr(f"({THETA_K - 1} * CAST({_THETA_SPACE} AS BIGINT) * 10000) div theta")
     side = kth.select(
         "half", est.alias("est_x10k")
@@ -622,8 +635,9 @@ def ndv_estimate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer math: est = d + 3*f1 (d = distinct-in-sample, f1 = values
     seen exactly once in the sample). The exact NDV rides along with
     the absolute error in basis points — floor division on the
-    absolute difference (signed div diverges between engines:
-    Spark truncates, DuckDB floors).
+    absolute difference (floor-vs-truncate semantics of SIGNED integer
+    division are dialect- and version-dependent, so operands are kept
+    non-negative where both conventions agree).
 
     At 100 TB: the sampled branch scans with the pushed-down hash
     predicate and aggregates |sample| rows; the exact branch is the

@@ -786,11 +786,12 @@ ORDER BY col_name
 HILBERT_N = 256  # curve order 8: 256x256 grid, index in [0, 65536)
 
 
-def _hilbert_sql(xcol: str, ycol: str) -> str:
+def _hilbert_sql(xcol: str, ycol: str) -> tuple[str, str]:
     """One nested-subquery chain computing the Hilbert index of
     ({xcol}, {ycol}) — generated once, executed verbatim by BOTH
     engines (only +,-,*,%,CASE — no engine-specific division or
-    bitwise operators)."""
+    bitwise operators).  Returns ``(sql_chain, dcol)`` where ``dcol``
+    is the name of the final Hilbert-distance column the chain emits."""
     inner = f"SELECT *, CAST({xcol} AS BIGINT) AS x0, CAST({ycol} AS BIGINT) AS y0, CAST(0 AS BIGINT) AS d0 FROM __SRC__"
     s = HILBERT_N // 2
     i = 0
@@ -1072,12 +1073,17 @@ def impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
             "n_missing",
             "observed_cents",
-            F.expr("observed_cents div (n_rows - n_missing)").alias(
-                "fill_cents"
-            ),
+            # guard: a group that is 100% 'missing' would divide by
+            # zero — Spark yields NULL but DuckDB errors, so BOTH
+            # engines must emit NULL explicitly (cross-engine parity).
             F.expr(
-                "observed_cents + n_missing * "
-                "(observed_cents div (n_rows - n_missing))"
+                "CASE WHEN n_rows > n_missing "
+                "THEN observed_cents div (n_rows - n_missing) END"
+            ).alias("fill_cents"),
+            F.expr(
+                "CASE WHEN n_rows > n_missing "
+                "THEN observed_cents + n_missing * "
+                "(observed_cents div (n_rows - n_missing)) END"
             ).alias("total_after_impute_cents"),
         )
         .orderBy("event_type")
@@ -1098,9 +1104,12 @@ agg AS (
   FROM flagged GROUP BY event_type
 )
 SELECT event_type, n_rows, n_missing, observed_cents,
-       CAST(observed_cents // (n_rows - n_missing) AS BIGINT) AS fill_cents,
-       CAST(observed_cents + n_missing *
-            (observed_cents // (n_rows - n_missing)) AS BIGINT)
+       CAST(CASE WHEN n_rows > n_missing
+            THEN observed_cents // (n_rows - n_missing) END AS BIGINT)
+         AS fill_cents,
+       CAST(CASE WHEN n_rows > n_missing
+            THEN observed_cents + n_missing *
+                 (observed_cents // (n_rows - n_missing)) END AS BIGINT)
          AS total_after_impute_cents
 FROM agg
 ORDER BY event_type

@@ -235,16 +235,33 @@ def moving_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
     )
     w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    # the moving average is a scaled-integer floor division over exact
+    # cents (dsum is DECIMAL(12,2), x100 is exact; values non-negative)
+    # — NOT ROUND(double, 4), the op the engines disagree on at
+    # shortest-repr .5 boundaries (SURVEY §5 / r4 verdict #2).
+    # x10000 scale = cents x100, i.e. 4 implied decimals of the
+    # original unit.
     return (
         daily.select(
             "day",
             "n_events",
             F.round("dsum", 4).cast("double").alias("day_value"),
-            F.round(
-                F.round(F.sum("dsum").over(w7), 4).cast("double")
-                / F.count("*").over(w7),
-                4,
-            ).alias("moving_avg_7d"),
+            (F.col("dsum") * 100).cast("bigint").alias("dcents"),
+        )
+        .select(
+            "day",
+            "n_events",
+            "day_value",
+            (F.sum("dcents").over(w7) * 100)
+            .cast("bigint")
+            .alias("sum_7d_x100"),
+            F.count("*").over(w7).alias("n_days_7d"),
+        )
+        .select(
+            "day",
+            "n_events",
+            "day_value",
+            F.expr("sum_7d_x100 div n_days_7d").alias("moving_avg_7d_x10k"),
         )
         .orderBy("day")
     )
@@ -260,8 +277,8 @@ WITH daily AS (
 )
 SELECT day, n_events,
        CAST(ROUND(dsum, 4) AS DOUBLE) AS day_value,
-       ROUND(CAST(ROUND(SUM(dsum) OVER w7, 4) AS DOUBLE)
-             / COUNT(*) OVER w7, 4) AS moving_avg_7d
+       CAST((CAST(SUM(CAST(dsum * 100 AS BIGINT)) OVER w7 AS BIGINT) * 100)
+            // (COUNT(*) OVER w7) AS BIGINT) AS moving_avg_7d_x10k
 FROM daily
 WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 ORDER BY day
@@ -333,30 +350,117 @@ ORDER BY bucket
 
 def corr_value_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B29: correlation / covariance between the event value and the
-    JSON-extracted props field, per event type (Greenplum stats aggs)."""
+    JSON-extracted props field, per event type (Greenplum stats aggs).
+
+    Exact integer-moment formulation (r5 rewrite of the r1 version):
+    the double builtins corr()/covar_samp()/stddev_samp() + ROUND are
+    the one class Spark and DuckDB disagree on at shortest-repr .5
+    boundaries (SURVEY §5), so the stats are re-derived from exact
+    BIGINT moments — value in cents (2-decimal source, x100 exact),
+    props.k an integer 0..99:
+
+      cnum = n·Σxy − Σx·Σy           (covariance numerator, cents·k)
+      vxn  = n·Σx² − (Σx)²           (n²·variance of x, cents²)
+      vyn  = n·Σy² − (Σy)²           (n²·variance of y, k²)
+
+      covar_vk_x100  = cnum ÷ (n(n−1))   [sign-decomposed trunc-div]
+      var_value_x10k = vxn ÷ (n(n−1))    [= variance·10⁴, ≥ 0]
+      corr_sq_ppm    = cnum²·10⁶ ÷ (vxn·vyn), corr_sign ∈ {−1,0,1}
+
+    corr² needs 128-bit intermediates (cnum² ≈ 10³⁰ at sf0.1): Spark
+    computes it in DECIMAL(38,0), DuckDB in HUGEINT — both exact, both
+    truncating a non-negative quotient, so bit-identical. One map-side
+    partial-agg shuffle on event_type; everything downstream is
+    per-group scalar arithmetic. At 100 TB the moments are mergeable
+    partial sums (the same plan shape as any SUM)."""
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("double")
-    return (
-        ev.withColumn("k", k)
+    moms = (
+        ev.select(
+            "event_type",
+            F.expr("CAST(round(value * 100, 0) AS BIGINT)").alias("xc"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("yk"),
+        )
         .groupBy("event_type")
         .agg(
-            F.round(F.corr("value", "k"), 4).alias("corr_vk"),
-            F.round(F.covar_samp("value", "k"), 2).alias("covar_vk"),
-            F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
             F.count("*").alias("n"),
+            F.sum("xc").alias("sx"),
+            F.sum("yk").alias("sy"),
+            F.sum(F.expr("xc * yk")).alias("sxy"),
+            F.sum(F.expr("xc * xc")).alias("sx2"),
+            F.sum(F.expr("yk * yk")).alias("sy2"),
+        )
+    )
+    return (
+        moms.select(
+            "event_type",
+            "n",
+            F.expr("n * sxy - sx * sy").alias("cnum"),
+            F.expr("n * sx2 - sx * sx").alias("vxn"),
+            F.expr("n * sy2 - sy * sy").alias("vyn"),
+        )
+        .select(
+            "event_type",
+            "n",
+            # sign-decomposed so both engines truncate identically
+            F.expr(
+                "CASE WHEN n <= 1 THEN NULL "
+                "WHEN cnum >= 0 THEN cnum div (n * (n - 1)) "
+                "ELSE -((-cnum) div (n * (n - 1))) END"
+            ).alias("covar_vk_x100"),
+            F.expr(
+                "CASE WHEN n <= 1 THEN NULL "
+                "ELSE vxn div (n * (n - 1)) END"
+            ).alias("var_value_x10k"),
+            F.expr(
+                "CASE WHEN vxn > 0 AND vyn > 0 THEN CAST("
+                "(CAST(cnum AS DECIMAL(38,0)) * CAST(cnum AS DECIMAL(38,0))"
+                " * 1000000) div "
+                "(CAST(vxn AS DECIMAL(38,0)) * CAST(vyn AS DECIMAL(38,0)))"
+                " AS BIGINT) END"
+            ).alias("corr_sq_ppm"),
+            F.expr(
+                "CASE WHEN cnum > 0 THEN 1 WHEN cnum < 0 THEN -1 "
+                "ELSE 0 END"
+            ).alias("corr_sign"),
         )
         .orderBy("event_type")
     )
 
 
 CORR_VALUE_SQL = """
-SELECT event_type,
-       ROUND(corr(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS corr_vk,
-       ROUND(covar_samp(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 2) AS covar_vk,
-       ROUND(stddev_samp(value), 4) AS stddev_value,
-       COUNT(*) AS n
-FROM events
-GROUP BY event_type
+WITH moms AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(xc) AS sx, SUM(yk) AS sy,
+         SUM(xc * yk) AS sxy, SUM(xc * xc) AS sx2, SUM(yk * yk) AS sy2
+  FROM (
+    SELECT event_type,
+           CAST(round(value * 100, 0) AS BIGINT) AS xc,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS yk
+    FROM events
+  )
+  GROUP BY event_type
+),
+nums AS (
+  SELECT event_type, n,
+         n * sxy - sx * sy AS cnum,
+         n * sx2 - sx * sx AS vxn,
+         n * sy2 - sy * sy AS vyn
+  FROM moms
+)
+SELECT event_type, n,
+       CAST(CASE WHEN n <= 1 THEN NULL
+            WHEN cnum >= 0 THEN cnum // (n * (n - 1))
+            ELSE -((-cnum) // (n * (n - 1))) END AS BIGINT) AS covar_vk_x100,
+       CAST(CASE WHEN n <= 1 THEN NULL
+            ELSE vxn // (n * (n - 1)) END AS BIGINT) AS var_value_x10k,
+       CAST(CASE WHEN vxn > 0 AND vyn > 0 THEN
+            (CAST(cnum AS HUGEINT) * CAST(cnum AS HUGEINT) * 1000000)
+            // (CAST(vxn AS HUGEINT) * CAST(vyn AS HUGEINT))
+            END AS BIGINT) AS corr_sq_ppm,
+       CAST(CASE WHEN cnum > 0 THEN 1 WHEN cnum < 0 THEN -1
+            ELSE 0 END AS INT) AS corr_sign
+FROM nums
 ORDER BY event_type
 """
 
@@ -545,7 +649,10 @@ def active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day",
             "dau",
             "wau_7d",
-            F.round(F.col("dau") / F.col("wau_7d"), 6).alias("stickiness"),
+            # scaled-integer floor division (counts are non-negative),
+            # NOT ROUND(double, 6) — the one op the engines disagree on
+            # at shortest-repr .5 boundaries (SURVEY §5 / r4 verdict #2)
+            F.expr("(dau * 1000000) div wau_7d").alias("stickiness_ppm"),
         )
         .orderBy("day")
     )
@@ -569,7 +676,7 @@ wau AS (
   SELECT wday, COUNT(DISTINCT user_id) AS wau_7d FROM fan GROUP BY wday
 )
 SELECT dau.day, dau.dau, wau.wau_7d,
-       ROUND(dau.dau / CAST(wau.wau_7d AS DOUBLE), 6) AS stickiness
+       CAST((dau.dau * 1000000) // wau.wau_7d AS BIGINT) AS stickiness_ppm
 FROM dau JOIN wau ON dau.day = wau.wday
 ORDER BY dau.day
 """
@@ -1023,17 +1130,37 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    wp = Window.partitionBy("event_type")
+    # percent_rank / cume_dist re-derived as scaled-integer floor
+    # divisions from rank + partition count — ROUND(double, 6) on the
+    # built-ins is the one op the engines disagree on at shortest-repr
+    # .5 boundaries (SURVEY §5).  The order key is unique (event_id
+    # tiebreak), so rank == row_number and cume_dist == rnk / n exactly.
     ranked = ev.select(
         "event_type",
         "event_id",
         "value",
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.count("*").over(wp).alias("n_part"),
         F.ntile(4).over(w).alias("quartile"),
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
+    ).select(
+        "event_type",
+        "event_id",
+        "value",
+        "rnk",
+        "drnk",
+        "n_part",
+        F.expr(
+            "CASE WHEN n_part > 1 "
+            "THEN ((rnk - 1) * 1000000) div (n_part - 1) ELSE 0 END"
+        ).alias("pct_rank_ppm"),
+        F.expr("(rnk * 1000000) div n_part").alias("cume_ppm"),
+        "quartile",
+        "prev_value",
+        "next_value",
     )
     return (
         ranked.filter(F.col("rnk") <= 5)
@@ -1046,15 +1173,20 @@ WITH ranked AS (
   SELECT event_type, event_id, value,
          RANK() OVER w AS rnk,
          DENSE_RANK() OVER w AS drnk,
-         ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-         ROUND(CUME_DIST() OVER w, 6) AS cume,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_part,
          NTILE(4) OVER w AS quartile,
          LAG(value) OVER w AS prev_value,
          LEAD(value) OVER w AS next_value
   FROM events
   WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
 )
-SELECT * FROM ranked WHERE rnk <= 5
+SELECT event_type, event_id, value, rnk, drnk, n_part,
+       CAST(CASE WHEN n_part > 1
+            THEN ((rnk - 1) * 1000000) // (n_part - 1) ELSE 0 END AS BIGINT)
+         AS pct_rank_ppm,
+       CAST((rnk * 1000000) // n_part AS BIGINT) AS cume_ppm,
+       quartile, prev_value, next_value
+FROM ranked WHERE rnk <= 5
 ORDER BY event_type, rnk
 """
 
@@ -1614,6 +1746,15 @@ def quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["event_type"]: r["n"]
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
+    # the collect→CASE-literal plan is only valid for a tiny, bounded
+    # group domain (5 event types); fail loudly on a wide domain rather
+    # than silently building a huge CASE on the driver (r4 verdict #2)
+    if len(counts) > 64:
+        raise ValueError(
+            f"quantile_normalize: {len(counts)} distinct group keys; "
+            "the inlined CASE-literal count table is bounded at 64 — "
+            "broadcast-join the count aggregate instead for wide domains"
+        )
     n_arms, k_arms = [], []
     for et, n in sorted(counts.items()):
         # tail rows have rk_asc >= TAIL*(n-1)+1; +1 pads the floor

@@ -1744,6 +1744,16 @@ def top_percent_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         r["l_returnflag"]: r["n"]
         for r in sel.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
     }
+    # the collect→CASE-literal plan is only valid for a tiny, bounded
+    # group domain (3 return flags); reusing it on a high-cardinality
+    # key would silently build a megabyte CASE and bottleneck the
+    # driver — fail loudly instead (r4 verdict #2 / advice item 6)
+    if len(counts) > 64:
+        raise ValueError(
+            f"top_percent_per_group: {len(counts)} distinct group keys; "
+            "the inlined CASE-literal count table is bounded at 64 — "
+            "broadcast-join the count aggregate instead for wide domains"
+        )
     n_arms = " ".join(
         f"WHEN l_returnflag = '{flag}' THEN CAST({n} AS BIGINT)"
         for flag, n in sorted(counts.items())

@@ -179,9 +179,11 @@ def test_moving_avg_window_bounds(spark, sf_dir):
 
     rows = timeseries.moving_avg_daily(spark, sf_dir).collect()
     assert rows == sorted(rows, key=lambda r: r["day"])
-    # first day's moving avg == its own day value
+    # first day's moving avg (x10k scaled integer) == its own day value
     if rows:
-        assert abs(rows[0]["moving_avg_7d"] - rows[0]["day_value"]) < 1e-6
+        assert rows[0]["moving_avg_7d_x10k"] == round(
+            rows[0]["day_value"] * 10000
+        )
 
 
 def test_minhash_est_bounds_and_symmetry_inputs(spark):

@@ -106,7 +106,7 @@ def test_active_users_window_superset(spark):
     assert rows
     for r in rows:
         assert r["dau"] <= r["wau_7d"]
-        assert 0 < r["stickiness"] <= 1.0
+        assert 0 < r["stickiness_ppm"] <= 1_000_000
 
 
 def test_basket_pairs_ordered_support(spark):

@@ -1,0 +1,132 @@
+"""Round-5 additions: loud guards on the collect→CASE-literal count
+pattern (r4 verdict #2 / advice #6), the theta-sketch sub-K degenerate
+case (r4 advice), and the impute_missing all-missing-group cross-engine
+parity fix (r4 advice).
+"""
+
+from __future__ import annotations
+
+import datetime
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from greenplum_cdc_spark.operators import sketches, stats, timeseries  # noqa: E402
+from greenplum_cdc_spark.plans import tpch  # noqa: E402
+
+_TS0 = datetime.datetime(2024, 1, 1)
+
+
+def _write(tmp_path, name, table: pa.Table) -> str:
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+    return str(tmp_path)
+
+
+def _events_table(event_ids, event_types, values):
+    n = len(event_ids)
+    return pa.table(
+        {
+            "event_id": pa.array(event_ids, pa.int64()),
+            "ts": pa.array(
+                [_TS0 + datetime.timedelta(minutes=i) for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+            "event_type": pa.array(event_types, pa.string()),
+            "value": pa.array(values, pa.float64()),
+            "props": pa.array(['{"k": "1"}'] * n, pa.string()),
+        }
+    )
+
+
+class TestCaseLiteralGuards:
+    """The inlined CASE-literal count table is only valid on a tiny
+    group domain; a high-cardinality key must fail loudly, not build a
+    megabyte CASE on the driver."""
+
+    def test_top_percent_per_group_rejects_wide_domain(self, spark, tmp_path):
+        n = 70  # > the 64-literal bound
+        li = pa.table(
+            {
+                "l_orderkey": pa.array(range(n), pa.int64()),
+                "l_linenumber": pa.array([1] * n, pa.int32()),
+                "l_returnflag": pa.array([f"F{i:02d}" for i in range(n)]),
+                "l_extendedprice": pa.array([100.0 + i for i in range(n)]),
+                "l_discount": pa.array([0.05] * n, pa.float64()),
+            }
+        )
+        sf = _write(tmp_path, "lineitem", li)
+        with pytest.raises(ValueError, match="bounded at 64"):
+            tpch.top_percent_per_group(spark, sf)
+
+    def test_quantile_normalize_rejects_wide_domain(self, spark, tmp_path):
+        n = 80
+        ev = _events_table(
+            list(range(n)),
+            [f"type_{i:02d}" for i in range(n)],
+            [float(i) for i in range(n)],
+        )
+        sf = _write(tmp_path, "events", ev)
+        with pytest.raises(ValueError, match="bounded at 64"):
+            timeseries.quantile_normalize(spark, sf)
+
+    def test_small_domain_still_works(self, spark, sf_dir):
+        """The guard must not fire on the real 3-flag / 5-type data."""
+        assert tpch.top_percent_per_group(spark, sf_dir).count() > 0
+        assert timeseries.quantile_normalize(spark, sf_dir).count() > 0
+
+
+class TestThetaSketchSmallSetGuard:
+    def test_sub_k_side_fails_loudly(self, spark, tmp_path):
+        """A side with < K=64 distinct keys has no K-th minimum; the
+        old code silently collapsed to zero rows via empty crossJoins."""
+        n = 40  # both halves get < 64 distinct custkeys
+        orders = pa.table(
+            {
+                "o_orderkey": pa.array(range(n), pa.int64()),
+                "o_custkey": pa.array([i % 20 for i in range(n)], pa.int64()),
+            }
+        )
+        sf = _write(tmp_path, "orders", orders)
+        with pytest.raises(ValueError, match="fewer than K=64"):
+            sketches.theta_sketch_setops(spark, sf)
+
+    def test_full_size_unaffected(self, spark, sf_dir):
+        assert sketches.theta_sketch_setops(spark, sf_dir).count() == 1
+
+
+class TestImputeAllMissingGroup:
+    def test_all_missing_group_yields_null_on_both_engines(
+        self, spark, tmp_path
+    ):
+        """A group that is 100% 'missing' (every event_id % 13 == 0)
+        used to be NULL in Spark but a division-by-zero ERROR in DuckDB;
+        both engines must now emit NULL fill_cents for it."""
+        # 'allmiss' rows all have event_id divisible by 13; 'mixed' not
+        ids = [13, 26, 39] + [1, 2, 3, 13 * 4]
+        types = ["allmiss"] * 3 + ["mixed"] * 4
+        vals = [10.0, 20.0, 30.0, 1.0, 2.0, 3.0, 4.0]
+        ev = _events_table(ids, types, vals)
+        sf = _write(tmp_path, "events", ev)
+
+        rows = {
+            r["event_type"]: r
+            for r in stats.impute_missing(spark, sf).collect()
+        }
+        assert rows["allmiss"]["fill_cents"] is None
+        assert rows["allmiss"]["total_after_impute_cents"] is None
+        assert rows["mixed"]["fill_cents"] == 200  # (100+200+300) div 3
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+        )
+        ora = con.execute(stats.IMPUTE_MISSING_SQL).fetchall()
+        by_type = {r[0]: r for r in ora}
+        assert by_type["allmiss"][4] is None  # fill_cents
+        assert by_type["mixed"][4] == 200
