@@ -2236,3 +2236,177 @@ FROM keyed
 GROUP BY key
 ORDER BY key
 """
+
+
+# --- round 5: wal2json Postgres source (reference TODO #1) -------------
+
+_W2J_TXN = 3  # events per synthetic transaction (event_id div 3)
+
+
+def _wal2json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize `events` into genuine wal2json v1 transaction lines.
+
+    Faithful to the format the plugin emits (README TODO #1): one JSON
+    document per transaction, `change` array in WAL order, mixed-type
+    `columnvalues` (numbers unquoted — built with format_string, NOT
+    to_json, which would stringify them), deletes carrying only
+    `oldkeys`. Transactions batch _W2J_TXN consecutive events; the
+    commit timestamp is the transaction's first event's ts rendered at
+    microsecond precision (exact round-trip through to_timestamp).
+
+    Plan shape: one map-side projection per event, one groupBy(xid)
+    with array_sort(collect_list) — the only shuffle, keyed by txn.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ins = F.format_string(
+        '{"kind": "insert", "schema": "public", "table": "events",'
+        ' "columnnames": ["user_id","value","event_type"],'
+        ' "columntypes": ["bigint","double precision","text"],'
+        ' "columnvalues": [%s, %s, "%s"]}',
+        F.col("user_id").cast("string"),
+        F.col("value").cast("string"),
+        F.col("event_type"),
+    )
+    dele = F.format_string(
+        '{"kind": "delete", "schema": "public", "table": "events",'
+        ' "oldkeys": {"keynames": ["user_id"], "keytypes": ["bigint"],'
+        ' "keyvalues": [%s]}}',
+        F.col("user_id").cast("string"),
+    )
+    per_event = ev.select(
+        F.expr(f"event_id div {_W2J_TXN}").alias("txn"),
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "error", dele).otherwise(ins).alias("ch"),
+    )
+    per_txn = per_event.groupBy("txn").agg(
+        F.min("ts").alias("txn_ts"),
+        F.array_sort(F.collect_list(F.struct("event_id", "ch"))).alias("chs"),
+    )
+    return per_txn.select(
+        F.format_string(
+            '{"xid": %s, "timestamp": "%s", "change": [%s]}',
+            F.col("txn").cast("string"),
+            F.date_format("txn_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            F.concat_ws(",", F.expr("transform(chs, x -> x.ch)")),
+        ).alias("line")
+    )
+
+
+def wal2json_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A38: events → genuine wal2json v1 transaction lines →
+    parse_wal2json → typed row-level CDC events.
+
+    The oracle states the expected round trip directly from the source
+    columns, so any adapter defect (txn explode order, mixed-type
+    coercion, oldkeys-only deletes, commit-ts precision) breaks the
+    hash match. Reference parity: TODO #1 (README.md:155) — the
+    wal2json feed lands in the same typed frame as the Maxwell feed.
+    """
+    from ..sources import wal2json as w2j
+
+    parsed = w2j.parse_wal2json(_wal2json_lines(spark, sf_dir))
+    return (
+        parsed.select(
+            "xid",
+            "change_idx",
+            "ts",
+            "database_name",
+            "table_name",
+            "op",
+            F.col("data")["user_id"].cast("bigint").alias("user_id"),
+            F.col("data")["value"].cast("double").alias("value"),
+            F.col("data")["event_type"].alias("event_type"),
+            F.col("old")["user_id"].cast("bigint").alias("old_user_id"),
+        )
+        .orderBy("xid", "change_idx")
+    )
+
+
+WAL2JSON_PARSE_SQL = f"""
+WITH base AS (
+  SELECT event_id, event_id // {_W2J_TXN} AS xid, ts, user_id, value,
+         event_type,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op
+  FROM events
+),
+txn AS (SELECT xid, MIN(ts) AS txn_ts FROM base GROUP BY xid)
+SELECT b.xid,
+       CAST(ROW_NUMBER() OVER (PARTITION BY b.xid ORDER BY b.event_id) - 1
+            AS INT) AS change_idx,
+       t.txn_ts AS ts,
+       'appdb' AS database_name,
+       'events' AS table_name,
+       b.op,
+       CASE WHEN b.op <> 'delete' THEN b.user_id END AS user_id,
+       CASE WHEN b.op <> 'delete' THEN b.value END AS value,
+       CASE WHEN b.op <> 'delete' THEN b.event_type END AS event_type,
+       CASE WHEN b.op = 'delete' THEN b.user_id END AS old_user_id
+FROM base b JOIN txn t USING (xid)
+ORDER BY xid, change_idx
+"""
+
+
+def wal2json_snapshot_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A39: the wal2json feed replayed through the UNCHANGED downstream
+    (snapshot_latest) — proving the adapter plugs into the Maxwell
+    pipeline without touching it (the whole point of TODO #1).
+
+    Replay order is wal2json's WAL order: (commit ts, xid, change_idx).
+    On this feed ts is monotone in event_id, so the snapshot is
+    bit-identical to the Maxwell feed's (A3) — the property the
+    reference TODO asks for. pk comes from `data` for upserts and from
+    `oldkeys` for deletes (coalesce), exercising both key paths.
+    """
+    from ..sources import wal2json as w2j
+
+    parsed = w2j.parse_wal2json(_wal2json_lines(spark, sf_dir))
+    feed = parsed.filter(F.col("op").isin(*maxwell.DML_OPS)).select(
+        F.coalesce(F.col("data")["user_id"], F.col("old")["user_id"])
+        .cast("bigint")
+        .alias("pk"),
+        "ts",
+        "xid",
+        "change_idx",
+        "op",
+        F.col("data")["value"].cast("double").alias("value"),
+        F.col("data")["event_type"].alias("event_type"),
+    )
+    snap = cdc_ops.snapshot_latest(
+        feed, key_cols=("pk",), order_cols=("ts", "xid", "change_idx")
+    )
+    return snap.select(
+        "pk",
+        F.col("ts").alias("last_ts"),
+        F.col("xid").alias("last_xid"),
+        F.col("value").alias("last_value"),
+        F.col("event_type").alias("last_event_type"),
+    ).orderBy("pk")
+
+
+WAL2JSON_SNAPSHOT_SQL = f"""
+WITH base AS (
+  SELECT event_id, event_id // {_W2J_TXN} AS xid, ts, user_id AS pk, value,
+         event_type,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op
+  FROM events
+),
+txn AS (SELECT xid, MIN(ts) AS txn_ts FROM base GROUP BY xid),
+chg AS (
+  SELECT b.pk, b.op, b.value, b.event_type, b.xid, t.txn_ts,
+         ROW_NUMBER() OVER (PARTITION BY b.xid ORDER BY b.event_id) - 1
+           AS change_idx
+  FROM base b JOIN txn t USING (xid)
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY pk
+           ORDER BY txn_ts DESC, xid DESC, change_idx DESC) AS rn
+  FROM chg
+)
+SELECT pk, txn_ts AS last_ts, xid AS last_xid, value AS last_value,
+       event_type AS last_event_type
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+ORDER BY pk
+"""

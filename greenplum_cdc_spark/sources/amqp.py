@@ -1,0 +1,506 @@
+"""Minimal pure-stdlib AMQP 0-9-1 consumer — the reference's RabbitMQ
+transport (rabbitmq.go:95-186) re-expressed for the Spark bus.
+
+The reference's entire ingestion front door is a tiny AMQP consumer:
+dial, declare a durable exchange + queue, bind, consume, print each
+delivery body as one line, and — per its own TODO (rabbitmq.go:17-19)
+and `lastDelivery.Ack(true)` (rabbitmq.go:60-61) — acknowledge ONCE at
+the end of the batch with `multiple=true`, after an idle-timeout
+`lifetime` says the batch is over. This module reimplements that
+contract (not the Go code) against the public AMQP 0-9-1 wire spec:
+
+- frame layer: type(octet) channel(short) size(long) payload 0xCE
+- connection class 10: Start/StartOk (PLAIN auth), Tune/TuneOk,
+  Open/OpenOk, Close/CloseOk
+- channel class 20: Open/OpenOk
+- exchange class 40 / queue class 50: Declare(+Bind)/‑Ok
+- basic class 60: Consume/ConsumeOk, Deliver (+ content header/body
+  frames), Ack
+
+Only the fields the consumer needs are decoded; field tables the
+client never reads (server-properties, argument tables) are skipped by
+their declared length — the same "ignore what you don't use" stance as
+the Go consumer.
+
+Batches land as ONE spool file per drain (written tmp→rename, so the
+Spark text file source never sees a partial batch) — the at-least-once
+boundary matches the reference: the ack is sent only AFTER the spool
+file is durable, so a crash before the ack re-delivers the batch, and
+the downstream latest-wins merge (operators/cdc.py) absorbs the
+replays. The spool write collapses ``[\\t\\r\\n]+`` to a space exactly
+as rabbitmq.go:39,181 does at print time — the spool, like the Go
+consumer's stdout, is line-framed, so an embedded newline would split
+an envelope; `parse_maxwell`'s uniform sanitize pass is then an
+idempotent no-op for this transport.
+
+No broker ships in this sandbox; tests drive the full handshake +
+delivery + deferred-ack cycle against an in-process fake broker over a
+REAL TCP socket (tests/test_amqp.py), plus golden byte-level frames
+hand-derived from the spec so the codec is pinned independently of
+itself.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import socket
+import struct
+import uuid
+
+FRAME_METHOD = 1
+FRAME_HEADER = 2
+FRAME_BODY = 3
+FRAME_HEARTBEAT = 8
+FRAME_END = 0xCE
+
+PROTOCOL_HEADER = b"AMQP\x00\x00\x09\x01"
+
+# (class, method) ids used by the consumer contract
+CONNECTION_START = (10, 10)
+CONNECTION_START_OK = (10, 11)
+CONNECTION_TUNE = (10, 30)
+CONNECTION_TUNE_OK = (10, 31)
+CONNECTION_OPEN = (10, 40)
+CONNECTION_OPEN_OK = (10, 41)
+CONNECTION_CLOSE = (10, 50)
+CONNECTION_CLOSE_OK = (10, 51)
+CHANNEL_OPEN = (20, 10)
+CHANNEL_OPEN_OK = (20, 11)
+EXCHANGE_DECLARE = (40, 10)
+EXCHANGE_DECLARE_OK = (40, 11)
+QUEUE_DECLARE = (50, 10)
+QUEUE_DECLARE_OK = (50, 11)
+QUEUE_BIND = (50, 20)
+QUEUE_BIND_OK = (50, 21)
+BASIC_CONSUME = (60, 20)
+BASIC_CONSUME_OK = (60, 21)
+BASIC_DELIVER = (60, 60)
+BASIC_ACK = (60, 80)
+
+
+class AmqpProtocolError(RuntimeError):
+    """Unexpected frame / method during the consumer conversation."""
+
+
+# --- wire codec --------------------------------------------------------
+
+
+def pack_shortstr(s: str) -> bytes:
+    b = s.encode("utf-8")
+    if len(b) > 255:
+        raise ValueError("shortstr > 255 bytes")
+    return bytes([len(b)]) + b
+
+
+def pack_longstr(b: bytes) -> bytes:
+    return struct.pack(">I", len(b)) + b
+
+
+def pack_table_empty() -> bytes:
+    """An empty field table (the only table the consumer sends)."""
+    return struct.pack(">I", 0)
+
+
+def pack_frame(frame_type: int, channel: int, payload: bytes) -> bytes:
+    return (
+        struct.pack(">BHI", frame_type, channel, len(payload))
+        + payload
+        + bytes([FRAME_END])
+    )
+
+
+def pack_method(class_id: int, method_id: int, args: bytes = b"") -> bytes:
+    return struct.pack(">HH", class_id, method_id) + args
+
+
+def pack_method_frame(
+    channel: int, class_method: tuple[int, int], args: bytes = b""
+) -> bytes:
+    return pack_frame(FRAME_METHOD, channel, pack_method(*class_method, args))
+
+
+def pack_content_header(
+    class_id: int, body_size: int, channel: int
+) -> bytes:
+    """Content header frame with no properties (property-flags 0)."""
+    payload = struct.pack(">HHQH", class_id, 0, body_size, 0)
+    return pack_frame(FRAME_HEADER, channel, payload)
+
+
+class _Cursor:
+    """Sequential reader over a frame payload."""
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def octet(self) -> int:
+        v = self.buf[self.pos]
+        self.pos += 1
+        return v
+
+    def short(self) -> int:
+        (v,) = struct.unpack_from(">H", self.buf, self.pos)
+        self.pos += 2
+        return v
+
+    def long(self) -> int:
+        (v,) = struct.unpack_from(">I", self.buf, self.pos)
+        self.pos += 4
+        return v
+
+    def longlong(self) -> int:
+        (v,) = struct.unpack_from(">Q", self.buf, self.pos)
+        self.pos += 8
+        return v
+
+    def shortstr(self) -> str:
+        n = self.octet()
+        v = self.buf[self.pos : self.pos + n].decode("utf-8")
+        self.pos += n
+        return v
+
+    def longstr(self) -> bytes:
+        n = self.long()
+        v = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return v
+
+    def skip_table(self) -> None:
+        n = self.long()
+        self.pos += n
+
+
+def unpack_method(payload: bytes) -> tuple[tuple[int, int], _Cursor]:
+    cur = _Cursor(payload)
+    class_id = cur.short()
+    method_id = cur.short()
+    return (class_id, method_id), cur
+
+
+# --- consumer ----------------------------------------------------------
+
+
+class AmqpConsumer:
+    """The rabbitmq.go consumer contract over a blocking socket.
+
+    Same topology parameters as the Go flags (rabbitmq.go:24-31):
+    exchange (durable), queue (durable), binding key, consumer tag;
+    same batch semantics: drain until `idle_timeout` elapses with no
+    delivery, then one multiple-ack for everything received.
+    """
+
+    def __init__(
+        self,
+        host: str = "localhost",
+        port: int = 5672,
+        vhost: str = "/",
+        user: str = "guest",
+        password: str = "guest",
+        connect_timeout: float = 2.0,
+    ):
+        self.host, self.port, self.vhost = host, port, vhost
+        self.user, self.password = user, password
+        self.connect_timeout = connect_timeout
+        self.sock: socket.socket | None = None
+        self._recv_buf = b""
+        self.frame_max = 131072
+
+    # -- frame I/O --
+
+    def _send(self, data: bytes) -> None:
+        assert self.sock is not None
+        self.sock.sendall(data)
+
+    def _recv_exact(self, n: int) -> bytes:
+        assert self.sock is not None
+        while len(self._recv_buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise AmqpProtocolError("connection closed by peer")
+            self._recv_buf += chunk
+        out, self._recv_buf = self._recv_buf[:n], self._recv_buf[n:]
+        return out
+
+    def read_frame(self) -> tuple[int, int, bytes]:
+        head = self._recv_exact(7)
+        frame_type, channel, size = struct.unpack(">BHI", head)
+        payload = self._recv_exact(size)
+        end = self._recv_exact(1)
+        if end[0] != FRAME_END:
+            raise AmqpProtocolError(f"bad frame end {end!r}")
+        return frame_type, channel, payload
+
+    def _expect_method(self, want: tuple[int, int]) -> _Cursor:
+        """Read frames until `want` arrives (heartbeats are absorbed)."""
+        while True:
+            frame_type, _ch, payload = self.read_frame()
+            if frame_type == FRAME_HEARTBEAT:
+                continue
+            if frame_type != FRAME_METHOD:
+                raise AmqpProtocolError(
+                    f"expected method frame, got type {frame_type}"
+                )
+            got, cur = unpack_method(payload)
+            if got == CONNECTION_CLOSE:
+                code = cur.short()
+                text = cur.shortstr()
+                raise AmqpProtocolError(f"server closed: {code} {text}")
+            if got != want:
+                raise AmqpProtocolError(f"expected {want}, got {got}")
+            return cur
+
+    # -- conversation --
+
+    def connect(self) -> None:
+        """Dial + Start/Tune/Open — rabbitmq.go NewConsumer's Dial leg."""
+        try:
+            self.sock = socket.create_connection(
+                (self.host, self.port), timeout=self.connect_timeout
+            )
+        except OSError as e:
+            raise ConnectionError(
+                f"rabbitmq broker unreachable at {self.host}:{self.port} "
+                f"({e}) — start a broker or use the 'rabbitmq-double' "
+                "bus kind"
+            ) from e
+        self._send(PROTOCOL_HEADER)
+        cur = self._expect_method(CONNECTION_START)
+        cur.octet()  # version-major
+        cur.octet()  # version-minor
+        cur.skip_table()  # server-properties: unused, skipped by length
+        mechanisms = cur.longstr()
+        if b"PLAIN" not in mechanisms:
+            raise AmqpProtocolError(f"no PLAIN auth in {mechanisms!r}")
+        plain = f"\x00{self.user}\x00{self.password}".encode()
+        self._send(
+            pack_method_frame(
+                0,
+                CONNECTION_START_OK,
+                pack_table_empty()
+                + pack_shortstr("PLAIN")
+                + pack_longstr(plain)
+                + pack_shortstr("en_US"),
+            )
+        )
+        cur = self._expect_method(CONNECTION_TUNE)
+        channel_max = cur.short()
+        frame_max = cur.long()
+        heartbeat = cur.short()
+        self.frame_max = frame_max or self.frame_max
+        self._send(
+            pack_method_frame(
+                0,
+                CONNECTION_TUNE_OK,
+                struct.pack(">HIH", channel_max, self.frame_max, heartbeat),
+            )
+        )
+        self._send(
+            pack_method_frame(
+                0,
+                CONNECTION_OPEN,
+                pack_shortstr(self.vhost) + pack_shortstr("") + b"\x00",
+            )
+        )
+        self._expect_method(CONNECTION_OPEN_OK)
+        self._send(pack_method_frame(1, CHANNEL_OPEN, pack_shortstr("")))
+        self._expect_method(CHANNEL_OPEN_OK)
+
+    def declare(
+        self,
+        exchange: str = "test-exchange",
+        exchange_type: str = "direct",
+        queue: str = "test-queue",
+        binding_key: str = "test-key",
+    ) -> None:
+        """Durable exchange + durable queue + bind — rabbitmq.go:103-140
+        (same durable/auto-delete choices as the Go consumer)."""
+        # bits octet: passive=0 durable=1 auto-delete=0 internal=0 nowait=0
+        self._send(
+            pack_method_frame(
+                1,
+                EXCHANGE_DECLARE,
+                struct.pack(">H", 0)
+                + pack_shortstr(exchange)
+                + pack_shortstr(exchange_type)
+                + b"\x02"
+                + pack_table_empty(),
+            )
+        )
+        self._expect_method(EXCHANGE_DECLARE_OK)
+        self._send(
+            pack_method_frame(
+                1,
+                QUEUE_DECLARE,
+                struct.pack(">H", 0)
+                + pack_shortstr(queue)
+                + b"\x02"  # durable=1 (rabbitmq.go:116)
+                + pack_table_empty(),
+            )
+        )
+        cur = self._expect_method(QUEUE_DECLARE_OK)
+        cur.shortstr()  # queue name
+        self._send(
+            pack_method_frame(
+                1,
+                QUEUE_BIND,
+                struct.pack(">H", 0)
+                + pack_shortstr(queue)
+                + pack_shortstr(exchange)
+                + pack_shortstr(binding_key)
+                + b"\x00"
+                + pack_table_empty(),
+            )
+        )
+        self._expect_method(QUEUE_BIND_OK)
+
+    def consume(
+        self, queue: str = "test-queue", consumer_tag: str = "simple-consumer"
+    ) -> None:
+        """Basic.Consume with explicit acks (noAck=false, like
+        rabbitmq.go:143-151) — the deferred-ack contract depends on it."""
+        self._send(
+            pack_method_frame(
+                1,
+                BASIC_CONSUME,
+                struct.pack(">H", 0)
+                + pack_shortstr(queue)
+                + pack_shortstr(consumer_tag)
+                + b"\x00"  # no-local=0 no-ack=0 exclusive=0 nowait=0
+                + pack_table_empty(),
+            )
+        )
+        self._expect_method(BASIC_CONSUME_OK)
+
+    def drain(
+        self, idle_timeout: float = 0.1, before_ack=None
+    ) -> list[bytes]:
+        """Consume until `idle_timeout` passes with no delivery, then
+        ack EVERYTHING with one multiple-ack — the Go main loop's
+        `lifetime` + `lastDelivery.Ack(true)` batch framing
+        (rabbitmq.go:54-61). Returns the raw delivery bodies in order.
+
+        ``before_ack(bodies)`` (if given) runs after the batch is
+        complete but BEFORE the ack is sent — the hook where the spool
+        write lands the batch durably, preserving the reference's
+        ack-after-land at-least-once ordering.
+        """
+        assert self.sock is not None
+        bodies: list[bytes] = []
+        last_tag = 0
+        self.sock.settimeout(idle_timeout)
+        try:
+            while True:
+                try:
+                    frame_type, _ch, payload = self.read_frame()
+                except socket.timeout:
+                    break  # idle: the batch is over
+                if frame_type == FRAME_HEARTBEAT:
+                    continue
+                if frame_type != FRAME_METHOD:
+                    raise AmqpProtocolError(
+                        f"expected Basic.Deliver, got frame {frame_type}"
+                    )
+                got, cur = unpack_method(payload)
+                if got != BASIC_DELIVER:
+                    raise AmqpProtocolError(f"expected Deliver, got {got}")
+                cur.shortstr()  # consumer-tag
+                last_tag = cur.longlong()  # delivery-tag
+                # redelivered bit / exchange / routing-key: not needed
+                body = self._read_content()
+                bodies.append(body)
+        finally:
+            self.sock.settimeout(None)
+        if before_ack is not None:
+            before_ack(bodies)
+        if last_tag:
+            # ack after the batch landed — deferred, multiple=true
+            self._send(
+                pack_method_frame(
+                    1,
+                    BASIC_ACK,
+                    struct.pack(">Q", last_tag) + b"\x01",
+                )
+            )
+        return bodies
+
+    def _read_content(self) -> bytes:
+        """Content header frame + as many body frames as it declares."""
+        frame_type, _ch, payload = self.read_frame()
+        if frame_type != FRAME_HEADER:
+            raise AmqpProtocolError(f"expected content header, got {frame_type}")
+        cur = _Cursor(payload)
+        cur.short()  # class-id
+        cur.short()  # weight
+        body_size = cur.longlong()
+        body = b""
+        while len(body) < body_size:
+            frame_type, _ch, chunk = self.read_frame()
+            if frame_type != FRAME_BODY:
+                raise AmqpProtocolError(f"expected body frame, got {frame_type}")
+            body += chunk
+        return body
+
+    def close(self) -> None:
+        if self.sock is None:
+            return
+        try:
+            self._send(
+                pack_method_frame(
+                    0,
+                    CONNECTION_CLOSE,
+                    struct.pack(">H", 200)
+                    + pack_shortstr("bye")
+                    + struct.pack(">HH", 0, 0),
+                )
+            )
+            self._expect_method(CONNECTION_CLOSE_OK)
+        except (OSError, AmqpProtocolError):
+            pass  # best-effort, like the Go Shutdown error path
+        finally:
+            self.sock.close()
+            self.sock = None
+
+
+def consume_to_spool(
+    spool_dir: str,
+    host: str = "localhost",
+    port: int = 5672,
+    exchange: str = "test-exchange",
+    exchange_type: str = "direct",
+    queue: str = "test-queue",
+    binding_key: str = "test-key",
+    consumer_tag: str = "simple-consumer",
+    idle_timeout: float = 0.1,
+    **conn_opts,
+) -> int:
+    """One full reference-consumer cycle: connect → declare → consume →
+    drain (spooling the batch atomically tmp→rename BEFORE the deferred
+    ack goes out) → close. Returns the number of lines landed.
+    """
+
+    def _land(bodies: list[bytes]) -> None:
+        os.makedirs(spool_dir, exist_ok=True)
+        if not bodies:
+            return
+        tmp = os.path.join(spool_dir, f".batch-{uuid.uuid4().hex}.tmp")
+        final = os.path.join(spool_dir, os.path.basename(tmp)[1:-4] + ".txt")
+        # rabbitmq.go:39,181 — collapse [\t\r\n]+ to one space AT the
+        # consumer: the spool (like the Go consumer's stdout) is
+        # line-framed, so an embedded newline would split an envelope.
+        # parse_maxwell's sanitize_line is then an idempotent no-op.
+        sane = [re.sub(rb"[\t\r\n]+", b" ", b) for b in bodies]
+        with open(tmp, "wb") as f:
+            f.write(b"\n".join(sane) + b"\n")
+        os.replace(tmp, final)
+
+    consumer = AmqpConsumer(host=host, port=port, **conn_opts)
+    consumer.connect()
+    try:
+        consumer.declare(exchange, exchange_type, queue, binding_key)
+        consumer.consume(queue, consumer_tag)
+        bodies = consumer.drain(idle_timeout, before_ack=_land)
+    finally:
+        consumer.close()
+    return len(bodies)

@@ -16,6 +16,17 @@ Supported kinds:
 - ``kafka``  — the production path on a real cluster. Requires the
                spark-sql-kafka package on the classpath; config keys
                mirror rabbitmq.go's env-driven setup (run_maxwell.py).
+- ``rabbitmq`` — the reference's LITERAL transport (rabbitmq.go):
+               a pure-stdlib AMQP 0-9-1 consumer (sources/amqp.py)
+               drains the queue into a spool directory with the Go
+               consumer's idle-timeout batch framing + deferred
+               multiple-ack, and the stream is the text source over
+               the spool. Raises ConnectionError when no broker is
+               reachable (tests print the skip reason).
+- ``rabbitmq-double`` — file-backed stream reshaped through the AMQP
+               delivery record shape and decoded by the SAME `body` →
+               `line` projection as real deliveries (the broker-less
+               CI path, mirroring kafka-double).
 - ``rate``   — synthetic throughput source for load tests.
 
 rabbitmq.go:39 sanitization (`[\\t\\r\\n]+` → ' ') is NOT done here —
@@ -64,6 +75,43 @@ def kafka_record_double(
     )
 
 
+def _amqp_to_lines(records: DataFrame) -> DataFrame:
+    """AMQP delivery frame (binary body + exchange/routing-key/tag
+    metadata) → the uniform one-column `line` protocol.
+
+    Shared by the real rabbitmq spool path's record view and the test
+    double, mirroring `_kafka_to_lines`: each delivery body is one
+    complete Maxwell envelope (rabbitmq.go:181 prints one body per
+    line), acks are deferred to after the batch lands (the consumer's
+    multiple-ack — sources/amqp.py `drain`).
+    """
+    return records.select(F.col("body").cast("string").alias("line"))
+
+
+def amqp_delivery_double(
+    stream: DataFrame,
+    exchange: str = "test-exchange",
+    routing_key: str = "test-key",
+    consumer_tag: str = "simple-consumer",
+) -> DataFrame:
+    """Reshape any single-string-column stream into the AMQP delivery
+    record shape (amqp.Delivery's fields: body, consumer_tag,
+    delivery_tag, redelivered, exchange, routing_key) — a test double
+    for broker-less environments, mirroring `kafka_record_double`.
+    Delivery tags are not globally ordered here (no broker channel);
+    downstream must not rely on them, matching redelivery semantics.
+    """
+    src_col = stream.columns[0]
+    return stream.select(
+        F.col(src_col).cast("binary").alias("body"),
+        F.lit(consumer_tag).alias("consumer_tag"),
+        F.lit(-1).cast("long").alias("delivery_tag"),
+        F.lit(False).alias("redelivered"),
+        F.lit(exchange).alias("exchange"),
+        F.lit(routing_key).alias("routing_key"),
+    )
+
+
 def read_bus_stream(spark: SparkSession, kind: str, **opts: str) -> DataFrame:
     """Return a streaming DataFrame with exactly one `line` string column.
 
@@ -75,6 +123,16 @@ def read_bus_stream(spark: SparkSession, kind: str, **opts: str) -> DataFrame:
                     through the Kafka record schema and decoded by the
                     SAME projection as the real kafka source (CI path
                     for kafka-shaped pipelines in broker-less sandboxes)
+      rabbitmq:     spool (required; batch landing dir), host, port,
+                    exchange, exchange_type, queue, binding_key,
+                    consumer_tag, idle_timeout — one reference-consumer
+                    drain cycle (connect/declare/consume/spool/ack)
+                    runs eagerly, then the stream tails the spool.
+                    ConnectionError when no broker answers.
+      rabbitmq-double: path (required), exchange, routing_key —
+                    file-backed stream reshaped through the AMQP
+                    delivery shape, decoded by the same projection as
+                    real deliveries
       rate:         rows_per_second
     """
     kind = kind.lower()
@@ -104,6 +162,35 @@ def read_bus_stream(spark: SparkSession, kind: str, **opts: str) -> DataFrame:
         raw = spark.readStream.format("text").load(opts["path"])
         return _kafka_to_lines(
             kafka_record_double(raw, topic=opts.get("topic", "maxwell"))
+        )
+    if kind == "rabbitmq":
+        from . import amqp
+
+        spool = opts["spool"]
+        amqp.consume_to_spool(
+            spool,
+            host=opts.get("host", "localhost"),
+            port=int(opts.get("port", "5672")),
+            exchange=opts.get("exchange", "test-exchange"),
+            exchange_type=opts.get("exchange_type", "direct"),
+            queue=opts.get("queue", "test-queue"),
+            binding_key=opts.get("binding_key", "test-key"),
+            consumer_tag=opts.get("consumer_tag", "simple-consumer"),
+            idle_timeout=float(opts.get("idle_timeout", "0.1")),
+        )
+        return (
+            spark.readStream.format("text")
+            .load(spool)
+            .withColumnRenamed("value", "line")
+        )
+    if kind == "rabbitmq-double":
+        raw = spark.readStream.format("text").load(opts["path"])
+        return _amqp_to_lines(
+            amqp_delivery_double(
+                raw,
+                exchange=opts.get("exchange", "test-exchange"),
+                routing_key=opts.get("routing_key", "test-key"),
+            )
         )
     if kind == "rate":
         return (

@@ -1,0 +1,115 @@
+"""Postgres logical-decoding (wal2json) CDC envelope source.
+
+Reference TODO #1 (/root/reference/README.md:155) asks for a Postgres
+``wal2json`` source next to the Maxwell feed. wal2json (format
+version 1) emits ONE JSON document per transaction::
+
+    {"xid": 7, "timestamp": "...", "change": [
+        {"kind": "insert", "schema": "public", "table": "t",
+         "columnnames": [...], "columntypes": [...],
+         "columnvalues": [...]},
+        {"kind": "delete", "schema": "public", "table": "t",
+         "oldkeys": {"keynames": [...], "keytypes": [...],
+                     "keyvalues": [...]}}]}
+
+whereas Maxwell emits one document per row change. The adapter maps the
+transaction envelope onto the SAME typed CDC frame ``parse_maxwell``
+produces (ts, database_name, table_name, op, xid, data, old, sql,
+event_json, + change_idx for intra-transaction order), so the ENTIRE
+downstream — archive, snapshot/apply merge, watermark, replica stores —
+is reused untouched. That reuse is the point of the TODO: a Postgres
+deployment swaps the parser, not the pipeline.
+
+Spark-first notes: one ``from_json`` against a declared schema (a
+single whole-stage-codegen projection — mixed-type ``columnvalues``
+coerce to string at parse, typing happens later against the
+SchemaRegistry exactly as with Maxwell), then ONE ``posexplode`` to
+fan the transaction's change array into row-level events. Both are
+map-side; the adapter adds no shuffle, so it scales with input splits
+like the Maxwell path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .maxwell import sanitize_line
+
+# wal2json format-version-1 transaction envelope. `columnvalues` /
+# `keyvalues` are heterogeneous JSON arrays (numbers, strings, bools);
+# array<string> coerces every scalar to its raw text, matching how the
+# Maxwell map<string,string> payload defers typing to the registry.
+WAL2JSON_SCHEMA = (
+    "xid bigint, timestamp string, change array<struct<"
+    "kind string, schema string, table string,"
+    " columnnames array<string>, columntypes array<string>,"
+    " columnvalues array<string>,"
+    " oldkeys struct<keynames array<string>, keytypes array<string>,"
+    " keyvalues array<string>>>>"
+)
+
+# wal2json kinds → the op vocabulary process_events() understands
+# (cdc_plpgsql_functions.sql:125-225). insert/update/delete map 1:1;
+# 'truncate'/'message' pass through lowercased and are filtered by the
+# DML_OPS check downstream, same as Maxwell's bootstrap-* ops.
+
+
+def parse_wal2json(
+    raw: DataFrame,
+    line_col: str = "line",
+    database: str = "appdb",
+    keep: tuple = (),
+) -> DataFrame:
+    """Raw wal2json transaction lines → the typed CDC event frame.
+
+    Output columns are a superset of ``parse_maxwell``'s (same names,
+    same types) plus ``change_idx`` — the change's position inside its
+    transaction, the intra-txn replay order wal2json guarantees (WAL
+    order). Downstream consumers that order by (ts, xid) alone under
+    Maxwell order by (ts, xid, change_idx) here.
+
+    - ``op``: lowercased ``kind`` (insert/update/delete).
+    - ``data``: columnnames→columnvalues as map<string,string>; NULL
+      for deletes (wal2json carries only ``oldkeys`` there).
+    - ``old``: oldkeys.keynames→keyvalues; the replica key for deletes
+      and the pre-image key for PK-changing updates.
+    - ``database_name``: a constant — a wal2json slot is scoped to one
+      database, the name lives in the connection, not the envelope.
+    - ``sql``: NULL (logical decoding never emits DDL; Maxwell does).
+    - malformed lines: NULL envelope → NULL op, quarantined downstream
+      exactly like the Maxwell path (SEGMENT REJECT LIMIT analog).
+    """
+    parsed = raw.select(
+        *[F.col(c) for c in keep],
+        F.from_json(
+            sanitize_line(F.col(line_col)), WAL2JSON_SCHEMA
+        ).alias("_j"),
+        F.col(line_col).alias("event_json"),
+    )
+    # posexplode_outer keeps malformed/empty-txn lines as NULL-op rows
+    # for the quarantine filter rather than silently dropping them
+    exploded = parsed.select(
+        *[F.col(c) for c in keep],
+        "event_json",
+        F.to_timestamp(F.col("_j.timestamp")).alias("ts"),
+        F.col("_j.xid").alias("xid"),
+        F.posexplode_outer(F.col("_j.change")).alias("change_idx", "_c"),
+    )
+    return exploded.select(
+        *[F.col(c) for c in keep],
+        "ts",
+        F.lit(database).alias("database_name"),
+        F.col("_c.table").alias("table_name"),
+        F.lower(F.col("_c.kind")).alias("op"),
+        "xid",
+        "change_idx",
+        F.map_from_arrays(
+            F.col("_c.columnnames"), F.col("_c.columnvalues")
+        ).alias("data"),
+        F.map_from_arrays(
+            F.col("_c.oldkeys.keynames"), F.col("_c.oldkeys.keyvalues")
+        ).alias("old"),
+        F.lit(None).cast("string").alias("sql"),
+        "event_json",
+    )
