@@ -384,6 +384,14 @@ try:  # Spark >= 4.0 AND protobuf: the TWS state-server protocol is
     # applyInPandasWithState (above) remains the working arbitrary-state
     # surface everywhere; transformWithState is the forward path where
     # the runtime carries protobuf (any standard Spark 4 cluster).
+    # Un-gate attempt (round 5): (a) a live transformWithStateInPandas
+    # run dies in the Python worker at `from google.protobuf import
+    # descriptor` inside StateMessage_pb2; (b) no protobuf exists in any
+    # site-/dist-packages on the box; (c) `pip download protobuf` gets
+    # no bytes (no package network). A vendored runtime is not viable —
+    # the generated _pb2 needs the full descriptor-pool machinery, i.e.
+    # protobuf itself. The gate therefore stands, with the protocol
+    # logic covered by the handler-level tests (tests/test_round4.py).
     import google.protobuf  # noqa: F401
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

@@ -43,6 +43,9 @@ _SKIP = {
     "stream_window_chain",
     "stream_static_enrich",
     "stream_update_mode_counts",
+    # round-5 streaming addition (real multi-batch heterogeneous
+    # fan-out; dedicated semantics tests in test_round5.py)
+    "stream_fanout_heterogeneous",
 }
 
 # ops whose BroadcastNestedLoopJoin is a deliberate constant-size

@@ -130,3 +130,61 @@ class TestImputeAllMissingGroup:
         by_type = {r[0]: r for r in ora}
         assert by_type["allmiss"][4] is None  # fill_cents
         assert by_type["mixed"][4] == 200
+
+
+class TestBulkIndexStore:
+    def test_external_version_replay_is_order_safe(self, spark, tmp_path):
+        """Out-of-order batches and deletes: the replay must honor the
+        external version (CDC seq), not batch arrival order — the ES
+        semantics that make the heterogeneous sink crash/replay-safe."""
+        import datetime
+
+        from greenplum_cdc_spark.streaming.pipeline import BulkIndexStore
+
+        t0 = datetime.datetime(2024, 1, 1)
+
+        def delta(rows):
+            return spark.createDataFrame(
+                [(pk, op, seq, t0, val) for pk, op, seq, val in rows],
+                "pk bigint, op string, seq bigint, ts timestamp, value double",
+            )
+
+        store = BulkIndexStore(spark, str(tmp_path / "bulk"))
+        store.commit(delta([(1, "insert", 5, 10.0), (2, "insert", 6, 20.0)]))
+        # batch 2 arrives LATER but carries an OLDER event for pk 1
+        store.commit(delta([(1, "insert", 3, 99.0)]))
+        # batch 3 deletes pk 2
+        store.commit(delta([(2, "delete", 9, 0.0)]))
+        got = {r["pk"]: r for r in store.read_replay().collect()}
+        assert set(got) == {1}
+        assert got[1]["seq"] == 5 and got[1]["value"] == 10.0
+
+    def test_bulk_wire_format_is_es_bulk(self, spark, tmp_path):
+        """Every emitted line is either a valid _bulk action with
+        external versioning or a source doc — POSTable as-is."""
+        import datetime
+        import glob
+        import json
+
+        from greenplum_cdc_spark.streaming.pipeline import BulkIndexStore
+
+        t0 = datetime.datetime(2024, 1, 1)
+        store = BulkIndexStore(spark, str(tmp_path / "bulk"))
+        store.commit(
+            spark.createDataFrame(
+                [(7, "insert", 11, t0, 1.5), (8, "delete", 12, t0, 0.0)],
+                "pk bigint, op string, seq bigint, ts timestamp, value double",
+            )
+        )
+        lines = []
+        for f in glob.glob(str(tmp_path / "bulk" / "v=1" / "part-*")):
+            lines += open(f).read().splitlines()
+        parsed = [json.loads(ln) for ln in lines if ln]
+        actions = [p for p in parsed if "index" in p or "delete" in p]
+        docs = [p for p in parsed if "pk" in p]
+        assert len(actions) == 2 and len(docs) == 1
+        for a in actions:
+            meta = a.get("index") or a.get("delete")
+            assert meta["version_type"] == "external"
+            assert meta["_index"] == "events"
+        assert docs[0]["pk"] == 7 and docs[0]["seq"] == 11

@@ -248,7 +248,21 @@ def _late_ops():
         "cusum_changepoint": timeseries.cusum_changepoint,
         "trend_slope": _stats().trend_slope,
         "impute_missing": _stats().impute_missing,
+        # round 5
+        "wal2json_parse_events": cdc_queries.wal2json_parse_events,
+        "wal2json_snapshot_equivalence": (
+            cdc_queries.wal2json_snapshot_equivalence
+        ),
+        "stream_fanout_heterogeneous": (
+            _streaming().stream_fanout_heterogeneous
+        ),
     }
+
+
+def _streaming():
+    from greenplum_cdc_spark.streaming import pipeline
+
+    return pipeline
 
 
 def _stats():
