@@ -226,7 +226,7 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     name = "windowed_counts_sink"
-    with shuffle_partitions(spark, 8):
+    with shuffle_partitions(spark, 4):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -299,7 +299,7 @@ def stream_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from ..io import shuffle_partitions
 
-        with shuffle_partitions(spark, 8):
+        with shuffle_partitions(spark, 4):
             pipe = CDCPipeline(spark, replica_dir, key_cols=("pk",))
             pipe.run_available(in_dir, ckpt)
             replica = pipe.store.read()
@@ -422,7 +422,7 @@ def stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from ..io import shuffle_partitions
 
-        with shuffle_partitions(spark, 8):
+        with shuffle_partitions(spark, 4):
             pipe = FanoutCDCPipeline(spark, sink_dirs, key_cols=("pk",))
             pipe.run_available(in_dir, ckpt)
             per_sink = []
@@ -709,7 +709,7 @@ def stream_fanout_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(line.alias("line")).repartition(4).write.mode(
             "overwrite"
         ).text(in_dir)
-        with shuffle_partitions(spark, 8):
+        with shuffle_partitions(spark, 4):
             pipe = HeterogeneousFanoutPipeline(
                 spark,
                 os.path.join(base, "replica"),
@@ -826,7 +826,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("v_ts"))).alias("gap_us"),
     )
     name = "interval_join_sink"
-    with shuffle_partitions(spark, 8):
+    with shuffle_partitions(spark, 4):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -935,7 +935,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"))
         )
         name = "late_data_sink"
-        with shuffle_partitions(spark, 8):
+        with shuffle_partitions(spark, 4):
             q = (
                 agg.writeStream.format("memory")
                 .queryName(name)
@@ -1034,7 +1034,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "session_window_sink"
-    with shuffle_partitions(spark, 8):
+    with shuffle_partitions(spark, 4):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -1119,12 +1119,12 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(3):
             batch_ev.filter(
                 (F.col("ts_us") >= lo + i * step) & (F.col("ts_us") < lo + (i + 1) * step)
-            ).coalesce(1).write.mode("overwrite").json(os.path.join(in_dir, f"b{i}"))
+            ).coalesce(1).write.mode("overwrite").parquet(os.path.join(in_dir, f"b{i}"))
         batch_ev.unpersist()
         stream = (
             spark.readStream.schema("user_id long, ts_us long, event_type string")
             .option("maxFilesPerTrigger", 1)
-            .json(in_dir + "/b*")
+            .parquet(in_dir + "/b*")
         )
         agg = stream.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
@@ -1267,7 +1267,7 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap_us"),
         )
         name = "outer_join_sink"
-        with shuffle_partitions(spark, 8):
+        with shuffle_partitions(spark, 4):
             q = (
                 joined.writeStream.format("memory")
                 .queryName(name)
@@ -1359,7 +1359,7 @@ def stream_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n10").alias("n60"), F.count("*").alias("n_subwindows"))
     )
     name = "window_chain_sink"
-    with shuffle_partitions(spark, 8):
+    with shuffle_partitions(spark, 4):
         q = (
             hour.writeStream.format("memory")
             .queryName(name)
@@ -1441,7 +1441,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
     )
     name = "static_enrich_sink"
-    with shuffle_partitions(spark, 8):
+    with shuffle_partitions(spark, 4):
         q = (
             enriched.writeStream.format("memory")
             .queryName(name)
@@ -1521,7 +1521,7 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def run_once() -> None:
             stream = spark.readStream.schema(b0.schema).parquet(in_dir + "/*")
-            with shuffle_partitions(spark, 8):
+            with shuffle_partitions(spark, 4):
                 q = (
                     stream.writeStream.format("parquet")
                     .option("path", sink)

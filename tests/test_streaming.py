@@ -232,7 +232,8 @@ def test_pipeline_pk_change_and_watermark(spark, tmp_path):
 
 def test_stateful_stream_dedup_across_batches(spark, tmp_path):
     """applyInPandasWithState: a hash emits once EVER, across batches."""
-    import json
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from greenplum_cdc_spark.streaming.stateful import run_stream_dedup
 
@@ -241,31 +242,25 @@ def test_stateful_stream_dedup_across_batches(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")
 
-    # batch 1: two distinct texts, one duplicated within the batch
-    (in_dir / "b1.json").write_text(
-        "\n".join(
-            json.dumps(x)
-            for x in [
-                {"doc_id": 1, "text": "alpha"},
-                {"doc_id": 2, "text": "beta"},
-                {"doc_id": 3, "text": "alpha"},
-            ]
+    def _drop(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            str(in_dir / name),
         )
-    )
+
+    # batch 1: two distinct texts, one duplicated within the batch
+    _drop("b1.parquet", [(1, "alpha"), (2, "beta"), (3, "alpha")])
     rows1 = {r["first_doc_id"]: r for r in run_stream_dedup(spark, str(in_dir), ckpt, out).collect()}
     assert set(rows1) == {1, 2}
     assert rows1[1]["n_new_in_batch"] == 2  # in-batch duplicate folded
 
     # batch 2: replay of alpha + one new text -> only the new one emits
-    (in_dir / "b2.json").write_text(
-        "\n".join(
-            json.dumps(x)
-            for x in [
-                {"doc_id": 4, "text": "alpha"},
-                {"doc_id": 5, "text": "gamma"},
-            ]
-        )
-    )
+    _drop("b2.parquet", [(4, "alpha"), (5, "gamma")])
     rows2 = {r["first_doc_id"]: r for r in run_stream_dedup(spark, str(in_dir), ckpt, out).collect()}
     assert set(rows2) == {1, 2, 5}  # alpha replay suppressed by state
 
