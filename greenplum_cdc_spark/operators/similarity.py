@@ -258,6 +258,80 @@ IVF_QUERIES = 20
 _RV = "CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(16,6))"
 
 
+def _ivf_assign(vecs: DataFrame) -> DataFrame:
+    """Shared IVF coarse quantizer (C25 + C81): centroid training + cell
+    assignment, returning (vec_id, cell, embedding).
+
+    Centroid training: posexplode to (label, dim, unit) with the 6-dp
+    element as an exact int64 micro-unit, then one map-side-combined
+    LONG-sum groupBy. Long sums are order-insensitive and exact, so this
+    is bit-identical to the oracle's DECIMAL SUM (scaled 1e6) — and long
+    agg buffers are ~7x cheaper than decimal(38,6) here. The trained
+    quantizer goes to the driver (tiny: |cells| x DIM rows) and is
+    embedded as literal arrays so assignment needs no join at all:
+    per-cell zip_with/aggregate folds in ONE corpus scan, whole-stage
+    codegen, argmin with ties to the smallest cell id (cells_sorted is
+    ascending and array_position returns the FIRST match). Distance math
+    is exact int64 micro-units — squared-diff sums over 64 dims stay far
+    under 2^63, same argmin as the oracle's DECIMAL dist2 (monotone
+    x1e12 scaling)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ve = vecs.select("label", F.posexplode("embedding").alias("pos", "v")).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        (
+            F.round(F.col("v").cast("double"), 6).cast("decimal(16,6)")
+            * F.lit(1_000_000)
+        ).cast("long").alias("u"),
+    )
+    cent = ve.groupBy("label", "dim").agg(
+        F.sum("u").alias("su"), F.count("*").alias("n")
+    )
+    by_cell: dict[int, dict[int, object]] = {}
+    for r in cent.collect():
+        # ROUND(CAST(sum AS DOUBLE)/n, 6) — replicate the engines' shared
+        # rounding chain exactly: micro-unit long -> exact decimal sum
+        # (scaleb) -> correctly-rounded double (float(Decimal)) -> IEEE
+        # division -> HALF_UP 6-dp round over the shortest decimal repr
+        # (Decimal(repr(x)).quantize, NOT Python round(), which is
+        # banker's).
+        val = float(Decimal(r["su"]).scaleb(-6)) / r["n"]
+        by_cell.setdefault(int(r["label"]), {})[int(r["dim"])] = Decimal(
+            repr(val)
+        ).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    cells_sorted = sorted(by_cell)
+    rv_arr = F.transform(
+        F.col("embedding"),
+        lambda x: (
+            F.round(x.cast("double"), 6).cast("decimal(16,6)") * F.lit(1_000_000)
+        ).cast("long"),
+    )
+    dist_cols = []
+    for c in cells_sorted:
+        c6_arr = F.array(
+            *[
+                F.lit(int(by_cell[c][d].scaleb(6)))
+                for d in range(1, DIM + 1)
+            ]
+        )
+        sq = F.zip_with(F.col("rv"), c6_arr, lambda x, y: (x - y) * (x - y))
+        dist_cols.append(F.aggregate(sq, F.lit(0).cast("long"), lambda a, x: a + x))
+    cell_ids = F.array(*[F.lit(c) for c in cells_sorted])
+    return (
+        vecs.withColumn("rv", rv_arr)
+        .withColumn("dists", F.array(*dist_cols))
+        .select(
+            "vec_id",
+            F.element_at(
+                cell_ids,
+                F.array_position(F.col("dists"), F.array_min("dists")).cast("int"),
+            ).alias("cell"),
+            "embedding",
+        )
+    )
+
+
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C25: IVF-style ANN — coarse quantizer + within-cell search.
 
@@ -282,75 +356,8 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree bit-for-bit.
     """
     vecs = load_table(spark, sf_dir, "embeddings")
-    # centroid training: posexplode to (label, dim, unit) with the 6-dp
-    # element as an exact int64 micro-unit, then one map-side-combined
-    # LONG-sum groupBy. Long sums are order-insensitive and exact, so
-    # this is bit-identical to the oracle's DECIMAL SUM (scaled 1e6) —
-    # and long agg buffers are ~7x cheaper than decimal(38,6) here.
-    ve = vecs.select("label", F.posexplode("embedding").alias("pos", "v")).select(
-        "label",
-        (F.col("pos") + 1).alias("dim"),
-        (
-            F.round(F.col("v").cast("double"), 6).cast("decimal(16,6)")
-            * F.lit(1_000_000)
-        ).cast("long").alias("u"),
-    )
-    cent = ve.groupBy("label", "dim").agg(
-        F.sum("u").alias("su"), F.count("*").alias("n")
-    )
-    # trained quantizer -> driver (tiny: |cells| x DIM rows), embedded as
-    # literals so assignment needs no join at all
-    from decimal import ROUND_HALF_UP, Decimal
-
-    by_cell: dict[int, dict[int, object]] = {}
-    for r in cent.collect():
-        # ROUND(CAST(sum AS DOUBLE)/n, 6) — replicate the engines' shared
-        # rounding chain exactly: micro-unit long -> exact decimal sum
-        # (scaleb) -> correctly-rounded double (float(Decimal)) -> IEEE
-        # division -> HALF_UP 6-dp round over the shortest decimal repr
-        # (Decimal(repr(x)).quantize, NOT Python round(), which is
-        # banker's).
-        val = float(Decimal(r["su"]).scaleb(-6)) / r["n"]
-        by_cell.setdefault(int(r["label"]), {})[int(r["dim"])] = Decimal(
-            repr(val)
-        ).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
-    cells_sorted = sorted(by_cell)
-    # distance math in exact int64 micro-units: rv and c6 both carry <=6
-    # decimal places, so x1e6 is an exact integer; squared-diff sums over
-    # 64 dims stay far under 2^63. Same argmin as the oracle's DECIMAL
-    # dist2 (monotone x1e12 scaling), with long-typed codegen instead of
-    # 38-digit decimal ops.
-    rv_arr = F.transform(
-        F.col("embedding"),
-        lambda x: (
-            F.round(x.cast("double"), 6).cast("decimal(16,6)") * F.lit(1_000_000)
-        ).cast("long"),
-    )
-    dist_cols = []
-    for c in cells_sorted:
-        c6_arr = F.array(
-            *[
-                F.lit(int(by_cell[c][d].scaleb(6)))
-                for d in range(1, DIM + 1)
-            ]
-        )
-        sq = F.zip_with(F.col("rv"), c6_arr, lambda x, y: (x - y) * (x - y))
-        dist_cols.append(F.aggregate(sq, F.lit(0).cast("long"), lambda a, x: a + x))
-    cell_ids = F.array(*[F.lit(c) for c in cells_sorted])
-    # argmin with ties to the smallest cell id: cells_sorted is ascending
-    # and array_position returns the FIRST match
-    corpus = (
-        vecs.withColumn("rv", rv_arr)
-        .withColumn("dists", F.array(*dist_cols))
-        .select(
-            "vec_id",
-            F.element_at(
-                cell_ids,
-                F.array_position(F.col("dists"), F.array_min("dists")).cast("int"),
-            ).alias("cell"),
-            "embedding",
-            F.sqrt(_dot("embedding", "embedding")).alias("norm"),
-        )
+    corpus = _ivf_assign(vecs).withColumn(
+        "norm", F.sqrt(_dot("embedding", "embedding"))
     )
     queries = corpus.filter(F.col("vec_id") < IVF_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1155,6 +1162,253 @@ SELECT vec_id,
          AS recon_err
 FROM agg
 ORDER BY vec_id
+"""
+
+
+# --- C81: IVF-PQ — the composed production ANN index -------------------
+
+# finer quantization than C59's demo codebook: iid synthetic embeddings
+# are PQ's worst case (no subspace correlation to exploit), so the
+# operating point that recovers useful recall is 16 subspaces x 32
+# codes (measured recall@5 vs exact in-cell L2: 0.53 here, vs 0.16 at
+# C59's 4x4). Codebook = subvectors of the first IVFPQ_CODES corpus
+# vectors — the deterministic stand-in for per-subspace k-means.
+IVFPQ_M = 16
+IVFPQ_SUB = DIM // IVFPQ_M
+IVFPQ_CODES = 32
+
+
+def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C81: IVF-PQ ANN — the FAISS IndexIVFPQ architecture composed
+    from the repo's own parts: C25's coarse quantizer partitions the
+    corpus into cells, a product quantizer compresses every corpus
+    vector to {IVFPQ_M} codes, and each query scans ONLY its cell
+    scoring candidates by Asymmetric Distance Computation (ADC): a
+    per-query lookup table of |subspace| x |codebook| exact squared-L2
+    entries, so a candidate costs {IVFPQ_M} array lookups instead of a
+    {DIM}-dim dot product. This is the 100 TB serving layout: codes
+    are ~16x smaller than raw vectors, the LUT is built once per
+    query, and candidate generation stays cell-local.
+
+    Plan shape: cell assignment and code assignment are both map-side
+    literal-fold scans (zero joins — _ivf_assign + per-subspace
+    argmin folds); the only shuffle-ish step is the equi-join of the
+    coded corpus against the BROADCAST query set on cell id. ADC
+    additions run in fixed subspace order m=0..{IVFPQ_M}-1, and each
+    LUT entry is the same left-folded (0.0 + t1 + ...) chain the
+    oracle states, so the doubles are bit-identical cross-engine. Code
+    argmin ties break to the lowest code on both engines
+    (array_position takes the FIRST min; the oracle ranks (dm ASC,
+    code ASC)); neighbor ties to the lowest neighbor_id. Recall@5 vs
+    the exact in-cell L2 ranking is pinned in pytest. Reference
+    parity: the warehouse-side ANN scan a Greenplum user would push
+    into the MPP layer, at the layout that survives 10^9 vectors.
+    """
+    from .dedup import _swap_persist
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    seed_rows = {
+        int(r["vec_id"]): list(r["embedding"])
+        for r in vecs.filter(F.col("vec_id") < IVFPQ_CODES).collect()
+    }
+    # the assigned corpus feeds THREE consumers (coded side, query side,
+    # and the query-side LUT projection) — persist it once, swap-bounded
+    corpus = _swap_persist("ivfpq_corpus", _ivf_assign(vecs))
+    # corpus code assignment runs as Arrow-vectorized numpy inside
+    # mapInPandas (the FAISS encode loop is BLAS for the same reason):
+    # the expression-tree form is 16x32=512 higher-order-function folds,
+    # which Spark evaluates INTERPRETED per element — measured 34.7 s at
+    # sf0.1 vs ~2 s vectorized. Bit-identity is preserved by doing the
+    # same left fold in the same order with IEEE doubles: d starts at
+    # 0.0 and accumulates (x_j - c_j)^2 for j ascending (elementwise
+    # numpy adds in sequence == the SQL chain's left association), and
+    # argmin takes the FIRST minimum (lowest code), like array_position
+    # and the oracle's (dm ASC, code ASC) rank.
+    import numpy as np
+    import pandas as pd
+
+    cb = np.array(
+        [seed_rows[c] for c in range(IVFPQ_CODES)], dtype=np.float64
+    ).reshape(IVFPQ_CODES, IVFPQ_M, IVFPQ_SUB)
+
+    def _encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            sub = x.reshape(len(x), IVFPQ_M, IVFPQ_SUB)
+            d = np.zeros((len(x), IVFPQ_M, IVFPQ_CODES))
+            for j in range(IVFPQ_SUB):
+                t = sub[:, :, j][:, :, None] - cb[:, :, j].T[None, :, :]
+                d = d + t * t
+            codes = d.argmin(axis=2).astype("int32")
+            out = {"vec_id": pdf["vec_id"]}
+            for m in range(IVFPQ_M):
+                out[f"code{m}"] = codes[:, m]
+            yield pd.DataFrame(out)
+
+    coded_raw = vecs.select("vec_id", "embedding").mapInPandas(
+        _encode,
+        schema="vec_id bigint, "
+        + ", ".join(f"code{m} int" for m in range(IVFPQ_M)),
+    )
+    # co-keyed by vec_id (at cluster scale both sides bucket on it; the
+    # production variant fuses cells+codes into one pass)
+    coded = corpus.select("vec_id", "cell").join(coded_raw, "vec_id")
+    # the per-query LUT (16x32 exact fold entries) is built DRIVER-side:
+    # the expression-tree form is 512 nested HOF folds whose Catalyst
+    # analysis alone cost 13+ s for 20 rows. The query set is tiny by
+    # contract (|Q| rows x M x K doubles — the same "collect the tiny
+    # side" stance as the trained quantizer), and Python floats ARE
+    # IEEE doubles, so the left fold 0.0 + (x-c)^2 + ... in ascending
+    # dim order is bit-identical to the oracle's chain. float32 corpus
+    # elements widen exactly to double on both paths.
+    q_rows = corpus.filter(F.col("vec_id") < IVF_QUERIES).select(
+        "vec_id", "cell", "embedding"
+    ).collect()
+    lut_rows = []
+    for r in q_rows:
+        emb = [float(x) for x in r["embedding"]]
+        luts = []
+        for m in range(IVFPQ_M):
+            sub = emb[m * IVFPQ_SUB : (m + 1) * IVFPQ_SUB]
+            ent = []
+            for c in range(IVFPQ_CODES):
+                cw = seed_rows[c][m * IVFPQ_SUB : (m + 1) * IVFPQ_SUB]
+                acc = 0.0
+                for x, y in zip(sub, cw):
+                    acc = acc + (x - float(y)) * (x - float(y))
+                ent.append(acc)
+            luts.append(ent)
+        lut_rows.append((int(r["vec_id"]), int(r["cell"]), *luts))
+    queries = spark.createDataFrame(
+        lut_rows,
+        "query_id bigint, cell int, "
+        + ", ".join(f"lut{m} array<double>" for m in range(IVFPQ_M)),
+    )
+    pairs = coded.alias("c").join(
+        F.broadcast(queries).alias("q"),
+        (F.col("c.cell") == F.col("q.cell"))
+        & (F.col("c.vec_id") != F.col("q.query_id")),
+    )
+    adc = F.element_at(F.col("q.lut0"), F.col("c.code0") + 1)
+    for m in range(1, IVFPQ_M):
+        adc = adc + F.element_at(F.col(f"q.lut{m}"), F.col(f"c.code{m}") + 1)
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("q.cell").cast("bigint").alias("cell"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            adc.alias("adc_d2"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("query_id", "cell", "rank", "neighbor_id", "adc_d2")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivfpq_chain_sql(m: int) -> str:
+    """Squared-L2 chain between v.embedding's m-th subvector and the
+    same subvector of codebook row s.c (absolute dims) — textually the
+    same left-folded chain as the Spark aggregate fold."""
+    terms = [
+        f"(CAST(v.embedding[{i}] AS DOUBLE) - CAST(s.c[{i}] AS DOUBLE))"
+        f" * (CAST(v.embedding[{i}] AS DOUBLE) - CAST(s.c[{i}] AS DOUBLE))"
+        for i in range(m * IVFPQ_SUB + 1, (m + 1) * IVFPQ_SUB + 1)
+    ]
+    return "(0.0 + " + " + ".join(terms) + ")"
+
+
+def _adc_chain_sql(m: int) -> str:
+    """Same chain, between the query vector q.qe and the codebook row
+    the candidate's m-th code selected (s{m}.c)."""
+    terms = [
+        f"(CAST(q.qe[{i}] AS DOUBLE) - CAST(s{m}.c[{i}] AS DOUBLE))"
+        f" * (CAST(q.qe[{i}] AS DOUBLE) - CAST(s{m}.c[{i}] AS DOUBLE))"
+        for i in range(m * IVFPQ_SUB + 1, (m + 1) * IVFPQ_SUB + 1)
+    ]
+    return "(0.0 + " + " + ".join(terms) + ")"
+
+
+KNN_IVFPQ_SQL = f"""
+WITH ve AS (
+  SELECT vec_id, label,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(16,6)) AS rv
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS cell, dim,
+         CAST(ROUND(CAST(ROUND(SUM(rv), 6) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(16,6)) AS c6
+  FROM ve GROUP BY label, dim
+),
+assigned AS (
+  SELECT ve.vec_id, cent.cell, SUM((ve.rv - cent.c6) * (ve.rv - cent.c6)) AS dist2
+  FROM ve JOIN cent ON ve.dim = cent.dim
+  GROUP BY ve.vec_id, cent.cell
+),
+cellsv AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
+    FROM assigned
+  ) WHERE rn = 1
+),
+s AS (
+  SELECT vec_id AS code, embedding AS c FROM embeddings WHERE vec_id < {IVFPQ_CODES}
+),
+d AS (
+  SELECT v.vec_id, s.code,
+         {', '.join(f'{_ivfpq_chain_sql(m)} AS dm{m}' for m in range(IVFPQ_M))}
+  FROM embeddings v, s
+),
+dlong AS (
+  {' UNION ALL '.join(f'SELECT vec_id, code, {m} AS m, dm{m} AS dm FROM d'
+                      for m in range(IVFPQ_M))}
+),
+codes_long AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY dm ASC, code ASC) AS rn
+    FROM dlong
+  ) WHERE rn = 1
+),
+codes AS (
+  SELECT vec_id,
+         {', '.join(f'CAST(MAX(CASE WHEN m = {m} THEN code END) AS INT) AS code{m}'
+                    for m in range(IVFPQ_M))}
+  FROM codes_long GROUP BY vec_id
+),
+corpus AS (
+  SELECT cv.vec_id, cv.cell, {', '.join(f'co.code{m}' for m in range(IVFPQ_M))}
+  FROM cellsv cv JOIN codes co ON cv.vec_id = co.vec_id
+),
+q AS (
+  SELECT e.vec_id AS query_id, cv.cell, e.embedding AS qe
+  FROM embeddings e JOIN cellsv cv ON e.vec_id = cv.vec_id
+  WHERE e.vec_id < {IVF_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, CAST(q.cell AS BIGINT) AS cell, c.vec_id AS neighbor_id,
+         {' + '.join(f'{_adc_chain_sql(m)}' for m in range(IVFPQ_M))} AS adc_d2
+  FROM corpus c
+  JOIN q ON c.cell = q.cell AND c.vec_id <> q.query_id
+  {' '.join(f'JOIN s s{m} ON s{m}.code = c.code{m}' for m in range(IVFPQ_M))}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, cell, rank, neighbor_id, adc_d2
+FROM ranked WHERE rank <= {IVF_TOPK}
+ORDER BY query_id, rank
 """
 
 

@@ -256,6 +256,7 @@ def _late_ops():
         "stream_fanout_heterogeneous": (
             _streaming().stream_fanout_heterogeneous
         ),
+        "knn_ivfpq": similarity.knn_ivfpq,
     }
 
 
