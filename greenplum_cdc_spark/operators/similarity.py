@@ -259,8 +259,8 @@ _RV = "CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(16,6))"
 
 
 def _ivf_assign(vecs: DataFrame) -> DataFrame:
-    """Shared IVF coarse quantizer (C25 + C81): centroid training + cell
-    assignment, returning (vec_id, cell, embedding).
+    """Shared IVF coarse quantizer (C25 + C81 + C82): centroid training
+    + cell assignment, returning (vec_id, cell, embedding).
 
     Centroid training: posexplode to (label, dim, unit) with the 6-dp
     element as an exact int64 micro-unit, then one map-side-combined
@@ -275,6 +275,13 @@ def _ivf_assign(vecs: DataFrame) -> DataFrame:
     is exact int64 micro-units — squared-diff sums over 64 dims stay far
     under 2^63, same argmin as the oracle's DECIMAL dist2 (monotone
     x1e12 scaling)."""
+    return _ivf_assign_to(vecs, _ivf_train(vecs))
+
+
+def _ivf_train(vecs: DataFrame) -> dict:
+    """Centroid training half of the coarse quantizer: per-label means
+    via one posexplode + map-side-combined LONG-sum groupBy, collected
+    to the driver (tiny: |cells| x DIM rows) as 6-dp Decimals."""
     from decimal import ROUND_HALF_UP, Decimal
 
     ve = vecs.select("label", F.posexplode("embedding").alias("pos", "v")).select(
@@ -300,6 +307,13 @@ def _ivf_assign(vecs: DataFrame) -> DataFrame:
         by_cell.setdefault(int(r["label"]), {})[int(r["dim"])] = Decimal(
             repr(val)
         ).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    return by_cell
+
+
+def _ivf_assign_to(vecs: DataFrame, by_cell: dict) -> DataFrame:
+    """Assignment half: score every vector against the (possibly
+    frozen) centroid set embedded as literal arrays — map-side folds,
+    zero joins; argmin ties to the smallest cell id."""
     cells_sorted = sorted(by_cell)
     rv_arr = F.transform(
         F.col("embedding"),
@@ -1409,6 +1423,114 @@ ranked AS (
 SELECT query_id, cell, rank, neighbor_id, adc_d2
 FROM ranked WHERE rank <= {IVF_TOPK}
 ORDER BY query_id, rank
+"""
+
+
+# --- C82: incremental IVF index maintenance ----------------------------
+
+IVFUPD_MOD = 5      # every 5th vector plays the "newly arrived" batch
+IVFUPD_RETRAIN_BP = 2200  # growth (basis points) that flags a retrain
+
+
+def ivf_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C82: merge a new embedding batch into an existing IVF index
+    WITHOUT retraining — the maintenance operation every production ANN
+    deployment runs between full rebuilds (FAISS add() on a trained
+    index). The base corpus (vec_id % {IVFUPD_MOD} != 0) trains the
+    coarse quantizer; the arriving batch (vec_id % {IVFUPD_MOD} == 0)
+    is assigned to those FROZEN centroids. The output is the per-cell
+    maintenance audit the index manager acts on: base/new counts,
+    growth in basis points (scaled-integer floor division — never
+    ROUND(double)), and the retrain flag for cells whose drift passed
+    {IVFUPD_RETRAIN_BP} bp.
+
+    Plan shape: training is C25's one posexplode + map-side groupBy
+    over the base only; both assignments are map-side literal-fold
+    scans of the SAME frozen centroid set (the whole point — no
+    second training pass, no join); the audit is one groupBy(cell).
+    At 100 TB the arriving batch streams through assignment at scan
+    speed and the audit is |cells| rows. Reference parity: the index
+    upkeep a warehouse ANN layer needs between Greenplum-style full
+    REINDEX passes.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    base = vecs.filter(F.col("vec_id") % IVFUPD_MOD != 0)
+    batch = vecs.filter(F.col("vec_id") % IVFUPD_MOD == 0)
+    frozen = _ivf_train(base)  # centroids trained on the BASE only
+    tagged = _ivf_assign_to(base, frozen).select(
+        "cell", F.lit(0).alias("is_new")
+    ).unionByName(
+        _ivf_assign_to(batch, frozen).select(
+            "cell", F.lit(1).alias("is_new")
+        )
+    )
+    return (
+        tagged.groupBy("cell")
+        .agg(
+            F.sum(F.expr("1 - is_new")).alias("n_base"),
+            F.sum("is_new").alias("n_new"),
+        )
+        .select(
+            F.col("cell").cast("bigint").alias("cell"),
+            "n_base",
+            "n_new",
+            F.expr(
+                "CASE WHEN n_base > 0 THEN (n_new * 10000) div n_base END"
+            ).alias("growth_bp"),
+            # CASE, not OR: DuckDB does not guarantee short-circuit, so
+            # the n_base = 0 arm must fire before the division exists
+            F.expr(
+                f"CASE WHEN n_base = 0 THEN 1 "
+                f"WHEN (n_new * 10000) div n_base > {IVFUPD_RETRAIN_BP} "
+                f"THEN 1 ELSE 0 END"
+            ).alias("needs_retrain"),
+        )
+        .orderBy("cell")
+    )
+
+
+IVF_INDEX_UPDATE_SQL = f"""
+WITH ve AS (
+  SELECT vec_id, label,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(16,6)) AS rv
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS cell, dim,
+         CAST(ROUND(CAST(ROUND(SUM(rv), 6) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(16,6)) AS c6
+  FROM ve WHERE vec_id % {IVFUPD_MOD} <> 0
+  GROUP BY label, dim
+),
+assigned AS (
+  SELECT ve.vec_id, cent.cell, SUM((ve.rv - cent.c6) * (ve.rv - cent.c6)) AS dist2
+  FROM ve JOIN cent ON ve.dim = cent.dim
+  GROUP BY ve.vec_id, cent.cell
+),
+cellsv AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
+    FROM assigned
+  ) WHERE rn = 1
+),
+counts AS (
+  SELECT cell,
+         CAST(SUM(CASE WHEN vec_id % {IVFUPD_MOD} <> 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN vec_id % {IVFUPD_MOD} = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_new
+  FROM cellsv GROUP BY cell
+)
+SELECT CAST(cell AS BIGINT) AS cell, n_base, n_new,
+       CAST(CASE WHEN n_base > 0 THEN (n_new * 10000) // n_base END
+            AS BIGINT) AS growth_bp,
+       CAST(CASE WHEN n_base = 0 THEN 1
+            WHEN (n_new * 10000) // n_base > {IVFUPD_RETRAIN_BP} THEN 1
+            ELSE 0 END AS INT) AS needs_retrain
+FROM counts
+ORDER BY cell
 """
 
 

@@ -8,7 +8,7 @@ path. Each op has an exact DuckDB oracle twin.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..io import load_table
 
@@ -1384,4 +1384,94 @@ FROM (
   {" UNION ALL ".join(f"SELECT {k} AS k, vocab_size, total_tokens, c{k} AS tokens_covered FROM agg" for k in COVERAGE_KS)}
 )
 ORDER BY k
+"""
+
+
+# --- C83: deterministic shard shuffle ----------------------------------
+
+SHARD_N = 16
+
+
+def _shard_hex8_sql(col: str) -> str:
+    """8-hex-digit md5 prefix as a positional polynomial (DuckDB has no
+    base-16 conv; 16^7..16^0 are exact BIGINTs) — the shared shard/order
+    key both engines compute identically."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({col}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C83: the training-data GLOBAL SHUFFLE, the way it actually runs
+    at 100 TB — no global sort, no rand(). Each document hashes to one
+    of {SHARD_N} shards (content-hash, reproducible across runs and
+    engines), and its position WITHIN the shard is a second independent
+    hash order. Training jobs then read shards in parallel and stream
+    each shard in position order: every permutation property a global
+    `ORDER BY rand()` gives, at the cost of ONE hash-partition shuffle
+    + shard-local sorts — the only shuffle shape that survives 10^10
+    documents. Emits the shuffle plan itself (doc_id → shard, pos) plus
+    the per-shard token budget the trainer's data loader needs for
+    balanced epoch planning.
+
+    Both hashes are md5-prefix polynomials (exact integer arithmetic,
+    the repo's cross-engine idiom): shard = h('shard:'||id) % N, order
+    key = h('order:'||id) with doc_id tiebreak (hash collisions must
+    not make peer order engine-dependent — SURVEY §5).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    h_shard = F.expr(
+        "conv(substring(md5(concat('shard:', CAST(doc_id AS STRING))), 1, 8),"
+        " 16, 10)"
+    ).cast("bigint")
+    h_order = F.expr(
+        "conv(substring(md5(concat('order:', CAST(doc_id AS STRING))), 1, 8),"
+        " 16, 10)"
+    ).cast("bigint")
+    n_tok = F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+    keyed = docs.select(
+        "doc_id",
+        (h_shard % SHARD_N).cast("int").alias("shard"),
+        h_order.alias("ord_key"),
+        n_tok.cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    ws = Window.partitionBy("shard")
+    return (
+        keyed.select(
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            "doc_id",
+            "n_tokens",
+            F.count("*").over(ws).alias("shard_docs"),
+            F.sum("n_tokens").over(ws).alias("shard_tokens"),
+        )
+        .orderBy("shard", "pos")
+    )
+
+
+SHARD_SHUFFLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST({_shard_hex8_sql("md5('shard:' || CAST(doc_id AS VARCHAR))")}
+              % {SHARD_N} AS INT) AS shard,
+         {_shard_hex8_sql("md5('order:' || CAST(doc_id AS VARCHAR))")}
+           AS ord_key,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY ord_key, doc_id)
+            AS BIGINT) AS pos,
+       doc_id,
+       n_tokens,
+       COUNT(*) OVER (PARTITION BY shard) AS shard_docs,
+       CAST(SUM(n_tokens) OVER (PARTITION BY shard) AS BIGINT)
+         AS shard_tokens
+FROM keyed
+ORDER BY shard, pos
 """

@@ -257,3 +257,70 @@ class TestKnnIvfPq:
                 ordered[i][1] <= ordered[i + 1][1]
                 for i in range(len(ordered) - 1)
             )
+
+
+class TestShardShuffle:
+    def test_permutation_complete_and_dense(self, spark, sf_dir):
+        """Every document lands exactly once; positions are dense
+        1..shard_docs per shard (a valid global permutation)."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators import text as T
+
+        rows = T.shard_shuffle(spark, sf_dir).collect()
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        assert len(rows) == n_docs
+        assert len({r["doc_id"] for r in rows}) == n_docs
+        by_shard: dict[int, list[int]] = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos"])
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+        # hash sharding keeps shards roughly balanced (within 3x)
+        sizes = [len(v) for v in by_shard.values()]
+        assert max(sizes) <= 3 * max(1, min(sizes))
+
+    def test_reproducible_across_runs(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import text as T
+
+        a = [(r["shard"], r["pos"], r["doc_id"]) for r in T.shard_shuffle(spark, sf_dir).collect()]
+        b = [(r["shard"], r["pos"], r["doc_id"]) for r in T.shard_shuffle(spark, sf_dir).collect()]
+        assert a == b
+
+
+class TestIvfIndexUpdate:
+    def test_frozen_centroids_and_conservation(self, spark, sf_dir):
+        """The audit's totals must equal the corpus split, and base
+        assignments must match what training-on-base assigns (frozen
+        centroids — the no-retrain contract)."""
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators import similarity as S
+
+        rows = S.ivf_index_update(spark, sf_dir).collect()
+        vecs = load_table(spark, sf_dir, "embeddings")
+        n_base = vecs.filter(F.col("vec_id") % S.IVFUPD_MOD != 0).count()
+        n_new = vecs.filter(F.col("vec_id") % S.IVFUPD_MOD == 0).count()
+        assert sum(r["n_base"] for r in rows) == n_base
+        assert sum(r["n_new"] for r in rows) == n_new
+        # base-side assignment with frozen centroids == plain training
+        # assignment on the base corpus
+        base = vecs.filter(F.col("vec_id") % S.IVFUPD_MOD != 0).select(
+            "vec_id", "label", "embedding"
+        )
+        direct = {
+            (r["vec_id"], r["cell"])
+            for r in S._ivf_assign(base).select("vec_id", "cell").collect()
+        }
+        frozen = S._ivf_train(base)
+        via_update = {
+            (r["vec_id"], r["cell"])
+            for r in S._ivf_assign_to(base, frozen)
+            .select("vec_id", "cell")
+            .collect()
+        }
+        assert direct == via_update
+        # flags are consistent with the reported growth
+        for r in rows:
+            expect = 1 if (r["n_base"] == 0 or r["growth_bp"] > S.IVFUPD_RETRAIN_BP) else 0
+            assert r["needs_retrain"] == expect

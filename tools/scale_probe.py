@@ -257,6 +257,8 @@ def _late_ops():
             _streaming().stream_fanout_heterogeneous
         ),
         "knn_ivfpq": similarity.knn_ivfpq,
+        "shard_shuffle": text.shard_shuffle,
+        "ivf_index_update": similarity.ivf_index_update,
     }
 
 
