@@ -20,7 +20,7 @@ Scale notes:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..io import load_table
 
@@ -913,4 +913,138 @@ SELECT COALESCE(a.doc_id, p.doc_id) AS doc_id,
        COALESCE(p.phrase_hits, 0) AS phrase_hits
 FROM and_hits a FULL OUTER JOIN phrase_hits p ON a.doc_id = p.doc_id
 ORDER BY doc_id
+"""
+
+
+# --- C84: duplicated-passage REMOVAL plan ------------------------------
+
+
+def _gram_pos_expr(k: int) -> str:
+    """POSITIONED word-k-grams as md5 digests (C28 keeps only the
+    distinct set; removal needs every occurrence's position)."""
+    joined = ", ".join(f"toks[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN size(toks) >= {k} THEN "
+        f"transform(sequence(0, size(toks) - {k}), "
+        f"i -> md5(concat_ws(' ', {joined}))) ELSE array() END"
+    )
+
+
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C84: from detection (C28) to the REMOVAL PLAN — per document,
+    the merged token spans covered by any {PASSAGE_K}-gram that appears
+    in MORE THAN ONE document, i.e. exactly what Lee et al.'s
+    suffix-array dedup cuts out of the training corpus, as an
+    executable span list (doc_id, span_start..span_end) a curation job
+    applies with one substring pass.
+
+    Plan: positioned grams (ONE posexplode — the same inverted-index
+    artifact as C23/C28/B89), cross-document gram set via a
+    count-distinct-docs filter, an equi-join back to positions (never
+    all-pairs), then B69's island merge over token positions: a new
+    span starts when pos > lag(pos) + K (ranges [p, p+K-1] overlap or
+    touch otherwise; pos is unique per doc so the window order is
+    total — SURVEY §5). Output one row per removal span with the
+    per-doc removed-token budget windowed alongside. At 100 TB every
+    step is keyed by gram or doc_id; the join output is |dup
+    positions|, corpus-linear at a fixed duplication rate.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", _toks_col()
+    )
+    pg = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(_gram_pos_expr(PASSAGE_K))).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"), "g")
+    dup_g = (
+        pg.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    marks = pg.join(dup_g.hint("shuffle_hash"), "g").select("doc_id", "pos")
+    w_lag = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = marks.withColumn(
+        "is_new",
+        F.when(
+            F.lag("pos").over(w_lag).isNull()
+            | (F.col("pos") > F.lag("pos").over(w_lag) + PASSAGE_K),
+            1,
+        ).otherwise(0),
+    )
+    spans = (
+        flagged.withColumn(
+            "span_idx",
+            F.sum("is_new").over(
+                w_lag.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "span_idx")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + PASSAGE_K - 1).alias("span_end"),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id")
+    return (
+        spans.select(
+            "doc_id",
+            F.col("span_idx").cast("bigint").alias("span_idx"),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+        .withColumn("doc_spans", F.count("*").over(w_doc))
+        .withColumn("doc_tokens_removed", F.sum("span_tokens").over(w_doc))
+        .orderBy("doc_id", "span_idx")
+    )
+
+
+DUP_SPAN_REMOVAL_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+pg AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(toks[i:i+{PASSAGE_K - 1}], ' ')) AS g
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(1, greatest(len(toks) - {PASSAGE_K - 2}, 1))) AS i
+    FROM tok WHERE len(toks) >= {PASSAGE_K}
+  )
+),
+dup_g AS (
+  SELECT g FROM pg GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+marks AS (
+  SELECT pg.doc_id, pg.pos FROM pg JOIN dup_g ON pg.g = dup_g.g
+),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN LAG(pos) OVER w IS NULL
+                OR pos > LAG(pos) OVER w + {PASSAGE_K}
+              THEN 1 ELSE 0 END AS is_new
+  FROM marks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+         CAST(SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS span_idx
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, span_idx,
+         MIN(pos) AS span_start,
+         MAX(pos) + {PASSAGE_K - 1} AS span_end
+  FROM isl GROUP BY doc_id, span_idx
+)
+SELECT doc_id, span_idx, span_start, span_end,
+       span_end - span_start + 1 AS span_tokens,
+       COUNT(*) OVER (PARTITION BY doc_id) AS doc_spans,
+       CAST(SUM(span_end - span_start + 1) OVER (PARTITION BY doc_id)
+            AS BIGINT) AS doc_tokens_removed
+FROM spans
+ORDER BY doc_id, span_idx
 """

@@ -324,3 +324,64 @@ class TestIvfIndexUpdate:
         for r in rows:
             expect = 1 if (r["n_base"] == 0 or r["growth_bp"] > S.IVFUPD_RETRAIN_BP) else 0
             assert r["needs_retrain"] == expect
+
+
+class TestDupSpanRemoval:
+    def test_matches_pure_python_reference(self, spark, sf_dir):
+        """Independent oracle: brute-force the removal plan in plain
+        Python over the sf0.001 corpus and require exact equality —
+        positions, merging, and budgets, not just shapes."""
+        from collections import defaultdict
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators import quality as Q
+
+        K = Q.PASSAGE_K
+        docs = {
+            r["doc_id"]: [w for w in r["text"].split(" ") if w != ""]
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .collect()
+        }
+        gram_docs: dict[tuple, set] = defaultdict(set)
+        for did, toks in docs.items():
+            for i in range(len(toks) - K + 1):
+                gram_docs[tuple(toks[i : i + K])].add(did)
+        dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+        expected = []
+        for did in sorted(docs):
+            toks = docs[did]
+            marks = [
+                i + 1
+                for i in range(len(toks) - K + 1)
+                if tuple(toks[i : i + K]) in dup
+            ]
+            spans = []
+            for p in marks:
+                if spans and p <= spans[-1][1] - K + 1 + K:  # p <= prev_pos + K
+                    spans[-1] = (spans[-1][0], max(spans[-1][1], p + K - 1))
+                else:
+                    spans.append((p, p + K - 1))
+            for idx, (s, e) in enumerate(spans, start=1):
+                expected.append((did, idx, s, e))
+
+        got = [
+            (r["doc_id"], r["span_idx"], r["span_start"], r["span_end"])
+            for r in Q.dup_span_removal(spark, sf_dir).collect()
+        ]
+        assert got == expected
+
+    def test_spans_disjoint_and_min_width(self, spark, sf_dir):
+        from greenplum_cdc_spark.operators import quality as Q
+
+        rows = Q.dup_span_removal(spark, sf_dir).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            assert r["span_tokens"] >= Q.PASSAGE_K
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"])
+            )
+        for spans in by_doc.values():
+            spans.sort()
+            for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+                assert s2 > e1  # disjoint after merging

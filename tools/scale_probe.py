@@ -259,6 +259,7 @@ def _late_ops():
         "knn_ivfpq": similarity.knn_ivfpq,
         "shard_shuffle": text.shard_shuffle,
         "ivf_index_update": similarity.ivf_index_update,
+        "dup_span_removal": quality.dup_span_removal,
     }
 
 
