@@ -1421,6 +1421,17 @@ def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     the repo's cross-engine idiom): shard = h('shard:'||id) % N, order
     key = h('order:'||id) with doc_id tiebreak (hash collisions must
     not make peer order engine-dependent — SURVEY §5).
+
+    The in-shard position is a TWO-PHASE exact rank, not a per-shard
+    window (which would funnel each shard — 10^8+ docs at 100 TB —
+    through ONE task, the stats._global_row_number scale-killer).
+    Because ord_key is a uniform hash with a KNOWN range [0, 2^32),
+    the range boundaries need no sampling: sub-bucket = ord_key div
+    (2^32/B) is monotone in ord_key, so offset-by-sub-bucket + the
+    sub-bucket-local row_number reproduces the per-shard global order
+    exactly, with N·B parallel rank tasks and a |N·B|-row broadcast
+    offset table. (The oracle states the plain per-shard window — the
+    semantics the two-phase plan provably equals.)
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     h_shard = F.expr(
@@ -1432,22 +1443,44 @@ def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 16, 10)"
     ).cast("bigint")
     n_tok = F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+    sub_b = 8  # sub-buckets per shard: SHARD_N * 8 parallel rank tasks
+    step = (1 << 32) // sub_b
     keyed = docs.select(
         "doc_id",
         (h_shard % SHARD_N).cast("int").alias("shard"),
         h_order.alias("ord_key"),
+        (h_order / F.lit(step)).cast("int").alias("sub"),
         n_tok.cast("bigint").alias("n_tokens"),
     )
-    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
-    ws = Window.partitionBy("shard")
+    # per-(shard, sub) counts -> cumulative offsets + per-shard totals,
+    # all over the tiny |N*B|-row table, broadcast back
+    counts = keyed.groupBy("shard", "sub").agg(
+        F.count("*").alias("c"), F.sum("n_tokens").alias("t")
+    )
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("shard")
+    offsets = counts.select(
+        "shard",
+        "sub",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"),
+        F.sum("c").over(w_tot).alias("shard_docs"),
+        F.sum("t").over(w_tot).alias("shard_tokens"),
+    )
+    w_local = Window.partitionBy("shard", "sub").orderBy("ord_key", "doc_id")
     return (
-        keyed.select(
+        keyed.withColumn("rk", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), ["shard", "sub"])
+        .select(
             "shard",
-            F.row_number().over(w).cast("bigint").alias("pos"),
+            (F.col("off") + F.col("rk")).cast("bigint").alias("pos"),
             "doc_id",
             "n_tokens",
-            F.count("*").over(ws).alias("shard_docs"),
-            F.sum("n_tokens").over(ws).alias("shard_tokens"),
+            "shard_docs",
+            "shard_tokens",
         )
         .orderBy("shard", "pos")
     )
