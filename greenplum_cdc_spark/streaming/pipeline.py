@@ -112,6 +112,9 @@ class CDCPipeline:
         self.store = ReplicaStore(spark, replica_path)
         self.archive_path = archive_path
         self.key_cols = key_cols
+        # replay total order; source adapters with a different sequence
+        # vocabulary (e.g. wal2json's (ts, xid, change_idx)) override
+        self.order_cols: tuple[str, ...] = _ORDER_COLS
 
     def _typed_feed(self, parsed: DataFrame) -> DataFrame:
         """Project the generic Maxwell payload into the replica's shape.
@@ -141,10 +144,10 @@ class CDCPipeline:
         feed = self._typed_feed(parsed)
         replica = self.store.read()
         if replica is None:
-            merged = snapshot_latest(feed, key_cols=self.key_cols, order_cols=_ORDER_COLS)
+            merged = snapshot_latest(feed, key_cols=self.key_cols, order_cols=self.order_cols)
         else:
             merged = apply_incremental(
-                replica, feed, key_cols=self.key_cols, order_cols=_ORDER_COLS
+                replica, feed, key_cols=self.key_cols, order_cols=self.order_cols
             )
         self.store.commit(merged)
         self._commit_watermark()
@@ -368,10 +371,10 @@ class FanoutCDCPipeline(CDCPipeline):
         # independent merges (keeps them bit-identical).
         replica = self.store.read()
         if replica is None:
-            merged = snapshot_latest(feed, key_cols=self.key_cols, order_cols=_ORDER_COLS)
+            merged = snapshot_latest(feed, key_cols=self.key_cols, order_cols=self.order_cols)
         else:
             merged = apply_incremental(
-                replica, feed, key_cols=self.key_cols, order_cols=_ORDER_COLS
+                replica, feed, key_cols=self.key_cols, order_cols=self.order_cols
             )
         merged = merged.localCheckpoint(eager=True)  # compute once, write N times
         for store in self.stores:
@@ -639,7 +642,7 @@ class HeterogeneousFanoutPipeline(CDCPipeline):
             merged = snapshot_latest(
                 feed,
                 key_cols=self.key_cols,
-                order_cols=_ORDER_COLS,
+                order_cols=self.order_cols,
                 keep_tombstones=True,
             )
         else:
@@ -647,14 +650,14 @@ class HeterogeneousFanoutPipeline(CDCPipeline):
                 replica,
                 feed,
                 key_cols=self.key_cols,
-                order_cols=_ORDER_COLS,
+                order_cols=self.order_cols,
                 keep_tombstones=True,
             )
         self.store.commit(merged)
         delta = snapshot_latest(
             feed,
             key_cols=self.key_cols,
-            order_cols=_ORDER_COLS,
+            order_cols=self.order_cols,
             keep_tombstones=True,
         ).select(
             "pk",
@@ -1564,3 +1567,89 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+class Wal2JsonPipeline(CDCPipeline):
+    """Reference TODO #1 closed at the STREAMING level: the ONLY thing
+    that changes for a Postgres wal2json deployment is the parser and
+    the sequence vocabulary — archive, latest-wins merge, versioned
+    replica store, and watermark commit are inherited untouched from
+    the Maxwell pipeline (the reuse the TODO asks for, now proven live
+    through foreachBatch rather than just in batch queries A38/A39).
+
+    Replay order is WAL order: (commit ts, xid, change_idx). pk comes
+    from `data` for upserts and `oldkeys` for deletes.
+    """
+
+    def __init__(self, spark: SparkSession, replica_path: str, **kw):
+        super().__init__(spark, replica_path, **kw)
+        self.order_cols = ("ts", "xid", "change_idx")
+
+    def _typed_feed(self, parsed: DataFrame) -> DataFrame:
+        return parsed.filter(F.col("op").isin(*DML_OPS)).select(
+            F.coalesce(F.col("data")["user_id"], F.col("old")["user_id"])
+            .cast("bigint")
+            .alias("pk"),
+            "ts",
+            "xid",
+            "change_idx",
+            "op",
+            "data",
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from ..sources.wal2json import parse_wal2json
+
+        parsed = parse_wal2json(batch)
+        if self.archive_path:
+            write_archive(
+                parsed.filter(F.col("op").isNotNull()), self.archive_path
+            )
+        feed = self._typed_feed(parsed)
+        replica = self.store.read()
+        if replica is None:
+            merged = snapshot_latest(
+                feed, key_cols=self.key_cols, order_cols=self.order_cols
+            )
+        else:
+            merged = apply_incremental(
+                replica, feed, key_cols=self.key_cols, order_cols=self.order_cols
+            )
+        self.store.commit(merged)
+        self._commit_watermark()
+
+
+def stream_wal2json_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A41: the wal2json transaction feed streamed through the
+    UNCHANGED CDC machinery (Wal2JsonPipeline) — readStream text drop →
+    parse_wal2json → foreachBatch latest-wins merge → versioned
+    replica. The drained replica must equal the closed-form WAL-order
+    snapshot the oracle states (the same truth as A39, now produced by
+    the live streaming path instead of a batch plan)."""
+    import shutil
+    import tempfile
+
+    from ..io import materialize, shuffle_partitions
+    from ..plans.cdc_queries import _wal2json_lines
+
+    base = tempfile.mkdtemp(prefix="w2j_stream_")
+    in_dir, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
+    try:
+        _wal2json_lines(spark, sf_dir).coalesce(2).write.mode(
+            "overwrite"
+        ).text(in_dir)
+        with shuffle_partitions(spark, 4):
+            pipe = Wal2JsonPipeline(
+                spark, os.path.join(base, "replica"), key_cols=("pk",)
+            )
+            pipe.run_available(in_dir, ckpt)
+            out = pipe.store.read().select(
+                "pk",
+                F.col("ts").alias("last_ts"),
+                F.col("xid").alias("last_xid"),
+                F.col("data")["value"].cast("double").alias("last_value"),
+                F.col("data")["event_type"].alias("last_event_type"),
+            )
+            return materialize(out, "w2j_stream_out_").orderBy("pk")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -43,9 +43,10 @@ _SKIP = {
     "stream_window_chain",
     "stream_static_enrich",
     "stream_update_mode_counts",
-    # round-5 streaming addition (real multi-batch heterogeneous
-    # fan-out; dedicated semantics tests in test_round5.py)
+    # round-5 streaming additions (real streams; dedicated semantics
+    # tests in test_round5.py / the oracle gate)
     "stream_fanout_heterogeneous",
+    "stream_wal2json_pipeline",
 }
 
 # ops whose BroadcastNestedLoopJoin is a deliberate constant-size
