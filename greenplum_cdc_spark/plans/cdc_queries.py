@@ -2410,3 +2410,111 @@ FROM ranked
 WHERE rn = 1 AND op <> 'delete'
 ORDER BY pk
 """
+
+
+# --- round 5: replica retention maintenance (A42) ----------------------
+
+_VAC_VERSIONS = 4
+_VAC_KEEP = 2
+
+
+def cdc_replica_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A42: retention maintenance over the versioned replica store —
+    the queries()-gated form of scripts/maintenance_gpdb.sh's VACUUM
+    pass (previously pytest-only). Four micro-batch commits build four
+    replica versions (each the latest-wins snapshot of a growing
+    event-time prefix), vacuum(keep_last={_VAC_KEEP}) garbage-collects
+    the old ones, and the audit reports every version's fate: retained
+    versions re-read with their exact row counts (time travel still
+    works), vacuumed versions report 0 (the read returns None — the
+    pointer protocol guarantees readers can never see a half-removed
+    version).
+
+    Prefix boundaries are integer micro-epoch arithmetic from the
+    driver-collected bounds — the identical expression the oracle
+    states, so the per-version snapshot counts hash-match.
+    """
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import ReplicaStore
+
+    base = tempfile.mkdtemp(prefix="vac_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+        b = ev.agg(
+            F.min(F.expr("unix_micros(ts)")).alias("lo"),
+            F.max(F.expr("unix_micros(ts)")).alias("hi"),
+        ).collect()[0]
+        lo, hi = int(b["lo"]), int(b["hi"])
+        step = (hi - lo) // _VAC_VERSIONS + 1
+        store = ReplicaStore(spark, base)
+        for v in range(1, _VAC_VERSIONS + 1):
+            prefix = ev.filter(F.expr(f"unix_micros(ts) < {lo + v * step}"))
+            snap = cdc_ops.snapshot_latest(
+                prefix.select(
+                    F.col("user_id").alias("pk"),
+                    "ts",
+                    F.col("event_id").alias("seq"),
+                    F.when(
+                        F.col("event_type") == "error", F.lit("delete")
+                    )
+                    .otherwise(F.lit("insert"))
+                    .alias("op"),
+                ),
+                key_cols=("pk",),
+                order_cols=("ts", "seq"),
+            )
+            store.commit(snap)
+        store.vacuum(keep_last=_VAC_KEEP)
+        rows = []
+        current = store.current_version()
+        for v in range(1, _VAC_VERSIONS + 1):
+            replica = store.read(version=v)
+            rows.append(
+                (
+                    v,
+                    1 if replica is not None else 0,
+                    1 if v == current else 0,
+                    replica.count() if replica is not None else 0,
+                )
+            )
+        return spark.createDataFrame(
+            rows, "version int, retained int, is_current int, n_rows bigint"
+        ).orderBy("version")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _vac_snap_count_sql(v: int) -> str:
+    return f"""(
+  SELECT COUNT(*) FROM (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events, b
+    WHERE epoch_us(ts) < b.lo + {v} * ((b.hi - b.lo) // {_VAC_VERSIONS} + 1)
+  ) WHERE rn = 1 AND event_type <> 'error'
+)"""
+
+
+def _vac_sql() -> str:
+    parts = []
+    for v in range(1, _VAC_VERSIONS + 1):
+        retained = 1 if v > _VAC_VERSIONS - _VAC_KEEP else 0
+        current = 1 if v == _VAC_VERSIONS else 0
+        n_expr = _vac_snap_count_sql(v) if retained else "0"
+        parts.append(
+            f"SELECT {v} AS version, {retained} AS retained,"
+            f" {current} AS is_current, CAST({n_expr} AS BIGINT) AS n_rows"
+        )
+    body = " UNION ALL ".join(parts)
+    return (
+        "WITH b AS (SELECT epoch_us(MIN(ts)) AS lo, epoch_us(MAX(ts)) AS hi"
+        " FROM events)\n" + body + "\nORDER BY version"
+    )
+
+
+CDC_REPLICA_VACUUM_SQL = _vac_sql()

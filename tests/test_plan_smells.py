@@ -47,6 +47,7 @@ _SKIP = {
     # tests in test_round5.py / the oracle gate)
     "stream_fanout_heterogeneous",
     "stream_wal2json_pipeline",
+    "cdc_replica_vacuum",  # writes/vacuums real replica versions
 }
 
 # ops whose BroadcastNestedLoopJoin is a deliberate constant-size
