@@ -1227,8 +1227,8 @@ def knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(r["vec_id"]): list(r["embedding"])
         for r in vecs.filter(F.col("vec_id") < IVFPQ_CODES).collect()
     }
-    # the assigned corpus feeds THREE consumers (coded side, query side,
-    # and the query-side LUT projection) — persist it once, swap-bounded
+    # the assigned corpus feeds TWO consumers (the coded join side and
+    # the collected query rows) — persist it once, swap-bounded
     corpus = _swap_persist("ivfpq_corpus", _ivf_assign(vecs))
     # corpus code assignment runs as Arrow-vectorized numpy inside
     # mapInPandas (the FAISS encode loop is BLAS for the same reason):

@@ -260,6 +260,7 @@ def _late_ops():
         "shard_shuffle": text.shard_shuffle,
         "ivf_index_update": similarity.ivf_index_update,
         "dup_span_removal": quality.dup_span_removal,
+        "cdc_replica_vacuum": cdc_queries.cdc_replica_vacuum,
     }
 
 
