@@ -113,3 +113,73 @@ def parse_wal2json(
         F.lit(None).cast("string").alias("sql"),
         "event_json",
     )
+
+
+# --- wal2json format version 2 -----------------------------------------
+
+# v2 emits ONE JSON document per CHANGE (not per transaction), tagged
+# with `action`: B/C transaction markers and I/U/D changes; with the
+# include-xids + include-timestamp plugin options every change record
+# carries its transaction id and commit timestamp, which is what makes
+# a stateless per-line parse possible (the deployment mode this adapter
+# targets). Columns arrive as name/type/value structs instead of the
+# v1 parallel arrays.
+WAL2JSON_V2_SCHEMA = (
+    "action string, xid bigint, timestamp string,"
+    " schema string, table string,"
+    " columns array<struct<name string, type string, value string>>,"
+    " identity array<struct<name string, type string, value string>>"
+)
+
+_V2_OPS = {"I": "insert", "U": "update", "D": "delete"}
+
+
+def parse_wal2json_v2(
+    raw: DataFrame,
+    line_col: str = "line",
+    database: str = "appdb",
+    keep: tuple = (),
+) -> DataFrame:
+    """wal2json format-v2 lines → the same typed CDC frame as
+    ``parse_wal2json`` (and therefore ``parse_maxwell``): ts,
+    database_name, table_name, op, xid, change_idx, data, old, sql,
+    event_json.
+
+    - B/C transaction markers and malformed lines surface as NULL-op
+      rows for the downstream quarantine filter (B/C are bookkeeping,
+      not data — same stance as Maxwell's bootstrap-* ops).
+    - ``data``: columns[].name → columns[].value (map); ``old``:
+      identity[] the same way (the replica identity on U/D).
+    - ``change_idx`` is constant 0: v2's intra-transaction order is
+      line order, and with per-change (timestamp, xid) the replay
+      order (ts, xid) is already total for single-change transactions;
+      multi-change v2 transactions need the bus offset as tiebreak
+      (pass it via ``keep``).
+    """
+    op_map = F.create_map(
+        *[F.lit(x) for kv in _V2_OPS.items() for x in kv]
+    )
+    parsed = raw.select(
+        *[F.col(c) for c in keep],
+        F.from_json(
+            sanitize_line(F.col(line_col)), WAL2JSON_V2_SCHEMA
+        ).alias("_j"),
+        F.col(line_col).alias("event_json"),
+    )
+    return parsed.select(
+        *[F.col(c) for c in keep],
+        F.to_timestamp(F.col("_j.timestamp")).alias("ts"),
+        F.lit(database).alias("database_name"),
+        F.col("_j.table").alias("table_name"),
+        op_map[F.col("_j.action")].alias("op"),
+        F.col("_j.xid").alias("xid"),
+        F.lit(0).alias("change_idx"),
+        F.map_from_arrays(
+            F.col("_j.columns.name"), F.col("_j.columns.value")
+        ).alias("data"),
+        F.map_from_arrays(
+            F.col("_j.identity.name"), F.col("_j.identity.value")
+        ).alias("old"),
+        F.lit(None).cast("string").alias("sql"),
+        "event_json",
+    )

@@ -261,6 +261,7 @@ def _late_ops():
         "ivf_index_update": similarity.ivf_index_update,
         "dup_span_removal": quality.dup_span_removal,
         "cdc_replica_vacuum": cdc_queries.cdc_replica_vacuum,
+        "wal2json_v2_parse_events": cdc_queries.wal2json_v2_parse_events,
     }
 
 
