@@ -1048,3 +1048,66 @@ SELECT doc_id, span_idx, span_start, span_end,
 FROM spans
 ORDER BY doc_id, span_idx
 """
+
+
+# --- C85: k-anonymity audit --------------------------------------------
+
+K_ANON = 5
+_KA_BAND = 100  # value generalized to 100-unit bands
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C85: k-anonymity audit over the event log's quasi-identifiers —
+    the privacy gate a curation pipeline runs BEFORE releasing
+    behavioral data. A row is re-identifiable when its quasi-identifier
+    combination (event type, hour-of-day, generalized value band) is
+    shared by fewer than k={K_ANON} rows; the audit emits every
+    equivalence class with its size, the violation flag, and the
+    released-vs-suppressed row budget (suppression = drop the violating
+    classes, the baseline k-anonymization).
+
+    One groupBy over the generalized keys — the generalization is
+    map-side integer arithmetic (value div {_KA_BAND}: a band, never a
+    ROUND), so at 100 TB this is the same plan as any rollup. The
+    choice of generalization hierarchy (wider bands, coarser hours)
+    is policy, not engine; this operator is the measurement both sides
+    of that policy loop share.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    classes = (
+        ev.select(
+            "event_type",
+            F.hour("ts").alias("hour_of_day"),
+            F.expr(f"CAST(floor(value / {_KA_BAND}) AS INT)").alias("value_band"),
+        )
+        .groupBy("event_type", "hour_of_day", "value_band")
+        .agg(F.count("*").alias("n"))
+    )
+    return classes.select(
+        "event_type",
+        "hour_of_day",
+        "value_band",
+        "n",
+        (F.col("n") < K_ANON).cast("int").alias("violates_k"),
+        F.when(F.col("n") < K_ANON, 0)
+        .otherwise(F.col("n"))
+        .alias("released_rows"),
+    ).orderBy("event_type", "hour_of_day", "value_band")
+
+
+K_ANONYMITY_SQL = f"""
+WITH classes AS (
+  SELECT event_type,
+         CAST(hour(ts) AS INT) AS hour_of_day,
+         CAST(floor(value / {_KA_BAND}) AS INT) AS value_band,
+         COUNT(*) AS n
+  FROM events
+  GROUP BY event_type, hour(ts), CAST(floor(value / {_KA_BAND}) AS INT)
+)
+SELECT event_type, hour_of_day, value_band, n,
+       CAST(n < {K_ANON} AS INT) AS violates_k,
+       CAST(CASE WHEN n < {K_ANON} THEN 0 ELSE n END AS BIGINT)
+         AS released_rows
+FROM classes
+ORDER BY event_type, hour_of_day, value_band
+"""

@@ -1834,3 +1834,114 @@ LEFT JOIN pos p ON p.q_id = q.q_id
 LEFT JOIN neg n ON n.q_id = q.q_id
 ORDER BY q.q_id
 """
+
+
+# --- C86: embedding distribution drift ---------------------------------
+
+_DRIFT_TOPN = 10
+
+
+def embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C86: per-dimension distribution drift between two embedding
+    snapshots — the monitoring pass that catches a silently-changed
+    encoder or a corrupted ingestion batch before it poisons training.
+    The reference split is deterministic (vec_id parity stands in for
+    "last week's corpus" vs "this week's"); per dimension the exact
+    micro-unit means are compared and the top-{_DRIFT_TOPN} drifted
+    dims ranked.
+
+    All integer-exact: elements → 6-dp micro-unit longs (the repo's
+    embedding idiom), per-(half, dim) LONG sums via ONE posexplode +
+    map-side-combined groupBy, means as scaled floor division with
+    sign decomposition (drift can be negative; both engines truncate
+    identically on non-negative operands). |drift| ranks with dim as
+    tiebreak. At 100 TB: one corpus scan, 2·DIM aggregate rows —
+    mergeable partials, the same plan as any SUM.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings")
+    ve = vecs.select(
+        (F.col("vec_id") % 2).cast("int").alias("half"),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        "half",
+        (F.col("pos") + 1).alias("dim"),
+        (
+            F.round(F.col("v").cast("double"), 6).cast("decimal(16,6)")
+            * F.lit(1_000_000)
+        ).cast("long").alias("u"),
+    )
+    agg = ve.groupBy("dim").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("u"))).alias("s_ref"),
+        F.count(F.when(F.col("half") == 0, F.lit(1))).alias("n_ref"),
+        F.sum(F.when(F.col("half") == 1, F.col("u"))).alias("s_cur"),
+        F.count(F.when(F.col("half") == 1, F.lit(1))).alias("n_cur"),
+    )
+    # sign-decomposed scaled mean: mean_u = trunc(s / n) toward zero
+    mean = (
+        "CASE WHEN {s} >= 0 THEN {s} div {n} ELSE -((-{s}) div {n}) END"
+    )
+    ref_u = mean.format(s="s_ref", n="n_ref")
+    cur_u = mean.format(s="s_cur", n="n_cur")
+    scored = agg.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n_ref",
+        "n_cur",
+        F.expr(ref_u).alias("ref_mean_u"),
+        F.expr(cur_u).alias("cur_mean_u"),
+        F.expr(f"({cur_u}) - ({ref_u})").alias("drift_u"),
+    )
+    w = Window.orderBy(F.desc(F.abs(F.col("drift_u"))), F.asc("dim"))
+    return (
+        scored.withColumn("drift_rank", F.row_number().over(w))
+        .filter(F.col("drift_rank") <= _DRIFT_TOPN)
+        .select(
+            "drift_rank",
+            "dim",
+            "n_ref",
+            "n_cur",
+            "ref_mean_u",
+            "cur_mean_u",
+            "drift_u",
+        )
+        .orderBy("drift_rank")
+    )
+
+
+_DRIFT_MEAN = (
+    "CASE WHEN {s} >= 0 THEN {s} // {n} ELSE -((-{s}) // {n}) END"
+)
+
+EMBEDDING_DRIFT_SQL = f"""
+WITH ve AS (
+  SELECT CAST(vec_id % 2 AS INT) AS half,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         CAST(CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6)
+              AS DECIMAL(16,6)) * 1000000 AS BIGINT) AS u
+  FROM embeddings
+),
+agg AS (
+  SELECT dim,
+         CAST(SUM(CASE WHEN half = 0 THEN u END) AS BIGINT) AS s_ref,
+         COUNT(CASE WHEN half = 0 THEN 1 END) AS n_ref,
+         CAST(SUM(CASE WHEN half = 1 THEN u END) AS BIGINT) AS s_cur,
+         COUNT(CASE WHEN half = 1 THEN 1 END) AS n_cur
+  FROM ve GROUP BY dim
+),
+scored AS (
+  SELECT dim, n_ref, n_cur,
+         CAST({_DRIFT_MEAN.format(s='s_ref', n='n_ref')} AS BIGINT)
+           AS ref_mean_u,
+         CAST({_DRIFT_MEAN.format(s='s_cur', n='n_cur')} AS BIGINT)
+           AS cur_mean_u,
+         CAST(({_DRIFT_MEAN.format(s='s_cur', n='n_cur')})
+              - ({_DRIFT_MEAN.format(s='s_ref', n='n_ref')}) AS BIGINT)
+           AS drift_u
+  FROM agg
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY abs(drift_u) DESC, dim ASC) AS INT)
+         AS drift_rank,
+       dim, n_ref, n_cur, ref_mean_u, cur_mean_u, drift_u
+FROM scored
+QUALIFY drift_rank <= {_DRIFT_TOPN}
+ORDER BY drift_rank
+"""

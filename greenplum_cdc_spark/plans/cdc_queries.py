@@ -2608,3 +2608,105 @@ SELECT event_id AS xid,
 FROM events
 ORDER BY xid
 """
+
+
+def cdc_field_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A44: FIELD-level last-writer-wins merge (the LWW-map CRDT) —
+    the conflict-resolution mode row-level latest-wins (A3) cannot
+    express: when different events update DIFFERENT fields of the same
+    key, the merged row takes each field from the latest event that
+    SET that field, not the latest event overall. The reference's
+    process_events() is row-level (cdc_plpgsql_functions.sql:150-190);
+    this is the multi-writer/partial-update generalization a
+    Greenplum user hand-rolls with per-column CASE merges.
+
+    Deterministic sparse setters on the insert feed: an event sets
+    `value` when event_id % 2 == 0 and `etype` when event_id % 3 == 0
+    (overlapping, so most keys take the two fields from DIFFERENT
+    events). Presence is still row-level latest-wins over ALL events
+    (a deleted key stays gone — field merge never resurrects, the
+    CRDT tombstone rule). Plan: one conditional aggregation per field
+    inside ONE groupBy(pk) — max_by over the field's setter subset —
+    plus the row-level presence window; two shuffles total, both
+    keyed by pk.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    feed = ev.select(
+        F.col("user_id").alias("pk"),
+        "ts",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("insert"))
+        .alias("op"),
+        "value",
+        F.col("event_type").alias("etype"),
+    )
+    ins = feed.filter(F.col("op") == "insert")
+    # max_by keyed by seq: ts is monotone non-decreasing in event_id on
+    # this feed (verified corpus property, same assumption A39 states),
+    # so seq IS the (ts, seq) total order — and a plain BIGINT key is
+    # what DuckDB's max_by accepts (struct keys are Spark-only). NULL
+    # key rows (non-setters) are skipped by max_by on both engines.
+    merged = ins.groupBy("pk").agg(
+        F.expr(
+            "max_by(value, CASE WHEN seq % 2 = 0 THEN seq END)"
+        ).alias("value_merged"),
+        F.expr(
+            "max_by(seq, CASE WHEN seq % 2 = 0 THEN seq END)"
+        ).alias("value_set_by"),
+        F.expr(
+            "max_by(etype, CASE WHEN seq % 3 = 0 THEN seq END)"
+        ).alias("etype_merged"),
+        F.expr(
+            "max_by(seq, CASE WHEN seq % 3 = 0 THEN seq END)"
+        ).alias("etype_set_by"),
+    )
+    presence = cdc_ops.snapshot_latest(
+        feed, key_cols=("pk",), order_cols=("ts", "seq")
+    ).select("pk")
+    return (
+        presence.join(merged, "pk", "left")
+        .select(
+            "pk",
+            "value_merged",
+            "value_set_by",
+            "etype_merged",
+            "etype_set_by",
+            (F.col("value_set_by") != F.col("etype_set_by"))
+            .cast("int")
+            .alias("fields_from_different_events"),
+        )
+        .orderBy("pk")
+    )
+
+
+CDC_FIELD_MERGE_SQL = """
+WITH feed AS (
+  SELECT user_id AS pk, ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+         value, event_type AS etype
+  FROM events
+),
+merged AS (
+  SELECT pk,
+         max_by(value, CASE WHEN seq % 2 = 0 THEN seq END) AS value_merged,
+         max_by(seq, CASE WHEN seq % 2 = 0 THEN seq END) AS value_set_by,
+         max_by(etype, CASE WHEN seq % 3 = 0 THEN seq END) AS etype_merged,
+         max_by(seq, CASE WHEN seq % 3 = 0 THEN seq END) AS etype_set_by
+  FROM feed WHERE op = 'insert'
+  GROUP BY pk
+),
+presence AS (
+  SELECT pk FROM (
+    SELECT pk, op,
+           ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC)
+             AS rn
+    FROM feed
+  ) WHERE rn = 1 AND op <> 'delete'
+)
+SELECT p.pk, m.value_merged, m.value_set_by, m.etype_merged, m.etype_set_by,
+       CAST(m.value_set_by <> m.etype_set_by AS INT)
+         AS fields_from_different_events
+FROM presence p LEFT JOIN merged m ON p.pk = m.pk
+ORDER BY p.pk
+"""

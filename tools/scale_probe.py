@@ -262,6 +262,9 @@ def _late_ops():
         "dup_span_removal": quality.dup_span_removal,
         "cdc_replica_vacuum": cdc_queries.cdc_replica_vacuum,
         "wal2json_v2_parse_events": cdc_queries.wal2json_v2_parse_events,
+        "cdc_field_merge": cdc_queries.cdc_field_merge,
+        "k_anonymity_audit": quality.k_anonymity_audit,
+        "embedding_drift": similarity.embedding_drift,
     }
 
 
