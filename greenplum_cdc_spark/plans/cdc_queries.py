@@ -2710,3 +2710,68 @@ SELECT p.pk, m.value_merged, m.value_set_by, m.etype_merged, m.etype_set_by,
 FROM presence p LEFT JOIN merged m ON p.pk = m.pk
 ORDER BY p.pk
 """
+
+
+_DDL_APPLY_DB = "cdc_ddl_apply_db"
+_DDL_APPLY_MOD = 37  # every 37th event inserts an album row
+
+
+def cdc_ddl_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A45: the translated DDL EXECUTED live — process_events() doesn't
+    just rewrite MySQL DDL, it runs the result (cdc_plpgsql_functions
+    .sql:196-222 EXECUTEs the translated statement); A7 proved the
+    rewrite, this proves the rewrite is runnable Spark SQL end-to-end:
+    the Spring-Music album table's MySQL DDL (backticks, ENGINE=,
+    LONGTEXT/DATETIME/TINYINT(1)) goes through translate_sql +
+    add_schema_name, `spark.sql()` executes it, a deterministic replay
+    feed INSERTs through the created table, and the read-back rows are
+    the oracle's projection — any translation defect that produces
+    invalid-but-plausible DDL (the failure mode a string-level check
+    can't see) breaks this query loudly at CREATE time.
+
+    The table is created fresh and dropped after materialization, so
+    the operator is rerun-safe and leaks no catalog state.
+    """
+    from ..functions.ddl import add_schema_name, translate_sql
+    from ..io import materialize
+
+    mysql_ddl = (
+        "CREATE TABLE `album` (`id` BIGINT, `title` LONGTEXT,"
+        " `release_year` INT, `price` DOUBLE, `created` DATETIME,"
+        " `featured` TINYINT(1)) ENGINE=InnoDB"
+    )
+    spark_ddl = add_schema_name(_DDL_APPLY_DB, translate_sql(mysql_ddl))
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {_DDL_APPLY_DB}")
+    spark.sql(f"DROP TABLE IF EXISTS {_DDL_APPLY_DB}.album")
+    spark.sql(spark_ddl)  # the translated DDL must BE valid Spark SQL
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        feed = ev.filter(F.col("event_id") % _DDL_APPLY_MOD == 0).select(
+            F.col("event_id").alias("id"),
+            F.concat(F.lit("album_"), F.col("event_id")).alias("title"),
+            (F.lit(2000) + F.col("user_id") % 25).cast("int").alias(
+                "release_year"
+            ),
+            F.col("value").alias("price"),
+            F.col("ts").alias("created"),
+            (F.col("event_id") % 2 == 0).cast("smallint").alias("featured"),
+        )
+        feed.write.insertInto(f"{_DDL_APPLY_DB}.album")
+        out = spark.table(f"{_DDL_APPLY_DB}.album").orderBy("id")
+        return materialize(out, "ddl_apply_out_").orderBy("id")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {_DDL_APPLY_DB}.album")
+
+
+CDC_DDL_APPLY_SQL = f"""
+SELECT event_id AS id,
+       'album_' || CAST(event_id AS VARCHAR) AS title,
+       CAST(2000 + user_id % 25 AS INT) AS release_year,
+       value AS price,
+       ts AS created,
+       CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS SMALLINT)
+         AS featured
+FROM events
+WHERE event_id % {_DDL_APPLY_MOD} = 0
+ORDER BY id
+"""

@@ -48,6 +48,7 @@ _SKIP = {
     "stream_fanout_heterogeneous",
     "stream_wal2json_pipeline",
     "cdc_replica_vacuum",  # writes/vacuums real replica versions
+    "cdc_ddl_apply",  # executes real catalog DDL + table writes
 }
 
 # ops whose BroadcastNestedLoopJoin is a deliberate constant-size

@@ -265,6 +265,7 @@ def _late_ops():
         "cdc_field_merge": cdc_queries.cdc_field_merge,
         "k_anonymity_audit": quality.k_anonymity_audit,
         "embedding_drift": similarity.embedding_drift,
+        "cdc_ddl_apply": cdc_queries.cdc_ddl_apply,
     }
 
 
