@@ -379,3 +379,101 @@ class TestBusFactory:
             assert "rabbitmq-double" in str(e)
         else:
             pytest.fail("expected ConnectionError with no broker listening")
+
+
+class TestMultiFrameBody:
+    def test_body_split_across_frames(self, tmp_path):
+        """AMQP splits large bodies across multiple body frames
+        (frame_max); the consumer must reassemble by the content
+        header's declared size, not per-frame."""
+        body = b"X" * 700 + b'{"tail": true}'
+
+        class SplitBroker(FakeBroker):
+            def _serve(self):
+                conn, _ = self.srv.accept()
+                try:
+                    assert conn.recv(8) == PROTOCOL_HEADER
+                    conn.sendall(
+                        pack_method_frame(
+                            0,
+                            CONNECTION_START,
+                            b"\x00\x09"
+                            + pack_table_empty()
+                            + pack_longstr(b"PLAIN")
+                            + pack_longstr(b"en_US"),
+                        )
+                    )
+                    self._expect(conn, CONNECTION_START_OK)
+                    conn.sendall(
+                        pack_method_frame(
+                            0,
+                            CONNECTION_TUNE,
+                            struct.pack(">HIH", 0, 4096, 0),
+                        )
+                    )
+                    self._expect(conn, CONNECTION_TUNE_OK)
+                    self._expect(conn, CONNECTION_OPEN)
+                    conn.sendall(
+                        pack_method_frame(0, CONNECTION_OPEN_OK, pack_shortstr(""))
+                    )
+                    self._expect(conn, CHANNEL_OPEN)
+                    conn.sendall(
+                        pack_method_frame(1, CHANNEL_OPEN_OK, pack_longstr(b""))
+                    )
+                    self._expect(conn, EXCHANGE_DECLARE)
+                    conn.sendall(pack_method_frame(1, EXCHANGE_DECLARE_OK))
+                    self._expect(conn, QUEUE_DECLARE)
+                    conn.sendall(
+                        pack_method_frame(
+                            1,
+                            QUEUE_DECLARE_OK,
+                            pack_shortstr("q") + struct.pack(">II", 1, 0),
+                        )
+                    )
+                    self._expect(conn, QUEUE_BIND)
+                    conn.sendall(pack_method_frame(1, QUEUE_BIND_OK))
+                    cur = self._expect(conn, BASIC_CONSUME)
+                    cur.short()
+                    cur.shortstr()
+                    tag = cur.shortstr()
+                    conn.sendall(
+                        pack_method_frame(1, BASIC_CONSUME_OK, pack_shortstr(tag))
+                    )
+                    conn.sendall(
+                        pack_method_frame(
+                            1,
+                            BASIC_DELIVER,
+                            pack_shortstr(tag)
+                            + struct.pack(">Q", 1)
+                            + b"\x00"
+                            + pack_shortstr("ex")
+                            + pack_shortstr("key"),
+                        )
+                    )
+                    conn.sendall(pack_content_header(60, len(self.bodies[0]), 1))
+                    # split the body: 3 frames of <= 256 bytes
+                    for i in range(0, len(self.bodies[0]), 256):
+                        conn.sendall(
+                            pack_frame(FRAME_BODY, 1, self.bodies[0][i : i + 256])
+                        )
+                    cur = self._expect(conn, BASIC_ACK)
+                    self.acks.append((cur.longlong(), cur.octet() == 1))
+                    self._expect(conn, CONNECTION_CLOSE)
+                    conn.sendall(pack_method_frame(0, CONNECTION_CLOSE_OK))
+                except Exception as e:
+                    self.errors.append(repr(e))
+                finally:
+                    conn.close()
+                    self.srv.close()
+
+        broker = SplitBroker([body]).start()
+        consumer = amqp.AmqpConsumer(host="127.0.0.1", port=broker.port)
+        consumer.connect()
+        consumer.declare()
+        consumer.consume()
+        got = consumer.drain(idle_timeout=0.3)
+        consumer.close()
+        broker.thread.join(timeout=5)
+        assert broker.errors == []
+        assert got == [body]
+        assert broker.acks == [(1, True)]

@@ -283,3 +283,135 @@ class TestDupSpanIslandProperties:
         for p in marks:
             marked_cover |= set(range(p, p + K))
         assert covered == marked_cover
+
+
+class TestWal2JsonV2Equivalence:
+    """Same random feeds through BOTH wal2json wire formats: v1
+    (per-transaction) and v2 (per-change) must land identical typed
+    rows — the adapter pair is interchangeable."""
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 9),
+                st.floats(0, 500, allow_nan=False),
+                st.sampled_from(["click", "view", "error"]),
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def test_v1_and_v2_land_same_rows(self, spark, rows):
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.sources.wal2json import (
+            parse_wal2json,
+            parse_wal2json_v2,
+        )
+
+        ts = "2024-01-01 00:00:00.000000"
+        v1_changes, v2_lines = [], []
+        for i, (uid, val, et) in enumerate(rows):
+            if et == "error":
+                v1_changes.append(
+                    {
+                        "kind": "delete",
+                        "schema": "public",
+                        "table": "events",
+                        "oldkeys": {
+                            "keynames": ["user_id"],
+                            "keytypes": ["bigint"],
+                            "keyvalues": [uid],
+                        },
+                    }
+                )
+                v2_lines.append(
+                    json.dumps(
+                        {
+                            "action": "D",
+                            "xid": 7,
+                            "timestamp": ts,
+                            "schema": "public",
+                            "table": "events",
+                            "identity": [
+                                {
+                                    "name": "user_id",
+                                    "type": "bigint",
+                                    "value": str(uid),
+                                }
+                            ],
+                        }
+                    )
+                )
+            else:
+                v1_changes.append(
+                    {
+                        "kind": "insert",
+                        "schema": "public",
+                        "table": "events",
+                        "columnnames": ["user_id", "value"],
+                        "columntypes": ["bigint", "double precision"],
+                        "columnvalues": [uid, float(repr(val))],
+                    }
+                )
+                v2_lines.append(
+                    json.dumps(
+                        {
+                            "action": "I",
+                            "xid": 7,
+                            "timestamp": ts,
+                            "schema": "public",
+                            "table": "events",
+                            "columns": [
+                                {
+                                    "name": "user_id",
+                                    "type": "bigint",
+                                    "value": str(uid),
+                                },
+                                {
+                                    "name": "value",
+                                    "type": "double precision",
+                                    "value": repr(float(repr(val))),
+                                },
+                            ],
+                        }
+                    )
+                )
+        v1_line = json.dumps(
+            {"xid": 7, "timestamp": ts, "change": v1_changes}
+        )
+
+        def _typed(df):
+            return sorted(
+                (
+                    r["op"],
+                    r["k"],
+                    None if r["op"] == "delete" else r["v"],
+                )
+                for r in df.select(
+                    "op",
+                    F.coalesce(
+                        F.col("data")["user_id"], F.col("old")["user_id"]
+                    ).alias("k"),
+                    F.col("data")["value"].cast("double").alias("v"),
+                ).collect()
+            )
+
+        v1 = _typed(
+            parse_wal2json(
+                spark.createDataFrame([(v1_line,)], "line string")
+            )
+        )
+        v2 = _typed(
+            parse_wal2json_v2(
+                spark.createDataFrame(
+                    [(ln,) for ln in v2_lines], "line string"
+                )
+            )
+        )
+        assert v1 == v2
