@@ -2775,3 +2775,66 @@ FROM events
 WHERE event_id % {_DDL_APPLY_MOD} = 0
 ORDER BY id
 """
+
+
+_GC_HORIZON_DAYS = 7
+
+
+def cdc_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A46: tombstone garbage collection with a replay-horizon guard —
+    the retention rule that keeps A15's keep-tombstones replica BOUNDED
+    without re-opening the resurrection hole A30 closes. A tombstone
+    may only be dropped once NO stale replay can still arrive for it,
+    i.e. when it is older than the at-least-once redelivery horizon
+    (here {_GC_HORIZON_DAYS} days behind the high watermark, derived
+    from the data bounds in integer micros — the expression the oracle
+    states verbatim). Live rows always survive; recent tombstones
+    survive; only horizon-expired tombstones drop.
+
+    Output: every surviving key with its op and whether it is a
+    retained tombstone, plus the per-key expiry verdict — the exact
+    state a bounded-retention replica holds. One latest-wins window +
+    one map-side filter; GC cost is a scan, never a rewrite of live
+    data. Reference parity: the practical completion of rabbitmq.go's
+    ack-at-end redelivery + maxwell_ts watermark contract.
+    """
+    feed = _feed(spark, sf_dir)
+    snap = cdc_ops.snapshot_latest(
+        feed, key_cols=("pk",), order_cols=("ts", "seq"), keep_tombstones=True
+    )
+    hi = feed.agg(F.max(F.expr("unix_micros(ts)")).alias("hi")).collect()[0][
+        "hi"
+    ]
+    cutoff = int(hi) - _GC_HORIZON_DAYS * 86_400_000_000
+    return (
+        snap.select(
+            "pk",
+            F.col("ts").alias("last_ts"),
+            F.col("seq").alias("last_seq"),
+            "op",
+            (F.col("op") == "delete").cast("int").alias("is_tombstone"),
+        )
+        .filter(
+            (F.col("op") != "delete")
+            | (F.expr("unix_micros(last_ts)") >= F.lit(cutoff))
+        )
+        .orderBy("pk")
+    )
+
+
+CDC_TOMBSTONE_GC_SQL = f"""
+WITH cdc AS ({{feed}}),
+hi AS (SELECT MAX(epoch_us(ts)) AS hi FROM cdc),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk ORDER BY ts DESC, seq DESC)
+           AS rn
+  FROM cdc
+)
+SELECT pk, ts AS last_ts, seq AS last_seq, op,
+       CAST(op = 'delete' AS INT) AS is_tombstone
+FROM ranked, hi
+WHERE rn = 1
+  AND (op <> 'delete'
+       OR epoch_us(ts) >= hi.hi - {_GC_HORIZON_DAYS} * 86400000000)
+ORDER BY pk
+""".format(feed=maxwell.EVENTS_AS_CDC_SQL)

@@ -2088,3 +2088,81 @@ FROM it3
 ORDER BY pr DESC, part ASC
 LIMIT {PR_TOPN}
 """
+
+
+def mv_rewrite_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B95: materialized-view REWRITE correctness — the warehouse
+    contract behind Greenplum's MV query rewrite: a coarser aggregate
+    answered FROM the maintained rollup must equal the same aggregate
+    computed from the fact table. B73 maintains the rollup
+    incrementally; this proves the other half — that reading it is
+    safe. The MV is the (returnflag, ship month... day)-grain revenue
+    rollup; the query is the (returnflag, month) grain, answered both
+    ways in exact CENTS (re-aggregation over DECIMAL-derived integers
+    is order-insensitive, so equality is bit-exact, not approximate).
+    The per-row `rewrite_ok` flag makes any divergence a visible value,
+    not a silent wrong answer. At 100 TB the MV path scans |days| rows
+    instead of the fact table — the entire point of the rewrite.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.expr(
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"
+    )
+    base = li.select(
+        "l_returnflag",
+        F.date_trunc("day", F.col("l_shipdate").cast("timestamp")).alias("d"),
+        cents.alias("cents"),
+    )
+    mv = base.groupBy("l_returnflag", "d").agg(
+        F.sum("cents").alias("day_cents")
+    )
+    via_mv = mv.groupBy(
+        "l_returnflag", F.date_trunc("month", "d").alias("month")
+    ).agg(F.sum("day_cents").alias("revenue_mv_cents"))
+    via_fact = base.groupBy(
+        "l_returnflag", F.date_trunc("month", "d").alias("month")
+    ).agg(F.sum("cents").alias("revenue_fact_cents"))
+    return (
+        via_fact.join(via_mv, ["l_returnflag", "month"], "full_outer")
+        .select(
+            "l_returnflag",
+            "month",
+            "revenue_fact_cents",
+            "revenue_mv_cents",
+            (
+                F.col("revenue_fact_cents") == F.col("revenue_mv_cents")
+            ).cast("int").alias("rewrite_ok"),
+        )
+        .orderBy("l_returnflag", "month")
+    )
+
+
+MV_REWRITE_SQL = """
+WITH base AS (
+  SELECT l_returnflag,
+         date_trunc('day', CAST(l_shipdate AS TIMESTAMP)) AS d,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem
+),
+mv AS (
+  SELECT l_returnflag, d, CAST(SUM(cents) AS BIGINT) AS day_cents
+  FROM base GROUP BY l_returnflag, d
+),
+via_mv AS (
+  SELECT l_returnflag, CAST(date_trunc('month', d) AS TIMESTAMP) AS month,
+         CAST(SUM(day_cents) AS BIGINT) AS revenue_mv_cents
+  FROM mv GROUP BY l_returnflag, CAST(date_trunc('month', d) AS TIMESTAMP)
+),
+via_fact AS (
+  SELECT l_returnflag, CAST(date_trunc('month', d) AS TIMESTAMP) AS month,
+         CAST(SUM(cents) AS BIGINT) AS revenue_fact_cents
+  FROM base GROUP BY l_returnflag, CAST(date_trunc('month', d) AS TIMESTAMP)
+)
+SELECT COALESCE(f.l_returnflag, m.l_returnflag) AS l_returnflag,
+       COALESCE(f.month, m.month) AS month,
+       f.revenue_fact_cents, m.revenue_mv_cents,
+       CAST(f.revenue_fact_cents = m.revenue_mv_cents AS INT) AS rewrite_ok
+FROM via_fact f FULL OUTER JOIN via_mv m
+  ON f.l_returnflag = m.l_returnflag AND f.month = m.month
+ORDER BY l_returnflag, month
+"""

@@ -266,6 +266,8 @@ def _late_ops():
         "k_anonymity_audit": quality.k_anonymity_audit,
         "embedding_drift": similarity.embedding_drift,
         "cdc_ddl_apply": cdc_queries.cdc_ddl_apply,
+        "mv_rewrite_equivalence": tpch.mv_rewrite_equivalence,
+        "cdc_tombstone_gc": cdc_queries.cdc_tombstone_gc,
     }
 
 
