@@ -1111,3 +1111,123 @@ SELECT event_type, hour_of_day, value_band, n,
 FROM classes
 ORDER BY event_type, hour_of_day, value_band
 """
+
+
+# --- C87: cross-split contamination matrix -----------------------------
+
+
+def split_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C87: pairwise {PASSAGE_K}-gram overlap between the train/val/test
+    splits — the eval-hygiene artifact C24 (corpus-vs-benchmark) and
+    C76 (the split manifest) compose into: for every split pair, how
+    many verbatim passages cross the boundary, and the containment of
+    the smaller side in basis points. A non-trivial number here means
+    the eval loss is partly memorization — the first table any dataset
+    release review asks for.
+
+    Split assignment is C76's content-hash band (md5('split:'||id) mod
+    100 — reproducible, never rand()); grams are C28's distinct
+    13-gram digests. Plan: per-split DISTINCT gram sets (one shuffle
+    keyed by gram), pairwise equi-joins on the digest — never
+    all-pairs; overlap cardinality is bounded by the smaller side.
+    """
+    from .text import _SPLIT_BOUNDS
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", _toks_col()
+    )
+    h7 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    arms = " ".join(
+        f"WHEN pct < {hi} THEN '{name}'" for name, _lo, hi in _SPLIT_BOUNDS
+    )
+    grams = (
+        docs.withColumn("pct", h7 % 100)
+        .withColumn("split", F.expr(f"CASE {arms} END"))
+        .select("split", F.explode(F.expr(_gram_md5_expr(PASSAGE_K))).alias("g"))
+        .distinct()
+    )
+    sizes = grams.groupBy("split").agg(F.count("*").alias("n_grams"))
+    pairs = (
+        grams.alias("a")
+        .join(grams.alias("b").hint("shuffle_hash"), "g")
+        .filter(F.col("a.split") < F.col("b.split"))
+        .groupBy(
+            F.col("a.split").alias("split_a"),
+            F.col("b.split").alias("split_b"),
+        )
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    sa = sizes.select(
+        F.col("split").alias("split_a"), F.col("n_grams").alias("grams_a")
+    )
+    sb = sizes.select(
+        F.col("split").alias("split_b"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        pairs.join(sa, "split_a")
+        .join(sb, "split_b")
+        .select(
+            "split_a",
+            "split_b",
+            "grams_a",
+            "grams_b",
+            "shared_grams",
+            F.expr(
+                "(shared_grams * 10000) div least(grams_a, grams_b)"
+            ).alias("containment_bp"),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+SPLIT_CONTAMINATION_SQL = f"""
+WITH assigned AS (
+  SELECT doc_id, text,
+         CASE {{split_case}} END AS split
+  FROM (
+    SELECT *, {{split_hex}} % 100 AS pct FROM documents
+  )
+),
+tok AS (
+  SELECT split, {_TOKS_SQL} AS toks FROM assigned
+),
+grams AS (
+  SELECT DISTINCT split,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks) - {PASSAGE_K - 2}, 1)),
+             i -> md5(array_to_string(toks[i:i+{PASSAGE_K - 1}], ' '))))) AS g
+  FROM tok WHERE len(toks) >= {PASSAGE_K}
+),
+sizes AS (
+  SELECT split, COUNT(*) AS n_grams FROM grams GROUP BY split
+),
+pairs AS (
+  SELECT a.split AS split_a, b.split AS split_b, COUNT(*) AS shared_grams
+  FROM grams a JOIN grams b ON a.g = b.g AND a.split < b.split
+  GROUP BY a.split, b.split
+)
+SELECT p.split_a, p.split_b,
+       sa.n_grams AS grams_a, sb.n_grams AS grams_b, p.shared_grams,
+       CAST((p.shared_grams * 10000) // least(sa.n_grams, sb.n_grams)
+            AS BIGINT) AS containment_bp
+FROM pairs p
+JOIN sizes sa ON sa.split = p.split_a
+JOIN sizes sb ON sb.split = p.split_b
+ORDER BY split_a, split_b
+"""
+
+
+def _split_contamination_sql() -> str:
+    from .text import _SPLIT_CASE, _split_hex7
+
+    return SPLIT_CONTAMINATION_SQL.format(
+        split_case=_SPLIT_CASE, split_hex=_split_hex7
+    )

@@ -268,6 +268,7 @@ def _late_ops():
         "cdc_ddl_apply": cdc_queries.cdc_ddl_apply,
         "mv_rewrite_equivalence": tpch.mv_rewrite_equivalence,
         "cdc_tombstone_gc": cdc_queries.cdc_tombstone_gc,
+        "split_contamination_matrix": quality.split_contamination_matrix,
     }
 
 
