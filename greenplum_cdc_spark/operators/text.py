@@ -1508,3 +1508,92 @@ SELECT shard,
 FROM keyed
 ORDER BY shard, pos
 """
+
+
+# --- C88: dataset card -------------------------------------------------
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C88: the one-row dataset card — the summary block a dataset
+    release ships (docs, exact token budget, language breadth, exact
+    duplicate mass, length distribution), every number integer-exact
+    so the card is reproducible to the digit across engines and runs.
+
+    The median is the deterministic LOWER median (the ((n+1) div 2)-th
+    order statistic with doc_id tiebreak) — an exact rank selection,
+    not percentile interpolation, so no double arithmetic enters the
+    card — computed with the DISTRIBUTED exact rank (B56/B59's
+    _global_row_number: literal range buckets + per-bucket offsets),
+    never a single-partition window over the corpus. Plan: one corpus
+    scan feeding the scalar aggregate, plus the three bounded rank
+    passes; everything shuffle-light.
+    """
+    from .stats import _global_row_number
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    agg = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("h").alias("distinct_texts"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    ranked, total = _global_row_number(docs, "n_tokens", ["doc_id"])
+    med = ranked.filter(F.col("rn") == (total + 1) // 2).select(
+        F.col("n_tokens").alias("median_tokens")
+    )
+    return agg.crossJoin(med).select(
+        "n_docs",
+        "total_tokens",
+        "n_langs",
+        "distinct_texts",
+        (F.col("n_docs") - F.col("distinct_texts")).alias("exact_dup_docs"),
+        F.expr(
+            "((n_docs - distinct_texts) * 10000) div n_docs"
+        ).alias("dup_rate_bp"),
+        F.expr("(total_tokens * 100) div n_docs").alias("mean_tokens_x100"),
+        "median_tokens",
+        "min_tokens",
+        "max_tokens",
+    )
+
+
+DATASET_CARD_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, md5(text) AS h,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+),
+agg AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         COUNT(DISTINCT lang) AS n_langs,
+         COUNT(DISTINCT h) AS distinct_texts,
+         MIN(n_tokens) AS min_tokens,
+         MAX(n_tokens) AS max_tokens
+  FROM d
+),
+med AS (
+  SELECT n_tokens AS median_tokens FROM (
+    SELECT n_tokens,
+           ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS rn,
+           COUNT(*) OVER () AS cnt
+    FROM d
+  ) WHERE rn = (cnt + 1) // 2
+)
+SELECT n_docs, total_tokens, n_langs, distinct_texts,
+       CAST(n_docs - distinct_texts AS BIGINT) AS exact_dup_docs,
+       CAST(((n_docs - distinct_texts) * 10000) // n_docs AS BIGINT)
+         AS dup_rate_bp,
+       CAST((total_tokens * 100) // n_docs AS BIGINT) AS mean_tokens_x100,
+       median_tokens, min_tokens, max_tokens
+FROM agg CROSS JOIN med
+"""

@@ -269,6 +269,7 @@ def _late_ops():
         "mv_rewrite_equivalence": tpch.mv_rewrite_equivalence,
         "cdc_tombstone_gc": cdc_queries.cdc_tombstone_gc,
         "split_contamination_matrix": quality.split_contamination_matrix,
+        "dataset_card": text.dataset_card,
     }
 
 
