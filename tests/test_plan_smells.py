@@ -66,6 +66,7 @@ _BNLJ_OK = {
     "rfm_segmentation",  # one-row head-date scalar
     "join_cardinality_estimate",  # one-row stat scalars
     "skew_diagnostics",  # scalar
+    "dataset_card",  # 1-row aggregate x 1-row median scalar crossJoin
     "association_rules",  # one-row basket-total scalar
     "integrity_check",  # 6x one-row (n_child, n_parent, n_orphans) scalars
     "lsh_band_tuning",  # per-config one-row n_true scalar
