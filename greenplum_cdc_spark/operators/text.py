@@ -1597,3 +1597,184 @@ SELECT n_docs, total_tokens, n_langs, distinct_texts,
        median_tokens, min_tokens, max_tokens
 FROM agg CROSS JOIN med
 """
+
+
+# --- C89: dataset version diff -----------------------------------------
+
+_VDIFF_MOD = 9  # deterministic "edited in v2" subset
+
+
+def dataset_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C89: the diff between two dataset VERSIONS — the data-versioning
+    audit (what `dvc diff` / a lakehouse table diff reports) that gates
+    a training-set refresh: per change class, how many documents and
+    how many tokens moved. Version 1 is docs with doc_id % 3 != 2;
+    version 2 drops doc_id % 3 == 0, keeps the rest, and "edits" every
+    (doc_id % {_VDIFF_MOD} == 1) survivor (a deterministic text rewrite
+    — token count changes, identity doesn't). Classes: added, removed,
+    changed (same id, different content hash), unchanged.
+
+    One scan builds both version frames map-side (no second copy of
+    the corpus anywhere); the diff is a full-outer join on doc_id with
+    hash comparison — at 100 TB this is the manifest-join every table
+    format runs for snapshot diffs, keyed by the id. Token deltas are
+    exact BIGINTs.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_tok = F.size(F.expr("filter(split(text, ' '), x -> x <> '')")).cast(
+        "bigint"
+    )
+    v1 = docs.filter(F.col("doc_id") % 3 != 2).select(
+        "doc_id", F.md5("text").alias("h1"), n_tok.alias("t1")
+    )
+    edited = F.concat(F.lit("v2 "), F.col("text"))
+    v2_text = F.when(
+        F.col("doc_id") % _VDIFF_MOD == 1, edited
+    ).otherwise(F.col("text"))
+    v2 = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select("doc_id", v2_text.alias("text"))
+        .select(
+            "doc_id",
+            F.md5("text").alias("h2"),
+            n_tok.alias("t2"),
+        )
+    )
+    joined = v1.join(v2, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("h1").isNull(), "added")
+        .when(F.col("h2").isNull(), "removed")
+        .when(F.col("h1") != F.col("h2"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+        F.coalesce("t1", F.lit(0)).alias("t1"),
+        F.coalesce("t2", F.lit(0)).alias("t2"),
+    )
+    return (
+        joined.groupBy("change")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("t1").alias("tokens_v1"),
+            F.sum("t2").alias("tokens_v2"),
+            F.sum(F.expr("t2 - t1")).alias("token_delta"),
+        )
+        .orderBy("change")
+    )
+
+
+DATASET_VERSION_DIFF_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS t
+  FROM documents
+),
+v1 AS (
+  SELECT doc_id, md5(text) AS h1, t AS t1 FROM d WHERE doc_id % 3 <> 2
+),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % {_VDIFF_MOD} = 1
+                  THEN 'v2 ' || text ELSE text END) AS h2,
+         CAST(len(list_filter(string_split(
+             CASE WHEN doc_id % {_VDIFF_MOD} = 1
+                  THEN 'v2 ' || text ELSE text END, ' '), x -> x <> ''))
+              AS BIGINT) AS t2
+  FROM d WHERE doc_id % 3 <> 0
+),
+joined AS (
+  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+         CASE WHEN v1.h1 IS NULL THEN 'added'
+              WHEN v2.h2 IS NULL THEN 'removed'
+              WHEN v1.h1 <> v2.h2 THEN 'changed'
+              ELSE 'unchanged' END AS change,
+         COALESCE(v1.t1, 0) AS t1, COALESCE(v2.t2, 0) AS t2
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT change, COUNT(*) AS n_docs,
+       CAST(SUM(t1) AS BIGINT) AS tokens_v1,
+       CAST(SUM(t2) AS BIGINT) AS tokens_v2,
+       CAST(SUM(t2 - t1) AS BIGINT) AS token_delta
+FROM joined
+GROUP BY change
+ORDER BY change
+"""
+
+
+# --- C90: document novelty ---------------------------------------------
+
+NOVELTY_K = 5  # shorter grams than C28: novelty wants phrase-level reuse
+
+
+def doc_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C90: temporal novelty score per document — the fraction of a
+    doc's {NOVELTY_K}-gram phrases never seen in any EARLIER document
+    (doc_id as arrival order). Novelty-weighted sampling upranks
+    documents that add new content and downranks recombinations of
+    already-seen text; unlike dedup (C2/C28) this scores every doc on
+    a continuum instead of flagging near-copies.
+
+    Plan: distinct (doc_id, gram) postings, one groupBy(gram) for the
+    FIRST-carrier id (min doc_id — the same posting-list shape as C28),
+    one equi-join back, one groupBy(doc_id). novelty_bp is a
+    scaled-integer floor division. Corpus-linear: every step is keyed
+    by gram or doc.
+    """
+    from .quality import _gram_md5_expr, _toks_col
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", _toks_col()
+    )
+    grams = docs.select(
+        "doc_id", F.explode(F.expr(_gram_md5_expr(NOVELTY_K))).alias("g")
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    scored = (
+        grams.join(first.hint("shuffle_hash"), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("bigint")
+            ).alias("novel_grams"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_grams",
+        "novel_grams",
+        F.expr("(novel_grams * 10000) div n_grams").alias("novelty_bp"),
+    ).orderBy("doc_id")
+
+
+DOC_NOVELTY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {{toks}} AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      range(1, greatest(len(toks) - {NOVELTY_K - 2}, 1)),
+      i -> md5(array_to_string(toks[i:i+{NOVELTY_K - 1}], ' '))))) AS g
+  FROM tok WHERE len(toks) >= {NOVELTY_K}
+),
+first AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+),
+scored AS (
+  SELECT grams.doc_id, COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN first.first_doc = grams.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS novel_grams
+  FROM grams JOIN first ON grams.g = first.g
+  GROUP BY grams.doc_id
+)
+SELECT doc_id, n_grams, novel_grams,
+       CAST((novel_grams * 10000) // n_grams AS BIGINT) AS novelty_bp
+FROM scored
+ORDER BY doc_id
+"""
+
+
+def _doc_novelty_sql() -> str:
+    from .quality import _TOKS_SQL
+
+    return DOC_NOVELTY_SQL.format(toks=_TOKS_SQL)

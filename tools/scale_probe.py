@@ -270,6 +270,8 @@ def _late_ops():
         "cdc_tombstone_gc": cdc_queries.cdc_tombstone_gc,
         "split_contamination_matrix": quality.split_contamination_matrix,
         "dataset_card": text.dataset_card,
+        "dataset_version_diff": text.dataset_version_diff,
+        "doc_novelty": text.doc_novelty,
     }
 
 
