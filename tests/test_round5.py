@@ -385,3 +385,37 @@ class TestDupSpanRemoval:
             spans.sort()
             for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
                 assert s2 > e1  # disjoint after merging
+
+
+def _collect_sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_round5_ops_partition_count_invariant(spark):
+    """Distributed-correctness property for the round-5 operators:
+    results must not depend on how the data is partitioned — run each
+    under 1, 3 and 13 shuffle partitions and require identical row
+    sets. Covers the two-phase shard rank, the IVF-PQ broadcast join,
+    the dup-span island merge, the wal2json txn explode, and the
+    field-merge max_by aggregates."""
+    from greenplum_cdc_spark.io import shuffle_partitions
+    from greenplum_cdc_spark.operators import quality, similarity, text
+    from greenplum_cdc_spark.plans import cdc_queries
+
+    sf = "/root/testdata/sf0.001"
+    ops = [
+        text.shard_shuffle,
+        similarity.knn_ivfpq,
+        similarity.ivf_index_update,
+        quality.dup_span_removal,
+        cdc_queries.wal2json_parse_events,
+        cdc_queries.cdc_field_merge,
+        quality.split_contamination_matrix,
+        text.doc_novelty,
+    ]
+    for op in ops:
+        results = []
+        for n in (1, 3, 13):
+            with shuffle_partitions(spark, n):
+                results.append(_collect_sorted(op(spark, sf)))
+        assert results[0] == results[1] == results[2], op.__name__
