@@ -684,3 +684,188 @@ def stream_rate_limit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             return materialize(res, "stream_rl_out_").orderBy("user_id", "ts_us")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# C91: streaming heavy hitters — Space-Saving counters in keyed state.
+
+SS_BUCKETS = 8   # key-space shards (state scales horizontally)
+SS_K = 16        # counters per bucket (memory bound: BUCKETS * K rows)
+
+_SS_OUT = StructType(
+    [
+        StructField("bucket", LongType()),
+        StructField("n_batches", LongType()),
+        StructField("word", StringType()),
+        StructField("est_count", LongType()),
+        StructField("err", LongType()),
+    ]
+)
+# counters serialized as parallel CSV strings (state schemas are flat)
+_SS_STATE = StructType(
+    [
+        StructField("words", StringType()),
+        StructField("counts", StringType()),
+        StructField("errs", StringType()),
+        StructField("n_batches", LongType()),
+    ]
+)
+
+
+def _ss_fold(counters: dict, word: str, add: int) -> None:
+    """One Space-Saving update (Metwally et al.): known words increment;
+    free slots admit; otherwise the MINIMUM counter is evicted and the
+    newcomer inherits its count as error. Ties evict the
+    lexicographically smallest word — a total, engine-free rule, so the
+    whole recurrence is exactly simulable (the C50 pattern)."""
+    if word in counters:
+        c, e = counters[word]
+        counters[word] = (c + add, e)
+        return
+    if len(counters) < SS_K:
+        counters[word] = (add, 0)
+        return
+    evict = min(counters, key=lambda w: (counters[w][0], w))
+    base = counters[evict][0]
+    del counters[evict]
+    counters[word] = (base + add, base)
+
+
+def _ss_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold this batch's (word, cnt) rows into the bucket's Space-Saving
+    table and emit the FULL table tagged with the batch ordinal — the
+    reader keeps each bucket's last emission (max n_batches), the same
+    last-write-wins read used by the bulk sink."""
+    counters: dict = {}
+    n_batches = 0
+    if state.exists:
+        words, counts, errs, n_batches = state.get
+        if words:
+            for w, c, e in zip(
+                words.split("\x1f"), counts.split(","), errs.split(",")
+            ):
+                counters[w] = (int(c), int(e))
+    rows = []
+    for pdf in pdfs:
+        rows.append(pdf)
+    batch = pd.concat(rows)
+    agg = batch.groupby("word")["cnt"].sum().sort_index()
+    for word, add in agg.items():
+        _ss_fold(counters, str(word), int(add))
+    n_batches += 1
+    ws = sorted(counters)
+    state.update(
+        (
+            "\x1f".join(ws),
+            ",".join(str(counters[w][0]) for w in ws),
+            ",".join(str(counters[w][1]) for w in ws),
+            n_batches,
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "bucket": [int(key[0])] * len(ws),
+            "n_batches": [n_batches] * len(ws),
+            "word": ws,
+            "est_count": [counters[w][0] for w in ws],
+            "err": [counters[w][1] for w in ws],
+        }
+    )
+
+
+def stream_heavy_hitters(words_stream: DataFrame) -> DataFrame:
+    """Streaming heavy hitters: per-bucket Space-Saving state over a
+    (word, cnt) stream. Each word lives in exactly ONE hash bucket
+    (md5 prefix — deterministic, engine-free), so state is
+    {SS_BUCKETS} x {SS_K} counters total no matter how long the stream
+    runs — the bounded-memory contract that distinguishes a sketch
+    from C34's exact batch counter. The Space-Saving guarantees hold
+    per bucket: est >= true, est - err <= true, and any word with
+    true count > bucket_total/{SS_K} is present.
+    """
+    bucketed = words_stream.select(
+        F.expr(
+            f"CAST(conv(substring(md5(word), 1, 6), 16, 10) AS BIGINT)"
+            f" % {SS_BUCKETS}"
+        ).alias("bucket"),
+        "word",
+        "cnt",
+    )
+    return bucketed.groupBy("bucket").applyInPandasWithState(
+        _ss_fn,
+        outputStructType=_SS_OUT,
+        stateStructType=_SS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C91 surface: document tokens in 2 time-ordered micro-batches
+    through the Space-Saving state; the result is each bucket's FINAL
+    counter table (last emission per bucket). Rows-only driver check —
+    the SS recurrence has no SQL twin — pinned by an exact Python
+    simulation plus the ε-guarantee audit in pytest (the C50 pattern).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from ..io import load_table, materialize, shuffle_partitions
+
+    base = tempfile.mkdtemp(prefix="stream_hh_")
+    in_dir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
+    os.makedirs(in_dir)
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        words = docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("word"),
+        )
+        n_docs = docs.count()
+        half = n_docs // 2
+        for i, cond in enumerate(
+            (F.col("doc_id") < half, F.col("doc_id") >= half)
+        ):
+            words.filter(cond).groupBy("word").agg(
+                F.count("*").cast("long").alias("cnt")
+            ).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(in_dir, f"b{i}")
+            )
+        stream = (
+            spark.readStream.schema("word string, cnt long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir + "/b*")
+        )
+
+        def _sink(batch: DataFrame, batch_id: int) -> None:
+            batch.write.mode("append").parquet(out)
+
+        with shuffle_partitions(spark, 4):
+            q = (
+                stream_heavy_hitters(stream)
+                .writeStream.foreachBatch(_sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            emitted = spark.read.parquet(out)
+            final = (
+                emitted.withColumn(
+                    "_last", F.max("n_batches").over(Window.partitionBy("bucket"))
+                )
+                .filter(F.col("n_batches") == F.col("_last"))
+                .select("bucket", "word", "est_count", "err")
+                .orderBy("bucket", F.desc("est_count"), "word")
+            )
+            return materialize(final, "stream_hh_out_").orderBy(
+                "bucket", F.desc("est_count"), "word"
+            )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

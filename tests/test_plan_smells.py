@@ -49,6 +49,7 @@ _SKIP = {
     "stream_wal2json_pipeline",
     "cdc_replica_vacuum",  # writes/vacuums real replica versions
     "cdc_ddl_apply",  # executes real catalog DDL + table writes
+    "stream_heavy_hitters",  # real multi-batch stateful stream
 }
 
 # ops whose BroadcastNestedLoopJoin is a deliberate constant-size

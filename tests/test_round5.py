@@ -419,3 +419,105 @@ def test_round5_ops_partition_count_invariant(spark):
             with shuffle_partitions(spark, n):
                 results.append(_collect_sorted(op(spark, sf)))
         assert results[0] == results[1] == results[2], op.__name__
+
+
+def test_bulk_store_ignores_unpointed_version(spark, tmp_path):
+    """Crash mid-commit: a v= directory written WITHOUT the pointer
+    flip (the crash window) must be invisible to read_replay — the
+    same reader guarantee ReplicaStore's _LATEST protocol gives."""
+    import datetime
+    import os
+
+    from greenplum_cdc_spark.streaming.pipeline import BulkIndexStore
+
+    t0 = datetime.datetime(2024, 1, 1)
+    store = BulkIndexStore(spark, str(tmp_path / "bulk"))
+    store.commit(
+        spark.createDataFrame(
+            [(1, "insert", 5, t0, 10.0)],
+            "pk bigint, op string, seq bigint, ts timestamp, value double",
+        )
+    )
+    # simulate a crashed second commit: directory exists, pointer not
+    # flipped (write the files via a raw parquet write, no commit())
+    spark.createDataFrame(
+        [('{"index":{"_index":"events","_id":2,"version":9,'
+          '"version_type":"external"}}\n'
+          '{"pk":2,"seq":9,"ts_us":0,"value":99.0}',)],
+        "value string",
+    ).write.mode("overwrite").text(str(tmp_path / "bulk" / "v=2"))
+    assert os.path.isdir(str(tmp_path / "bulk" / "v=2"))
+    got = {r["pk"] for r in store.read_replay().collect()}
+    assert got == {1}  # the unpointed version is invisible
+
+
+class TestStreamHeavyHitters:
+    def test_matches_exact_python_simulation(self, spark, sf_dir):
+        """The drained Space-Saving state must equal an exact Python
+        simulation of the same recurrence over the same two batches
+        (the C50 rows-only pattern), and the SS guarantees must hold
+        against exact counts: est >= true and est - err <= true."""
+        from collections import Counter, defaultdict
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.streaming import stateful as S
+
+        docs = {
+            r["doc_id"]: [w for w in r["text"].split(" ") if w != ""]
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .collect()
+        }
+        n_docs = len(docs)
+        half = n_docs // 2
+        import hashlib
+
+        def bucket(w):
+            return int(hashlib.md5(w.encode()).hexdigest()[:6], 16) % S.SS_BUCKETS
+
+        sim: dict[int, dict] = defaultdict(dict)
+        for batch_ids in (
+            [d for d in docs if d < half],
+            [d for d in docs if d >= half],
+        ):
+            agg = Counter()
+            for did in batch_ids:
+                agg.update(docs[did])
+            per_bucket = defaultdict(list)
+            for w in sorted(agg):
+                per_bucket[bucket(w)].append((w, agg[w]))
+            for b, items in per_bucket.items():
+                for w, cnt in items:  # sorted order, like the operator
+                    S._ss_fold(sim[b], w, cnt)
+
+        got = {
+            (r["bucket"], r["word"]): (r["est_count"], r["err"])
+            for r in S.stream_heavy_hitters_query(spark, sf_dir).collect()
+        }
+        expect = {
+            (b, w): cnts for b, tbl in sim.items() for w, cnts in tbl.items()
+        }
+        assert got == expect
+
+        truth = Counter()
+        for toks in docs.values():
+            truth.update(toks)
+        for (b, w), (est, err) in got.items():
+            assert est >= truth[w]
+            assert est - err <= truth[w]
+
+    def test_eviction_rule_is_deterministic(self):
+        """Direct recurrence check with forced evictions: the minimum
+        counter goes, ties evict the lexicographically smallest word,
+        and the newcomer inherits the evicted count as error."""
+        from greenplum_cdc_spark.streaming import stateful as S
+
+        counters: dict = {}
+        for i in range(S.SS_K):
+            S._ss_fold(counters, f"w{i:02d}", 1)
+        assert len(counters) == S.SS_K
+        # all counts equal 1 -> eviction tie -> 'w00' (lexicographic min)
+        S._ss_fold(counters, "zzz", 3)
+        assert "w00" not in counters
+        assert counters["zzz"] == (1 + 3, 1)  # inherits min count as err
+        assert len(counters) == S.SS_K
