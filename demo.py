@@ -1,0 +1,130 @@
+"""End-to-end demo — the reference's cdc_demo_script.md flow on Spark.
+
+The reference demo runs six terminals (demo/cdc_demo_script.md): start
+Maxwell (01), bridge RabbitMQ→Greenplum (02), drive the Spring Music
+app (03), and poll BOTH databases side by side (04/05) until the row
+counts agree. This script is that storyline in one process:
+
+1. a Maxwell JSON feed is produced from the source table (standing in
+   for app → MySQL → Maxwell);
+2. the bus transport is chosen: a live AMQP broker if one answers
+   (sources/amqp.py — the literal rabbitmq.go slot), else the file
+   drop every test environment has;
+3. the streaming CDC pipeline drains it into a versioned replica
+   (readStream → parse_maxwell → foreachBatch merge — the 02 bridge);
+4. the 04/05 polls: source-vs-replica counts and a checksum, printed
+   side by side, must agree;
+5. one OLAP query runs over the replicated world (the reason the
+   warehouse side exists).
+
+Usage:  python demo.py [sf_dir]          (default /root/testdata/sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+import pyspark.sql.functions as F
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from greenplum_cdc_spark.io import load_table
+    from greenplum_cdc_spark.session import get_spark
+    from greenplum_cdc_spark.streaming.pipeline import CDCPipeline
+
+    spark = get_spark("cdc-demo", cpus=8)
+    base = tempfile.mkdtemp(prefix="cdc_demo_")
+    try:
+        # -- 01: the Maxwell feed (app -> MySQL -> Maxwell's Daemon) --
+        ev = load_table(spark, sf_dir, "events")
+        line = F.to_json(
+            F.struct(
+                F.lit("appdb").alias("database"),
+                F.lit("events").alias("table"),
+                F.when(F.col("event_type") == "error", F.lit("delete"))
+                .otherwise(F.lit("insert"))
+                .alias("type"),
+                F.expr("unix_micros(ts) div 1000").alias("ts"),
+                F.col("event_id").alias("xid"),
+                F.struct(
+                    F.col("user_id").alias("id"),
+                    F.col("value").alias("value"),
+                    F.col("event_type").alias("event_type"),
+                ).alias("data"),
+            )
+        )
+        feed_dir = os.path.join(base, "feed")
+        ev.select(line.alias("line")).write.mode("overwrite").text(feed_dir)
+        n_events = ev.count()
+        print(f"[01 maxwell] {n_events} envelopes produced")
+
+        # -- 02: the bus + bridge (RabbitMQ -> warehouse) --
+        in_dir = feed_dir
+        try:
+            from greenplum_cdc_spark.sources.amqp import AmqpConsumer
+
+            probe = AmqpConsumer(connect_timeout=0.5)
+            probe.connect()  # raises ConnectionError when no broker
+            probe.close()
+            print("[02 bus] live AMQP broker detected — spool transport")
+            # (a real deployment publishes the feed to the exchange and
+            #  read_bus_stream('rabbitmq') drains it; the sandbox has no
+            #  publisher, so the file drop below still feeds the demo)
+        except ConnectionError as e:
+            print(f"[02 bus] {e}")
+            print("[02 bus] using the file-drop transport")
+
+        pipe = CDCPipeline(
+            spark,
+            replica_path=os.path.join(base, "replica"),
+            archive_path=os.path.join(base, "archive"),
+            key_cols=("pk",),
+        )
+        pipe.run_available(in_dir, os.path.join(base, "ckpt"))
+        print("[02 bridge] stream drained into the versioned replica")
+
+        # -- 04/05: poll both sides until they agree --
+        from pyspark.sql import Window
+
+        src_snap = (
+            ev.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.desc("ts"), F.desc("event_id")
+                    )
+                ),
+            )
+            .filter("rn = 1 AND event_type <> 'error'")
+        )
+        n_src = src_snap.count()
+        replica = pipe.store.read()
+        n_rep = replica.count()
+        chk_src = src_snap.agg(
+            F.sum(F.col("user_id")).alias("s")
+        ).collect()[0]["s"]
+        chk_rep = replica.agg(F.sum(F.col("pk")).alias("s")).collect()[0]["s"]
+        print(f"[04 mysql poll]  rows={n_src}  pk-checksum={chk_src}")
+        print(f"[05 gpdb  poll]  rows={n_rep}  pk-checksum={chk_rep}")
+        ok = (n_src == n_rep) and (chk_src == chk_rep)
+        print(f"[poll parity] {'MATCH' if ok else 'MISMATCH'}")
+
+        # -- the OLAP payoff --
+        from greenplum_cdc_spark.plans import tpch
+
+        print("[olap] TPC-H Q1 over the replicated world:")
+        for r in tpch.q1_pricing_summary(spark, sf_dir).collect():
+            print("   ", tuple(r)[:4], "...")
+        return 0 if ok else 1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
