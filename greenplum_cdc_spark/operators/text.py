@@ -1778,3 +1778,59 @@ def _doc_novelty_sql() -> str:
     from .quality import _TOKS_SQL
 
     return DOC_NOVELTY_SQL.format(toks=_TOKS_SQL)
+
+
+# --- C92: language-ID confusion matrix ---------------------------------
+
+
+def langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C92: the classifier-evaluation artifact for C8 — the confusion
+    matrix of the stopword language identifier against the labeled
+    `lang` column, with per-true-language recall in basis points. This
+    is how a curation pipeline decides whether its lang filter is
+    dropping the wrong documents (the per-cell counts localize WHICH
+    confusion loses data, which the single accuracy number hides).
+
+    One groupBy over C8's per-doc verdicts (reusing the exact argmax
+    expression — any drift between the classifier and its eval would
+    break the shared oracle), plus a broadcast of the per-true-lang
+    totals for the recall division (scaled-integer, never
+    ROUND(double)).
+    """
+    preds = lang_id(spark, sf_dir).select("lang", "pred_lang")
+    cells = preds.groupBy("lang", "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+    totals = preds.groupBy("lang").agg(F.count("*").alias("lang_total"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            "lang_total",
+            F.expr("(n * 10000) div lang_total").alias("share_bp"),
+            (F.col("lang") == F.col("pred_lang")).cast("int").alias(
+                "is_diagonal"
+            ),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _langid_confusion_sql() -> str:
+    return f"""
+WITH verdicts AS ({LANG_ID_SQL.replace('ORDER BY doc_id', '')}),
+cells AS (
+  SELECT lang, pred_lang, COUNT(*) AS n
+  FROM verdicts GROUP BY lang, pred_lang
+),
+totals AS (
+  SELECT lang, COUNT(*) AS lang_total FROM verdicts GROUP BY lang
+)
+SELECT c.lang, c.pred_lang, c.n, t.lang_total,
+       CAST((c.n * 10000) // t.lang_total AS BIGINT) AS share_bp,
+       CAST(c.lang = c.pred_lang AS INT) AS is_diagonal
+FROM cells c JOIN totals t ON c.lang = t.lang
+ORDER BY c.lang, c.pred_lang
+"""

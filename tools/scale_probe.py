@@ -272,6 +272,7 @@ def _late_ops():
         "dataset_card": text.dataset_card,
         "dataset_version_diff": text.dataset_version_diff,
         "doc_novelty": text.doc_novelty,
+        "langid_confusion": text.langid_confusion,
     }
 
 
