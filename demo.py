@@ -67,7 +67,10 @@ def main() -> int:
         # -- 02: the bus + bridge (RabbitMQ -> warehouse) --
         in_dir = feed_dir
         try:
-            from greenplum_cdc_spark.sources.amqp import AmqpConsumer
+            from greenplum_cdc_spark.sources.amqp import (
+                AmqpConsumer,
+                AmqpProtocolError,
+            )
 
             probe = AmqpConsumer(connect_timeout=0.5)
             probe.connect()  # raises ConnectionError when no broker
@@ -76,7 +79,12 @@ def main() -> int:
             # (a real deployment publishes the feed to the exchange and
             #  read_bus_stream('rabbitmq') drains it; the sandbox has no
             #  publisher, so the file drop below still feeds the demo)
-        except ConnectionError as e:
+        except (
+            ConnectionError,  # nothing listening on 5672
+            AmqpProtocolError,  # a non-AMQP service answered
+            TimeoutError,  # stalled/black-holed broker
+            OSError,  # any other socket-level failure
+        ) as e:
             print(f"[02 bus] {e}")
             print("[02 bus] using the file-drop transport")
 

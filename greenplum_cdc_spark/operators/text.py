@@ -1449,8 +1449,12 @@ def shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (h_shard % SHARD_N).cast("int").alias("shard"),
         h_order.alias("ord_key"),
-        (h_order / F.lit(step)).cast("int").alias("sub"),
         n_tok.cast("bigint").alias("n_tokens"),
+    ).withColumn(
+        # integer `div`, not double-divide-then-truncate: exact by
+        # construction whatever the hash width / bucket count (ADVICE r5)
+        "sub",
+        F.expr(f"ord_key div {step}").cast("int"),
     )
     # per-(shard, sub) counts -> cumulative offsets + per-shard totals,
     # all over the tiny |N*B|-row table, broadcast back

@@ -2568,16 +2568,24 @@ def wal2json_v2_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     change = F.when(F.col("event_type") == "error", dele).otherwise(ins)
     # B/C markers on every 100th transaction: enough to keep the
     # quarantine path under oracle pressure without tripling the feed
-    # (markers on EVERY event measured 6.0 s at sf0.1 vs 2.5 s)
+    # (markers on EVERY event measured 6.0 s at sf0.1 vs 2.5 s).
+    # posexplode (not explode): the position builds the per-line bus
+    # offset (event_id*4 + pos, arrays are ≤3 long) the v2 parser now
+    # REQUIRES to order intra-transaction changes (ADVICE r5: a
+    # change_idx pinned to 0 made multi-change same-key transactions
+    # merge nondeterministically).
     lines = ev.select(
-        F.explode(
+        F.col("event_id"),
+        F.posexplode(
             F.when(
                 F.col("event_id") % 100 == 0,
                 F.array(begin, change, commit),
             ).otherwise(F.array(change))
-        ).alias("line")
+        ).alias("pos", "line"),
+    ).select(
+        (F.col("event_id") * 4 + F.col("pos")).alias("_offset"), "line"
     )
-    parsed = w2j.parse_wal2json_v2(lines)
+    parsed = w2j.parse_wal2json_v2(lines, offset_col="_offset")
     return (
         parsed.filter(F.col("op").isNotNull())  # quarantine B/C markers
         .select(
@@ -2729,22 +2737,26 @@ def cdc_ddl_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     invalid-but-plausible DDL (the failure mode a string-level check
     can't see) breaks this query loudly at CREATE time.
 
-    The table is created fresh and dropped after materialization, so
-    the operator is rerun-safe and leaks no catalog state.
+    The database name is uuid-suffixed per invocation and dropped
+    CASCADE in the finally block (ADVICE r5: a fixed name raced
+    concurrent runs against the same metastore — one run's insertInto
+    could land in the other's table — and leaked the database).
     """
+    import uuid
+
     from ..functions.ddl import add_schema_name, translate_sql
     from ..io import materialize
 
+    db = f"{_DDL_APPLY_DB}_{uuid.uuid4().hex[:12]}"
     mysql_ddl = (
         "CREATE TABLE `album` (`id` BIGINT, `title` LONGTEXT,"
         " `release_year` INT, `price` DOUBLE, `created` DATETIME,"
         " `featured` TINYINT(1)) ENGINE=InnoDB"
     )
-    spark_ddl = add_schema_name(_DDL_APPLY_DB, translate_sql(mysql_ddl))
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {_DDL_APPLY_DB}")
-    spark.sql(f"DROP TABLE IF EXISTS {_DDL_APPLY_DB}.album")
-    spark.sql(spark_ddl)  # the translated DDL must BE valid Spark SQL
+    spark_ddl = add_schema_name(db, translate_sql(mysql_ddl))
+    spark.sql(f"CREATE DATABASE {db}")
     try:
+        spark.sql(spark_ddl)  # the translated DDL must BE valid Spark SQL
         ev = load_table(spark, sf_dir, "events")
         feed = ev.filter(F.col("event_id") % _DDL_APPLY_MOD == 0).select(
             F.col("event_id").alias("id"),
@@ -2756,11 +2768,11 @@ def cdc_ddl_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("created"),
             (F.col("event_id") % 2 == 0).cast("smallint").alias("featured"),
         )
-        feed.write.insertInto(f"{_DDL_APPLY_DB}.album")
-        out = spark.table(f"{_DDL_APPLY_DB}.album").orderBy("id")
+        feed.write.insertInto(f"{db}.album")
+        out = spark.table(f"{db}.album").orderBy("id")
         return materialize(out, "ddl_apply_out_").orderBy("id")
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {_DDL_APPLY_DB}.album")
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
 
 
 CDC_DDL_APPLY_SQL = f"""

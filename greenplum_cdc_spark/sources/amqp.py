@@ -213,24 +213,37 @@ class AmqpConsumer:
         assert self.sock is not None
         self.sock.sendall(data)
 
-    def _recv_exact(self, n: int) -> bytes:
+    def _fill(self) -> None:
+        """One recv() appended to the buffer (may raise socket.timeout
+        with the buffer intact — nothing is ever consumed partially)."""
         assert self.sock is not None
-        while len(self._recv_buf) < n:
-            chunk = self.sock.recv(65536)
-            if not chunk:
-                raise AmqpProtocolError("connection closed by peer")
-            self._recv_buf += chunk
-        out, self._recv_buf = self._recv_buf[:n], self._recv_buf[n:]
-        return out
+        chunk = self.sock.recv(65536)
+        if not chunk:
+            raise AmqpProtocolError("connection closed by peer")
+        self._recv_buf += chunk
 
     def read_frame(self) -> tuple[int, int, bytes]:
-        head = self._recv_exact(7)
-        frame_type, channel, size = struct.unpack(">BHI", head)
-        payload = self._recv_exact(size)
-        end = self._recv_exact(1)
-        if end[0] != FRAME_END:
-            raise AmqpProtocolError(f"bad frame end {end!r}")
-        return frame_type, channel, payload
+        """Read one frame, consuming from the buffer ATOMICALLY: bytes
+        leave ``_recv_buf`` only once the whole frame (head + payload +
+        frame-end) has arrived, so a socket.timeout mid-frame leaves the
+        stream frame-aligned and a later read_frame resumes cleanly
+        (ADVICE r5: the old head-then-payload consume desynced the
+        parse if a timeout landed between the two)."""
+        while len(self._recv_buf) < 7:
+            self._fill()
+        frame_type, channel, size = struct.unpack(
+            ">BHI", self._recv_buf[:7]
+        )
+        total = 7 + size + 1
+        while len(self._recv_buf) < total:
+            self._fill()
+        frame, self._recv_buf = (
+            self._recv_buf[:total],
+            self._recv_buf[total:],
+        )
+        if frame[total - 1] != FRAME_END:
+            raise AmqpProtocolError(f"bad frame end {frame[total - 1]!r}")
+        return frame_type, channel, frame[7 : total - 1]
 
     def _expect_method(self, want: tuple[int, int]) -> _Cursor:
         """Read frames until `want` arrives (heartbeats are absorbed)."""
@@ -374,7 +387,10 @@ class AmqpConsumer:
         self._expect_method(BASIC_CONSUME_OK)
 
     def drain(
-        self, idle_timeout: float = 0.1, before_ack=None
+        self,
+        idle_timeout: float = 0.1,
+        before_ack=None,
+        content_timeout: float = 5.0,
     ) -> list[bytes]:
         """Consume until `idle_timeout` passes with no delivery, then
         ack EVERYTHING with one multiple-ack — the Go main loop's
@@ -385,6 +401,16 @@ class AmqpConsumer:
         complete but BEFORE the ack is sent — the hook where the spool
         write lands the batch durably, preserving the reference's
         ack-after-land at-least-once ordering.
+
+        Timeout discipline (ADVICE r5): the short ``idle_timeout`` is
+        armed ONLY while waiting for the next Basic.Deliver method
+        frame with an empty buffer — "no new deliveries" is the batch
+        boundary. Once any frame bytes are in flight (mid-frame) or a
+        delivery's content frames are pending, the socket gets the
+        longer ``content_timeout``: a header/body frame arriving slower
+        than the delivery gap is not idleness, and only a genuinely
+        stalled peer (> content_timeout mid-message) raises — as a
+        loud AmqpProtocolError, never a silent empty batch.
         """
         assert self.sock is not None
         bodies: list[bytes] = []
@@ -395,7 +421,21 @@ class AmqpConsumer:
                 try:
                     frame_type, _ch, payload = self.read_frame()
                 except socket.timeout:
-                    break  # idle: the batch is over
+                    if not self._recv_buf:
+                        break  # idle between deliveries: batch over
+                    # mid-frame: the peer started a frame — give it
+                    # the content deadline to finish (read_frame
+                    # consumes atomically, so the buffer is aligned)
+                    self.sock.settimeout(content_timeout)
+                    try:
+                        frame_type, _ch, payload = self.read_frame()
+                    except socket.timeout:
+                        raise AmqpProtocolError(
+                            "peer stalled mid-frame for "
+                            f"{content_timeout}s"
+                        ) from None
+                    finally:
+                        self.sock.settimeout(idle_timeout)
                 if frame_type == FRAME_HEARTBEAT:
                     continue
                 if frame_type != FRAME_METHOD:
@@ -407,8 +447,19 @@ class AmqpConsumer:
                     raise AmqpProtocolError(f"expected Deliver, got {got}")
                 cur.shortstr()  # consumer-tag
                 last_tag = cur.longlong()  # delivery-tag
-                # redelivered bit / exchange / routing-key: not needed
-                body = self._read_content()
+                # redelivered bit / exchange / routing-key: not needed.
+                # Content frames get the longer deadline: they belong
+                # to a delivery already in progress.
+                self.sock.settimeout(content_timeout)
+                try:
+                    body = self._read_content()
+                except socket.timeout:
+                    raise AmqpProtocolError(
+                        "peer stalled mid-message for "
+                        f"{content_timeout}s"
+                    ) from None
+                finally:
+                    self.sock.settimeout(idle_timeout)
                 bodies.append(body)
         finally:
             self.sock.settimeout(None)

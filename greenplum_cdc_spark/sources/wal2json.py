@@ -139,6 +139,8 @@ def parse_wal2json_v2(
     line_col: str = "line",
     database: str = "appdb",
     keep: tuple = (),
+    offset_col: str | None = None,
+    single_change_txns: bool = False,
 ) -> DataFrame:
     """wal2json format-v2 lines → the same typed CDC frame as
     ``parse_wal2json`` (and therefore ``parse_maxwell``): ts,
@@ -150,17 +152,39 @@ def parse_wal2json_v2(
       not data — same stance as Maxwell's bootstrap-* ops).
     - ``data``: columns[].name → columns[].value (map); ``old``:
       identity[] the same way (the replica identity on U/D).
-    - ``change_idx`` is constant 0: v2's intra-transaction order is
-      line order, and with per-change (timestamp, xid) the replay
-      order (ts, xid) is already total for single-change transactions;
-      multi-change v2 transactions need the bus offset as tiebreak
-      (pass it via ``keep``).
+    - ``change_idx``: v2's intra-transaction order is LINE order, which
+      a stateless per-line parse cannot recover on its own — a
+      multi-change transaction touching the same key would tie on
+      (ts, xid, change_idx) and the latest-wins merge would pick a
+      nondeterministic winner (the v1 parser's ``posexplode`` position
+      never has this problem).  So the caller MUST either
+
+      * pass ``offset_col``: a monotonically increasing per-line
+        sequence already on ``raw`` (the bus/file byte offset, Kafka
+        offset, or a line number) — it becomes ``change_idx``; or
+      * assert ``single_change_txns=True``: every transaction in this
+        feed carries at most one change (e.g. autocommit workloads),
+        so (ts, xid) is already total and ``change_idx`` is 0.
+
+      Neither → ``ValueError``, loudly, rather than a silent
+      order-dependent merge.
     """
+    if offset_col is None and not single_change_txns:
+        raise ValueError(
+            "parse_wal2json_v2: multi-change transactions need a line"
+            " sequence to order intra-transaction changes; pass"
+            " offset_col=<monotone per-line column> (bus offset / line"
+            " number), or single_change_txns=True if every transaction"
+            " in this feed has at most one change"
+        )
     op_map = F.create_map(
         *[F.lit(x) for kv in _V2_OPS.items() for x in kv]
     )
+    carry = list(keep)
+    if offset_col is not None and offset_col not in carry:
+        carry.append(offset_col)
     parsed = raw.select(
-        *[F.col(c) for c in keep],
+        *[F.col(c) for c in carry],
         F.from_json(
             sanitize_line(F.col(line_col)), WAL2JSON_V2_SCHEMA
         ).alias("_j"),
@@ -173,7 +197,11 @@ def parse_wal2json_v2(
         F.col("_j.table").alias("table_name"),
         op_map[F.col("_j.action")].alias("op"),
         F.col("_j.xid").alias("xid"),
-        F.lit(0).alias("change_idx"),
+        (
+            F.col(offset_col).cast("long")
+            if offset_col is not None
+            else F.lit(0).cast("long")
+        ).alias("change_idx"),
         F.map_from_arrays(
             F.col("_j.columns.name"), F.col("_j.columns.value")
         ).alias("data"),

@@ -410,8 +410,10 @@ class TestWal2JsonV2Equivalence:
         v2 = _typed(
             parse_wal2json_v2(
                 spark.createDataFrame(
-                    [(ln,) for ln in v2_lines], "line string"
-                )
+                    [(i, ln) for i, ln in enumerate(v2_lines)],
+                    "off long, line string",
+                ),
+                offset_col="off",
             )
         )
         assert v1 == v2
