@@ -64,6 +64,13 @@ def main() -> None:
     # mix is not: round-3 advice).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    # per-entry synth/op sub-times (VERDICT r5 item 3): entries that
+    # synthesize their input corpus report the generator's share via
+    # greenplum_cdc_spark.phases; "op" is the remainder of the SAME rep
+    # the min total came from.
+    from greenplum_cdc_spark.phases import PHASE_TIMES
+
+    phases: dict[str, dict[str, float]] = {}
     for rep in range(reps):
         for name, fn in entrymod.queries().items():
             t0 = time.perf_counter()
@@ -72,7 +79,16 @@ def main() -> None:
                 df.collect()
                 t = round(time.perf_counter() - t0, 3)
                 prev = timings.get(name)
-                timings[name] = t if prev is None or prev < 0 else min(prev, t)
+                ph = PHASE_TIMES.get(name)
+                if prev is None or prev < 0 or t < prev:
+                    timings[name] = t
+                # keep the phase split from a rep that actually ran the
+                # synth step (feed caching makes later reps synth-free)
+                if ph and name not in phases:
+                    phases[name] = {
+                        **ph,
+                        "op": round(t - sum(ph.values()), 3),
+                    }
             except Exception as e:  # noqa: BLE001
                 print(f"bench error in {name}: {e}", file=sys.stderr)
                 # a failed rep never masks an earlier good timing
@@ -91,6 +107,7 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(rounded),
                 "queries": rounded,
+                "phases": phases,
             },
             fh,
             separators=(",", ":"),

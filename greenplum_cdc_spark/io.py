@@ -84,6 +84,35 @@ def shuffle_partitions(spark: SparkSession, n: int):
             spark.conf.unset("spark.sql.shuffle.partitions")
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state"
+    ".RocksDBStateStoreProvider"
+)
+
+
+@contextmanager
+def rocksdb_state_store(spark: SparkSession):
+    """Temporarily select the RocksDB state store provider.
+
+    transformWithState keeps each named state variable in its own
+    COLUMN FAMILY; the default HDFSBackedStateStoreProvider supports
+    only one and aborts with UNSUPPORTED_FEATURE — RocksDB (rocksdbjni
+    ships inside the pyspark wheel) is the documented requirement. On a
+    production cluster this is a session/global default; here it is
+    scoped so the applyInPandasWithState entries keep exercising the
+    default provider too."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+
+
 def materialize(df: DataFrame, prefix: str = "gate_") -> DataFrame:
     """Write `df` to a session-lifetime temp parquet and return the lazy
     read.

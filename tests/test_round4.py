@@ -116,11 +116,12 @@ class _FakeHandle:
 
 
 class TestRunningTotalsHandlerLogic:
-    """C48 protocol-level tests: the transformWithState SERVER cannot
-    run in this sandbox (no protobuf — pip is offline, documented
-    impossibility), but the handler's state transitions are pure
-    functions over (state, Arrow batches) and are tested here unskipped.
-    The operator body itself stays env-gated with a loud refusal."""
+    """C48 protocol-level tests: pure-function checks of the handler's
+    state transitions over (state, Arrow batches). Kept even though
+    round 6's protobuf bridge (vendor/google) un-gated the LIVE
+    transformWithState run (test_round3.test_stream_running_totals_tws,
+    plus the stream_running_totals oracle row) — these pin the handler
+    logic without needing a state server at all."""
 
     def _proc(self):
         from greenplum_cdc_spark.streaming.stateful import _RunningTotalProcessor
