@@ -480,6 +480,62 @@ class TestAmqpSlowContent:
             pass
 
 
+# --- the shared streaming scaffold -----------------------------------
+
+
+class TestStreamingScaffold:
+    def test_write_mtime_batches_orders_and_partitions(self, spark, tmp_path):
+        import os
+
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.streaming.scaffold import (
+            write_mtime_batches,
+        )
+
+        df = spark.range(300).select(
+            F.col("id"), (F.col("id") % 3).alias("b3")
+        )
+        d = str(tmp_path / "feed")
+        glob = write_mtime_batches(df, F.col("b3"), 3, d, drop=("b3",))
+        assert glob == d + "/_b=*"
+        # three dirs, strictly increasing mtimes, schema without the tag
+        mtimes = []
+        for i in range(3):
+            p = os.path.join(d, f"_b={i}")
+            files = [f for f in os.listdir(p) if f.endswith(".parquet")]
+            assert files
+            mtimes.append(os.path.getmtime(os.path.join(p, files[0])))
+        assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+        back = spark.read.parquet(glob)
+        assert back.columns == ["id"]
+        assert back.count() == 300
+
+    def test_write_mtime_batches_rejects_empty_batch(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.streaming.scaffold import (
+            write_mtime_batches,
+        )
+
+        df = spark.range(10)
+        with pytest.raises(ValueError, match="zero rows"):
+            # batch 2 can never receive a row
+            write_mtime_batches(
+                df, F.lit(0), 3, str(tmp_path / "feed2")
+            )
+
+    def test_cached_feed_writes_once(self):
+        from greenplum_cdc_spark.streaming.scaffold import cached_feed
+
+        calls = []
+        key = ("test_cached_feed_writes_once", "k1")
+        d1 = cached_feed(key, lambda d: calls.append(d))
+        d2 = cached_feed(key, lambda d: calls.append(d))
+        assert d1 == d2
+        assert calls == [d1]
+
+
 # --- item 4: the protobuf bridge that un-gated C48 -----------------------
 
 

@@ -273,6 +273,10 @@ def _late_ops():
         "dataset_version_diff": text.dataset_version_diff,
         "doc_novelty": text.doc_novelty,
         "langid_confusion": text.langid_confusion,
+        # round 6: C48 un-gated (transformWithStateInPandas live)
+        "stream_running_totals": (
+            _streaming_stateful().stream_running_totals_query
+        ),
     }
 
 
@@ -280,6 +284,12 @@ def _streaming():
     from greenplum_cdc_spark.streaming import pipeline
 
     return pipeline
+
+
+def _streaming_stateful():
+    from greenplum_cdc_spark.streaming import stateful
+
+    return stateful
 
 
 def _stats():
