@@ -2903,3 +2903,160 @@ WHERE rn = 1
        OR epoch_us(ts) >= hi.hi - {_GC_HORIZON_DAYS} * 86400000000)
 ORDER BY pk
 """.format(feed=maxwell.EVENTS_AS_CDC_SQL)
+
+
+# --- round 6: broker-less Kafka log-segment replay (A47) ----------------
+
+_KSEG_MOD = 20  # sample 1/20 of events: the wire CRC32C is pure Python
+_KSEG_BATCH = 512  # records per RecordBatch v2
+_KSEG_SEGMENT = 4096  # records per segment blob
+
+
+def kafka_segment_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A47 (round-6 bonus): Maxwell envelopes encoded into GENUINE Kafka
+    RecordBatch-v2 wire bytes (sources/kafka_wire.py — CRC32C, zigzag
+    varints, batch headers) grouped into on-disk-layout segments, then
+    replayed WITHOUT a broker: segment blobs → wire decode
+    (CRC-verified, per executor in mapInPandas) → the connector's
+    record frame → the SAME ``_kafka_to_lines`` → ``parse_maxwell``
+    path the production kafka source uses (bus.py:42-53).
+
+    This closes the last testable inch of the kafka transport story in
+    a broker-less sandbox: the record-shape double (bus.py) pins the
+    FRAME contract, the golden-bytes tests pin the CODEC, and this
+    entry proves the whole composition lands the typed CDC rows the
+    oracle states — including the Kafka offset, carried through
+    ``keep`` and required to equal the envelope xid by construction.
+
+    Scale shape: encode and decode are both per-segment Arrow tasks
+    (no shuffle until the final orderBy); segments are the unit of
+    parallelism exactly as Kafka partitions are. The 1/{mod} sample
+    bounds the pure-Python CRC32C cost in the gate harness — a real
+    deployment reads connector-decoded records (C CRC) and never pays
+    this; the sample does not weaken the proof, which is per-byte.
+    """
+    import pandas as pd
+
+    from ..sources import bus
+    from ..sources import kafka_wire as kw
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % _KSEG_MOD == 0
+    )
+    line = F.to_json(
+        F.struct(
+            F.lit("appdb").alias("database"),
+            F.lit("events").alias("table"),
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("insert"))
+            .alias("type"),
+            F.expr("unix_micros(ts) div 1000").alias("ts"),
+            F.col("event_id").alias("xid"),
+            F.struct(
+                F.col("user_id").alias("user_id"),
+                F.col("value").alias("value"),
+                F.col("event_type").alias("event_type"),
+            ).alias("data"),
+        )
+    )
+    feed = ev.select(
+        F.col("event_id").alias("offset"),  # sparse offsets: compaction-legal
+        F.expr("unix_micros(ts) div 1000").alias("ts_ms"),
+        F.col("user_id").cast("string").alias("key"),
+        line.alias("value"),
+        F.expr(f"event_id div {_KSEG_MOD * _KSEG_SEGMENT}").alias(
+            "segment_id"
+        ),
+    )
+
+    def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("offset")
+        blobs = []
+        for i in range(0, len(pdf), _KSEG_BATCH):
+            chunk = pdf.iloc[i : i + _KSEG_BATCH]
+            base_off = int(chunk["offset"].iloc[0])
+            base_ts = int(chunk["ts_ms"].iloc[0])
+            recs = [
+                (
+                    int(o) - base_off,
+                    int(t) - base_ts,
+                    str(k).encode(),
+                    str(v).encode(),
+                )
+                for o, t, k, v in zip(
+                    chunk["offset"],
+                    chunk["ts_ms"],
+                    chunk["key"],
+                    chunk["value"],
+                )
+            ]
+            blobs.append(kw.encode_record_batch(base_off, base_ts, recs))
+        return pd.DataFrame(
+            {
+                "segment_id": [int(pdf["segment_id"].iloc[0])],
+                "blob": [b"".join(blobs)],
+            }
+        )
+
+    segments = feed.groupBy("segment_id").applyInPandas(
+        _encode, schema="segment_id long, blob binary"
+    )
+
+    def _decode(batches):
+        for pdf in batches:
+            for blob in pdf["blob"]:
+                rs = kw.decode_segment(bytes(blob))
+                yield pd.DataFrame(
+                    {
+                        "offset": [r["offset"] for r in rs],
+                        "key": [
+                            r["key"].decode() if r["key"] else None
+                            for r in rs
+                        ],
+                        "value": [
+                            r["value"].decode() if r["value"] else None
+                            for r in rs
+                        ],
+                    }
+                )
+
+    records = segments.mapInPandas(
+        _decode, schema="offset long, key string, value string"
+    )
+    # the production record frame needs binary key/value — cast, then
+    # run the UNCHANGED production projection + parse
+    rec_frame = records.select(
+        "offset", F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+    )
+    parsed = maxwell.parse_maxwell(
+        bus._kafka_to_lines(rec_frame, keep=("offset",)),
+        keep=("offset",),
+    )
+    return (
+        parsed.filter(F.col("op").isNotNull())
+        .select(
+            "offset",
+            F.col("xid").alias("event_id"),
+            "ts",
+            "op",
+            F.col("data")["user_id"].cast("bigint").alias("user_id"),
+            F.col("data")["value"].cast("double").alias("value"),
+            F.col("data")["event_type"].alias("event_type"),
+        )
+        .orderBy("offset")
+    )
+
+
+KAFKA_SEGMENT_REPLAY_SQL = f"""
+SELECT event_id AS "offset",
+       event_id,
+       make_timestamp((epoch_us(ts) // 1000) * 1000) AS ts,
+       CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+       user_id,
+       value,
+       event_type
+FROM events
+WHERE event_id % {_KSEG_MOD} = 0
+ORDER BY "offset"
+"""

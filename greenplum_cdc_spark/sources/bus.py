@@ -39,18 +39,24 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 
-def _kafka_to_lines(records: DataFrame) -> DataFrame:
+def _kafka_to_lines(records: DataFrame, keep: tuple = ()) -> DataFrame:
     """Kafka record frame (binary key/value + topic/partition/offset) →
-    the uniform one-column `line` protocol.
+    the uniform one-column `line` protocol (+ ``keep`` metadata columns
+    — offset/partition — passed through untouched, mirroring
+    ``parse_maxwell``'s keep contract).
 
-    Shared by the real kafka source and the test double so the decode
-    path the tests exercise IS the production path. Framing mirrors the
-    reference consumer (rabbitmq.go:95-186): each record is one complete
-    Maxwell envelope (no cross-record reassembly), offsets are committed
-    by the streaming checkpoint AFTER the batch lands — the same
-    ack-at-end contract as the Go consumer's deferred channel.Ack.
+    Shared by the real kafka source, the test double, and the
+    segment-replay path (kafka_wire.py) so the decode path the tests
+    exercise IS the production path. Framing mirrors the reference
+    consumer (rabbitmq.go:95-186): each record is one complete Maxwell
+    envelope (no cross-record reassembly), offsets are committed by the
+    streaming checkpoint AFTER the batch lands — the same ack-at-end
+    contract as the Go consumer's deferred channel.Ack.
     """
-    return records.select(F.col("value").cast("string").alias("line"))
+    return records.select(
+        *[F.col(c) for c in keep],
+        F.col("value").cast("string").alias("line"),
+    )
 
 
 def kafka_record_double(

@@ -209,6 +209,99 @@ def decode_record_batch(buf: bytes) -> list[dict]:
     return records
 
 
+# --- the encoder (golden-batch producer) --------------------------------
+
+
+def encode_record(
+    offset_delta: int,
+    ts_delta: int,
+    key: bytes | None,
+    value: bytes | None,
+    headers=(),
+) -> bytes:
+    """One Record (v2 inner format), spec-derived — the producer twin of
+    the decoder above, used by the segment-replay harness and the
+    golden-bytes tests (tests/test_round6.py pins both directions)."""
+    body = b"\x00"  # record attributes
+    body += encode_zigzag(ts_delta)
+    body += encode_zigzag(offset_delta)
+    if key is None:
+        body += encode_zigzag(-1)
+    else:
+        body += encode_zigzag(len(key)) + key
+    if value is None:
+        body += encode_zigzag(-1)
+    else:
+        body += encode_zigzag(len(value)) + value
+    body += encode_zigzag(len(headers))
+    for hk, hv in headers:
+        hkb = hk.encode()
+        body += encode_zigzag(len(hkb)) + hkb
+        if hv is None:
+            body += encode_zigzag(-1)
+        else:
+            body += encode_zigzag(len(hv)) + hv
+    return encode_zigzag(len(body)) + body
+
+
+def encode_record_batch(
+    base_offset: int,
+    base_ts: int,
+    records: list[tuple],
+    attributes: int = 0,
+) -> bytes:
+    """One RecordBatch v2 blob from (offset_delta, ts_delta, key, value)
+    tuples — CRC32C'd, uncompressed, no producer state (id/epoch/seq =
+    -1, exactly what a non-transactional producer writes)."""
+    recs = b"".join(encode_record(*r) for r in records)
+    last_delta = max((r[0] for r in records), default=0)
+    max_ts = base_ts + max((r[1] for r in records), default=0)
+    post_crc = (
+        struct.pack(
+            ">hiqqqhii",
+            attributes,
+            last_delta,
+            base_ts,
+            max_ts,
+            -1,
+            -1,
+            -1,
+            len(records),
+        )
+        + recs
+    )
+    crc = crc32c(post_crc)
+    body = struct.pack(">ibI", 0, 2, crc) + post_crc
+    return struct.pack(">qi", base_offset, len(body)) + body
+
+
+# --- segments: concatenated batches (the on-disk log format) ------------
+
+
+def iter_record_batches(blob: bytes):
+    """Split a segment (a CONCATENATION of RecordBatch v2 blobs — the
+    Kafka on-disk log layout) into individual batch byte-slices."""
+    pos = 0
+    while pos < len(blob):
+        if len(blob) - pos < 12:
+            raise KafkaWireError(
+                f"truncated segment: {len(blob) - pos} trailing bytes"
+            )
+        _base, blen = struct.unpack_from(">qi", blob, pos)
+        end = pos + 12 + blen
+        if end > len(blob):
+            raise KafkaWireError("segment ends mid-batch")
+        yield blob[pos:end]
+        pos = end
+
+
+def decode_segment(blob: bytes) -> list[dict]:
+    """All records of a segment, batch by batch, CRC-verified."""
+    return [
+        r for b in iter_record_batches(blob) for r in decode_record_batch(b)
+    ]
+
+
 def records_to_frame(spark, records: list[dict], topic: str, partition: int):
     """Wire-decoded records → the EXACT record frame the spark-sql-kafka
     source emits (and `kafka_record_double` mirrors), ready for

@@ -35,7 +35,12 @@ from greenplum_cdc_spark.sources.kafka_wire import (
 )
 
 
-# --- golden-batch builder (spec-derived, mirrors the decoder's doc) ----
+# --- golden-batch builder ------------------------------------------------
+# Deliberately INDEPENDENT of sources/kafka_wire.py's encoder: these
+# bytes are derived from the public spec by a second implementation, so
+# decoder and encoder are both pinned against something that can't
+# share their bugs (test_module_encoder_matches_independent_builder
+# closes the triangle).
 
 
 def _encode_record(
@@ -170,6 +175,19 @@ class TestKafkaWireGoldenBytes:
         # public check value: CRC32C("123456789") == 0xE3069283
         assert crc32c(b"123456789") == 0xE3069283
 
+    def test_module_encoder_matches_independent_builder(self):
+        from greenplum_cdc_spark.sources.kafka_wire import (
+            encode_record_batch,
+        )
+
+        records = [
+            (i, i * 1000, f"k{i}".encode(), v)
+            for i, v in enumerate(MAXWELL_VALUES)
+        ]
+        assert encode_record_batch(
+            100, 1_704_067_200_000, records
+        ) == build_record_batch(100, 1_704_067_200_000, records)
+
     def test_wire_records_drive_the_production_decode_path(self, spark):
         from greenplum_cdc_spark.sources.bus import (
             _kafka_to_lines,
@@ -191,6 +209,53 @@ class TestKafkaWireGoldenBytes:
             for r in typed.collect()
         }
         assert rows == {("insert", "1"), ("update", "1"), ("delete", "2")}
+
+
+class TestKafkaSegments:
+    def test_segment_roundtrip_multiple_batches(self):
+        from greenplum_cdc_spark.sources.kafka_wire import (
+            decode_segment,
+            encode_record_batch,
+            iter_record_batches,
+        )
+
+        seg = encode_record_batch(
+            0, 1000, [(i, i, None, f"v{i}".encode()) for i in range(3)]
+        ) + encode_record_batch(
+            3, 2000, [(i, 0, b"k", f"w{i}".encode()) for i in range(2)]
+        )
+        assert len(list(iter_record_batches(seg))) == 2
+        recs = decode_segment(seg)
+        assert [r["offset"] for r in recs] == [0, 1, 2, 3, 4]
+        assert recs[0]["value"] == b"v0" and recs[4]["value"] == b"w1"
+        assert recs[3]["key"] == b"k" and recs[0]["key"] is None
+
+    def test_truncated_segment_rejected(self):
+        from greenplum_cdc_spark.sources.kafka_wire import (
+            KafkaWireError,
+            decode_segment,
+            encode_record_batch,
+        )
+
+        seg = encode_record_batch(0, 0, [(0, 0, None, b"v")])
+        with pytest.raises(KafkaWireError):
+            decode_segment(seg + b"\x00\x01\x02")  # trailing garbage
+        with pytest.raises(KafkaWireError):
+            decode_segment(seg[:-2])  # ends mid-batch
+
+    def test_segment_replay_lands_typed_rows(self, spark):
+        from greenplum_cdc_spark.plans.cdc_queries import (
+            _KSEG_MOD,
+            kafka_segment_replay,
+        )
+
+        rows = kafka_segment_replay(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert rows
+        assert all(r["offset"] == r["event_id"] for r in rows)
+        assert all(r["event_id"] % _KSEG_MOD == 0 for r in rows)
+        assert {r["op"] for r in rows} <= {"insert", "delete"}
 
 
 # --- item 8: heavy-hitters state stays bounded under long words ---------

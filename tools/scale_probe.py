@@ -277,6 +277,7 @@ def _late_ops():
         "stream_running_totals": (
             _streaming_stateful().stream_running_totals_query
         ),
+        "kafka_segment_replay": cdc_queries.kafka_segment_replay,
     }
 
 
