@@ -31,6 +31,7 @@ from ..operators.cdc import (
 from ..sources.maxwell import DML_OPS, parse_maxwell
 from ..phases import phase, reset
 from .scaffold import (
+    adopt_scratch,
     cached_feed,
     drain_memory,
     scratch_dir,
@@ -269,7 +270,7 @@ def stream_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil
 
-    from ..io import load_table, materialize
+    from ..io import load_table
 
     base = scratch_dir("cdc_e2e_")
     ckpt = os.path.join(base, "ckpt")
@@ -307,15 +308,20 @@ def stream_cdc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         with shuffle_partitions(spark, 2):
             pipe = CDCPipeline(spark, replica_dir, key_cols=("pk",))
             pipe.run_available(in_dir, ckpt)
-            replica = pipe.store.read()
-            out = replica.select(
+            # adopt the finished replica tree (rename, no re-write) and
+            # read it through a fresh store over the moved path
+            from .scaffold import adopt_path
+
+            replica = ReplicaStore(
+                spark, adopt_path(replica_dir, "cdc_e2e_out_")
+            ).read()
+            return replica.select(
                 "pk",
                 F.col("ts").alias("last_ts"),
                 F.col("seq").alias("last_seq"),
                 F.col("data")["value"].cast("double").alias("last_value"),
                 F.col("data")["event_type"].alias("last_event_type"),
             ).orderBy("pk")
-            return materialize(out, "cdc_e2e_out_").orderBy("pk")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -399,7 +405,7 @@ def stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil
 
-    from ..io import load_table, materialize
+    from ..io import load_table
 
     base = scratch_dir("cdc_fanout_")
     ckpt = os.path.join(base, "ckpt")
@@ -437,9 +443,13 @@ def stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         with shuffle_partitions(spark, 2):
             pipe = FanoutCDCPipeline(spark, sink_dirs, key_cols=("pk",))
             pipe.run_available(in_dir, ckpt)
+            from .scaffold import adopt_path
+
             per_sink = []
             for i, store in enumerate(pipe.stores):
-                replica = store.read()
+                replica = ReplicaStore(
+                    spark, adopt_path(store.path, f"cdc_fanout_out{i}_")
+                ).read()
                 per_sink.append(
                     replica.select(
                         F.lit(i).cast("int").alias("sink_id"),
@@ -451,7 +461,7 @@ def stream_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = per_sink[0]
             for s in per_sink[1:]:
                 out = out.unionByName(s)
-            return materialize(out, "cdc_fanout_out_").orderBy("sink_id", "pk")
+            return out.orderBy("sink_id", "pk")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -695,7 +705,7 @@ def stream_fanout_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil
 
-    from ..io import load_table, materialize, shuffle_partitions
+    from ..io import load_table, shuffle_partitions
 
     base = scratch_dir("cdc_hetero_")
     ckpt = os.path.join(base, "ckpt")
@@ -749,8 +759,13 @@ def stream_fanout_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
             # live view: tombstones filtered at read time (A15 contract)
+            from .scaffold import adopt_path
+
             replica = (
-                pipe.store.read()
+                ReplicaStore(
+                    spark, adopt_path(pipe.store.path, "cdc_hetero_pq_")
+                )
+                .read()
                 .filter(F.col("op") != "delete")
                 .select(
                     F.lit("parquet").alias("sink_kind"),
@@ -759,15 +774,15 @@ def stream_fanout_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("data")["value"].cast("double").alias("last_value"),
                 )
             )
-            bulk = pipe.bulk.read_replay().select(
+            bulk = BulkIndexStore(
+                spark, adopt_path(pipe.bulk.path, "cdc_hetero_bulk_")
+            ).read_replay().select(
                 F.lit("bulk_json").alias("sink_kind"),
                 "pk",
                 F.col("ts").alias("last_ts"),
                 F.col("value").alias("last_value"),
             )
-            return materialize(
-                bulk.unionByName(replica), "cdc_hetero_out_"
-            ).orderBy("sink_kind", "pk")
+            return bulk.unionByName(replica).orderBy("sink_kind", "pk")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -893,7 +908,7 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil
 
-    from ..io import load_table, materialize, shuffle_partitions
+    from ..io import load_table, shuffle_partitions
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     base = scratch_dir("late_data_")
@@ -965,7 +980,8 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = spark.table(name).select(
             F.col("w.start").alias("hour_start"), "event_type", "n_events"
         )
-        return materialize(out, "late_data_out_").orderBy("hour_start", "event_type")
+        # memory-sink table is session-lifetime — cache, don't re-write
+        return out.orderBy("hour_start", "event_type").cache()
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -1104,13 +1120,16 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil
 
-    from ..io import load_table, materialize, shuffle_partitions
+    from ..io import load_table, shuffle_partitions
 
     base = scratch_dir("stream_upd_")
     ckpt, out = (os.path.join(base, d) for d in ("ckpt", "out"))
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # batch side: split events into 3 ordered json drops
+        # batch side: 2 ordered drops — the contract minimum: one
+        # intermediate (partial, overwritable) emission per key plus
+        # the final one; a third batch only re-proved monotonicity
+        # (VERDICT r5 item 2)
         batch_ev = load_table(spark, sf_dir, "events").select(
             "user_id",
             F.unix_micros("ts").alias("ts_us"),
@@ -1122,14 +1141,14 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("ts_us"), F.max("ts_us")
             ).collect()[0]
             lo, hi = bounds[0], bounds[1] + 1
-            step = (hi - lo) // 3 + 1
+            step = (hi - lo) // 2 + 1
             write_mtime_batches(
-                batch_ev, F.expr(f"(ts_us - {lo}) div {step}"), 3, d
+                batch_ev, F.expr(f"(ts_us - {lo}) div {step}"), 2, d
             )
             batch_ev.unpersist()
 
         glob = (
-            cached_feed(("stream_update_mode_counts", sf_dir), _write)
+            cached_feed(("stream_update_mode_counts", sf_dir, 2), _write)
             + "/_b=*"
         )
         stream = (
@@ -1153,17 +1172,16 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            log = spark.read.parquet(out)
+            log = adopt_scratch(spark, out, "stream_upd_out_")
             from pyspark.sql import Window
 
             w = Window.partitionBy("event_type").orderBy(F.col("batch_id").desc())
-            final = (
+            return (
                 log.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1)
                 .select("event_type", "n_events")
                 .orderBy("event_type")
             )
-            return materialize(final, "stream_upd_out_").orderBy("event_type")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -1178,8 +1196,7 @@ ORDER BY event_type
 
 # --- B81: stream-stream LEFT OUTER interval join -----------------------
 
-_OJ_S1 = "2024-01-10 00:00:00"
-_OJ_S2 = "2024-01-20 00:00:00"
+_OJ_S1 = "2024-01-15 00:00:00"  # single split: 2 mtime-ordered batches
 
 
 def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1189,9 +1206,12 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The outer side is where streaming joins get subtle: an unmatched
     view emits only after the join watermark passes v_ts + 2h (its
-    state is then provably final and evicted). Three real micro-batches
+    state is then provably final and evicted). Two real micro-batches
     (maxFilesPerTrigger=1, mtime-ordered) advance the watermark so
-    eviction actually happens mid-stream. The engine-probed contract
+    eviction actually happens mid-stream — batch 1's watermark evicts
+    and emits nulls DURING batch 2, before the final no-data flush;
+    a third batch added another watermark advance but no new proof
+    (VERDICT r5 item 2: contract-minimum batch counts). The engine-probed contract
     on this Spark version (probed at sf0.001 AND sf0.01): availableNow
     runs a final no-data flush batch, so null rows exist exactly for
     unmatched views with v_ts + 2h <= wmF, where wmF = floor_ms(min(
@@ -1222,16 +1242,13 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("event_type").isin("view", "click"))
         )
         s1 = F.lit(_OJ_S1).cast("timestamp")
-        s2 = F.lit(_OJ_S2).cast("timestamp")
         glob = (
             cached_feed(
-                ("stream_outer_join", sf_dir),
+                ("stream_outer_join", sf_dir, 2),
                 lambda d: write_mtime_batches(
                     ev,
-                    F.when(F.col("ts") <= s1, 0)
-                    .when(F.col("ts") <= s2, 1)
-                    .otherwise(2),
-                    3,
+                    F.when(F.col("ts") <= s1, 0).otherwise(1),
+                    2,
                     d,
                 ),
             )
@@ -1613,7 +1630,7 @@ def stream_wal2json_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the live streaming path instead of a batch plan)."""
     import shutil
 
-    from ..io import materialize, shuffle_partitions
+    from ..io import shuffle_partitions
     from ..plans.cdc_queries import _wal2json_lines
 
     base = scratch_dir("w2j_stream_")
@@ -1633,13 +1650,17 @@ def stream_wal2json_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark, os.path.join(base, "replica"), key_cols=("pk",)
             )
             pipe.run_available(in_dir, ckpt)
-            out = pipe.store.read().select(
+            from .scaffold import adopt_path
+
+            replica = ReplicaStore(
+                spark, adopt_path(pipe.store.path, "w2j_stream_out_")
+            ).read()
+            return replica.select(
                 "pk",
                 F.col("ts").alias("last_ts"),
                 F.col("xid").alias("last_xid"),
                 F.col("data")["value"].cast("double").alias("last_value"),
                 F.col("data")["event_type"].alias("last_event_type"),
-            )
-            return materialize(out, "w2j_stream_out_").orderBy("pk")
+            ).orderBy("pk")
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -39,6 +39,35 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=root)
 
 
+def adopt_path(path: str, prefix: str = "adopted_") -> str:
+    """Rename `path` out of its per-run scratch tree into a
+    process-lifetime temp dir (same tmpfs root — metadata-only) and
+    return the new location. For non-plain-parquet layouts (versioned
+    replica stores) that need their own reader over the moved tree."""
+    import atexit
+
+    keep = scratch_dir(prefix)
+    atexit.register(shutil.rmtree, keep, ignore_errors=True)
+    dst = os.path.join(keep, "data")
+    shutil.move(path, dst)
+    return dst
+
+
+def adopt_scratch(spark: SparkSession, path: str, prefix: str = "adopted_"):
+    """Rename a finished parquet result dir OUT of its per-run scratch
+    tree into a process-lifetime temp dir and return the lazy read.
+
+    The cheap twin of ``io.materialize`` for results that already exist
+    as files on scratch: materialize re-executes the plan into a second
+    write + read-back, while adopt is a metadata-only rename (same
+    tmpfs root, zero Spark jobs) that just transfers ownership of bytes
+    already on disk. Callers must build any projection/sort ON TOP of
+    the returned read — frames created over the old path hold dead file
+    references after the move. (VERDICT r5 item 2: streaming-harness
+    fixed costs.)"""
+    return spark.read.parquet(adopt_path(path, prefix))
+
+
 # per-process feed memoization: (entry, sf_dir) -> feed directory
 _FEED_CACHE: dict[tuple, str] = {}
 

@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from .scaffold import (
+    adopt_scratch,
     cached_feed,
     drain_memory,
     scratch_dir,
@@ -120,7 +121,7 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from ..io import load_table, materialize, shuffle_partitions
+    from ..io import load_table, shuffle_partitions
 
     base = scratch_dir("stream_dedup_")
     ckpt, out = (os.path.join(base, d) for d in ("ckpt", "out"))
@@ -130,12 +131,14 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("stream_dedup_stateful", sf_dir),
             lambda d: docs.coalesce(1).write.mode("overwrite").parquet(d),
         )
-        with shuffle_partitions(spark, 4):
-            res = run_stream_dedup(spark, in_dir, ckpt, out)
-            ordered = res.select(
+        with shuffle_partitions(spark, 16):
+            run_stream_dedup(spark, in_dir, ckpt, out)
+            # adopt the foreachBatch output in place (rename, no second
+            # write) and build the projection on the adopted read
+            res = adopt_scratch(spark, out, "stream_dedup_out_")
+            return res.select(
                 "text_hash", "first_doc_id", F.col("n_new_in_batch").alias("n_copies")
             ).orderBy("first_doc_id")
-            return materialize(ordered, "stream_dedup_out_").orderBy("first_doc_id")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -261,7 +264,7 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from ..io import load_table, materialize, shuffle_partitions
+    from ..io import load_table, shuffle_partitions
 
     base = scratch_dir("stream_sess_")
     ckpt, out = (os.path.join(base, d) for d in ("ckpt", "out"))
@@ -288,18 +291,20 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             cached_feed(("stream_sessionize_stateful", sf_dir), _write)
             + "/_b=*"
         )
-        # 4 state-store tasks: the state is ~one tuple per user — at gate
-        # scale the per-task store open/commit dominates, not the data
-        with shuffle_partitions(spark, 4):
-            res = run_stream_sessionize(spark, glob, ckpt, out)
-            ordered = res.select(
+        # 16 state-store tasks: with scratch on tmpfs the per-task store
+        # open/commit is cheap, so parallelizing the per-key Python work
+        # wins (measured 16 > 8 > 4 > 2 at sf0.1; result is partition-
+        # count invariant, property-pinned)
+        with shuffle_partitions(spark, 16):
+            run_stream_sessionize(spark, glob, ckpt, out)
+            res = adopt_scratch(spark, out, "stream_sess_out_")
+            return res.select(
                 "user_id",
                 "sess_idx",
                 F.timestamp_micros(F.col("session_start")).alias("session_start"),
                 F.timestamp_micros(F.col("session_end")).alias("session_end"),
                 "n_events",
             ).orderBy("user_id", "sess_idx")
-            return materialize(ordered, "stream_sess_out_").orderBy("user_id", "sess_idx")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -351,7 +356,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyspark.sql.functions as F
 
-    from ..io import load_table, materialize, shuffle_partitions
+    from ..io import load_table, shuffle_partitions
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     base = scratch_dir("wm_dedup_")
@@ -372,7 +377,10 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = drain_memory(spark, deduped, "wm_dedup_sink").select(
             "event_id", "ts", "event_type"
         )
-        return materialize(out, "wm_dedup_out_").orderBy("event_id")
+        # the memory-sink table is session-lifetime (outlives the
+        # scratch checkpoint) — cache instead of re-writing to parquet,
+        # the same pattern stream_outer_join / checkpoint_resume use
+        return out.orderBy("event_id").cache()
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -475,10 +483,14 @@ def stream_running_totals(events_stream: DataFrame) -> DataFrame:
 
 
 def stream_running_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C48 oracle surface: 3 time-ordered micro-batches; the LAST
+    """C48 oracle surface: 2 time-ordered micro-batches; the LAST
     emitted row per user (highest running count) must equal the batch
     groupBy aggregate over the whole table — proving the ValueState
-    accumulated every batch exactly once.
+    accumulated every batch exactly once. Two batches are the
+    contract's minimum (state must survive at least one batch
+    boundary); each extra TWS batch costs ~2 s of state-server
+    round-trips in the gate harness for no additional proof
+    (VERDICT r5 item 2: trim to contract minimum).
 
     value→cents happens Spark-side (round(value*100), HALF_UP on the
     same doubles in both engines) so the Python processor only ever
@@ -489,7 +501,6 @@ def stream_running_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..io import (
         load_table,
-        materialize,
         rocksdb_state_store,
         shuffle_partitions,
     )
@@ -506,14 +517,14 @@ def stream_running_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ev.persist()
             bounds = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
             lo, hi = bounds[0], bounds[1] + 1
-            step = (hi - lo) // 3 + 1
+            step = (hi - lo) // 2 + 1
             write_mtime_batches(
-                ev, F.expr(f"(ts_us - {lo}) div {step}"), 3, d
+                ev, F.expr(f"(ts_us - {lo}) div {step}"), 2, d
             )
             ev.unpersist()
 
         glob = (
-            cached_feed(("stream_running_totals", sf_dir), _write)
+            cached_feed(("stream_running_totals", sf_dir, 2), _write)
             + "/_b=*"
         )
         schema = "user_id long, ts_us long, value_cents long"
@@ -526,7 +537,7 @@ def stream_running_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         def _sink(batch: DataFrame, batch_id: int) -> None:
             batch.write.mode("append").parquet(out)
 
-        with shuffle_partitions(spark, 4), rocksdb_state_store(spark):
+        with shuffle_partitions(spark, 16), rocksdb_state_store(spark):
             q = (
                 stream_running_totals(stream)
                 .writeStream.foreachBatch(_sink)
@@ -536,15 +547,14 @@ def stream_running_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            res = spark.read.parquet(out)
+            res = adopt_scratch(spark, out, "stream_tws_out_")
             w = Window.partitionBy("user_id").orderBy(F.col("total_events").desc())
-            final = (
+            return (
                 res.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1)
                 .select("user_id", "total_events", "total_cents")
                 .orderBy("user_id")
             )
-            return materialize(final, "stream_tws_out_").orderBy("user_id")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -652,7 +662,7 @@ def stream_rate_limit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from ..io import load_table, materialize, shuffle_partitions
+    from ..io import load_table, shuffle_partitions
 
     base = scratch_dir("stream_rl_")
     ckpt, out = (os.path.join(base, d) for d in ("ckpt", "out"))
@@ -684,7 +694,7 @@ def stream_rate_limit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         def _sink(batch: DataFrame, batch_id: int) -> None:
             batch.write.mode("append").parquet(out)
 
-        with shuffle_partitions(spark, 4):
+        with shuffle_partitions(spark, 16):
             q = (
                 stream_rate_limit(stream)
                 .writeStream.foreachBatch(_sink)
@@ -694,12 +704,10 @@ def stream_rate_limit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            res = (
-                spark.read.parquet(out)
-                .select("user_id", "ts_us", "allowed")
-                .orderBy("user_id", "ts_us")
+            res = adopt_scratch(spark, out, "stream_rl_out_")
+            return res.select("user_id", "ts_us", "allowed").orderBy(
+                "user_id", "ts_us"
             )
-            return materialize(res, "stream_rl_out_").orderBy("user_id", "ts_us")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -849,7 +857,7 @@ def stream_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from ..io import load_table, materialize, shuffle_partitions
+    from ..io import load_table, shuffle_partitions
 
     base = scratch_dir("stream_hh_")
     ckpt, out = (os.path.join(base, d) for d in ("ckpt", "out"))
@@ -885,7 +893,7 @@ def stream_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         def _sink(batch: DataFrame, batch_id: int) -> None:
             batch.write.mode("append").parquet(out)
 
-        with shuffle_partitions(spark, 4):
+        with shuffle_partitions(spark, 16):
             q = (
                 stream_heavy_hitters(stream)
                 .writeStream.foreachBatch(_sink)
@@ -895,17 +903,14 @@ def stream_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            emitted = spark.read.parquet(out)
-            final = (
+            emitted = adopt_scratch(spark, out, "stream_hh_out_")
+            return (
                 emitted.withColumn(
                     "_last", F.max("n_batches").over(Window.partitionBy("bucket"))
                 )
                 .filter(F.col("n_batches") == F.col("_last"))
                 .select("bucket", "word", "est_count", "err")
                 .orderBy("bucket", F.desc("est_count"), "word")
-            )
-            return materialize(final, "stream_hh_out_").orderBy(
-                "bucket", F.desc("est_count"), "word"
             )
     finally:
         shutil.rmtree(base, ignore_errors=True)
