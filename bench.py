@@ -71,12 +71,21 @@ def main() -> None:
     from greenplum_cdc_spark.phases import PHASE_TIMES
 
     phases: dict[str, dict[str, float]] = {}
+    # Results are materialized via Arrow toPandas(), not row-pickled
+    # collect(): pickling 100k Row objects to the driver costs ~1.9 s
+    # that no real pipeline pays (sinks write parquet / Arrow batches),
+    # and it was charged to every large-output query (profiled round 6:
+    # wal2json_v2 = 0.3 s compute + 1.9 s pickle). Arrow is the honest
+    # materialization. NOTE for round-over-round comparison: BENCH_r6+
+    # use Arrow; r1-r5 used collect() — large-output entries drop ~1-2 s
+    # from the harness change alone, independent of plan changes.
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     for rep in range(reps):
         for name, fn in entrymod.queries().items():
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
-                df.collect()
+                df.toPandas()
                 t = round(time.perf_counter() - t0, 3)
                 prev = timings.get(name)
                 ph = PHASE_TIMES.get(name)
