@@ -15,7 +15,7 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..io import load_table
 from ..operators import cdc as cdc_ops
@@ -2199,7 +2199,11 @@ def schema_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.map_keys(F.col("data"))).alias("key"),
         F.col("ts").cast("date").alias("d"),
     )
-    bounds = keyed.agg(F.min("d").alias("stream_start")).collect()[0]
+    # stream_start == min(d) over ALL keys == min(first_seen) over the
+    # |keys|-row rollup — derive it with a window over the rollup
+    # instead of a separate agg+collect, which re-executed the whole
+    # synth+parse pipeline a second time (2x the operator's cost,
+    # found in the round-6 profile pass)
     return (
         keyed.groupBy("key")
         .agg(
@@ -2210,7 +2214,9 @@ def schema_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "status",
             F.when(
-                F.col("first_seen") > F.lit(bounds["stream_start"]), "added"
+                F.col("first_seen")
+                > F.min("first_seen").over(Window.partitionBy()),
+                "added",
             ).otherwise("stable"),
         )
         .orderBy("key")
@@ -2867,10 +2873,13 @@ def cdc_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap = cdc_ops.snapshot_latest(
         feed, key_cols=("pk",), order_cols=("ts", "seq"), keep_tombstones=True
     )
-    hi = feed.agg(F.max(F.expr("unix_micros(ts)")).alias("hi")).collect()[0][
-        "hi"
-    ]
-    cutoff = int(hi) - _GC_HORIZON_DAYS * 86_400_000_000
+    # high watermark: the feed's global max-ts row is necessarily its
+    # own key's latest (nothing can supersede the global max under the
+    # (ts, seq) order), and keep_tombstones retains deletes too — so
+    # max(ts) over the SNAPSHOT equals max(ts) over the feed, and a
+    # window over the |keys|-row snapshot replaces the separate
+    # agg+collect that re-executed the whole synth+parse feed a second
+    # time (round-6 profile pass, same fix as schema_drift_monitor)
     return (
         snap.select(
             "pk",
@@ -2879,10 +2888,18 @@ def cdc_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "op",
             (F.col("op") == "delete").cast("int").alias("is_tombstone"),
         )
+        .withColumn(
+            "_hi",
+            F.max(F.expr("unix_micros(last_ts)")).over(Window.partitionBy()),
+        )
         .filter(
             (F.col("op") != "delete")
-            | (F.expr("unix_micros(last_ts)") >= F.lit(cutoff))
+            | (
+                F.expr("unix_micros(last_ts)")
+                >= F.col("_hi") - _GC_HORIZON_DAYS * 86_400_000_000
+            )
         )
+        .drop("_hi")
         .orderBy("pk")
     )
 

@@ -278,6 +278,9 @@ def _late_ops():
             _streaming_stateful().stream_running_totals_query
         ),
         "kafka_segment_replay": cdc_queries.kafka_segment_replay,
+        # round 6: double-execution fix (window over rollup, no
+        # bounds-collect re-run of the synth+parse pipeline)
+        "schema_drift_monitor": cdc_queries.schema_drift_monitor,
     }
 
 
