@@ -1945,3 +1945,170 @@ FROM scored
 QUALIFY drift_rank <= {_DRIFT_TOPN}
 ORDER BY drift_rank
 """
+
+
+# --- C93 (round 6): dimension-ablation recall — the matryoshka eval ----
+
+ABLATION_DIMS = (8, 16, 32)  # truncation budgets evaluated against DIM=64
+
+
+def _dot_pfx(a: str, b: str, d: int):
+    """Strict left-fold dot product over the FIRST ``d`` dims — the
+    truncated twin of ``_dot`` (same IEEE order, same double math)."""
+    prod = F.zip_with(
+        F.slice(F.col(a), 1, d),
+        F.slice(F.col(b), 1, d),
+        lambda x, y: x.cast("double") * y.cast("double"),
+    )
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _dot_pfx_sql(a: str, b: str, d: int) -> str:
+    """DuckDB twin: explicit left-assoc chain over the first d dims."""
+    terms = [
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, d + 1)
+    ]
+    return "(0.0 + " + " + ".join(terms) + ")"
+
+
+def embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C93: dimension-ablation recall — how much of full-dim top-k
+    survives when the search runs on a PREFIX of the embedding
+    (the matryoshka-truncation eval a pipeline runs before adopting
+    truncated vectors as a cheap first-stage filter).
+
+    For each budget d in ABLATION_DIMS: cosine over the first d dims
+    (prefix norms on both sides), top-{TOPK} per query with the
+    deterministic (cos DESC, vec_id ASC) tie-break, intersected with
+    the full-{DIM} top-{TOPK} truth. Output per budget: hit count and
+    recall in integer basis points (integer division — the repo's
+    engine-divergence-proof idiom; cosines themselves are bit-identical
+    across engines via the strict left-fold).
+
+    Scale shape: ONE corpus scan computes every budget's dot/norm
+    column (slice+fold are map-side), queries are broadcast, and the
+    per-(budget, query) rank windows shuffle only the tiny
+    |queries| x |corpus| x |budgets| scored frame — bounded by the
+    N_QUERIES eval contract exactly like knn_recall_eval (C33). At
+    10^9 vectors the truth pass rides the same ANN serving path the
+    other C-rows provide; the eval contract is a fixed query stride.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings")
+    all_dims = (*ABLATION_DIMS, DIM)
+    base = vecs.select(
+        "vec_id",
+        "embedding",
+        *[
+            F.sqrt(_dot_pfx("embedding", "embedding", d)).alias(f"n{d}")
+            for d in all_dims
+        ],
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        *[F.col(f"n{d}").alias(f"qn{d}") for d in all_dims],
+    )
+    pairs = base.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        *[
+            (
+                _dot_pfx("qe", "embedding", d)
+                / (F.col(f"qn{d}") * F.col(f"n{d}"))
+            ).alias(f"c{d}")
+            for d in all_dims
+        ],
+    )
+    # one scored frame -> (dim_budget, cos) rows -> per-budget ranks
+    stacked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.expr(
+            "stack("
+            + str(len(all_dims))
+            + ", "
+            + ", ".join(f"{d}, c{d}" for d in all_dims)
+            + ") AS (dim_budget, cos_sim)"
+        ),
+    )
+    w = Window.partitionBy("dim_budget", "query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    topk = (
+        stacked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("dim_budget", "query_id", "neighbor_id")
+    )
+    truth = topk.filter(F.col("dim_budget") == DIM).select(
+        "query_id", "neighbor_id"
+    )
+    n_q = queries.count()
+    return (
+        topk.filter(F.col("dim_budget") != DIM)
+        .join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("dim_budget")
+        .agg(F.count("*").alias("n_hits"))
+        .withColumn(
+            "recall_bp",
+            F.expr(f"(n_hits * 10000) div {n_q * TOPK}"),
+        )
+        .orderBy("dim_budget")
+    )
+
+
+def _ablation_sql() -> str:
+    dims = (*ABLATION_DIMS, DIM)
+    norm_cols = ",\n         ".join(
+        f"sqrt({_dot_pfx_sql('embedding', 'embedding', d)}) AS n{d}"
+        for d in dims
+    )
+    cos_cols = ",\n         ".join(
+        f"{_dot_pfx_sql('q.qe', 'v.embedding', d)} / (q.qn{d} * v.n{d}) AS c{d}"
+        for d in dims
+    )
+    qn_cols = ", ".join(f"n{d} AS qn{d}" for d in dims)
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT query_id, neighbor_id, {d} AS dim_budget, c{d} AS cos_sim FROM scored"
+        for d in dims
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+         {norm_cols}
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, {qn_cols}
+      FROM v WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         {cos_cols}
+  FROM v JOIN q ON v.vec_id <> q.query_id
+),
+stacked AS (
+  {unions}
+),
+topk AS (
+  SELECT dim_budget, query_id, neighbor_id
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY dim_budget, query_id
+                                     ORDER BY cos_sim DESC, neighbor_id ASC)
+               AS rank
+        FROM stacked)
+  WHERE rank <= {TOPK}
+),
+truth AS (SELECT query_id, neighbor_id FROM topk WHERE dim_budget = {DIM}),
+nq AS (SELECT COUNT(*) AS n FROM q)
+SELECT t.dim_budget, COUNT(*) AS n_hits,
+       (COUNT(*) * 10000) // ((SELECT n FROM nq) * {TOPK}) AS recall_bp
+FROM topk t
+JOIN truth USING (query_id, neighbor_id)
+WHERE t.dim_budget <> {DIM}
+GROUP BY t.dim_budget
+ORDER BY t.dim_budget
+"""
+
+
+EMBEDDING_DIM_ABLATION_SQL = _ablation_sql()

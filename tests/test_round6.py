@@ -651,3 +651,74 @@ class TestDemoStoryline:
         assert rc == 0
         assert "[poll parity] MATCH" in outp
         assert "[olap] TPC-H Q1" in outp
+
+
+# --- C93: dimension-ablation recall (matryoshka eval) --------------------
+
+
+class TestEmbeddingDimAblation:
+    def test_recall_monotone_and_exact(self, spark):
+        from greenplum_cdc_spark.operators.similarity import (
+            ABLATION_DIMS,
+            DIM,
+            N_QUERIES,
+            TOPK,
+            embedding_dim_ablation,
+        )
+
+        rows = embedding_dim_ablation(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+        assert [r["dim_budget"] for r in rows] == list(ABLATION_DIMS)
+        # more dims can only help a prefix-cosine ranking on average;
+        # the synthetic corpus shows it strictly, and full-dim recall
+        # is 1.0 by construction (not emitted — it's the truth set)
+        hits = [r["n_hits"] for r in rows]
+        assert hits == sorted(hits)
+        for r in rows:
+            assert 0 <= r["n_hits"] <= N_QUERIES * TOPK
+            assert r["recall_bp"] == r["n_hits"] * 10000 // (N_QUERIES * TOPK)
+        assert DIM not in {r["dim_budget"] for r in rows}
+
+    def test_full_dim_budget_is_perfect_recall(self, spark):
+        """Sanity on the machinery: running the SAME ranking at d=DIM
+        must reproduce the truth set exactly (recall 1.0) — pins the
+        tie-break and prefix-fold as identical to the truth pass."""
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.operators import similarity as S
+
+        vecs = S.load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        base = vecs.select(
+            "vec_id",
+            "embedding",
+            F.sqrt(S._dot_pfx("embedding", "embedding", S.DIM)).alias("n"),
+        )
+        q = base.filter(F.col("vec_id") < S.N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("n").alias("qn"),
+        )
+        from pyspark.sql import Window
+
+        pairs = base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        cos_pfx = S._dot_pfx("qe", "embedding", S.DIM) / (
+            F.col("qn") * F.col("n")
+        )
+        cos_full = S._dot("qe", "embedding") / (F.col("qn") * F.col("n"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("c"), F.asc("vec_id")
+        )
+        tops = []
+        for c in (cos_pfx, cos_full):
+            tops.append(
+                {
+                    (r["query_id"], r["vec_id"])
+                    for r in pairs.withColumn("c", c)
+                    .withColumn("rk", F.row_number().over(w))
+                    .filter(F.col("rk") <= S.TOPK)
+                    .select("query_id", "vec_id")
+                    .collect()
+                }
+            )
+        assert tops[0] == tops[1] and tops[0]

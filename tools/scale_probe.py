@@ -281,6 +281,8 @@ def _late_ops():
         # round 6: double-execution fix (window over rollup, no
         # bounds-collect re-run of the synth+parse pipeline)
         "schema_drift_monitor": cdc_queries.schema_drift_monitor,
+        # round 6: matryoshka dimension-ablation recall eval
+        "embedding_dim_ablation": similarity.embedding_dim_ablation,
     }
 
 
