@@ -2112,3 +2112,242 @@ ORDER BY t.dim_budget
 
 
 EMBEDDING_DIM_ABLATION_SQL = _ablation_sql()
+
+
+# --- C94 (round 6): IVF recall-vs-nprobe sweep — the tuning table -------
+
+IVF_NPROBES = (1, 2, 4)
+
+
+def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C94: the IVF tuning table — recall@k AND scan cost as a function
+    of nprobe, against the exact full-scan truth. C25 fixes nprobe=1;
+    this is the sweep an operator actually runs to pick the
+    recall/latency point before deploying the index (the FAISS
+    `nprobe` knob), in one job.
+
+    Per query: cells ranked by the SAME exact int64 micro-unit
+    distance the coarse quantizer uses (ties to the smaller cell id),
+    budgets stacked so one candidate frame serves every nprobe in
+    {IVF_NPROBES}. Output per nprobe: hit count vs the full-scan
+    top-{IVF_TOPK}, recall in integer basis points, and n_scanned —
+    the scored-pair count that IS the cost axis of the tradeoff.
+
+    Scale shape: quantizer training + assignment are C25's (one
+    posexplode groupBy + literal-fold scan, no joins); the probe
+    ranking is |queries| x |cells| rows; candidates are cell-local and
+    bounded by nprobe/nlist of the corpus per query — the whole sweep
+    is ONE candidate-generation pass, not one per budget.
+    """
+    vecs = load_table(spark, sf_dir, "embeddings")
+    by_cell = _ivf_train(vecs)
+    corpus = _ivf_assign_to(vecs, by_cell).withColumn(
+        "norm", F.sqrt(_dot("embedding", "embedding"))
+    )
+    np_max = max(IVF_NPROBES)
+
+    # per-query probe-cell ranking: same exact int64 distances as the
+    # assignment fold, exploded (|queries| x |cells| rows — tiny)
+    cells_sorted = sorted(by_cell)
+    rv_arr = F.transform(
+        F.col("embedding"),
+        lambda x: (
+            F.round(x.cast("double"), 6).cast("decimal(16,6)") * F.lit(1_000_000)
+        ).cast("long"),
+    )
+    dist_cols = []
+    for c in cells_sorted:
+        c6_arr = F.array(
+            *[F.lit(int(by_cell[c][d].scaleb(6))) for d in range(1, DIM + 1)]
+        )
+        sq = F.zip_with(F.col("rv"), c6_arr, lambda x, y: (x - y) * (x - y))
+        dist_cols.append(
+            F.aggregate(sq, F.lit(0).cast("long"), lambda a, x: a + x)
+        )
+    qn = F.sqrt(_dot("embedding", "embedding"))
+    qbase = (
+        vecs.filter(F.col("vec_id") < IVF_QUERIES)
+        .withColumn("rv", rv_arr)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            qn.alias("qn"),
+            F.array(*dist_cols).alias("dists"),
+        )
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.asc("dist"), F.asc("cell")
+    )
+    probes = (
+        qbase.select(
+            "query_id",
+            "qe",
+            "qn",
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(c) for c in cells_sorted]).alias("cell"),
+                    F.col("dists").alias("dist"),
+                )
+            ).alias("z"),
+        )
+        .select("query_id", "qe", "qn", F.col("z.cell"), F.col("z.dist"))
+        .withColumn("probe_rank", F.row_number().over(w_probe))
+        .filter(F.col("probe_rank") <= np_max)
+        .drop("dist")
+    )
+
+    cand = corpus.alias("c").join(
+        F.broadcast(probes).alias("p"),
+        (F.col("c.cell") == F.col("p.cell"))
+        & (F.col("c.vec_id") != F.col("p.query_id")),
+    )
+    cos = _dot("p.qe", "c.embedding") / (F.col("p.qn") * F.col("c.norm"))
+    scored = cand.select(
+        F.col("p.query_id").alias("query_id"),
+        F.col("c.vec_id").alias("neighbor_id"),
+        F.col("p.probe_rank").alias("probe_rank"),
+        cos.alias("cos_sim"),
+    )
+    # stack budgets: a candidate serves every nprobe >= its probe_rank
+    stacked = scored.select(
+        "query_id",
+        "neighbor_id",
+        "cos_sim",
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(n) for n in IVF_NPROBES]),
+                lambda n: n >= F.col("probe_rank"),
+            )
+        ).alias("nprobe"),
+    )
+    w_rank = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    topk = (
+        stacked.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+
+    # exact full-scan truth (the C6 shape at the C25 constants)
+    queries = qbase.select("query_id", "qe", "qn")
+    tpairs = corpus.alias("c").join(
+        F.broadcast(queries).alias("q"),
+        F.col("c.vec_id") != F.col("q.query_id"),
+    )
+    tcos = _dot("q.qe", "c.embedding") / (F.col("q.qn") * F.col("c.norm"))
+    w_truth = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    truth = (
+        tpairs.select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+            tcos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_truth))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+
+    n_q = queries.count()
+    hits = (
+        topk.join(truth, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    scanned = stacked.groupBy("nprobe").agg(
+        F.count("*").alias("n_scanned")
+    )
+    return (
+        hits.join(scanned, "nprobe")
+        .withColumn(
+            "recall_bp", F.expr(f"(n_hits * 10000) div {n_q * IVF_TOPK}")
+        )
+        .select("nprobe", "n_hits", "recall_bp", "n_scanned")
+        .orderBy("nprobe")
+    )
+
+
+IVF_RECALL_SWEEP_SQL = f"""
+WITH ve AS (
+  SELECT vec_id, label,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(16,6)) AS rv
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS cell, dim,
+         CAST(ROUND(CAST(ROUND(SUM(rv), 6) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(16,6)) AS c6
+  FROM ve GROUP BY label, dim
+),
+assigned AS (
+  SELECT ve.vec_id, cent.cell, SUM((ve.rv - cent.c6) * (ve.rv - cent.c6)) AS dist2
+  FROM ve JOIN cent ON ve.dim = cent.dim
+  GROUP BY ve.vec_id, cent.cell
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, cell ASC) AS rn
+    FROM assigned
+  ) WHERE rn = 1
+),
+vn AS (
+  SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding')}) AS norm
+  FROM embeddings
+),
+corpus AS (
+  SELECT cells.vec_id, cells.cell, vn.embedding, vn.norm
+  FROM cells JOIN vn ON cells.vec_id = vn.vec_id
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, norm AS qn
+  FROM vn WHERE vec_id < {IVF_QUERIES}
+),
+probes AS (
+  SELECT a.vec_id AS query_id, a.cell,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY a.dist2 ASC, a.cell ASC) AS probe_rank
+  FROM assigned a WHERE a.vec_id < {IVF_QUERIES}
+),
+budgets AS (SELECT UNNEST([{", ".join(str(n) for n in IVF_NPROBES)}]) AS nprobe),
+stacked AS (
+  SELECT b.nprobe, p.query_id, c.vec_id AS neighbor_id,
+         {_dot_sql('q.qe', 'c.embedding')} / (q.qn * c.norm) AS cos_sim
+  FROM probes p
+  JOIN budgets b ON p.probe_rank <= b.nprobe
+  JOIN corpus c ON c.cell = p.cell AND c.vec_id <> p.query_id
+  JOIN q ON q.query_id = p.query_id
+),
+topk AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM stacked
+  ) WHERE rank <= {IVF_TOPK}
+),
+tpairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_dot_sql('q.qe', 'c.embedding')} / (q.qn * c.norm) AS cos_sim
+  FROM corpus c JOIN q ON c.vec_id <> q.query_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM tpairs
+  ) WHERE rank <= {IVF_TOPK}
+),
+nq AS (SELECT COUNT(*) AS n FROM q),
+hits AS (
+  SELECT t.nprobe, COUNT(*) AS n_hits
+  FROM topk t JOIN truth USING (query_id, neighbor_id)
+  GROUP BY t.nprobe
+),
+scanned AS (SELECT nprobe, COUNT(*) AS n_scanned FROM stacked GROUP BY nprobe)
+SELECT h.nprobe, h.n_hits,
+       (h.n_hits * 10000) // ((SELECT n FROM nq) * {IVF_TOPK}) AS recall_bp,
+       s.n_scanned
+FROM hits h JOIN scanned s USING (nprobe)
+ORDER BY h.nprobe
+"""

@@ -722,3 +722,65 @@ class TestEmbeddingDimAblation:
                 }
             )
         assert tops[0] == tops[1] and tops[0]
+
+
+# --- C94: IVF recall-vs-nprobe sweep --------------------------------------
+
+
+class TestIvfRecallSweep:
+    def test_monotone_recall_and_cost(self, spark):
+        from greenplum_cdc_spark.operators.similarity import (
+            IVF_NPROBES,
+            IVF_QUERIES,
+            IVF_TOPK,
+            ivf_recall_sweep,
+        )
+
+        rows = ivf_recall_sweep(spark, "/root/testdata/sf0.01").collect()
+        assert [r["nprobe"] for r in rows] == list(IVF_NPROBES)
+        # probing more cells can only add candidates: recall AND scan
+        # cost are both monotone non-decreasing in nprobe
+        hits = [r["n_hits"] for r in rows]
+        scanned = [r["n_scanned"] for r in rows]
+        assert hits == sorted(hits)
+        assert scanned == sorted(scanned)
+        for r in rows:
+            assert 0 <= r["n_hits"] <= IVF_QUERIES * IVF_TOPK
+            assert r["recall_bp"] == r["n_hits"] * 10000 // (
+                IVF_QUERIES * IVF_TOPK
+            )
+
+    def test_nprobe1_matches_knn_ivf(self, spark):
+        """nprobe=1 probes exactly the query's own cell — the sweep's
+        first row must count hits over the SAME result set C25 (knn_ivf)
+        emits, pinning the sweep machinery to the frozen-green operator."""
+        from greenplum_cdc_spark.operators.similarity import (
+            IVF_TOPK,
+            knn_ivf,
+            ivf_recall_sweep,
+        )
+
+        sweep = {
+            r["nprobe"]: r["n_hits"]
+            for r in ivf_recall_sweep(spark, "/root/testdata/sf0.001").collect()
+        }
+        ivf = knn_ivf(spark, "/root/testdata/sf0.001")
+        # recompute hits from knn_ivf's emission joined to brute truth
+        from greenplum_cdc_spark.operators.similarity import (
+            N_QUERIES,
+            knn_cosine_bruteforce,
+        )
+        import pyspark.sql.functions as F
+
+        truth = knn_cosine_bruteforce(spark, "/root/testdata/sf0.001")
+        # knn_cosine_bruteforce uses N_QUERIES/TOPK == IVF constants
+        hits1 = (
+            ivf.select("query_id", "neighbor_id")
+            .join(
+                truth.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .count()
+        )
+        assert sweep[1] == hits1

@@ -283,6 +283,8 @@ def _late_ops():
         "schema_drift_monitor": cdc_queries.schema_drift_monitor,
         # round 6: matryoshka dimension-ablation recall eval
         "embedding_dim_ablation": similarity.embedding_dim_ablation,
+        # round 6: IVF recall/cost sweep over nprobe
+        "ivf_recall_sweep": similarity.ivf_recall_sweep,
     }
 
 
