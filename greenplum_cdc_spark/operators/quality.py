@@ -1231,3 +1231,123 @@ def _split_contamination_sql() -> str:
     return SPLIT_CONTAMINATION_SQL.format(
         split_case=_SPLIT_CASE, split_hex=_split_hex7
     )
+
+
+# --- C95 (round 6): decontamination sensitivity to n-gram width ---------
+
+SWEEP_KS = (2, 3, 5)  # gram widths swept (C24 fixes k=3)
+
+
+def _ngram_sql_k(k: int) -> str:
+    """DuckDB twin of ``_ngram_expr(k)`` (the k-parameterized form of
+    the module's _NGRAM_SQL)."""
+    return (
+        "list_distinct(["
+        + " || ' ' || ".join(
+            f"toks[i + {j}]" if j else "toks[i]" for j in range(k)
+        )
+        + f" FOR i IN range(1, len(toks) - {k - 2})])"
+    )
+
+
+def contamination_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C95: the decontamination calibration table — how flag rates move
+    with the n-gram width k. Small k over-flags (common phrases look
+    like leaks); large k under-flags (paraphrases slip through); this
+    sweep is the table an operator reads before fixing C24's k.
+
+    Per k in {SWEEP_KS}: the SAME benchmark-split overlap pass as C24
+    (bench grams broadcast, corpus scan shuffle-free before the per-doc
+    count), aggregated to one row: corpus docs, docs with ANY overlap,
+    docs over the removal threshold, flag rate in basis points, and
+    total contaminated-gram mass. The flag threshold is the EXACT
+    integer form of C24's CONTAM_FRAC=0.1 (n_contaminated * 10 >=
+    n_ngrams) — no float division anywhere, so both engines agree
+    bit-for-bit at every k.
+
+    Scale shape: one corpus scan per k (gram widths cannot share an
+    explode), each map-side until the per-doc count; output is |ks|
+    rows. At 100 TB the bench set stays broadcast-sized by definition
+    (eval sets are small) and the sweep is k scans of the same
+    pushed-down projection.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", _toks_col()
+    )
+    parts = []
+    for k in SWEEP_KS:
+        grams = docs.select(
+            "doc_id", F.explode(F.expr(_ngram_expr(k))).alias("ng")
+        )
+        bench = (
+            grams.filter(F.col("doc_id") % CONTAM_MOD == 0)
+            .select("ng")
+            .distinct()
+        )
+        sizes = docs.filter(F.col("doc_id") % CONTAM_MOD != 0).select(
+            "doc_id", F.size(F.expr(_ngram_expr(k))).alias("n_ngrams")
+        )
+        hits = (
+            grams.filter(F.col("doc_id") % CONTAM_MOD != 0)
+            .join(F.broadcast(bench), "ng")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_contaminated"))
+        )
+        per_doc = sizes.join(hits, "doc_id", "left").select(
+            "n_ngrams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_cont"),
+        )
+        parts.append(
+            per_doc.agg(
+                F.lit(k).alias("ngram_k"),
+                F.count("*").alias("n_docs"),
+                F.sum((F.col("n_cont") > 0).cast("long")).alias("n_docs_hit"),
+                F.sum(
+                    (
+                        (F.col("n_ngrams") > 0)
+                        & (F.col("n_cont") * 10 >= F.col("n_ngrams"))
+                    ).cast("long")
+                ).alias("n_flagged"),
+                F.sum("n_cont").alias("hit_grams_total"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn(
+        "flag_rate_bp", F.expr("(n_flagged * 10000) div n_docs")
+    ).orderBy("ngram_k")
+
+
+def _contam_sweep_block(k: int) -> str:
+    return f"""
+  SELECT {k} AS ngram_k, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(n_cont > 0 AS BIGINT)) AS BIGINT) AS n_docs_hit,
+         CAST(SUM(CAST(n_ngrams > 0 AND n_cont * 10 >= n_ngrams AS BIGINT))
+              AS BIGINT) AS n_flagged,
+         CAST(SUM(n_cont) AS BIGINT) AS hit_grams_total
+  FROM (
+    SELECT s.n_ngrams, COALESCE(h.n_contaminated, 0) AS n_cont
+    FROM (
+      SELECT doc_id, len({_ngram_sql_k(k)}) AS n_ngrams
+      FROM tok WHERE doc_id % {CONTAM_MOD} <> 0
+    ) s
+    LEFT JOIN (
+      SELECT g.doc_id, COUNT(*) AS n_contaminated
+      FROM (SELECT doc_id, unnest({_ngram_sql_k(k)}) AS ng FROM tok) g
+      JOIN (SELECT DISTINCT ng
+            FROM (SELECT doc_id, unnest({_ngram_sql_k(k)}) AS ng FROM tok)
+            WHERE doc_id % {CONTAM_MOD} = 0) b ON g.ng = b.ng
+      WHERE g.doc_id % {CONTAM_MOD} <> 0
+      GROUP BY g.doc_id
+    ) h ON s.doc_id = h.doc_id
+  )"""
+
+
+CONTAMINATION_SWEEP_SQL = (
+    f"WITH tok AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)\n"
+    + "SELECT *, CAST((n_flagged * 10000) // n_docs AS BIGINT)"
+    + " AS flag_rate_bp FROM (\n"
+    + "\n  UNION ALL\n".join(_contam_sweep_block(k) for k in SWEEP_KS)
+    + "\n) ORDER BY ngram_k"
+)

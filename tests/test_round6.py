@@ -784,3 +784,49 @@ class TestIvfRecallSweep:
             .count()
         )
         assert sweep[1] == hits1
+
+
+# --- C95: decontamination n-gram-width calibration ------------------------
+
+
+class TestContaminationNgramSweep:
+    def test_wider_grams_flag_less(self, spark):
+        from greenplum_cdc_spark.operators.quality import (
+            SWEEP_KS,
+            contamination_ngram_sweep,
+        )
+
+        rows = contamination_ngram_sweep(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+        assert [r["ngram_k"] for r in rows] == list(SWEEP_KS)
+        # a k+1-gram hit implies two k-gram hits: overlap mass, hit-doc
+        # count, and flag count are all monotone NON-INCREASING in k
+        for col in ("n_docs_hit", "n_flagged", "hit_grams_total"):
+            vals = [r[col] for r in rows]
+            assert vals == sorted(vals, reverse=True), col
+        n_docs = {r["n_docs"] for r in rows}
+        assert len(n_docs) == 1  # denominator is k-independent
+        for r in rows:
+            assert r["flag_rate_bp"] == r["n_flagged"] * 10000 // r["n_docs"]
+
+    def test_k3_flags_match_c24_integer_threshold(self, spark):
+        """The sweep's k=3 row must count exactly the docs C24 flags
+        under the integer form of its threshold (n_cont*10 >= n_ngrams)
+        — pins the sweep to the frozen-green operator's semantics."""
+        from greenplum_cdc_spark.operators.quality import (
+            contamination_check,
+            contamination_ngram_sweep,
+        )
+
+        sweep = {
+            r["ngram_k"]: r
+            for r in contamination_ngram_sweep(
+                spark, "/root/testdata/sf0.001"
+            ).collect()
+        }
+        c24 = contamination_check(spark, "/root/testdata/sf0.001").collect()
+        flagged = sum(
+            1 for r in c24 if r["n_contaminated"] * 10 >= r["n_ngrams"]
+        )
+        assert sweep[3]["n_flagged"] == flagged

@@ -285,6 +285,8 @@ def _late_ops():
         "embedding_dim_ablation": similarity.embedding_dim_ablation,
         # round 6: IVF recall/cost sweep over nprobe
         "ivf_recall_sweep": similarity.ivf_recall_sweep,
+        # round 6: decontamination n-gram-width calibration
+        "contamination_ngram_sweep": quality.contamination_ngram_sweep,
     }
 
 
