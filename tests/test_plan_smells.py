@@ -62,6 +62,8 @@ _BNLJ_OK = {
     "dedup_embedding",  # mapInPandas over broadcast matrix
     "salted_hot_key_rollup",  # scalar broadcast
     "knn_recall_eval",  # broadcast top-k/query sets
+    "embedding_dim_ablation",  # broadcast query set, != condition (C6 shape)
+    "ivf_recall_sweep",  # broadcast probe/query sets; truth pass is C6-shaped
     "contamination_check",  # broadcast benchmark n-gram set
     "weighted_sample",  # one-row max-weight scalar
     "rfm_segmentation",  # one-row head-date scalar
