@@ -830,3 +830,28 @@ class TestContaminationNgramSweep:
             1 for r in c24 if r["n_contaminated"] * 10 >= r["n_ngrams"]
         )
         assert sweep[3]["n_flagged"] == flagged
+
+
+# --- round-6 eval ops: pruned scans asserted -------------------------------
+
+
+class TestRound6PlanShape:
+    def _read_schemas(self, df):
+        import re
+
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return set(re.findall(r"ReadSchema: struct<([^>]*)>", plan))
+
+    def test_eval_ops_prune_columns(self, spark):
+        from greenplum_cdc_spark.operators import quality, similarity
+
+        sf = "/root/testdata/sf0.001"
+        for fn, want in [
+            (similarity.embedding_dim_ablation, "vec_id:bigint,embedding"),
+            (similarity.ivf_recall_sweep, "vec_id:bigint,embedding"),
+            (quality.contamination_ngram_sweep, "doc_id:bigint,text:string"),
+        ]:
+            schemas = self._read_schemas(fn(spark, sf))
+            assert schemas, fn.__name__
+            for s in schemas:
+                assert s.startswith(want), (fn.__name__, s)
