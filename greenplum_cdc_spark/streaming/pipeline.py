@@ -1664,3 +1664,157 @@ def stream_wal2json_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).orderBy("pk")
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- A48 (round 6): streaming SCD2 maintenance --------------------------
+
+
+def stream_scd2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A48: SCD Type-2 dimension history maintained INCREMENTALLY by a
+    streaming merge — the continuous form of A17 (cdc_scd2_history
+    states the semantics; cdc_plpgsql_functions.sql:103-241 is the
+    latest-wins apply Greenplum runs so it can serve exactly these
+    historical queries).
+
+    Incremental contract (ordered replay, the per-key in-order
+    delivery the bus transports provide): CLOSED version rows are
+    FINAL — a later event can never reopen them — so each micro-batch
+    only has to merge the batch's keys' OPEN rows (the `is_current`
+    slice, one row per live key) with the new events: re-enter the
+    open row into the per-key (ts, seq) lead-window beside the batch
+    events, emit newly closed versions, keep the new open tail.
+    Deletes close the prior version and leave the key with no open
+    row, exactly A17's lead-before-filter semantics. Two time-ordered
+    micro-batches — the contract minimum: a version OPENED by batch 1
+    must be CLOSED by batch 2 through state, not within one window.
+
+    At 100 TB: the closed slice is append-only (partition it by
+    close date and never rewrite); only the open slice — one row per
+    live key, the same bound as the latest-wins replica — is read and
+    rewritten per batch. The gate harness commits full versions
+    through the same ReplicaStore pointer protocol as A10 for
+    time-travel parity.
+
+    Oracle: the streamed table must hash-match A17's one-shot batch
+    window (CDC_SCD2_SQL) over the whole feed.
+    """
+    import shutil
+
+    from ..io import load_table, shuffle_partitions
+    from pyspark.sql import Window
+
+    base = scratch_dir("stream_scd2_")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("user_id").alias("pk"),
+            "ts",
+            F.col("event_id").alias("seq"),
+            F.when(F.col("event_type") == "error", F.lit("delete"))
+            .otherwise(F.lit("insert"))
+            .alias("op"),
+            "value",
+            "event_type",
+        )
+
+        def _write(d: str) -> None:
+            ev.persist()
+            bounds = ev.agg(
+                F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+            ).collect()[0]
+            lo, hi = bounds[0], bounds[1] + 1
+            step = (hi - lo) // 2 + 1
+            write_mtime_batches(
+                ev, F.expr(f"(unix_micros(ts) - {lo}) div {step}"), 2, d
+            )
+            ev.unpersist()
+
+        glob = cached_feed(("stream_scd2_pipeline", sf_dir, 2), _write) + "/_b=*"
+        store = ReplicaStore(spark, os.path.join(base, "replica"))
+
+        def _merge(batch: DataFrame, batch_id: int) -> None:
+            prev = store.read()
+            if prev is None:
+                closed = None
+                reopen = batch.limit(0)
+            else:
+                touched = batch.select("pk").distinct()
+                open_rows = prev.filter(F.col("is_current"))
+                # final rows pass through; open rows of touched keys
+                # re-enter the window as their original events
+                reopen = (
+                    open_rows.join(F.broadcast(touched), "pk", "left_semi")
+                    .select(
+                        "pk",
+                        F.col("valid_from").alias("ts"),
+                        F.col("version_seq").alias("seq"),
+                        F.lit("insert").alias("op"),
+                        "value",
+                        "event_type",
+                    )
+                )
+                closed = prev.filter(~F.col("is_current")).unionByName(
+                    open_rows.join(F.broadcast(touched), "pk", "left_anti")
+                )
+            w = Window.partitionBy("pk").orderBy("ts", "seq")
+            merged = (
+                reopen.unionByName(
+                    batch.select("pk", "ts", "seq", "op", "value", "event_type")
+                )
+                .withColumn("valid_to", F.lead("ts").over(w))
+                .filter(F.col("op") != "delete")
+                .select(
+                    "pk",
+                    F.col("seq").alias("version_seq"),
+                    F.col("ts").alias("valid_from"),
+                    "valid_to",
+                    F.col("valid_to").isNull().alias("is_current"),
+                    "value",
+                    "event_type",
+                )
+            )
+            if closed is not None:
+                merged = closed.unionByName(merged)
+            store.commit(merged)
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(glob)
+        )
+        with shuffle_partitions(spark, 2):
+            q = (
+                stream.writeStream.foreachBatch(_merge)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            from .scaffold import adopt_path
+
+            replica = ReplicaStore(
+                spark, adopt_path(store.path, "stream_scd2_out_")
+            ).read()
+            return replica.orderBy("pk", "valid_from", "version_seq")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+STREAM_SCD2_SQL = """
+WITH cdc AS (
+  SELECT user_id AS pk, ts, event_id AS seq,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+         value, event_type
+  FROM events
+),
+versioned AS (
+  SELECT *, lead(ts) OVER (PARTITION BY pk ORDER BY ts, seq) AS valid_to
+  FROM cdc
+)
+SELECT pk, seq AS version_seq, ts AS valid_from, valid_to,
+       valid_to IS NULL AS is_current, value, event_type
+FROM versioned
+WHERE op <> 'delete'
+ORDER BY pk, valid_from, version_seq
+"""

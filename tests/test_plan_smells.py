@@ -50,6 +50,9 @@ _SKIP = {
     "cdc_replica_vacuum",  # writes/vacuums real replica versions
     "cdc_ddl_apply",  # executes real catalog DDL + table writes
     "stream_heavy_hitters",  # real multi-batch stateful stream
+    # round-6 streaming addition (real 2-batch incremental SCD2 merge;
+    # dedicated cross-batch test in test_round6.py + the oracle gate)
+    "stream_scd2_pipeline",
 }
 
 # ops whose BroadcastNestedLoopJoin is a deliberate constant-size

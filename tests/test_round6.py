@@ -855,3 +855,50 @@ class TestRound6PlanShape:
             assert schemas, fn.__name__
             for s in schemas:
                 assert s.startswith(want), (fn.__name__, s)
+
+
+# --- A48: incremental streaming SCD2 ---------------------------------------
+
+
+class TestStreamScd2:
+    def test_cross_batch_version_closure(self, spark):
+        """The incremental contract itself: at least one version row
+        must have been OPENED by micro-batch 1 and CLOSED by micro-batch
+        2 through the open-slice state (valid_from in batch-1's half of
+        the time range, valid_to in batch-2's half) — the proof the
+        merge stitches across the batch boundary rather than windowing
+        one batch at a time."""
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.streaming.pipeline import (
+            stream_scd2_pipeline,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        res = stream_scd2_pipeline(spark, sf)
+        ev = load_table(spark, sf, "events")
+        lo, hi = ev.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).collect()[0]
+        step = (hi + 1 - lo) // 2 + 1
+        split_us = lo + step
+        crossers = res.filter(
+            (F.unix_micros("valid_from") < split_us)
+            & (F.unix_micros("valid_to") >= split_us)
+        ).count()
+        assert crossers > 0
+        # SCD2 invariants: exactly one current row per live key; no
+        # overlapping validity inside a key (valid_to == next
+        # valid_from by construction of the lead window)
+        from pyspark.sql import Window
+
+        cur = res.filter("is_current").groupBy("pk").count()
+        assert cur.filter("count > 1").count() == 0
+        w = Window.partitionBy("pk").orderBy("valid_from", "version_seq")
+        gaps = (
+            res.withColumn("nxt", F.lead("valid_from").over(w))
+            .filter(F.col("nxt").isNotNull())
+            .filter(F.col("valid_to") > F.col("nxt"))
+        )
+        assert gaps.count() == 0
