@@ -1669,6 +1669,89 @@ def stream_wal2json_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A48 (round 6): streaming SCD2 maintenance --------------------------
 
 
+def scd2_merge_fn(store: "ReplicaStore"):
+    """foreachBatch merge for A48 (module-level so tests can drive the
+    ordered-replay guard directly against a fabricated store): merge
+    the batch keys' open rows with the new events through the per-key
+    lead window; closed rows are final; out-of-order delivery raises.
+    """
+    def _merge_impl(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        prev = store.read()
+        if prev is None:
+            closed = None
+            reopen = batch.limit(0)
+        else:
+            touched = batch.select("pk").distinct()
+            open_rows = prev.filter(F.col("is_current"))
+            # final rows pass through; open rows of touched keys
+            # re-enter the window as their original events
+            reopen = (
+                open_rows.join(F.broadcast(touched), "pk", "left_semi")
+                .select(
+                    "pk",
+                    F.col("valid_from").alias("ts"),
+                    F.col("version_seq").alias("seq"),
+                    F.lit("insert").alias("op"),
+                    "value",
+                    "event_type",
+                )
+            )
+            closed = prev.filter(~F.col("is_current")).unionByName(
+                open_rows.join(F.broadcast(touched), "pk", "left_anti")
+            )
+        # ordered-replay guard: an event older than its key's open
+        # row would slide into already-written history — it may
+        # overlap a CLOSED version (closed at the open row's
+        # valid_from) or reorder against the open tail; both are
+        # silent corruption at 100 TB. Closed rows all end at or
+        # before the open row's valid_from under ordered replay,
+        # so "batch ts < open valid_from" is a complete per-key
+        # out-of-order detector. Fail loudly instead.
+        n_late = (
+            batch.join(
+                F.broadcast(
+                    reopen.select("pk", F.col("ts").alias("_open_from"))
+                ),
+                "pk",
+            )
+            .filter(F.col("ts") < F.col("_open_from"))
+            .count()
+        )
+        if n_late:
+            raise ValueError(
+                f"stream_scd2_pipeline: batch {batch_id} delivered "
+                f"{n_late} event(s) older than their key's open "
+                "version (per-key out-of-order replay) — SCD2 "
+                "closed-rows-are-final does not hold; replay the "
+                "feed in per-key order or route through the "
+                "latest-wins replica (A10) instead"
+            )
+        w = Window.partitionBy("pk").orderBy("ts", "seq")
+        merged = (
+            reopen.unionByName(
+                batch.select("pk", "ts", "seq", "op", "value", "event_type")
+            )
+            .withColumn("valid_to", F.lead("ts").over(w))
+            .filter(F.col("op") != "delete")
+            .select(
+                "pk",
+                F.col("seq").alias("version_seq"),
+                F.col("ts").alias("valid_from"),
+                "valid_to",
+                F.col("valid_to").isNull().alias("is_current"),
+                "value",
+                "event_type",
+            )
+        )
+        if closed is not None:
+            merged = closed.unionByName(merged)
+        store.commit(merged)
+
+    return _merge_impl
+
+
 def stream_scd2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A48: SCD Type-2 dimension history maintained INCREMENTALLY by a
     streaming merge — the continuous form of A17 (cdc_scd2_history
@@ -1733,50 +1816,7 @@ def stream_scd2_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         glob = cached_feed(("stream_scd2_pipeline", sf_dir, 2), _write) + "/_b=*"
         store = ReplicaStore(spark, os.path.join(base, "replica"))
 
-        def _merge(batch: DataFrame, batch_id: int) -> None:
-            prev = store.read()
-            if prev is None:
-                closed = None
-                reopen = batch.limit(0)
-            else:
-                touched = batch.select("pk").distinct()
-                open_rows = prev.filter(F.col("is_current"))
-                # final rows pass through; open rows of touched keys
-                # re-enter the window as their original events
-                reopen = (
-                    open_rows.join(F.broadcast(touched), "pk", "left_semi")
-                    .select(
-                        "pk",
-                        F.col("valid_from").alias("ts"),
-                        F.col("version_seq").alias("seq"),
-                        F.lit("insert").alias("op"),
-                        "value",
-                        "event_type",
-                    )
-                )
-                closed = prev.filter(~F.col("is_current")).unionByName(
-                    open_rows.join(F.broadcast(touched), "pk", "left_anti")
-                )
-            w = Window.partitionBy("pk").orderBy("ts", "seq")
-            merged = (
-                reopen.unionByName(
-                    batch.select("pk", "ts", "seq", "op", "value", "event_type")
-                )
-                .withColumn("valid_to", F.lead("ts").over(w))
-                .filter(F.col("op") != "delete")
-                .select(
-                    "pk",
-                    F.col("seq").alias("version_seq"),
-                    F.col("ts").alias("valid_from"),
-                    "valid_to",
-                    F.col("valid_to").isNull().alias("is_current"),
-                    "value",
-                    "event_type",
-                )
-            )
-            if closed is not None:
-                merged = closed.unionByName(merged)
-            store.commit(merged)
+        _merge = scd2_merge_fn(store)
 
         stream = (
             spark.readStream.schema(ev.schema)

@@ -902,3 +902,41 @@ class TestStreamScd2:
             .filter(F.col("valid_to") > F.col("nxt"))
         )
         assert gaps.count() == 0
+
+    def test_out_of_order_batch_fails_loudly(self, spark, tmp_path):
+        """Per-key out-of-order replay must raise, not corrupt: an event
+        older than its key's OPEN version may overlap closed history.
+        Drives the REAL merge (scd2_merge_fn) against a fabricated
+        store holding an open row at t=2000s, then delivers t=1000s."""
+        import pyspark.sql.functions as F
+        import pytest
+
+        from greenplum_cdc_spark.streaming.pipeline import (
+            ReplicaStore,
+            scd2_merge_fn,
+        )
+
+        store = ReplicaStore(spark, str(tmp_path / "replica"))
+        merge = scd2_merge_fn(store)
+
+        def ev(pk, us, seq, op="insert"):
+            return spark.createDataFrame(
+                [(pk, us, seq, op, 1.0, "view")],
+                "pk long, us long, seq long, op string, value double,"
+                " event_type string",
+            ).select(
+                "pk",
+                F.timestamp_micros(F.col("us")).alias("ts"),
+                "seq", "op", "value", "event_type",
+            )
+
+        merge(ev(1, 2_000_000_000, 5), 0)  # opens pk=1 @ t=2000s
+        assert store.read().filter("is_current").count() == 1
+        # in-order follow-up is fine
+        merge(ev(1, 3_000_000_000, 6), 1)
+        assert store.read().count() == 2
+        # out-of-order: an event OLDER than the open row must raise
+        with pytest.raises(ValueError, match="out-of-order"):
+            merge(ev(1, 1_500_000_000, 7), 2)
+        # and the store is untouched by the failed batch
+        assert store.read().count() == 2
