@@ -1673,7 +1673,9 @@ def scd2_merge_fn(store: "ReplicaStore"):
     """foreachBatch merge for A48 (module-level so tests can drive the
     ordered-replay guard directly against a fabricated store): merge
     the batch keys' open rows with the new events through the per-key
-    lead window; closed rows are final; out-of-order delivery raises.
+    lead window; closed rows are final; out-of-order delivery raises;
+    exact redelivery of the open row (at-least-once) is dropped
+    idempotently.
     """
     def _merge_impl(batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
@@ -1682,6 +1684,9 @@ def scd2_merge_fn(store: "ReplicaStore"):
         if prev is None:
             closed = None
             reopen = batch.limit(0)
+            events = batch.select(
+                "pk", "ts", "seq", "op", "value", "event_type"
+            )
         else:
             touched = batch.select("pk").distinct()
             open_rows = prev.filter(F.col("is_current"))
@@ -1701,38 +1706,67 @@ def scd2_merge_fn(store: "ReplicaStore"):
             closed = prev.filter(~F.col("is_current")).unionByName(
                 open_rows.join(F.broadcast(touched), "pk", "left_anti")
             )
-        # ordered-replay guard: an event older than its key's open
-        # row would slide into already-written history — it may
-        # overlap a CLOSED version (closed at the open row's
-        # valid_from) or reorder against the open tail; both are
-        # silent corruption at 100 TB. Closed rows all end at or
-        # before the open row's valid_from under ordered replay,
-        # so "batch ts < open valid_from" is a complete per-key
-        # out-of-order detector. Fail loudly instead.
-        n_late = (
-            batch.join(
-                F.broadcast(
-                    reopen.select("pk", F.col("ts").alias("_open_from"))
-                ),
+            # ordered-replay guard. The per-key high watermark is
+            # max(coalesce(valid_to, valid_from)) over the key's WHOLE
+            # history: for a live key that is the open row's
+            # valid_from; for a delete-closed key (no open row — the
+            # delete emitted nothing) it is the delete's ts, carried
+            # as the last closed row's valid_to. An event older than
+            # the watermark would slide into already-written history
+            # (overlap a closed version or reorder against the open
+            # tail) — silent corruption at 100 TB; raise instead. An
+            # event EQUAL to the open row on (ts, seq) is at-least-once
+            # redelivery of the event that opened it: drop it
+            # idempotently (a tie inside the window would fabricate a
+            # zero-width [T, T) version). Same-ts-smaller-seq than the
+            # open row is out-of-order, not redelivery. At scale the
+            # watermark is explicit per-key state beside the open
+            # slice, not a history scan; here the gate corpora are
+            # small enough to derive it.
+            wm = (
+                prev.join(F.broadcast(touched), "pk", "left_semi")
+                .groupBy("pk")
+                .agg(
+                    F.max(
+                        F.coalesce(F.col("valid_to"), F.col("valid_from"))
+                    ).alias("_wm_ts")
+                )
+            )
+            open_keys = open_rows.select(
                 "pk",
+                F.col("valid_from").alias("_open_ts"),
+                F.col("version_seq").alias("_open_seq"),
             )
-            .filter(F.col("ts") < F.col("_open_from"))
-            .count()
-        )
-        if n_late:
-            raise ValueError(
-                f"stream_scd2_pipeline: batch {batch_id} delivered "
-                f"{n_late} event(s) older than their key's open "
-                "version (per-key out-of-order replay) — SCD2 "
-                "closed-rows-are-final does not hold; replay the "
-                "feed in per-key order or route through the "
-                "latest-wins replica (A10) instead"
+            flagged = (
+                batch.join(F.broadcast(wm), "pk", "left")
+                .join(F.broadcast(open_keys), "pk", "left")
             )
+            n_late = flagged.filter(
+                (F.col("ts") < F.col("_wm_ts"))
+                | (
+                    (F.col("ts") == F.col("_open_ts"))
+                    & (F.col("seq") < F.col("_open_seq"))
+                )
+            ).count()
+            if n_late:
+                raise ValueError(
+                    f"stream_scd2_pipeline: batch {batch_id} delivered "
+                    f"{n_late} event(s) older than their key's high "
+                    "watermark (per-key out-of-order replay) — SCD2 "
+                    "closed-rows-are-final does not hold; replay the "
+                    "feed in per-key order or route through the "
+                    "latest-wins replica (A10) instead"
+                )
+            events = flagged.filter(
+                ~(
+                    (F.col("ts") == F.col("_open_ts"))
+                    & (F.col("seq") == F.col("_open_seq"))
+                )
+                | F.col("_open_ts").isNull()
+            ).select("pk", "ts", "seq", "op", "value", "event_type")
         w = Window.partitionBy("pk").orderBy("ts", "seq")
         merged = (
-            reopen.unionByName(
-                batch.select("pk", "ts", "seq", "op", "value", "event_type")
-            )
+            reopen.unionByName(events)
             .withColumn("valid_to", F.lead("ts").over(w))
             .filter(F.col("op") != "delete")
             .select(

@@ -940,3 +940,56 @@ class TestStreamScd2:
             merge(ev(1, 1_500_000_000, 7), 2)
         # and the store is untouched by the failed batch
         assert store.read().count() == 2
+
+    def test_delete_closed_key_still_guarded_and_dup_dropped(self, spark, tmp_path):
+        """The review-found hole: a key whose history ends in a DELETE
+        has no open row, so an open-row-only guard would silently admit
+        out-of-order events that overlap the closed history. The
+        watermark form (max(coalesce(valid_to, valid_from))) carries
+        the delete's ts and must still raise. Also: exact redelivery of
+        the open row (at-least-once) is dropped idempotently instead of
+        fabricating a zero-width version."""
+        import pyspark.sql.functions as F
+        import pytest
+
+        from greenplum_cdc_spark.streaming.pipeline import (
+            ReplicaStore,
+            scd2_merge_fn,
+        )
+
+        def ev(pk, us, seq, op="insert"):
+            return spark.createDataFrame(
+                [(pk, us, seq, op, 1.0, "view")],
+                "pk long, us long, seq long, op string, value double,"
+                " event_type string",
+            ).select(
+                "pk",
+                F.timestamp_micros(F.col("us")).alias("ts"),
+                "seq", "op", "value", "event_type",
+            )
+
+        # delete-closed key: insert @t100, delete @t200 -> one closed
+        # version, no open row
+        store = ReplicaStore(spark, str(tmp_path / "rep_del"))
+        merge = scd2_merge_fn(store)
+        merge(ev(1, 100_000_000, 1).unionByName(
+            ev(1, 200_000_000, 2, "delete")), 0)
+        snap = store.read()
+        assert snap.count() == 1 and snap.filter("is_current").count() == 0
+        with pytest.raises(ValueError, match="out-of-order"):
+            merge(ev(1, 150_000_000, 3), 1)  # inside the closed [100,200)
+        # and an in-order event after the delete opens cleanly
+        merge(ev(1, 300_000_000, 4), 2)
+        assert store.read().filter("is_current").count() == 1
+
+        # at-least-once redelivery of the open row: dropped, no [T,T)
+        store2 = ReplicaStore(spark, str(tmp_path / "rep_dup"))
+        merge2 = scd2_merge_fn(store2)
+        merge2(ev(2, 500_000_000, 9), 0)
+        merge2(ev(2, 500_000_000, 9), 1)  # exact redelivery
+        snap2 = store2.read()
+        assert snap2.count() == 1
+        assert snap2.filter("is_current").count() == 1
+        # same-ts SMALLER-seq is out-of-order, not redelivery
+        with pytest.raises(ValueError, match="out-of-order"):
+            merge2(ev(2, 500_000_000, 8), 2)
