@@ -288,6 +288,12 @@ def iter_record_batches(blob: bytes):
                 f"truncated segment: {len(blob) - pos} trailing bytes"
             )
         _base, blen = struct.unpack_from(">qi", blob, pos)
+        if blen <= 0:
+            # the length prefix sits OUTSIDE the CRC-covered region, so
+            # a corrupted non-positive value must be rejected here — a
+            # blen of -12 would otherwise make end == pos and the
+            # generator loop forever without progress
+            raise KafkaWireError(f"corrupt batch length {blen} at {pos}")
         end = pos + 12 + blen
         if end > len(blob):
             raise KafkaWireError("segment ends mid-batch")

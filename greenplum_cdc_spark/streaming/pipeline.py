@@ -1172,7 +1172,11 @@ def stream_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            log = adopt_scratch(spark, out, "stream_upd_out_")
+            log = adopt_scratch(
+                spark, out, "stream_upd_out_",
+                empty_schema="event_type string, n_events long,"
+                " batch_id long",
+            )
             from pyspark.sql import Window
 
             w = Window.partitionBy("event_type").orderBy(F.col("batch_id").desc())

@@ -53,7 +53,12 @@ def adopt_path(path: str, prefix: str = "adopted_") -> str:
     return dst
 
 
-def adopt_scratch(spark: SparkSession, path: str, prefix: str = "adopted_"):
+def adopt_scratch(
+    spark: SparkSession,
+    path: str,
+    prefix: str = "adopted_",
+    empty_schema: str | None = None,
+):
     """Rename a finished parquet result dir OUT of its per-run scratch
     tree into a process-lifetime temp dir and return the lazy read.
 
@@ -64,7 +69,19 @@ def adopt_scratch(spark: SparkSession, path: str, prefix: str = "adopted_"):
     already on disk. Callers must build any projection/sort ON TOP of
     the returned read — frames created over the old path hold dead file
     references after the move. (VERDICT r5 item 2: streaming-harness
-    fixed costs.)"""
+    fixed costs.)
+
+    A stream that never emitted leaves no sink dir at all (foreachBatch
+    writes lazily); pass ``empty_schema`` to get a typed empty frame
+    back in that case instead of a FileNotFoundError from the rename —
+    the behavior the old read-with-fallback sites had."""
+    if not os.path.exists(path):
+        if empty_schema is not None:
+            return spark.createDataFrame([], empty_schema)
+        raise FileNotFoundError(
+            f"adopt_scratch: {path} was never written (no emissions?) —"
+            " pass empty_schema to tolerate empty streams"
+        )
     return spark.read.parquet(adopt_path(path, prefix))
 
 

@@ -135,7 +135,11 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             run_stream_dedup(spark, in_dir, ckpt, out)
             # adopt the foreachBatch output in place (rename, no second
             # write) and build the projection on the adopted read
-            res = adopt_scratch(spark, out, "stream_dedup_out_")
+            res = adopt_scratch(
+                spark, out, "stream_dedup_out_",
+                empty_schema="text_hash string, first_doc_id long,"
+                " n_new_in_batch long",
+            )
             return res.select(
                 "text_hash", "first_doc_id", F.col("n_new_in_batch").alias("n_copies")
             ).orderBy("first_doc_id")
@@ -297,7 +301,11 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # count invariant, property-pinned)
         with shuffle_partitions(spark, 16):
             run_stream_sessionize(spark, glob, ckpt, out)
-            res = adopt_scratch(spark, out, "stream_sess_out_")
+            res = adopt_scratch(
+                spark, out, "stream_sess_out_",
+                empty_schema="user_id long, sess_idx long,"
+                " session_start long, session_end long, n_events long",
+            )
             return res.select(
                 "user_id",
                 "sess_idx",
@@ -547,7 +555,11 @@ def stream_running_totals_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            res = adopt_scratch(spark, out, "stream_tws_out_")
+            res = adopt_scratch(
+                spark, out, "stream_tws_out_",
+                empty_schema="user_id long, total_events long,"
+                " total_cents long",
+            )
             w = Window.partitionBy("user_id").orderBy(F.col("total_events").desc())
             return (
                 res.withColumn("rn", F.row_number().over(w))
@@ -704,7 +716,10 @@ def stream_rate_limit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            res = adopt_scratch(spark, out, "stream_rl_out_")
+            res = adopt_scratch(
+                spark, out, "stream_rl_out_",
+                empty_schema="user_id long, ts_us long, allowed long",
+            )
             return res.select("user_id", "ts_us", "allowed").orderBy(
                 "user_id", "ts_us"
             )
@@ -903,7 +918,11 @@ def stream_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            emitted = adopt_scratch(spark, out, "stream_hh_out_")
+            emitted = adopt_scratch(
+                spark, out, "stream_hh_out_",
+                empty_schema="bucket long, n_batches long, word string,"
+                " est_count long, err long",
+            )
             return (
                 emitted.withColumn(
                     "_last", F.max("n_batches").over(Window.partitionBy("bucket"))

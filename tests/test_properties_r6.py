@@ -190,3 +190,45 @@ class TestScd2MergeEquivalence:
                 .count()
                 == 0
             ), f"seed {seed} diverged"
+
+
+class TestSegmentLengthGuard:
+    def test_nonpositive_batch_length_raises(self):
+        """The batchLength prefix is outside the CRC-covered region;
+        corrupted to -12 it would make the splitter yield forever
+        without progress — must raise instead."""
+        import struct
+
+        import pytest
+
+        from greenplum_cdc_spark.sources.kafka_wire import (
+            KafkaWireError,
+            encode_record_batch,
+            iter_record_batches,
+        )
+
+        seg = bytearray(encode_record_batch(0, 0, [(0, 0, None, b"v")]))
+        for bad in (-12, 0, -1):
+            corrupted = bytes(seg[:8]) + struct.pack(">i", bad) + bytes(seg[12:])
+            with pytest.raises(KafkaWireError):
+                list(iter_record_batches(corrupted))
+
+
+class TestAdoptEmptyStream:
+    def test_empty_stream_returns_typed_frame(self, spark, tmp_path):
+        """A stream that never emitted leaves no sink dir; adopt_scratch
+        with empty_schema must hand back the typed empty frame the old
+        read-with-fallback sites produced."""
+        from greenplum_cdc_spark.streaming.scaffold import adopt_scratch
+
+        missing = str(tmp_path / "never_written")
+        df = adopt_scratch(
+            spark, missing, "adopt_empty_",
+            empty_schema="a long, b string",
+        )
+        assert df.count() == 0
+        assert df.columns == ["a", "b"]
+        import pytest
+
+        with pytest.raises(FileNotFoundError):
+            adopt_scratch(spark, missing, "adopt_empty_")
