@@ -312,13 +312,20 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NGRAM_SQL = (
-    "list_distinct(["
-    + " || ' ' || ".join(
-        f"toks[i + {j}]" if j else "toks[i]" for j in range(CONTAM_K)
+def _ngram_sql_k(k: int) -> str:
+    """DuckDB twin of ``_ngram_expr(k)`` — the ONE n-gram
+    list-comprehension template shared by C24's oracle (k=CONTAM_K)
+    and C95's width sweep, so the two can't desynchronize."""
+    return (
+        "list_distinct(["
+        + " || ' ' || ".join(
+            f"toks[i + {j}]" if j else "toks[i]" for j in range(k)
+        )
+        + f" FOR i IN range(1, len(toks) - {k - 2})])"
     )
-    + f" FOR i IN range(1, len(toks) - {CONTAM_K - 2})])"
-)
+
+
+_NGRAM_SQL = _ngram_sql_k(CONTAM_K)
 
 CONTAMINATION_SQL = f"""
 WITH tok AS (
@@ -1236,18 +1243,6 @@ def _split_contamination_sql() -> str:
 # --- C95 (round 6): decontamination sensitivity to n-gram width ---------
 
 SWEEP_KS = (2, 3, 5)  # gram widths swept (C24 fixes k=3)
-
-
-def _ngram_sql_k(k: int) -> str:
-    """DuckDB twin of ``_ngram_expr(k)`` (the k-parameterized form of
-    the module's _NGRAM_SQL)."""
-    return (
-        "list_distinct(["
-        + " || ' ' || ".join(
-            f"toks[i + {j}]" if j else "toks[i]" for j in range(k)
-        )
-        + f" FOR i IN range(1, len(toks) - {k - 2})])"
-    )
 
 
 def contamination_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -310,10 +310,15 @@ def _ivf_train(vecs: DataFrame) -> dict:
     return by_cell
 
 
-def _ivf_assign_to(vecs: DataFrame, by_cell: dict) -> DataFrame:
-    """Assignment half: score every vector against the (possibly
-    frozen) centroid set embedded as literal arrays — map-side folds,
-    zero joins; argmin ties to the smallest cell id."""
+def _cell_dists(by_cell: dict):
+    """(rv_arr, cells_sorted, dist_cols): the ONE implementation of the
+    exact int64 micro-unit centroid-distance contract (6-dp decimal
+    element encoding × scaleb(6) literal centroids, squared-diff long
+    folds over a materialized `rv` column) shared by cell assignment
+    (C25/C81/C82), per-cell outlier ranking (C61), and the nprobe
+    sweep (C94) — so a change to the rounding/scaling contract cannot
+    desynchronize the consumers the oracles and the nprobe=1 pin test
+    require to agree."""
     cells_sorted = sorted(by_cell)
     rv_arr = F.transform(
         F.col("embedding"),
@@ -331,6 +336,14 @@ def _ivf_assign_to(vecs: DataFrame, by_cell: dict) -> DataFrame:
         )
         sq = F.zip_with(F.col("rv"), c6_arr, lambda x, y: (x - y) * (x - y))
         dist_cols.append(F.aggregate(sq, F.lit(0).cast("long"), lambda a, x: a + x))
+    return rv_arr, cells_sorted, dist_cols
+
+
+def _ivf_assign_to(vecs: DataFrame, by_cell: dict) -> DataFrame:
+    """Assignment half: score every vector against the (possibly
+    frozen) centroid set embedded as literal arrays — map-side folds,
+    zero joins; argmin ties to the smallest cell id."""
+    rv_arr, cells_sorted, dist_cols = _cell_dists(by_cell)
     cell_ids = F.array(*[F.lit(c) for c in cells_sorted])
     return (
         vecs.withColumn("rv", rv_arr)
@@ -1571,21 +1584,10 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_cell.setdefault(int(r["label"]), {})[int(r["dim"])] = Decimal(
             repr(val)
         ).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
-    rv_arr = F.transform(
-        F.col("embedding"),
-        lambda x: (
-            F.round(x.cast("double"), 6).cast("decimal(16,6)") * F.lit(1_000_000)
-        ).cast("long"),
-    )
+    rv_arr, cells_sorted, dist_cols = _cell_dists(by_cell)
     map_args = []
-    for c in sorted(by_cell):
-        c6_arr = F.array(
-            *[F.lit(int(by_cell[c][d].scaleb(6))) for d in range(1, DIM + 1)]
-        )
-        sq = F.zip_with(F.col("rv"), c6_arr, lambda x, y: (x - y) * (x - y))
-        map_args.extend(
-            [F.lit(c), F.aggregate(sq, F.lit(0).cast("long"), lambda a, x: a + x)]
-        )
+    for c, dist in zip(cells_sorted, dist_cols):
+        map_args.extend([F.lit(c), dist])
     dist_own = F.create_map(*map_args)[F.col("label")]
     w = Window.partitionBy("label").orderBy(F.desc("dist2_u"), F.asc("vec_id"))
     return (
@@ -2046,16 +2048,22 @@ def embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = topk.filter(F.col("dim_budget") == DIM).select(
         "query_id", "neighbor_id"
     )
-    n_q = queries.count()
+    # lazy 1-row query count (a driver-side .count() here would run an
+    # extra build-time job every time the plan is constructed — the
+    # same eager-at-build smell the round-6 double-execution fixes
+    # removed elsewhere; the SQL twin's nq subquery is the same shape)
+    nq = queries.agg(F.count("*").alias("_nq"))
     return (
         topk.filter(F.col("dim_budget") != DIM)
         .join(truth, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("dim_budget")
         .agg(F.count("*").alias("n_hits"))
+        .crossJoin(F.broadcast(nq))
         .withColumn(
             "recall_bp",
-            F.expr(f"(n_hits * 10000) div {n_q * TOPK}"),
+            F.expr(f"(n_hits * 10000) div (_nq * {TOPK})"),
         )
+        .drop("_nq")
         .orderBy("dim_budget")
     )
 
@@ -2146,24 +2154,10 @@ def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     np_max = max(IVF_NPROBES)
 
-    # per-query probe-cell ranking: same exact int64 distances as the
-    # assignment fold, exploded (|queries| x |cells| rows — tiny)
-    cells_sorted = sorted(by_cell)
-    rv_arr = F.transform(
-        F.col("embedding"),
-        lambda x: (
-            F.round(x.cast("double"), 6).cast("decimal(16,6)") * F.lit(1_000_000)
-        ).cast("long"),
-    )
-    dist_cols = []
-    for c in cells_sorted:
-        c6_arr = F.array(
-            *[F.lit(int(by_cell[c][d].scaleb(6))) for d in range(1, DIM + 1)]
-        )
-        sq = F.zip_with(F.col("rv"), c6_arr, lambda x, y: (x - y) * (x - y))
-        dist_cols.append(
-            F.aggregate(sq, F.lit(0).cast("long"), lambda a, x: a + x)
-        )
+    # per-query probe-cell ranking: the SAME exact int64 distances as
+    # the assignment fold (shared _cell_dists implementation), exploded
+    # (|queries| x |cells| rows — tiny)
+    rv_arr, cells_sorted, dist_cols = _cell_dists(by_cell)
     qn = F.sqrt(_dot("embedding", "embedding"))
     qbase = (
         vecs.filter(F.col("vec_id") < IVF_QUERIES)
@@ -2250,7 +2244,7 @@ def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
 
-    n_q = queries.count()
+    nq = queries.agg(F.count("*").alias("_nq"))  # lazy, like the SQL twin
     hits = (
         topk.join(truth, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("nprobe")
@@ -2261,8 +2255,9 @@ def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         hits.join(scanned, "nprobe")
+        .crossJoin(F.broadcast(nq))
         .withColumn(
-            "recall_bp", F.expr(f"(n_hits * 10000) div {n_q * IVF_TOPK}")
+            "recall_bp", F.expr(f"(n_hits * 10000) div (_nq * {IVF_TOPK})")
         )
         .select("nprobe", "n_hits", "recall_bp", "n_scanned")
         .orderBy("nprobe")
