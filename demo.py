@@ -88,6 +88,43 @@ def main() -> int:
             print(f"[02 bus] {e}")
             print("[02 bus] using the file-drop transport")
 
+        # -- 02b: the kafka wire, broker-less (A47) --
+        # prove the OTHER transport's bytes too: pack the envelopes into
+        # a genuine RecordBatch-v2 segment (CRC32C, zigzag varints),
+        # decode it back through the production splitter, and feed the
+        # bridge from the decoded lines — the poll parity below then
+        # covers the wire roundtrip end to end. (Driver-side here: the
+        # demo corpus is ~1k envelopes; kafka_segment_replay (A47) is
+        # the distributed per-segment form of the same codec.)
+        from greenplum_cdc_spark.sources.kafka_wire import (
+            decode_segment,
+            encode_record_batch,
+        )
+
+        lines = [r["value"] for r in spark.read.text(feed_dir).collect()]
+        segment = b"".join(
+            encode_record_batch(
+                off,
+                0,
+                [
+                    (j, 0, None, lines[off + j].encode())
+                    for j in range(min(512, len(lines) - off))
+                ],
+            )
+            for off in range(0, len(lines), 512)
+        )
+        decoded = [r["value"].decode() for r in decode_segment(segment)]
+        assert len(decoded) == len(lines)
+        wire_dir = os.path.join(base, "feed_wire")
+        spark.createDataFrame(
+            [(ln,) for ln in decoded], "line string"
+        ).coalesce(1).write.mode("overwrite").text(wire_dir)
+        in_dir = wire_dir
+        print(
+            f"[02b kafka wire] {len(lines)} envelopes -> "
+            f"{len(segment)} segment bytes -> decoded, CRC-verified"
+        )
+
         pipe = CDCPipeline(
             spark,
             replica_path=os.path.join(base, "replica"),
