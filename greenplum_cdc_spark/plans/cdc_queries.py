@@ -2870,16 +2870,20 @@ def cdc_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ack-at-end redelivery + maxwell_ts watermark contract.
     """
     feed = _feed(spark, sf_dir)
-    snap = cdc_ops.snapshot_latest(
-        feed, key_cols=("pk",), order_cols=("ts", "seq"), keep_tombstones=True
-    )
     # high watermark: the feed's global max-ts row is necessarily its
     # own key's latest (nothing can supersede the global max under the
     # (ts, seq) order), and keep_tombstones retains deletes too — so
-    # max(ts) over the SNAPSHOT equals max(ts) over the feed, and a
-    # window over the |keys|-row snapshot replaces the separate
-    # agg+collect that re-executed the whole synth+parse feed a second
-    # time (round-6 profile pass, same fix as schema_drift_monitor)
+    # max(ts) over the SNAPSHOT equals max(ts) over the feed. The
+    # snapshot is persisted so the watermark is a 1-row agg over the
+    # cached relation (single feed scan), then broadcast back via
+    # crossJoin — the B32/C34 scalar idiom. An unpartitioned
+    # max().over(Window.partitionBy()) would give the same answer but
+    # move EVERY live key to one task; at 100× scale that is a
+    # single-partition shuffle of the whole replica (round-7 fix).
+    snap = cdc_ops.snapshot_latest(
+        feed, key_cols=("pk",), order_cols=("ts", "seq"), keep_tombstones=True
+    ).persist()
+    hi = snap.agg(F.max(F.expr("unix_micros(ts)")).alias("_hi"))
     return (
         snap.select(
             "pk",
@@ -2888,10 +2892,7 @@ def cdc_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "op",
             (F.col("op") == "delete").cast("int").alias("is_tombstone"),
         )
-        .withColumn(
-            "_hi",
-            F.max(F.expr("unix_micros(last_ts)")).over(Window.partitionBy()),
-        )
+        .crossJoin(F.broadcast(hi))
         .filter(
             (F.col("op") != "delete")
             | (
@@ -2924,7 +2925,12 @@ ORDER BY pk
 
 # --- round 6: broker-less Kafka log-segment replay (A47) ----------------
 
-_KSEG_MOD = 20  # sample 1/20 of events: the wire CRC32C is pure Python
+# full feed (round 7): the wire CRC32C is numpy-vectorized on both the
+# producer and consumer side (kafka_wire.crc32c_many — slicing-by-8
+# lanes + GF(2) combine tree), so the old 1/20 pure-Python sample bound
+# is gone and every event rides the wire. _KSEG_MOD = 1 keeps the
+# sampling MACHINERY (and its oracle twin) so a deployment CAN sample.
+_KSEG_MOD = 1
 _KSEG_BATCH = 512  # records per RecordBatch v2
 _KSEG_SEGMENT = 4096  # records per segment blob
 
@@ -2947,10 +2953,12 @@ def kafka_segment_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: encode and decode are both per-segment Arrow tasks
     (no shuffle until the final orderBy); segments are the unit of
-    parallelism exactly as Kafka partitions are. The 1/{mod} sample
-    bounds the pure-Python CRC32C cost in the gate harness — a real
-    deployment reads connector-decoded records (C CRC) and never pays
-    this; the sample does not weaken the proof, which is per-byte.
+    parallelism exactly as Kafka partitions are. Since round 7 the
+    FULL feed rides the wire (_KSEG_MOD = 1): CRC32C on both sides is
+    numpy-vectorized across each segment's batches
+    (kafka_wire.crc32c_many), so the old 1/20 sample that bounded the
+    pure-Python byte loop is no longer needed. A real deployment reads
+    connector-decoded records (C CRC) and pays even less.
     """
     import pandas as pd
 
@@ -2988,7 +2996,7 @@ def kafka_segment_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("offset")
-        blobs = []
+        specs = []
         for i in range(0, len(pdf), _KSEG_BATCH):
             chunk = pdf.iloc[i : i + _KSEG_BATCH]
             base_off = int(chunk["offset"].iloc[0])
@@ -3007,7 +3015,8 @@ def kafka_segment_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                     chunk["value"],
                 )
             ]
-            blobs.append(kw.encode_record_batch(base_off, base_ts, recs))
+            specs.append((base_off, base_ts, recs))
+        blobs = kw.encode_record_batches(specs)
         return pd.DataFrame(
             {
                 "segment_id": [int(pdf["segment_id"].iloc[0])],

@@ -75,6 +75,132 @@ def crc32c(data: bytes) -> int:
     return crc ^ 0xFFFFFFFF
 
 
+_T8 = None
+
+
+def _tables8():
+    """Slicing-by-8 table family: T[k][b] advances the single-byte
+    table result through k extra zero bytes (T[0] is the classic
+    byte-at-a-time table). Built lazily as numpy uint32 arrays."""
+    global _T8
+    if _T8 is None:
+        import numpy as np
+
+        t = np.array(_CRC32C_TABLE, dtype=np.uint32)
+        tabs = [t]
+        for _ in range(7):
+            prev = tabs[-1]
+            tabs.append(t[prev & 0xFF] ^ (prev >> np.uint32(8)))
+        _T8 = tabs
+    return _T8
+
+
+_CHUNK = 256  # bytes per parallel CRC lane
+_ZSHIFT = None  # GF(2) advance matrices: _ZSHIFT[l] = advance by _CHUNK*2^l zeros
+
+
+def _apply_mat(mat, states):
+    """Apply a 32x32 GF(2) matrix (32 uint32 columns) to a uint32 state
+    array, vectorized: result = XOR of the columns selected by each
+    state's bits."""
+    import numpy as np
+
+    r = np.zeros_like(states)
+    for j in range(32):
+        r ^= np.where((states >> np.uint32(j)) & np.uint32(1), mat[j], np.uint32(0))
+    return r
+
+
+def _zshift_mats(levels: int):
+    """Matrices advancing a raw (init-0) CRC state through
+    _CHUNK * 2^l zero bytes, built once by repeated squaring."""
+    global _ZSHIFT
+    import numpy as np
+
+    if _ZSHIFT is None:
+        T = _tables8()
+        basis = np.uint32(1) << np.arange(32, dtype=np.uint32)
+        s = basis.copy()
+        for _ in range(_CHUNK // 8):  # slicing-by-8 over zero bytes
+            s = (
+                T[7][s & 0xFF]
+                ^ T[6][(s >> np.uint32(8)) & 0xFF]
+                ^ T[5][(s >> np.uint32(16)) & 0xFF]
+                ^ T[4][s >> np.uint32(24)]
+            )
+        _ZSHIFT = [s]
+    while len(_ZSHIFT) < levels:
+        m = _ZSHIFT[-1]
+        _ZSHIFT.append(_apply_mat(m, m))  # square: advance twice as far
+    return _ZSHIFT
+
+
+def crc32c_many(bodies: list[bytes]) -> list[int]:
+    """CRC32C of MANY buffers at once, numpy-vectorized: each buffer is
+    split into _CHUNK-byte lanes whose raw (init-0) CRC states evolve
+    INDEPENDENTLY — one slicing-by-8 pass over a (n_buffers x n_chunks)
+    lane array — then folded per buffer with precomputed GF(2)
+    zero-advance matrices (the crc32_combine identity raw(L||R) =
+    A_|R|(raw(L)) ^ raw(R), tree-reduced so every level applies ONE
+    shared matrix vectorized across all pairs).
+
+    Three linearity facts make the batch form exact:
+    - a reflected CRC with init I equals the init-0 CRC of the message
+      with I XORed into its first 4 bytes (LSB-first), so every lane
+      shares the zero-init state;
+    - the init-0 state stays 0 through leading zero bytes, so buffers
+      FRONT-pad to a common length without changing their CRC; and
+    - A(0) = 0, so all-zero padding chunks stay identity through the
+      combine tree.
+
+    `crc32c` remains the reference implementation (and the tiny-buffer
+    fallback); tests pin both to the spec check value and to each other
+    on randomized buffers."""
+    import numpy as np
+
+    if not bodies:
+        return []
+    if min(len(b) for b in bodies) < 4:
+        return [crc32c(b) for b in bodies]
+    n = len(bodies)
+    n_chunks = max(1, (max(len(b) for b in bodies) + _CHUNK - 1) // _CHUNK)
+    levels = max(1, (n_chunks - 1).bit_length())
+    n_chunks = 1 << levels  # pow-2 chunk count for a clean tree
+    L = n_chunks * _CHUNK
+    M = np.zeros((n, L), dtype=np.uint8)
+    for i, b in enumerate(bodies):
+        start = L - len(b)
+        M[i, start:] = np.frombuffer(b, dtype=np.uint8)
+        M[i, start : start + 4] ^= 0xFF  # init 0xFFFFFFFF, LSB-first
+    lanes = M.reshape(n * n_chunks, _CHUNK)
+    T = _tables8()
+    c = np.zeros(n * n_chunks, dtype=np.uint32)
+    for k in range(0, _CHUNK, 8):
+        d = lanes[:, k : k + 8].astype(np.uint32)
+        x = c ^ (
+            d[:, 0]
+            | (d[:, 1] << np.uint32(8))
+            | (d[:, 2] << np.uint32(16))
+            | (d[:, 3] << np.uint32(24))
+        )
+        c = (
+            T[7][x & 0xFF]
+            ^ T[6][(x >> np.uint32(8)) & 0xFF]
+            ^ T[5][(x >> np.uint32(16)) & 0xFF]
+            ^ T[4][x >> np.uint32(24)]
+            ^ T[3][d[:, 4]]
+            ^ T[2][d[:, 5]]
+            ^ T[1][d[:, 6]]
+            ^ T[0][d[:, 7]]
+        )
+    mats = _zshift_mats(levels)
+    c = c.reshape(n, n_chunks)
+    for lvl in range(levels):
+        # combine adjacent pairs: left advanced by the right width
+        c = _apply_mat(mats[lvl], c[:, 0::2]) ^ c[:, 1::2]
+    return [int(v) ^ 0xFFFFFFFF for v in c[:, 0]]
+
+
 # --- varints (zigzag, protobuf-style base-128) --------------------------
 
 
@@ -119,7 +245,7 @@ _HEADER = struct.Struct(">qiibI")  # baseOffset..crc
 _POSTCRC = struct.Struct(">hiqqqhii")  # attributes..recordCount
 
 
-def decode_record_batch(buf: bytes) -> list[dict]:
+def decode_record_batch(buf: bytes, _precomputed_crc: int | None = None) -> list[dict]:
     """One RecordBatch v2 → list of records, each a dict with
     ``offset`` (int), ``timestamp`` (ms int), ``key``/``value``
     (bytes | None) and ``headers`` (list of (str, bytes)).
@@ -127,6 +253,9 @@ def decode_record_batch(buf: bytes) -> list[dict]:
     Verifies magic and CRC32C; rejects compressed batches (attributes
     bits 0-2) — the harness produces uncompressed batches and the
     connector decompresses before the record frame anyway.
+    `_precomputed_crc` lets `decode_segment` supply the body CRC from
+    one vectorized `crc32c_many` pass over all of a segment's batches;
+    it is still COMPARED here — never a verification skip.
     """
     if len(buf) < _HEADER.size + _POSTCRC.size:
         raise KafkaWireError("batch shorter than the v2 header")
@@ -142,8 +271,10 @@ def decode_record_batch(buf: bytes) -> list[dict]:
         raise KafkaWireError(
             f"batch length field says {expect_total} bytes, got {len(buf)}"
         )
-    body = buf[_HEADER.size :]  # everything the CRC covers
-    actual_crc = crc32c(body)
+    if _precomputed_crc is None:
+        actual_crc = crc32c(buf[_HEADER.size :])  # everything the CRC covers
+    else:
+        actual_crc = _precomputed_crc
     if actual_crc != crc:
         raise KafkaWireError(
             f"CRC32C mismatch: header {crc:#010x}, computed {actual_crc:#010x}"
@@ -244,19 +375,15 @@ def encode_record(
     return encode_zigzag(len(body)) + body
 
 
-def encode_record_batch(
-    base_offset: int,
-    base_ts: int,
-    records: list[tuple],
-    attributes: int = 0,
+def _batch_post_crc(
+    base_ts: int, records: list[tuple], attributes: int = 0
 ) -> bytes:
-    """One RecordBatch v2 blob from (offset_delta, ts_delta, key, value)
-    tuples — CRC32C'd, uncompressed, no producer state (id/epoch/seq =
-    -1, exactly what a non-transactional producer writes)."""
+    """The CRC-covered region of one RecordBatch v2 (attributes through
+    the last record) — shared by the single and the batched encoder."""
     recs = b"".join(encode_record(*r) for r in records)
     last_delta = max((r[0] for r in records), default=0)
     max_ts = base_ts + max((r[1] for r in records), default=0)
-    post_crc = (
+    return (
         struct.pack(
             ">hiqqqhii",
             attributes,
@@ -270,9 +397,35 @@ def encode_record_batch(
         )
         + recs
     )
-    crc = crc32c(post_crc)
+
+
+def _assemble_batch(base_offset: int, post_crc: bytes, crc: int) -> bytes:
     body = struct.pack(">ibI", 0, 2, crc) + post_crc
     return struct.pack(">qi", base_offset, len(body)) + body
+
+
+def encode_record_batch(
+    base_offset: int,
+    base_ts: int,
+    records: list[tuple],
+    attributes: int = 0,
+) -> bytes:
+    """One RecordBatch v2 blob from (offset_delta, ts_delta, key, value)
+    tuples — CRC32C'd, uncompressed, no producer state (id/epoch/seq =
+    -1, exactly what a non-transactional producer writes)."""
+    post_crc = _batch_post_crc(base_ts, records, attributes)
+    return _assemble_batch(base_offset, post_crc, crc32c(post_crc))
+
+
+def encode_record_batches(specs: list[tuple]) -> list[bytes]:
+    """Many RecordBatch v2 blobs from (base_offset, base_ts, records)
+    specs, with ALL the CRCs computed in one vectorized `crc32c_many`
+    pass — the producer twin of `decode_segment`'s batched verify."""
+    parts = [(s[0], _batch_post_crc(s[1], s[2])) for s in specs]
+    crcs = crc32c_many([p[1] for p in parts])
+    return [
+        _assemble_batch(off, body, crc) for (off, body), crc in zip(parts, crcs)
+    ]
 
 
 # --- segments: concatenated batches (the on-disk log format) ------------
@@ -302,9 +455,17 @@ def iter_record_batches(blob: bytes):
 
 
 def decode_segment(blob: bytes) -> list[dict]:
-    """All records of a segment, batch by batch, CRC-verified."""
+    """All records of a segment, batch by batch, CRC-verified — the
+    bodies of ALL the segment's batches go through ONE vectorized
+    `crc32c_many` pass, then each batch decodes with its precomputed
+    CRC (still compared against the header; a flipped byte anywhere
+    still raises)."""
+    batches = list(iter_record_batches(blob))
+    crcs = crc32c_many([b[_HEADER.size :] for b in batches])
     return [
-        r for b in iter_record_batches(blob) for r in decode_record_batch(b)
+        r
+        for b, c in zip(batches, crcs)
+        for r in decode_record_batch(b, _precomputed_crc=c)
     ]
 
 

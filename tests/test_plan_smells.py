@@ -107,7 +107,47 @@ _BNLJ_OK = {
     "data_token_budget",  # 1-row B_max scalar
     "hard_negative_mining",  # sqrt(N)-row seed table (IVF assignment)
     "cusum_changepoint",  # three 1-row scalars (totals, peak, first-peak day)
+    "cdc_tombstone_gc",  # 1-row high-watermark scalar (r7 fix of the
+    # unpartitioned-window regression — the scalar now broadcasts)
 }
+
+
+# ops whose unpartitioned window runs over a provably-constant-size
+# frame (a rollup already reduced to a handful of rows), never the
+# data-proportional relation. An empty partition spec moves the WHOLE
+# input to ONE task — on a data-proportional frame that is a
+# single-partition shuffle of billions of rows at 100x scale (the r6
+# cdc_tombstone_gc regression this assertion exists to keep dead).
+_UNPART_WINDOW_OK = {
+    "schema_drift_monitor",  # |payload-keys|-row rollup (constant ~6 rows)
+    "decile_lift_table",  # 10-row decile table
+    "heavy_hitters",  # rank over the N survivors of a TakeOrdered limit
+    "cusum_changepoint",  # running sum over the per-DAY rollup (calendar-size)
+    "embedding_drift",  # rank over the per-DIM rollup (embedding dims, ~64)
+    "theta_sketch_setops",  # min-K merge over <= 2K sketch rows (K=64)
+    "moving_avg_daily",  # 7-day frame over the per-DAY rollup
+    "topk_with_others",  # rank over the 25-row per-nation rollup
+    "skew_diagnostics",  # exact order stats over per-KEY counts (reduced
+    # cardinality; docstring states the approx_percentile swap for
+    # billion-key regimes)
+    "period_over_period",  # lag over the per-MONTH rollup (calendar-size)
+}
+
+
+def _unpartitioned_windows(df):
+    """Logical-plan Window nodes with an empty partitionSpec."""
+    out = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().isEmpty():
+                out.append(node.toString().split("\n", 1)[0])
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
 
 
 @pytest.mark.parametrize("name", [
@@ -124,4 +164,10 @@ def test_no_plan_smells(spark, sf_dir, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: unexpected BroadcastNestedLoopJoin (non-equi join "
             "or lost broadcast hint?)"
+        )
+    if name not in _UNPART_WINDOW_OK:
+        bad = _unpartitioned_windows(df)
+        assert not bad, (
+            f"{name}: Window with empty partition spec (single-task "
+            f"shuffle of the whole input at scale): {bad}"
         )

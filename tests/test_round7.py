@@ -1,0 +1,268 @@
+"""Round-7 additions:
+
+- crc32c_many (numpy slicing-by-8 lanes + GF(2) combine tree) pinned
+  bit-for-bit to the scalar reference crc32c and the spec check value;
+- encode_record_batches == per-batch encode_record_batch bytes;
+- scd2_merge_fn's per-key watermark sidecar: explicit state beside the
+  versions, guard reads O(keys) not O(history), rollback on late batch;
+- ReplicaStore append-mode commits: immutable partitions are linked,
+  not rewritten (closed-row bytes written exactly once across batches).
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+class TestCrc32cMany:
+    def test_spec_check_value(self):
+        from greenplum_cdc_spark.sources.kafka_wire import crc32c, crc32c_many
+
+        # the published CRC-32C check value for ASCII "123456789"
+        assert crc32c(b"123456789") == 0xE3069283
+        assert crc32c_many([b"123456789"]) == [0xE3069283]
+
+    def test_matches_scalar_on_random_buffers(self):
+        from greenplum_cdc_spark.sources.kafka_wire import (
+            _CHUNK,
+            crc32c,
+            crc32c_many,
+        )
+
+        rng = random.Random(1701)
+        sizes = [4, 5, 13, _CHUNK - 1, _CHUNK, _CHUNK + 1, 1000, 4096, 70001]
+        bufs = [
+            bytes(rng.randrange(256) for _ in range(rng.choice(sizes)))
+            for _ in range(50)
+        ]
+        assert crc32c_many(bufs) == [crc32c(b) for b in bufs]
+
+    def test_tiny_buffer_fallback(self):
+        from greenplum_cdc_spark.sources.kafka_wire import crc32c, crc32c_many
+
+        tiny = [b"", b"a", b"ab", b"abc"]
+        assert crc32c_many(tiny) == [crc32c(b) for b in tiny]
+        assert crc32c_many([]) == []
+
+    def test_batched_encoder_bytes_identical(self):
+        from greenplum_cdc_spark.sources.kafka_wire import (
+            encode_record_batch,
+            encode_record_batches,
+        )
+
+        specs = [
+            (0, 1000, [(0, 0, b"k0", b"v0"), (1, 5, None, b"v1")]),
+            (2, 2000, [(0, 0, b"k2", None)]),
+            (3, 3000, [(i, i, f"k{i}".encode(), b"x" * i) for i in range(40)]),
+        ]
+        batched = encode_record_batches(specs)
+        singles = [encode_record_batch(*s) for s in specs]
+        assert batched == singles
+
+    def test_corrupt_byte_still_raises(self):
+        """The batched-verify path must reject a flipped byte anywhere
+        in any batch of a segment (CRC comparison happens per batch
+        even though the CRCs are computed in one vectorized pass)."""
+        from greenplum_cdc_spark.sources.kafka_wire import (
+            KafkaWireError,
+            decode_segment,
+            encode_record_batch,
+        )
+
+        seg = encode_record_batch(
+            0, 0, [(0, 0, b"k", b"hello")]
+        ) + encode_record_batch(1, 10, [(0, 0, b"k2", b"world")])
+        assert len(decode_segment(seg)) == 2
+        corrupt = bytearray(seg)
+        corrupt[-3] ^= 0x40  # inside the second batch's value bytes
+        with pytest.raises(KafkaWireError, match="CRC32C mismatch"):
+            decode_segment(bytes(corrupt))
+
+
+class TestScd2WatermarkState:
+    def _ev(self, spark, pk, us, seq, op="insert"):
+        import pyspark.sql.functions as F
+
+        return spark.createDataFrame(
+            [(pk, us, seq, op, 1.0, "view")],
+            "pk long, us long, seq long, op string, value double,"
+            " event_type string",
+        ).select(
+            "pk",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "seq", "op", "value", "event_type",
+        )
+
+    def test_sidecar_written_and_versioned(self, spark, tmp_path):
+        """Every successful merge commits a per-key watermark sidecar
+        beside the version it belongs to; the guard reads that state,
+        never the version history."""
+        import os
+
+        from greenplum_cdc_spark.streaming.pipeline import (
+            ReplicaStore,
+            _scd2_wm_path,
+            scd2_merge_fn,
+        )
+
+        store = ReplicaStore(spark, str(tmp_path / "rep"))
+        merge = scd2_merge_fn(store)
+        merge(self._ev(spark, 1, 2_000_000_000, 5), 0)
+        merge(self._ev(spark, 1, 3_000_000_000, 6), 1)
+        assert os.path.isdir(_scd2_wm_path(store, 1))
+        assert os.path.isdir(_scd2_wm_path(store, 2))
+        wm = spark.read.parquet(_scd2_wm_path(store, 2)).collect()
+        assert len(wm) == 1
+        assert wm[0]["_wm_seq"] == 6
+
+    def test_late_batch_leaves_no_trace(self, spark, tmp_path):
+        """The guard runs PRE-commit over the persisted batch frame: a
+        late batch leaves pointer, versions, segments and sidecar all
+        byte-for-byte untouched."""
+        import os
+
+        from greenplum_cdc_spark.streaming.pipeline import (
+            ReplicaStore,
+            _scd2_wm_path,
+            scd2_merge_fn,
+        )
+
+        store = ReplicaStore(spark, str(tmp_path / "rep"))
+        merge = scd2_merge_fn(store)
+        merge(self._ev(spark, 1, 2_000_000_000, 5), 0)
+        segs_before = sorted(
+            os.listdir(os.path.join(store.path, "seg"))
+        ) if os.path.isdir(os.path.join(store.path, "seg")) else []
+        with pytest.raises(ValueError, match="out-of-order"):
+            merge(self._ev(spark, 1, 1_000_000_000, 6), 1)
+        assert store.current_version() == 1
+        assert not os.path.isdir(os.path.join(store.path, "v=2"))
+        assert not os.path.isdir(_scd2_wm_path(store, 2))
+        segs_after = sorted(
+            os.listdir(os.path.join(store.path, "seg"))
+        ) if os.path.isdir(os.path.join(store.path, "seg")) else []
+        assert segs_after == segs_before
+        # and the store still accepts in-order events afterwards
+        merge(self._ev(spark, 1, 3_000_000_000, 7), 2)
+        assert store.read().count() == 2
+
+    def test_dead_key_repeat_delete_tightens_watermark(self, spark, tmp_path):
+        """The sidecar records EVERY delivered event — including a
+        repeat delete on a dead key, which emits no version row. A
+        history-derived watermark would forget that delete; the state
+        form must refuse an event older than it."""
+        from greenplum_cdc_spark.streaming.pipeline import (
+            ReplicaStore,
+            scd2_merge_fn,
+        )
+
+        store = ReplicaStore(spark, str(tmp_path / "rep"))
+        merge = scd2_merge_fn(store)
+        merge(
+            self._ev(spark, 1, 100_000_000, 1).unionByName(
+                self._ev(spark, 1, 200_000_000, 2, "delete")
+            ),
+            0,
+        )
+        # second delete at t=400s on the already-dead key: no version
+        # row, but the watermark must advance to 400s
+        merge(self._ev(spark, 1, 400_000_000, 3, "delete"), 1)
+        assert store.read().filter("is_current").count() == 0
+        with pytest.raises(ValueError, match="out-of-order"):
+            merge(self._ev(spark, 1, 300_000_000, 4), 2)
+
+    def test_closed_rows_written_exactly_once(self, spark, tmp_path):
+        """Append-mode commits: every closed SCD2 version's bytes land
+        in ONE write-once segment and are never rewritten by later
+        batches — segment files' (name, size, mtime) stay identical
+        across N further commits; only the open-slice base and the
+        key-state sidecar are rewritten per batch. And the logical
+        table (read = base ∪ segments) still equals the one-shot
+        window over all events."""
+        import os
+
+        from greenplum_cdc_spark.streaming.pipeline import (
+            ReplicaStore,
+            scd2_merge_fn,
+        )
+
+        def fingerprint(root):
+            out = {}
+            for dirpath, _dirs, files in os.walk(root):
+                for fn in files:
+                    p = os.path.join(dirpath, fn)
+                    st = os.stat(p)
+                    out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+            return out
+
+        store = ReplicaStore(spark, str(tmp_path / "rep"))
+        merge = scd2_merge_fn(store)
+        seen: dict[str, dict] = {}
+        # 4 batches, each closing the prior version of both keys
+        for b in range(4):
+            batch = self._ev(spark, 1, (b + 1) * 1_000_000_000, b).unionByName(
+                self._ev(spark, 2, (b + 1) * 1_000_000_000 + 5, 100 + b)
+            )
+            merge(batch, b)
+            seg_root = os.path.join(store.path, "seg")
+            for d in os.listdir(seg_root):
+                fp = fingerprint(os.path.join(seg_root, d))
+                if d in seen:
+                    assert fp == seen[d], f"segment {d} was rewritten"
+                seen[d] = fp
+        # logical equivalence with the one-shot lead window
+        res = store.read()
+        assert res.count() == 8  # 4 versions x 2 keys
+        assert res.filter("is_current").count() == 2
+        closed = res.filter("NOT is_current").count()
+        assert closed == 6
+        # time travel still consistent: version 2 saw 2 batches
+        v2 = store.read(version=2)
+        assert v2.count() == 4 and v2.filter("is_current").count() == 2
+
+    def test_vacuum_keeps_referenced_segments(self, spark, tmp_path):
+        """vacuum() drops old version dirs but never a segment still
+        linked by a retained version's manifest; fully unreferenced
+        segments are garbage-collected."""
+        import os
+
+        from greenplum_cdc_spark.streaming.pipeline import (
+            ReplicaStore,
+            scd2_merge_fn,
+        )
+
+        store = ReplicaStore(spark, str(tmp_path / "rep"))
+        merge = scd2_merge_fn(store)
+        for b in range(4):
+            merge(self._ev(spark, 1, (b + 1) * 1_000_000_000, b), b)
+        removed = store.vacuum(keep_last=2)
+        assert removed == [1, 2]
+        # all 4 segments still referenced by v3/v4 manifests -> intact
+        assert store.read().count() == 4
+        assert store.read(version=3).count() == 3
+
+    def test_history_fallback_when_sidecar_missing(self, spark, tmp_path):
+        """A store that predates the sidecar (or lost it in a crash)
+        still guards correctly: the watermark falls back to the
+        history derivation."""
+        import shutil
+
+        from greenplum_cdc_spark.streaming.pipeline import (
+            ReplicaStore,
+            _scd2_wm_path,
+            scd2_merge_fn,
+        )
+
+        store = ReplicaStore(spark, str(tmp_path / "rep"))
+        merge = scd2_merge_fn(store)
+        merge(self._ev(spark, 1, 2_000_000_000, 5), 0)
+        shutil.rmtree(_scd2_wm_path(store, 1))
+        with pytest.raises(ValueError, match="out-of-order"):
+            merge(self._ev(spark, 1, 1_000_000_000, 6), 1)
+        merge(self._ev(spark, 1, 3_000_000_000, 7), 2)
+        assert store.read().count() == 2
