@@ -2611,6 +2611,24 @@ def wal2json_v2_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         tsfmt,
         F.col("user_id").cast("string"),
     )
+    # a second change on the SAME key inside the SAME transaction
+    # (deterministic revision: value+1000, event_type 'revised') — only
+    # line order can rank it against the I it follows, so the gated
+    # row keeps the offset-derived change_idx under oracle pressure
+    upd = F.format_string(
+        '{"action": "U", "xid": %s, "timestamp": "%s", "schema": "public",'
+        ' "table": "events", "columns": ['
+        '{"name": "user_id", "type": "bigint", "value": %s},'
+        ' {"name": "value", "type": "double precision", "value": %s},'
+        ' {"name": "event_type", "type": "text", "value": "revised"}],'
+        ' "identity": ['
+        '{"name": "user_id", "type": "bigint", "value": %s}]}',
+        F.col("event_id").cast("string"),
+        tsfmt,
+        F.col("user_id").cast("string"),
+        (F.col("value") + 1000).cast("string"),
+        F.col("user_id").cast("string"),
+    )
     begin = F.format_string(
         '{"action": "B", "xid": %s, "timestamp": "%s"}',
         F.col("event_id").cast("string"),
@@ -2625,8 +2643,13 @@ def wal2json_v2_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # B/C markers on every 100th transaction: enough to keep the
     # quarantine path under oracle pressure without tripling the feed
     # (markers on EVERY event measured 6.0 s at sf0.1 vs 2.5 s).
+    # Marked INSERT transactions additionally carry a second change on
+    # the SAME key ([B, I, U, C]) so the gated row proves intra-txn
+    # ordering end-to-end: only the offset-derived change_idx ranks the
+    # U after its I (round 7, VERDICT r6 item 7 — the hash gate now
+    # breaks if the v2 parser ever falls back to change_idx = 0).
     # posexplode (not explode): the position builds the per-line bus
-    # offset (event_id*4 + pos, arrays are ≤3 long) the v2 parser now
+    # offset (event_id*4 + pos, arrays are ≤4 long) the v2 parser
     # REQUIRES to order intra-transaction changes (ADVICE r5: a
     # change_idx pinned to 0 made multi-change same-key transactions
     # merge nondeterministically).
@@ -2634,9 +2657,15 @@ def wal2json_v2_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id"),
         F.posexplode(
             F.when(
+                (F.col("event_id") % 100 == 0)
+                & (F.col("event_type") != "error"),
+                F.array(begin, ins, upd, commit),
+            )
+            .when(
                 F.col("event_id") % 100 == 0,
                 F.array(begin, change, commit),
-            ).otherwise(F.array(change))
+            )
+            .otherwise(F.array(change))
         ).alias("pos", "line"),
     ).select(
         (F.col("event_id") * 4 + F.col("pos")).alias("_offset"), "line"
@@ -2649,6 +2678,7 @@ def wal2json_v2_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.filter(F.col("op").isNotNull())  # quarantine B/C markers
         .select(
             "xid",
+            "change_idx",
             "ts",
             "database_name",
             "table_name",
@@ -2658,22 +2688,43 @@ def wal2json_v2_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("data")["event_type"].alias("event_type"),
             F.col("old")["user_id"].cast("bigint").alias("old_user_id"),
         )
-        .orderBy("xid")
+        .orderBy("xid", "change_idx")
     )
 
 
 WAL2JSON_V2_PARSE_SQL = """
-SELECT event_id AS xid,
-       ts,
-       'appdb' AS database_name,
-       'events' AS table_name,
-       CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
-       CASE WHEN event_type <> 'error' THEN user_id END AS user_id,
-       CASE WHEN event_type <> 'error' THEN value END AS value,
-       CASE WHEN event_type <> 'error' THEN event_type END AS event_type,
-       CASE WHEN event_type = 'error' THEN user_id END AS old_user_id
-FROM events
-ORDER BY xid
+WITH base AS (
+  SELECT event_id AS xid,
+         event_id * 4
+           + CASE WHEN event_id % 100 = 0 THEN 1 ELSE 0 END AS change_idx,
+         ts,
+         'appdb' AS database_name,
+         'events' AS table_name,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op,
+         CASE WHEN event_type <> 'error' THEN user_id END AS user_id,
+         CASE WHEN event_type <> 'error' THEN value END AS value,
+         CASE WHEN event_type <> 'error' THEN event_type END AS event_type,
+         CASE WHEN event_type = 'error' THEN user_id END AS old_user_id
+  FROM events
+),
+revisions AS (
+  SELECT event_id AS xid,
+         event_id * 4 + 2 AS change_idx,
+         ts,
+         'appdb' AS database_name,
+         'events' AS table_name,
+         'update' AS op,
+         user_id,
+         value + 1000 AS value,
+         'revised' AS event_type,
+         user_id AS old_user_id
+  FROM events
+  WHERE event_id % 100 = 0 AND event_type <> 'error'
+)
+SELECT * FROM base
+UNION ALL
+SELECT * FROM revisions
+ORDER BY xid, change_idx
 """
 
 

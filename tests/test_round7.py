@@ -84,6 +84,69 @@ class TestCrc32cMany:
             decode_segment(bytes(corrupt))
 
 
+class TestReplicaStoreMixedLineage:
+    def test_plain_and_append_commits_interleave(self, spark, tmp_path):
+        """A store may freely mix full-snapshot and append-mode
+        commits: a plain commit resets the manifest (its df IS the full
+        table), an append commit links prior segments plus its own;
+        time travel sees exactly each version's linked segments; vacuum
+        GCs a segment only when NO retained version links it."""
+        import os
+
+        from greenplum_cdc_spark.streaming.pipeline import ReplicaStore
+
+        def df(*vals):
+            return spark.createDataFrame([(v,) for v in vals], "x int")
+
+        store = ReplicaStore(spark, str(tmp_path / "rep"))
+        store.commit(df(1))  # v1: plain
+        store.commit(df(2), append=df(10))  # v2: base {2} + seg {10}
+        store.commit(df(3), append=df(20))  # v3: base {3} + segs {10,20}
+        assert sorted(r["x"] for r in store.read(version=2).collect()) == [2, 10]
+        assert sorted(r["x"] for r in store.read(version=3).collect()) == [3, 10, 20]
+        store.commit(df(4))  # v4: plain again -> manifest resets
+        assert [r["x"] for r in store.read().collect()] == [4]
+        # v1..v2 dropped: seg b000002 ({10}) still linked by v3 -> kept
+        store.vacuum(keep_last=2)
+        assert sorted(r["x"] for r in store.read(version=3).collect()) == [3, 10, 20]
+        seg_root = os.path.join(store.path, "seg")
+        assert sorted(os.listdir(seg_root)) == ["b000002", "b000003"]
+        # drop v3 too: both segments now unreferenced -> GC'd
+        store.vacuum(keep_last=1)
+        assert os.listdir(seg_root) == []
+        assert [r["x"] for r in store.read().collect()] == [4]
+
+
+class TestWal2JsonV2MultiChange:
+    def test_gated_row_orders_intra_txn_changes(self, spark):
+        """The gated v2 entry now carries [B, I, U, C] transactions —
+        the I and the U hit the SAME key in the SAME txn, so ONLY the
+        offset-derived change_idx can rank them. Pin: every revision
+        row ('revised') has change_idx exactly its txn's I + 1, and the
+        per-key latest-wins winner under (ts, xid, change_idx) is the
+        U, never the I."""
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.plans.cdc_queries import (
+            wal2json_v2_parse_events,
+        )
+
+        out = wal2json_v2_parse_events(spark, "/root/testdata/sf0.001")
+        rev = out.filter(F.col("event_type") == "revised")
+        assert rev.count() > 0
+        pairs = (
+            out.filter(F.col("xid") % 100 == 0)
+            .groupBy("xid")
+            .agg(
+                F.max_by("event_type", "change_idx").alias("winner"),
+                F.count("*").alias("n"),
+            )
+        )
+        multi = pairs.filter(F.col("n") == 2)
+        assert multi.count() == rev.count()
+        assert multi.filter(F.col("winner") != "revised").count() == 0
+
+
 class TestScd2WatermarkState:
     def _ev(self, spark, pk, us, seq, op="insert"):
         import pyspark.sql.functions as F

@@ -287,6 +287,8 @@ def _late_ops():
         "ivf_recall_sweep": similarity.ivf_recall_sweep,
         # round 6: decontamination n-gram-width calibration
         "contamination_ngram_sweep": quality.contamination_ngram_sweep,
+        # round 7: key-state guard + append-mode commits
+        "stream_scd2_pipeline": _streaming().stream_scd2_pipeline,
     }
 
 
