@@ -189,6 +189,166 @@ ORDER BY ev.event_id
 """
 
 
+def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B97 (round-7 addition): NEAREST-neighbor temporal join — each
+    event matched to the closest order in time, searching BOTH
+    directions (pandas merge_asof(direction='nearest') / kdb+ aj
+    nearest semantics), ties broken toward the earlier (backward)
+    match. B9's as-of join is last-before only; sensor/fill-style
+    enrichment ("which price quote belongs to this trade?") needs the
+    closer of the two neighbors, which neither an asof nor a range
+    join expresses.
+
+    Plan: ONE union-staircase shuffle on the key carries BOTH
+    directions — last(ignorenulls) over the unbounded-preceding frame
+    (backward neighbor) and first(ignorenulls) over the
+    unbounded-following frame (forward neighbor) share the same
+    partitioning and sort, so Catalyst plans two WindowExecs over one
+    exchange+sort; no range cross-join, no per-row search. The winner
+    is exact integer-micros distance arithmetic (no ROUND(double)),
+    backward on ties. At 100 TB this is the same single-shuffle bound
+    as B9.
+
+    Oracle: DuckDB runs the backward and forward halves as two native
+    ASOF joins (>= and <=) and applies the same integer CASE.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("k"),
+        F.expr(
+            "timestampadd(DAY, CAST(event_id % 2500 AS INT), TIMESTAMP '1995-01-01 00:00:00')"
+        ).alias("at_ts"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), F.col("o_orderdate"))
+        .agg(F.max("o_orderkey").alias("okey"))
+    )
+    o_side = orders.select(
+        "k",
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(1).alias("is_order"),
+        F.col("o_orderdate").alias("odate"),
+        "okey",
+    )
+    e_side = ev.select(
+        "k",
+        F.col("at_ts").alias("t"),
+        "event_id",
+        F.lit(0).alias("is_order"),
+        F.lit(None).cast("timestamp").alias("odate"),
+        F.lit(None).cast("bigint").alias("okey"),
+    )
+    # ONE sort order serves both directions: orders sort BEFORE a
+    # same-instant event, so an exact-timestamp order is a
+    # zero-distance BACKWARD match (the forward frame then misses it,
+    # which is harmless — a zero-distance backward match wins every
+    # tie by construction). Same partitioning AND same ordering for
+    # both frames → one exchange, one sort, two WindowExecs.
+    wb = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("is_order").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("is_order").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    both = (
+        o_side.unionByName(e_side)
+        .withColumn("b_key", F.last("okey", ignorenulls=True).over(wb))
+        .withColumn("b_date", F.last("odate", ignorenulls=True).over(wb))
+        .withColumn("f_key", F.first("okey", ignorenulls=True).over(wf))
+        .withColumn("f_date", F.first("odate", ignorenulls=True).over(wf))
+        .filter(F.col("is_order") == 0)
+    )
+    b_dist = F.expr("unix_micros(at_ts) - unix_micros(CAST(b_date AS TIMESTAMP))")
+    f_dist = F.expr("unix_micros(CAST(f_date AS TIMESTAMP)) - unix_micros(at_ts)")
+    pick_backward = F.col("f_date").isNull() | (
+        F.col("b_date").isNotNull() & (b_dist <= f_dist)
+    )
+    return (
+        both.withColumnRenamed("t", "at_ts")
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            "at_ts",
+            F.when(F.col("b_date").isNull() & F.col("f_date").isNull(), F.lit(None))
+            .when(pick_backward, F.lit("backward"))
+            .otherwise(F.lit("forward"))
+            .alias("direction"),
+            F.when(pick_backward, F.col("b_date"))
+            .otherwise(F.col("f_date"))
+            .alias("nearest_orderdate"),
+            F.when(pick_backward, F.col("b_key"))
+            .otherwise(F.col("f_key"))
+            .alias("nearest_orderkey"),
+            F.when(pick_backward, b_dist).otherwise(f_dist).alias("dist_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_NEAREST_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id AS k,
+         TIMESTAMP '1995-01-01 00:00:00' + (event_id % 2500) * INTERVAL 1 DAY AS at_ts
+  FROM events
+),
+ord AS (
+  SELECT o_custkey AS k, o_orderdate, MAX(o_orderkey) AS okey
+  FROM orders
+  GROUP BY o_custkey, o_orderdate
+),
+back AS (
+  SELECT ev.event_id, ord.o_orderdate AS b_date, ord.okey AS b_key
+  FROM ev ASOF LEFT JOIN ord
+    ON ev.k = ord.k AND ev.at_ts >= CAST(ord.o_orderdate AS TIMESTAMP)
+),
+fwd AS (
+  SELECT ev.event_id, ord.o_orderdate AS f_date, ord.okey AS f_key
+  FROM ev ASOF LEFT JOIN ord
+    ON ev.k = ord.k AND ev.at_ts <= CAST(ord.o_orderdate AS TIMESTAMP)
+)
+SELECT ev.event_id,
+       ev.k AS user_id,
+       ev.at_ts,
+       CASE
+         WHEN b.b_date IS NULL AND f.f_date IS NULL THEN NULL
+         WHEN f.f_date IS NULL OR (b.b_date IS NOT NULL
+              AND epoch_us(ev.at_ts) - epoch_us(CAST(b.b_date AS TIMESTAMP))
+               <= epoch_us(CAST(f.f_date AS TIMESTAMP)) - epoch_us(ev.at_ts))
+           THEN 'backward'
+         ELSE 'forward'
+       END AS direction,
+       CASE
+         WHEN f.f_date IS NULL OR (b.b_date IS NOT NULL
+              AND epoch_us(ev.at_ts) - epoch_us(CAST(b.b_date AS TIMESTAMP))
+               <= epoch_us(CAST(f.f_date AS TIMESTAMP)) - epoch_us(ev.at_ts))
+           THEN b.b_date ELSE f.f_date
+       END AS nearest_orderdate,
+       CASE
+         WHEN f.f_date IS NULL OR (b.b_date IS NOT NULL
+              AND epoch_us(ev.at_ts) - epoch_us(CAST(b.b_date AS TIMESTAMP))
+               <= epoch_us(CAST(f.f_date AS TIMESTAMP)) - epoch_us(ev.at_ts))
+           THEN b.b_key ELSE f.f_key
+       END AS nearest_orderkey,
+       CASE
+         WHEN f.f_date IS NULL OR (b.b_date IS NOT NULL
+              AND epoch_us(ev.at_ts) - epoch_us(CAST(b.b_date AS TIMESTAMP))
+               <= epoch_us(CAST(f.f_date AS TIMESTAMP)) - epoch_us(ev.at_ts))
+           THEN epoch_us(ev.at_ts) - epoch_us(CAST(b.b_date AS TIMESTAMP))
+         ELSE epoch_us(CAST(f.f_date AS TIMESTAMP)) - epoch_us(ev.at_ts)
+       END AS dist_us
+FROM ev
+LEFT JOIN back b ON ev.event_id = b.event_id
+LEFT JOIN fwd f ON ev.event_id = f.event_id
+ORDER BY ev.event_id
+"""
+
+
 def running_total_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B25: per-user running value total over the event stream.
 

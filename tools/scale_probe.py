@@ -289,6 +289,8 @@ def _late_ops():
         "contamination_ngram_sweep": quality.contamination_ngram_sweep,
         # round 7: key-state guard + append-mode commits
         "stream_scd2_pipeline": _streaming().stream_scd2_pipeline,
+        # round 7: bidirectional nearest-neighbor temporal join
+        "asof_nearest_join": timeseries.asof_nearest_join,
     }
 
 
