@@ -1838,3 +1838,120 @@ SELECT c.lang, c.pred_lang, c.n, t.lang_total,
 FROM cells c JOIN totals t ON c.lang = t.lang
 ORDER BY c.lang, c.pred_lang
 """
+
+
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C96 (round-7 addition): temperature-scaled domain-mixture
+    weights — the upstream math of every multi-source pretraining mix
+    (GPT-3 / The Pile style): per-domain sampling weight
+    w_i = c_i^alpha / sum_j c_j^alpha for temperatures
+    alpha in {1, 1/2, 1/4}, plus the implied epochs-per-domain
+    (budget * w_i / c_i — how many times each domain's tokens are seen
+    when the mix replaces natural sampling). alpha = 1 is natural
+    frequency; cooler temperatures upweight small domains. C11's
+    domain_mix_sample consumes FIXED proportions; this is the operator
+    that PRODUCES them.
+
+    Bit-identical across engines by construction:
+    - alphas are restricted to sqrt chains (x, sqrt(x), sqrt(sqrt(x)))
+      — IEEE-754 sqrt is correctly rounded in both engines, unlike
+      pow(x, 0.3), which is only ~1 ulp and hash-diverges;
+    - the per-alpha normalizer folds the per-domain scores IN SOURCE
+      ORDER (F.aggregate over a sorted struct array here, list_reduce
+      over list(... ORDER BY source) in DuckDB) — double addition is
+      order-sensitive, so both engines must add in the same order;
+      0.0 + x == x exactly, so Spark's 0-seeded fold equals DuckDB's
+      first-element-seeded reduce;
+    - every later step is a single correctly-rounded double op on
+      already-identical operands (one divide for weight, one
+      multiply + divide for epochs).
+
+    Plan: one map-side-combined groupBy(source) over the corpus scan
+    (|domains| rows out), a 3-row alpha stack, a |alphas|-row fold
+    frame, and two broadcast joins — nothing downstream of the scan is
+    data-proportional. At 100 TB the token count is the only pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "source",
+            F.expr(
+                "size(filter(split(text, ' '), x -> x != ''))"
+            ).alias("tok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("tok").alias("tokens"))
+    )
+    scored = counts.select(
+        "source",
+        "tokens",
+        F.expr(
+            "stack(3,"
+            " '1.0',  CAST(tokens AS DOUBLE),"
+            " '0.5',  sqrt(CAST(tokens AS DOUBLE)),"
+            " '0.25', sqrt(sqrt(CAST(tokens AS DOUBLE)))"
+            ") AS (alpha, score)"
+        ),
+    )
+    totals = scored.groupBy("alpha").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("source", "score"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["score"],
+        ).alias("total")
+    )
+    budget = counts.agg(
+        F.sum("tokens").cast("double").alias("budget")
+    )
+    return (
+        scored.join(F.broadcast(totals), "alpha")
+        .crossJoin(F.broadcast(budget))
+        .select(
+            "source",
+            "alpha",
+            "tokens",
+            "score",
+            (F.col("score") / F.col("total")).alias("weight"),
+            (
+                (F.col("budget") * (F.col("score") / F.col("total")))
+                / F.col("tokens").cast("double")
+            ).alias("epochs"),
+        )
+        .orderBy("alpha", "source")
+    )
+
+
+MIXTURE_TEMPERATURE_SQL = """
+WITH counts AS (
+  SELECT source,
+         SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+           AS tokens
+  FROM documents
+  GROUP BY source
+),
+scored AS (
+  SELECT source, tokens, alpha,
+         CASE alpha
+           WHEN '1.0' THEN CAST(tokens AS DOUBLE)
+           WHEN '0.5' THEN sqrt(CAST(tokens AS DOUBLE))
+           ELSE sqrt(sqrt(CAST(tokens AS DOUBLE)))
+         END AS score
+  FROM counts, (VALUES ('1.0'), ('0.5'), ('0.25')) alphas(alpha)
+),
+tot AS (
+  SELECT alpha,
+         list_reduce(list(score ORDER BY source), (a, b) -> a + b)
+           AS total
+  FROM scored GROUP BY alpha
+),
+b AS (SELECT CAST(SUM(tokens) AS DOUBLE) AS budget FROM counts)
+SELECT s.source,
+       s.alpha,
+       CAST(s.tokens AS BIGINT) AS tokens,
+       s.score,
+       s.score / t.total AS weight,
+       (b.budget * (s.score / t.total)) / CAST(s.tokens AS DOUBLE)
+         AS epochs
+FROM scored s JOIN tot t USING (alpha), b
+ORDER BY s.alpha, s.source
+"""

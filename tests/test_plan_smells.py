@@ -109,6 +109,7 @@ _BNLJ_OK = {
     "cusum_changepoint",  # three 1-row scalars (totals, peak, first-peak day)
     "cdc_tombstone_gc",  # 1-row high-watermark scalar (r7 fix of the
     # unpartitioned-window regression — the scalar now broadcasts)
+    "mixture_temperature",  # 1-row token-budget scalar x 3-row totals
 }
 
 

@@ -1,0 +1,137 @@
+"""Property tests for the round-7 components.
+
+- crc32c_many (vectorized lanes + GF(2) combine) is pinned to the
+  scalar reference on hypothesis-generated buffer lists — every length
+  class crosses the chunk/pow-2 padding boundaries.
+- encode_record_batches == per-batch encode_record_batch bytes on
+  hypothesis-generated batch specs.
+- The incremental SCD2 merge is equivalent to the one-shot lead window
+  under RANDOM event histories and RANDOM batch boundaries (per-key
+  order preserved — the contract the bus transports provide): closed
+  rows final, open rows correct, whatever the batching.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, "/root/repo")
+
+from greenplum_cdc_spark.sources.kafka_wire import (  # noqa: E402
+    crc32c,
+    crc32c_many,
+    encode_record_batch,
+    encode_record_batches,
+)
+
+
+class TestCrc32cManyProperties:
+    @given(
+        bufs=st.lists(
+            st.binary(min_size=0, max_size=1200), min_size=0, max_size=12
+        )
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_matches_scalar(self, bufs):
+        assert crc32c_many(bufs) == [crc32c(b) for b in bufs]
+
+    @given(
+        specs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2**40),  # base_offset
+                st.integers(min_value=0, max_value=2**41),  # base_ts
+                st.lists(
+                    st.tuples(
+                        st.integers(min_value=0, max_value=1000),
+                        st.integers(min_value=-1000, max_value=1000),
+                        st.one_of(st.none(), st.binary(max_size=20)),
+                        st.one_of(st.none(), st.binary(max_size=60)),
+                    ),
+                    min_size=1,
+                    max_size=6,
+                ),
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_batched_encoder_matches_single(self, specs):
+        assert encode_record_batches(specs) == [
+            encode_record_batch(*s) for s in specs
+        ]
+
+
+@pytest.mark.parametrize("seed,n_batches", [(11, 2), (23, 4), (47, 3)])
+def test_scd2_incremental_equals_one_shot(spark, tmp_path, seed, n_batches):
+    """Random history, random batch boundaries (cutting the globally
+    time-sorted stream preserves per-key order): the streamed store
+    must equal the one-shot per-key lead window over all events."""
+    import pyspark.sql.functions as F
+
+    from greenplum_cdc_spark.streaming.pipeline import (
+        ReplicaStore,
+        scd2_merge_fn,
+    )
+
+    rng = random.Random(seed)
+    rows = []
+    seq = 0
+    for _ in range(200):
+        seq += 1
+        pk = rng.randrange(20)
+        us = rng.randrange(1, 10**9) * 1000
+        op = "delete" if rng.random() < 0.2 else "insert"
+        rows.append((pk, us, seq, op, float(rng.randrange(100)), "view"))
+    # unique (ts, seq) per key is guaranteed by globally unique seq
+    rows.sort(key=lambda r: (r[1], r[2]))  # global time order
+    cuts = sorted(rng.sample(range(1, len(rows)), n_batches - 1))
+    pieces = []
+    prev = 0
+    for c in cuts + [len(rows)]:
+        pieces.append(rows[prev:c])
+        prev = c
+
+    def to_df(chunk):
+        return spark.createDataFrame(
+            chunk,
+            "pk long, us long, seq long, op string, value double,"
+            " event_type string",
+        ).select(
+            "pk",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+            "seq", "op", "value", "event_type",
+        )
+
+    store = ReplicaStore(spark, str(tmp_path / f"rep{seed}"))
+    merge = scd2_merge_fn(store)
+    for i, piece in enumerate(pieces):
+        merge(to_df(piece), i)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pk").orderBy("ts", "seq")
+    expected = (
+        to_df(rows)
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .filter(F.col("op") != "delete")
+        .select(
+            "pk",
+            F.col("seq").alias("version_seq"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            F.col("valid_to").isNull().alias("is_current"),
+            "value",
+            "event_type",
+        )
+    )
+    got = store.read()
+    cols = expected.columns
+    a = sorted(map(tuple, expected.select(*cols).collect()))
+    b = sorted(map(tuple, got.select(*cols).collect()))
+    assert a == b

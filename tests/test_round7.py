@@ -247,6 +247,35 @@ class TestAsofNearestJoin:
         assert n_fwd > 0 and n_back > 0
 
 
+class TestMixtureTemperature:
+    def test_weight_semantics(self, spark):
+        """Per alpha: weights sum to 1; alpha=1 is natural frequency
+        (weight proportional to tokens, epochs == 1 for every domain);
+        cooler temperatures COMPRESS the spread (max/min weight ratio
+        strictly decreases as alpha drops) while preserving the domain
+        ranking."""
+        from greenplum_cdc_spark.operators.text import mixture_temperature
+
+        rows = mixture_temperature(spark, "/root/testdata/sf0.001").collect()
+        by_alpha = {}
+        for r in rows:
+            by_alpha.setdefault(r["alpha"], []).append(r)
+        assert set(by_alpha) == {"1.0", "0.5", "0.25"}
+        spreads = {}
+        for alpha, rs in by_alpha.items():
+            total_w = sum(r["weight"] for r in rs)
+            assert abs(total_w - 1.0) < 1e-12
+            ws = sorted(r["weight"] for r in rs)
+            spreads[alpha] = ws[-1] / ws[0]
+            # ranking by weight == ranking by tokens at every alpha
+            assert [
+                x["source"] for x in sorted(rs, key=lambda r: -r["weight"])
+            ] == [x["source"] for x in sorted(rs, key=lambda r: (-r["tokens"], r["source"]))]
+        for r in by_alpha["1.0"]:
+            assert abs(r["epochs"] - 1.0) < 1e-12
+        assert spreads["1.0"] > spreads["0.5"] > spreads["0.25"] >= 1.0
+
+
 class TestScd2WatermarkState:
     def _ev(self, spark, pk, us, seq, op="insert"):
         import pyspark.sql.functions as F

@@ -291,6 +291,8 @@ def _late_ops():
         "stream_scd2_pipeline": _streaming().stream_scd2_pipeline,
         # round 7: bidirectional nearest-neighbor temporal join
         "asof_nearest_join": timeseries.asof_nearest_join,
+        # round 7: temperature-scaled domain-mixture weights
+        "mixture_temperature": text.mixture_temperature,
     }
 
 
