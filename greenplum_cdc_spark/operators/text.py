@@ -1872,6 +1872,9 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-proportional. At 100 TB the token count is the only pass.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # persist the |domains|-row rollup: three consumers (scores, the
+    # ordered-fold normalizer, the budget scalar) would otherwise each
+    # re-run the corpus token scan — the ONE data-proportional pass
     counts = (
         docs.select(
             "source",
@@ -1881,6 +1884,7 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source")
         .agg(F.sum("tok").alias("tokens"))
+        .persist()
     )
     scored = counts.select(
         "source",
@@ -1954,4 +1958,153 @@ SELECT s.source,
          AS epochs
 FROM scored s JOIN tot t USING (alpha), b
 ORDER BY s.alpha, s.source
+"""
+
+
+_CDC_W = 16  # content-window width (chars)
+_CDC_MASK = 64  # boundary when window-hash % 64 == 0 -> ~64-char chunks
+
+
+def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C97 (round-7 addition): content-defined chunking — the
+    Rabin-style variable-size chunker every dedup-friendly blob store
+    runs (LBFS/restic/borg lineage): a chunk boundary falls wherever
+    the hash of the trailing {W}-char window satisfies
+    hash % {MASK} == 0, so an insertion early in a document only
+    reshapes the chunks it touches — fixed-size chunking (C29
+    context_chunks) re-aligns EVERYTHING after the edit and defeats
+    dedup. Per source: chunk count, unique-chunk count (by chunk
+    hash), exact byte totals, and the dedup storage ratio in basis
+    points — the report that sizes a chunk store before building it.
+
+    Textbook basic CDC (no FastCDC min/max normalization — noted as
+    the production variant; the boundary rule here is the pure
+    content-defined one both engines can state verbatim). All exact:
+    md5 window hashes, integer modulus, integer-div ratios.
+
+    Plan: one position-explode over the corpus (map-side, the only
+    data-proportional pass), boundary filter, per-doc lag window
+    (partitioned by doc_id), one equi-join back for the substring,
+    then two map-side-combined groupBys (per-(source, hash), per
+    source). Linear in corpus bytes by design — a chunker cannot read
+    less than the data.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.length("text").alias("n")
+    )
+    # explode first, hash second: the window-hash expression needs the
+    # exploded position alias in scope
+    pos = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN n >= {_CDC_W} THEN sequence({_CDC_W}, n)"
+                " ELSE array() END"
+            )
+        ).alias("p"),
+        "text",
+    )
+    pos = pos.select(
+        "doc_id",
+        "p",
+        F.conv(
+            F.substring(
+                F.md5(F.expr(f"substring(text, p - {_CDC_W - 1}, {_CDC_W})")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    bounds = pos.filter(F.col("h") % _CDC_MASK == 0).select("doc_id", "p")
+    ends = bounds.unionByName(
+        docs.select("doc_id", F.col("n").alias("p"))
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("p")
+    spans = ends.withColumn(
+        "s", F.coalesce(F.lag("p").over(w), F.lit(0)) + 1
+    )
+    chunks = spans.join(docs, "doc_id").select(
+        "doc_id",
+        "source",
+        (F.col("p") - F.col("s") + 1).alias("chunk_len"),
+        F.md5(F.expr("substring(text, s, p - s + 1)")).alias("chunk_hash"),
+    )
+    per_chunk = chunks.groupBy("source", "chunk_hash").agg(
+        F.count("*").alias("cnt"), F.max("chunk_len").alias("chunk_len")
+    )
+    return (
+        per_chunk.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_chunks"),
+            F.count("*").alias("n_unique_chunks"),
+            F.sum(F.col("cnt") * F.col("chunk_len")).alias("total_chars"),
+            F.sum("chunk_len").alias("unique_chars"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_unique_chunks",
+            "total_chars",
+            "unique_chars",
+            F.expr("(unique_chars * 10000) div total_chars").alias(
+                "dedup_ratio_bp"
+            ),
+            F.expr("total_chars div n_chunks").alias("avg_chunk_len"),
+        )
+        .orderBy("source")
+    )
+
+
+CONTENT_DEFINED_CHUNKING_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source, text, len(text) AS n FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(range({_CDC_W}, n + 1)) AS p, text
+  FROM docs
+),
+bounds AS (
+  SELECT doc_id, p
+  FROM pos
+  WHERE CAST(('0x' || substr(md5(substr(text, p - {_CDC_W - 1}, {_CDC_W})), 1, 8)) AS BIGINT)
+        % {_CDC_MASK} = 0
+),
+ends AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT doc_id, p FROM bounds
+    UNION ALL
+    SELECT doc_id, n AS p FROM docs
+  )
+),
+spans AS (
+  SELECT doc_id,
+         p,
+         COALESCE(LAG(p) OVER (PARTITION BY doc_id ORDER BY p), 0) + 1 AS s
+  FROM ends
+),
+chunks AS (
+  SELECT sp.doc_id, d.source,
+         sp.p - sp.s + 1 AS chunk_len,
+         md5(substr(d.text, sp.s, sp.p - sp.s + 1)) AS chunk_hash
+  FROM spans sp JOIN docs d USING (doc_id)
+),
+per_chunk AS (
+  SELECT source, chunk_hash, COUNT(*) AS cnt, MAX(chunk_len) AS chunk_len
+  FROM chunks GROUP BY source, chunk_hash
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+       COUNT(*) AS n_unique_chunks,
+       CAST(SUM(cnt * chunk_len) AS BIGINT) AS total_chars,
+       CAST(SUM(chunk_len) AS BIGINT) AS unique_chars,
+       CAST((SUM(chunk_len) * 10000) // SUM(cnt * chunk_len) AS BIGINT)
+         AS dedup_ratio_bp,
+       CAST(SUM(cnt * chunk_len) // SUM(cnt) AS BIGINT) AS avg_chunk_len
+FROM per_chunk
+GROUP BY source
+ORDER BY source
 """

@@ -247,6 +247,92 @@ class TestAsofNearestJoin:
         assert n_fwd > 0 and n_back > 0
 
 
+def _py_chunks(text: str):
+    """Pure-python twin of the C97 boundary rule (same W/MASK/md5)."""
+    import hashlib
+
+    from greenplum_cdc_spark.operators.text import _CDC_MASK, _CDC_W
+
+    ends = [
+        p
+        for p in range(_CDC_W, len(text) + 1)
+        if int(hashlib.md5(text[p - _CDC_W : p].encode()).hexdigest()[:8], 16)
+        % _CDC_MASK
+        == 0
+    ]
+    if not ends or ends[-1] != len(text):
+        ends.append(len(text))
+    out, s = [], 0
+    for e in ends:
+        out.append(text[s:e])
+        s = e
+    return out
+
+
+class TestContentDefinedChunking:
+    def test_insertion_stability(self):
+        """THE content-defined property (why CDC beats fixed-size
+        chunking for dedup): editing the head of a document leaves the
+        chunk set after the first post-edit boundary IDENTICAL, so a
+        chunk store re-uploads O(edit), not O(doc). Fixed-size
+        chunking shifts every later chunk."""
+        import random
+
+        rng = random.Random(99)
+        words = ["alpha", "bravo", "charlie", "delta", "echo", "fox"]
+        text = " ".join(rng.choice(words) for _ in range(600))
+        edited = "INSERTED PREFIX " + text
+        a, b = _py_chunks(text), _py_chunks(edited)
+        # the tails converge: a long common suffix of chunks survives
+        n_common = 0
+        while (
+            n_common < min(len(a), len(b))
+            and a[-1 - n_common] == b[-1 - n_common]
+        ):
+            n_common += 1
+        assert n_common >= len(a) - 3, (len(a), len(b), n_common)
+        # fixed-size chunking of the same edit shares NO tail chunks
+        fixed_a = [text[i : i + 64] for i in range(0, len(text), 64)]
+        fixed_b = [edited[i : i + 64] for i in range(0, len(edited), 64)]
+        assert fixed_a[-1] != fixed_b[-1] or fixed_a[-2] != fixed_b[-2]
+
+    def test_conservation_and_python_twin(self, spark):
+        """Operator output conserves bytes (per-source total_chars ==
+        sum of doc lengths) and matches the pure-python chunker's
+        chunk count on a sampled source."""
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.text import (
+            content_defined_chunking,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = {
+            r["source"]: r
+            for r in content_defined_chunking(spark, sf).collect()
+        }
+        docs = load_table(spark, sf, "documents")
+        truth = {
+            r["source"]: r["total"]
+            for r in docs.groupBy("source")
+            .agg(F.sum(F.length("text")).alias("total"))
+            .collect()
+        }
+        assert set(out) == set(truth)
+        for src, r in out.items():
+            assert r["total_chars"] == truth[src]
+            assert r["n_unique_chunks"] <= r["n_chunks"]
+            assert r["unique_chars"] <= r["total_chars"]
+        # python-twin chunk count for one source
+        src0 = sorted(out)[0]
+        texts = [
+            r["text"]
+            for r in docs.filter(F.col("source") == src0).collect()
+        ]
+        assert out[src0]["n_chunks"] == sum(len(_py_chunks(t)) for t in texts)
+
+
 class TestMixtureTemperature:
     def test_weight_semantics(self, spark):
         """Per alpha: weights sum to 1; alpha=1 is natural frequency

@@ -293,6 +293,8 @@ def _late_ops():
         "asof_nearest_join": timeseries.asof_nearest_join,
         # round 7: temperature-scaled domain-mixture weights
         "mixture_temperature": text.mixture_temperature,
+        # round 7: Rabin-style content-defined chunking
+        "content_defined_chunking": text.content_defined_chunking,
     }
 
 
