@@ -1982,56 +1982,64 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-defined one both engines can state verbatim). All exact:
     md5 window hashes, integer modulus, integer-div ratios.
 
-    Plan: one position-explode over the corpus (map-side, the only
-    data-proportional pass), boundary filter, per-doc lag window
-    (partitioned by doc_id), one equi-join back for the substring,
-    then two map-side-combined groupBys (per-(source, hash), per
-    source). Linear in corpus bytes by design — a chunker cannot read
-    less than the data.
+    Plan: boundary positions computed WITHIN each row (higher-order
+    filter over the position sequence — see the inline tradeoff note),
+    spans exploded from the per-doc boundary array, then two
+    map-side-combined groupBys (per-(source, hash), per source) as the
+    only shuffles. Linear in corpus bytes by design — a chunker cannot
+    read less than the data — but never shuffles the corpus.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text", F.length("text").alias("n")
     )
-    # explode first, hash second: the window-hash expression needs the
-    # exploded position alias in scope
-    pos = docs.select(
-        "doc_id",
-        F.explode(
+    # boundaries per doc via a higher-order filter over the position
+    # sequence — the whole chunking stays WITHIN the row (no position
+    # explode, no union+DISTINCT shuffle, no per-doc window sort, and
+    # crucially NO join that re-shuffles the full corpus text by
+    # doc_id); the only shuffles are the two rollup groupBys over
+    # chunk hashes. Tradeoff, measured: Spark evaluates lambda bodies
+    # interpreted (no codegen), costing ~15% wall locally vs the
+    # explode+window form — but that form shuffles the CORPUS once,
+    # which is the wrong trade at 100 TB. The md5 itself dominates
+    # either way. The oracle states the same math in the readable
+    # explode+lag form — identical results, different plan.
+    spans = (
+        docs.withColumn(
+            "bs",
             F.expr(
-                f"CASE WHEN n >= {_CDC_W} THEN sequence({_CDC_W}, n)"
+                f"CASE WHEN n >= {_CDC_W} THEN"
+                f" filter(sequence({_CDC_W}, n), p ->"
+                f"  CAST(conv(substring(md5(substring(text, p - {_CDC_W - 1},"
+                f" {_CDC_W})), 1, 8), 16, 10) AS BIGINT) % {_CDC_MASK} = 0)"
                 " ELSE array() END"
-            )
-        ).alias("p"),
-        "text",
-    )
-    pos = pos.select(
-        "doc_id",
-        "p",
-        F.conv(
-            F.substring(
-                F.md5(F.expr(f"substring(text, p - {_CDC_W - 1}, {_CDC_W})")),
-                1,
-                8,
             ),
-            16,
-            10,
         )
-        .cast("bigint")
-        .alias("h"),
+        .withColumn(
+            "ends",
+            F.expr(
+                "CASE WHEN size(bs) > 0 AND element_at(bs, -1) = n"
+                " THEN bs ELSE concat(bs, array(n)) END"
+            ),
+        )
+        .withColumn(
+            "span",
+            F.explode(
+                F.expr(
+                    "transform(ends, (e, i) -> struct("
+                    " CASE WHEN i = 0 THEN 1"
+                    "      ELSE element_at(ends, i) + 1 END AS s,"
+                    " e AS e))"
+                )
+            ),
+        )
     )
-    bounds = pos.filter(F.col("h") % _CDC_MASK == 0).select("doc_id", "p")
-    ends = bounds.unionByName(
-        docs.select("doc_id", F.col("n").alias("p"))
-    ).distinct()
-    w = Window.partitionBy("doc_id").orderBy("p")
-    spans = ends.withColumn(
-        "s", F.coalesce(F.lag("p").over(w), F.lit(0)) + 1
-    )
-    chunks = spans.join(docs, "doc_id").select(
+    chunks = spans.select(
         "doc_id",
         "source",
-        (F.col("p") - F.col("s") + 1).alias("chunk_len"),
-        F.md5(F.expr("substring(text, s, p - s + 1)")).alias("chunk_hash"),
+        (F.col("span.e") - F.col("span.s") + 1).alias("chunk_len"),
+        F.md5(
+            F.expr("substring(text, span.s, span.e - span.s + 1)")
+        ).alias("chunk_hash"),
     )
     per_chunk = chunks.groupBy("source", "chunk_hash").agg(
         F.count("*").alias("cnt"), F.max("chunk_len").alias("chunk_len")
