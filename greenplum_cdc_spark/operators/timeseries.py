@@ -200,14 +200,14 @@ def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join expresses.
 
     Plan: ONE union-staircase shuffle on the key carries BOTH
-    directions — last(ignorenulls) over the unbounded-preceding frame
-    (backward neighbor) and first(ignorenulls) over the
-    unbounded-following frame (forward neighbor) share the same
-    partitioning and sort, so Catalyst plans two WindowExecs over one
-    exchange+sort; no range cross-join, no per-row search. The winner
-    is exact integer-micros distance arithmetic (no ROUND(double)),
-    backward on ties. At 100 TB this is the same single-shuffle bound
-    as B9.
+    directions — last(ignorenulls) over a RUNNING frame on the
+    ascending sort (backward neighbor) and over a running frame on the
+    reversed sort (forward neighbor): one exchange, two sorts, both
+    frames streaming O(1) per row (see the inline note on why the
+    one-sort unbounded-following form is quadratic); no range
+    cross-join, no per-row search. The winner is exact integer-micros
+    distance arithmetic (no ROUND(double)), backward on ties. At
+    100 TB this is the same single-shuffle bound as B9.
 
     Oracle: DuckDB runs the backward and forward halves as two native
     ASOF joins (>= and <=) and applies the same integer CASE.
@@ -240,12 +240,19 @@ def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("odate"),
         F.lit(None).cast("bigint").alias("okey"),
     )
-    # ONE sort order serves both directions: orders sort BEFORE a
-    # same-instant event, so an exact-timestamp order is a
-    # zero-distance BACKWARD match (the forward frame then misses it,
-    # which is harmless — a zero-distance backward match wins every
-    # tie by construction). Same partitioning AND same ordering for
-    # both frames → one exchange, one sort, two WindowExecs.
+    # Both directions as RUNNING (unboundedPreceding -> currentRow)
+    # frames: backward on the ascending sort, forward on the REVERSED
+    # sort. A currentRow -> unboundedFollowing frame would give the
+    # forward neighbor in one sort, but Spark's
+    # UnboundedFollowingWindowFunctionFrame RESCANS current-to-end for
+    # EVERY row — O(partition^2), measured 206x wall at the 100x probe
+    # (the round-7 found-and-fixed); the reversed running frame
+    # streams in O(1) per row at the cost of a second sort over the
+    # same exchange. Same-instant semantics: orders sort before
+    # same-t events ascending (zero-distance BACKWARD match) and after
+    # them in the reversed scan (excluded from the forward frame) —
+    # harmless, the zero-distance backward match wins every tie by
+    # construction.
     wb = (
         Window.partitionBy("k")
         .orderBy(F.col("t").asc(), F.col("is_order").desc())
@@ -253,15 +260,15 @@ def asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wf = (
         Window.partitionBy("k")
-        .orderBy(F.col("t").asc(), F.col("is_order").desc())
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("t").desc(), F.col("is_order").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     both = (
         o_side.unionByName(e_side)
         .withColumn("b_key", F.last("okey", ignorenulls=True).over(wb))
         .withColumn("b_date", F.last("odate", ignorenulls=True).over(wb))
-        .withColumn("f_key", F.first("okey", ignorenulls=True).over(wf))
-        .withColumn("f_date", F.first("odate", ignorenulls=True).over(wf))
+        .withColumn("f_key", F.last("okey", ignorenulls=True).over(wf))
+        .withColumn("f_date", F.last("odate", ignorenulls=True).over(wf))
         .filter(F.col("is_order") == 0)
     )
     b_dist = F.expr("unix_micros(at_ts) - unix_micros(CAST(b_date AS TIMESTAMP))")
