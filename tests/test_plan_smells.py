@@ -135,6 +135,26 @@ _UNPART_WINDOW_OK = {
 }
 
 
+import re
+
+# frames ending at UNBOUNDED FOLLOWING but NOT starting at UNBOUNDED
+# PRECEDING: Spark's UnboundedFollowingWindowFunctionFrame rescans
+# current-to-end for EVERY row — O(partition^2). Whole-partition frames
+# (unboundedpreceding -> unboundedfollowing) compute once and are fine.
+# The r7 asof_nearest_join probe measured this class at 206x wall on
+# the 100x corpus before the reversed-sort running-frame fix.
+_QUAD_FRAME = re.compile(
+    r"specifiedwindowframe\((?:Row|Range)Frame,"
+    r" (?!unboundedpreceding\$\(\))[^,]+, unboundedfollowing\$\(\)\)"
+)
+
+
+def _quadratic_frames(df):
+    """Window frames in the optimized plan that rescan per row."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return sorted(set(_QUAD_FRAME.findall(plan)))
+
+
 def _unpartitioned_windows(df):
     """Logical-plan Window nodes with an empty partitionSpec."""
     out = []
@@ -172,3 +192,8 @@ def test_no_plan_smells(spark, sf_dir, name):
             f"{name}: Window with empty partition spec (single-task "
             f"shuffle of the whole input at scale): {bad}"
         )
+    quad = _quadratic_frames(df)
+    assert not quad, (
+        f"{name}: growing frame ending at UNBOUNDED FOLLOWING — Spark "
+        f"rescans current-to-end per row, O(partition^2): {quad}"
+    )
