@@ -1868,7 +1868,11 @@ def scd2_merge_fn(store: "ReplicaStore"):
             .persist()
         )
         try:
-            n_late = win.filter(F.col("_late")).count()
+            # nothing can be late into an empty store: the guard job
+            # only runs once per-key state exists
+            n_late = (
+                0 if prev_open is None else win.filter(F.col("_late")).count()
+            )
             if n_late:
                 raise ValueError(
                     f"stream_scd2_pipeline: batch {batch_id} delivered "
@@ -1902,27 +1906,22 @@ def scd2_merge_fn(store: "ReplicaStore"):
             # delivered event, including a repeat delete on a dead key
             # (which emits no version row), so the guard stays exact
             # where a history-derived watermark would forget it.
-            batch_wm = (
-                batch.groupBy("pk")
-                .agg(F.max(F.struct("ts", "seq")).alias("_m"))
+            proj = batch.select(
+                "pk",
+                F.col("ts").alias("_wm_ts"),
+                F.col("seq").alias("_wm_seq"),
+            )
+            src = proj if old_wm is None else old_wm.unionByName(proj)
+            new_wm = (
+                src.groupBy("pk")
+                .agg(F.max(F.struct("_wm_ts", "_wm_seq")).alias("_m"))
                 .select(
                     "pk",
-                    F.col("_m.ts").alias("_wm_ts"),
-                    F.col("_m.seq").alias("_wm_seq"),
+                    F.col("_m._wm_ts").alias("_wm_ts"),
+                    F.col("_m._wm_seq").alias("_wm_seq"),
                 )
             )
-            if old_wm is not None:
-                batch_wm = (
-                    old_wm.unionByName(batch_wm)
-                    .groupBy("pk")
-                    .agg(F.max(F.struct("_wm_ts", "_wm_seq")).alias("_m"))
-                    .select(
-                        "pk",
-                        F.col("_m._wm_ts").alias("_wm_ts"),
-                        F.col("_m._wm_seq").alias("_wm_seq"),
-                    )
-                )
-            batch_wm.write.mode("overwrite").parquet(
+            new_wm.write.mode("overwrite").parquet(
                 _scd2_wm_path(store, new_v)
             )
         finally:
