@@ -67,6 +67,49 @@ class TestCrc32cManyProperties:
         ]
 
 
+@pytest.mark.parametrize("seed", [5, 17, 31])
+def test_replica_store_random_lineage(spark, tmp_path, seed):
+    """Randomized plain/append commit lineages with interleaved
+    vacuums: read(v) must always equal the model reconstruction (plain
+    commit resets to its df; append commit = prior state + appended
+    rows beside the new base), and vacuumed versions return None while
+    every retained one stays exact."""
+    from greenplum_cdc_spark.streaming.pipeline import ReplicaStore
+
+    rng = random.Random(seed)
+    store = ReplicaStore(spark, str(tmp_path / "rep"))
+
+    def df(vals):
+        return spark.createDataFrame([(v,) for v in vals], "x int")
+
+    nxt = iter(range(1, 10_000))
+    model: dict[int, list[int]] = {}  # version -> full logical contents
+    state: list[int] = []
+    for step in range(8):
+        base = [next(nxt) for _ in range(rng.randrange(1, 4))]
+        if rng.random() < 0.5:
+            appended = [next(nxt) for _ in range(rng.randrange(0, 3))]
+            # model: new state = base + carried segment rows + appended
+            prev_segs = getattr(store, "_test_segs", [])
+            segs = prev_segs + appended
+            v = store.commit(df(base), append=df(appended))
+            store._test_segs = segs
+            state = base + segs
+        else:
+            v = store.commit(df(base))
+            store._test_segs = []
+            state = list(base)
+        model[v] = sorted(state)
+        if step == 4:
+            removed = store.vacuum(keep_last=2)
+            for r in removed:
+                model.pop(r, None)
+                assert store.read(version=r) is None
+        for ver, want in model.items():
+            got = sorted(r["x"] for r in store.read(version=ver).collect())
+            assert got == want, (seed, step, ver)
+
+
 @pytest.mark.parametrize("seed,n_batches", [(11, 2), (23, 4), (47, 3)])
 def test_scd2_incremental_equals_one_shot(spark, tmp_path, seed, n_batches):
     """Random history, random batch boundaries (cutting the globally
