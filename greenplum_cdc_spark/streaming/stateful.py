@@ -933,3 +933,297 @@ def stream_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- B98 (round 7): streaming nearest-neighbor temporal join ------------
+
+_NEAR_H_US = 86_400_000_000  # match horizon: 1 day in micros
+
+_NEAR_OUT = StructType(
+    [
+        StructField("k", LongType()),
+        StructField("probe_id", LongType()),
+        StructField("probe_ts", LongType()),
+        StructField("direction", StringType()),
+        StructField("matched_qid", LongType()),
+        StructField("dist_us", LongType()),
+    ]
+)
+# (last quote ts/id = the backward candidate, parallel arrays of
+# pending probes: ts, id, and the backward candidate frozen at arrival)
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+_NEAR_STATE = StructType(
+    [
+        StructField("last_q_ts", LongType()),
+        StructField("last_q_id", LongType()),
+        StructField("p_ts", ArrayType(LongType())),
+        StructField("p_id", ArrayType(LongType())),
+        StructField("p_bts", ArrayType(LongType())),
+        StructField("p_bid", ArrayType(LongType())),
+    ]
+)
+
+
+def _nearest_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-key streaming nearest-match state machine (per-key ordered
+    delivery, quotes before probes at equal ts):
+
+    - a PROBE whose backward candidate is zero-distance resolves
+      immediately (nothing can beat 0; ties prefer backward anyway);
+      otherwise it pends with its backward candidate frozen;
+    - a QUOTE is the FIRST quote at/after every pending probe (ordered
+      delivery), so it resolves them all as the forward candidate,
+      then becomes the new backward candidate;
+    - ANY row whose ts has passed a pending probe's ts + H proves no
+      in-horizon forward quote can still arrive: the probe resolves
+      backward-only (or as an explicit no-match row);
+    - probes still pending when the stream drains stay unemitted (the
+      open-session analog) — the oracle states the same exclusion.
+
+    State is one tuple + the pending probes of the last H per key:
+    bounded by horizon x probe rate, sharded by key.
+    """
+    if state.exists:
+        lq_ts, lq_id, p_ts, p_id, p_bts, p_bid = state.get
+        pend = [list(t) for t in zip(p_ts, p_id, p_bts, p_bid)]
+    else:
+        lq_ts, lq_id, pend = None, None, []
+    out = []
+
+    def resolve(p, f_ts, f_id):
+        pts, pid, bts, bid = p
+        db = pts - bts if bts is not None else None
+        df_ = f_ts - pts if f_ts is not None else None
+        eb = db is not None and db <= _NEAR_H_US
+        ef = df_ is not None and df_ <= _NEAR_H_US
+        if eb and (not ef or db <= df_):
+            out.append((key[0], pid, pts, "backward", bid, db))
+        elif ef:
+            out.append((key[0], pid, pts, "forward", f_id, df_))
+        else:
+            out.append((key[0], pid, pts, None, None, None))
+
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        df = pd.concat(frames).sort_values(
+            ["ts_us", "kind"], ascending=[True, False]
+        )
+        for r in df.itertuples(index=False):
+            ts, seq, kind = int(r.ts_us), int(r.seq), int(r.kind)
+            still = []
+            for p in pend:  # horizon expiry fires on EVERY row
+                if ts > p[0] + _NEAR_H_US:
+                    resolve(p, None, None)
+                else:
+                    still.append(p)
+            pend = still
+            if kind == 1:  # quote: forward-resolves everything pending
+                for p in pend:
+                    resolve(p, ts, seq)
+                pend = []
+                lq_ts, lq_id = ts, seq
+            else:  # probe
+                if lq_ts is not None and ts - lq_ts == 0:
+                    resolve([ts, seq, lq_ts, lq_id], None, None)
+                else:
+                    pend.append([ts, seq, lq_ts, lq_id])
+    state.update(
+        (
+            lq_ts,
+            lq_id,
+            [p[0] for p in pend],
+            [p[1] for p in pend],
+            [p[2] for p in pend],
+            [p[3] for p in pend],
+        )
+    )
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "k", "probe_id", "probe_ts", "direction",
+                "matched_qid", "dist_us",
+            ],
+        )
+
+
+def stream_nearest_join(feed_stream: DataFrame) -> DataFrame:
+    """Streaming nearest-neighbor temporal join — B97's semantics
+    (nearest quote within the horizon, both directions, backward on
+    ties) maintained INCREMENTALLY over an unbounded interleaved
+    probe/quote stream. The batch form can sort the whole timeline; the
+    stream must decide each probe as early as knowledge allows and hold
+    only horizon-bounded state: a probe emits the moment a forward
+    quote arrives (or instantly on a zero-distance backward match), or
+    as backward-only once event time passes its horizon. Nothing Spark
+    ships expresses this: stream-stream interval joins emit EVERY pair
+    in the window, not the nearest, and have no tie rule.
+
+    Input stream needs (k, ts_us, seq, kind) with kind 1 = quote,
+    0 = probe; output is one row per RESOLVED probe.
+    """
+    return feed_stream.groupBy("k").applyInPandasWithState(
+        _nearest_fn,
+        outputStructType=_NEAR_OUT,
+        stateStructType=_NEAR_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_nearest(
+    spark: SparkSession, input_path: str, checkpoint: str, out_path: str
+) -> DataFrame:
+    schema = "k long, ts_us long, seq long, kind int"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+    )
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(out_path)
+
+    q = (
+        stream_nearest_join(stream)
+        .writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        return spark.read.parquet(out_path)
+    except Exception:
+        return spark.createDataFrame([], _NEAR_OUT)
+
+
+def stream_nearest_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B98 oracle surface: events split per key into quotes
+    (event_id % 3 == 0, deduped to one per (k, ts) keeping max id) and
+    probes, replayed as 2 time-ordered micro-batches. The drained
+    output must equal the closed-form SQL: every probe with a quote
+    at/after it OR any row beyond its horizon resolves (nearest within
+    H = 1 day, integer micros, backward ties, explicit no-match rows);
+    probes the stream could not yet decide stay unemitted."""
+    import os
+    import shutil
+
+    from ..io import load_table, shuffle_partitions
+
+    base = scratch_dir("stream_near_")
+    ckpt, out = (os.path.join(base, d) for d in ("ckpt", "out"))
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            F.col("user_id").alias("k"),
+            F.unix_micros("ts").alias("ts_us"),
+            F.col("event_id").alias("seq"),
+            (F.col("event_id") % 3 == 0).cast("int").alias("kind"),
+        )
+        quotes = (
+            ev.filter("kind = 1")
+            .groupBy("k", "ts_us")
+            .agg(F.max("seq").alias("seq"))
+            .select("k", "ts_us", "seq", F.lit(1).alias("kind"))
+        )
+        feed = ev.filter("kind = 0").unionByName(quotes)
+
+        def _write(d: str) -> None:
+            feed.persist()
+            bounds = feed.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+            lo, hi = bounds[0], bounds[1] + 1
+            step = (hi - lo) // 2 + 1
+            write_mtime_batches(
+                feed, F.expr(f"(ts_us - {lo}) div {step}"), 2, d
+            )
+            feed.unpersist()
+
+        glob = (
+            cached_feed(("stream_nearest_join", sf_dir), _write) + "/_b=*"
+        )
+        with shuffle_partitions(spark, 16):
+            run_stream_nearest(spark, glob, ckpt, out)
+            res = adopt_scratch(
+                spark, out, "stream_near_out_",
+                empty_schema="k long, probe_id long, probe_ts long,"
+                " direction string, matched_qid long, dist_us long",
+            )
+            return res.select(
+                F.col("k").alias("user_id"),
+                "probe_id",
+                F.timestamp_micros(F.col("probe_ts")).alias("probe_ts"),
+                "direction",
+                "matched_qid",
+                "dist_us",
+            ).orderBy("user_id", "probe_id")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+STREAM_NEAREST_SQL = f"""
+WITH feed AS (
+  SELECT user_id AS k, epoch_us(ts) AS ts_us, event_id AS seq,
+         CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS kind
+  FROM events
+),
+quotes AS (
+  SELECT k, ts_us, MAX(seq) AS qid
+  FROM feed WHERE kind = 1 GROUP BY k, ts_us
+),
+probes AS (
+  SELECT k, ts_us, seq AS probe_id FROM feed WHERE kind = 0
+),
+keymax AS (SELECT k, MAX(ts_us) AS max_ts FROM feed GROUP BY k),
+b AS (
+  SELECT p.k, p.probe_id, q.ts_us AS b_ts, q.qid AS b_id
+  FROM probes p ASOF LEFT JOIN quotes q
+    ON p.k = q.k AND p.ts_us >= q.ts_us
+),
+f AS (
+  SELECT p.k, p.probe_id, q.ts_us AS f_ts, q.qid AS f_id
+  FROM probes p ASOF LEFT JOIN quotes q
+    ON p.k = q.k AND p.ts_us < q.ts_us
+)
+SELECT p.k AS user_id,
+       p.probe_id,
+       make_timestamp(p.ts_us) AS probe_ts,
+       CASE
+         WHEN b.b_ts IS NOT NULL AND p.ts_us - b.b_ts <= {_NEAR_H_US}
+              AND (f.f_ts IS NULL OR f.f_ts - p.ts_us > {_NEAR_H_US}
+                   OR p.ts_us - b.b_ts <= f.f_ts - p.ts_us)
+           THEN 'backward'
+         WHEN f.f_ts IS NOT NULL AND f.f_ts - p.ts_us <= {_NEAR_H_US}
+           THEN 'forward'
+         ELSE NULL
+       END AS direction,
+       CASE
+         WHEN b.b_ts IS NOT NULL AND p.ts_us - b.b_ts <= {_NEAR_H_US}
+              AND (f.f_ts IS NULL OR f.f_ts - p.ts_us > {_NEAR_H_US}
+                   OR p.ts_us - b.b_ts <= f.f_ts - p.ts_us)
+           THEN b.b_id
+         WHEN f.f_ts IS NOT NULL AND f.f_ts - p.ts_us <= {_NEAR_H_US}
+           THEN f.f_id
+         ELSE NULL
+       END AS matched_qid,
+       CASE
+         WHEN b.b_ts IS NOT NULL AND p.ts_us - b.b_ts <= {_NEAR_H_US}
+              AND (f.f_ts IS NULL OR f.f_ts - p.ts_us > {_NEAR_H_US}
+                   OR p.ts_us - b.b_ts <= f.f_ts - p.ts_us)
+           THEN p.ts_us - b.b_ts
+         WHEN f.f_ts IS NOT NULL AND f.f_ts - p.ts_us <= {_NEAR_H_US}
+           THEN f.f_ts - p.ts_us
+         ELSE NULL
+       END AS dist_us
+FROM probes p
+LEFT JOIN b ON p.k = b.k AND p.probe_id = b.probe_id
+LEFT JOIN f ON p.k = f.k AND p.probe_id = f.probe_id
+JOIN keymax km ON p.k = km.k
+WHERE f.f_ts IS NOT NULL
+   OR b.b_ts = p.ts_us
+   OR km.max_ts > p.ts_us + {_NEAR_H_US}
+ORDER BY p.k, p.probe_id
+"""

@@ -53,6 +53,9 @@ _SKIP = {
     # round-6 streaming addition (real 2-batch incremental SCD2 merge;
     # dedicated cross-batch test in test_round6.py + the oracle gate)
     "stream_scd2_pipeline",
+    # round-7 streaming addition (real 2-batch stateful nearest join;
+    # dedicated cross-batch tests in test_round7.py + the oracle gate)
+    "stream_nearest_join",
 }
 
 # ops whose BroadcastNestedLoopJoin is a deliberate constant-size

@@ -333,6 +333,89 @@ class TestContentDefinedChunking:
         assert out[src0]["n_chunks"] == sum(len(_py_chunks(t)) for t in texts)
 
 
+class TestStreamNearestJoin:
+    def _run(self, spark, tmp_path, batches):
+        """Drive the REAL state machine over explicit micro-batches."""
+        import os
+
+        from greenplum_cdc_spark.streaming.stateful import (
+            run_stream_nearest,
+        )
+
+        feed_dir = str(tmp_path / "feed")
+        os.makedirs(feed_dir)
+        for i, rows in enumerate(batches):
+            df = spark.createDataFrame(
+                rows, "k long, ts_us long, seq long, kind int"
+            )
+            p = os.path.join(feed_dir, f"_b={i}")
+            df.coalesce(1).write.parquet(p)
+            for f in os.listdir(p):
+                os.utime(
+                    os.path.join(p, f), (1_700_000_000 + i, 1_700_000_000 + i)
+                )
+        out = run_stream_nearest(
+            spark,
+            feed_dir + "/_b=*",
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "out"),
+        )
+        return {r["probe_id"]: r for r in out.collect()}
+
+    def test_cross_batch_forward_resolution(self, spark, tmp_path):
+        """A probe pending at the end of batch 1 must be resolved by a
+        quote arriving in batch 2 — through state, not within one
+        window. Horizon expiry and zero-distance immediate emission
+        also pinned; a probe the stream cannot yet decide stays
+        unemitted."""
+        from greenplum_cdc_spark.streaming.stateful import _NEAR_H_US
+
+        H = _NEAR_H_US
+        b1 = [
+            (1, 1_000, 10, 1),        # quote q10 @1000
+            (1, 5_000, 1, 0),         # probe p1 @5000
+        ]
+        b2 = [
+            (1, 6_000, 11, 1),        # quote q11: p1 -> forward (1000)
+            (1, 6_000 + 2 * H, 3, 0), # far probe p3: also expires nothing
+            (1, 6_000 + 2 * H, 12, 1),  # same-instant quote for p3 -> dist 0
+            (1, 7_000 + 4 * H, 4, 0),  # probe p4: back=q12 dist > H ->
+                                        # pends, never resolved (unemitted)
+        ]
+        got = self._run(spark, tmp_path, [b1, b2])
+        assert got[1]["direction"] == "forward"
+        assert got[1]["matched_qid"] == 11 and got[1]["dist_us"] == 1_000
+        # p3 zero-distance backward (same-instant quote sorts first)
+        assert got[3]["direction"] == "backward"
+        assert got[3]["matched_qid"] == 12 and got[3]["dist_us"] == 0
+        # p4 undecidable at drain -> unemitted
+        assert 4 not in got
+
+    def test_horizon_expiry_emits_no_match_row(self, spark, tmp_path):
+        """A probe with no quote within H on either side resolves as an
+        explicit no-match row once ANY row passes its horizon — in a
+        LATER batch, through state."""
+        from greenplum_cdc_spark.streaming.stateful import _NEAR_H_US
+
+        H = _NEAR_H_US
+        b1 = [(1, 1_000, 1, 0)]  # probe, no quotes at all
+        b2 = [(1, 1_000 + H + 1, 2, 0)]  # any row past the horizon
+        got = self._run(spark, tmp_path, [b1, b2])
+        assert got[1]["direction"] is None
+        assert got[1]["matched_qid"] is None and got[1]["dist_us"] is None
+        assert 2 not in got  # the second probe is itself undecided
+
+    def test_backward_wins_exact_tie(self, spark, tmp_path):
+        b1 = [
+            (1, 1_000, 10, 1),   # quote
+            (1, 2_000, 1, 0),    # probe equidistant (1000 both sides)
+            (1, 3_000, 11, 1),   # quote
+        ]
+        got = self._run(spark, tmp_path, [b1])
+        assert got[1]["direction"] == "backward"
+        assert got[1]["matched_qid"] == 10
+
+
 class TestMixtureTemperature:
     def test_weight_semantics(self, spark):
         """Per alpha: weights sum to 1; alpha=1 is natural frequency
