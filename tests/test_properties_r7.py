@@ -110,6 +110,98 @@ def test_replica_store_random_lineage(spark, tmp_path, seed):
             assert got == want, (seed, step, ver)
 
 
+@pytest.mark.parametrize("seed,n_batches", [(7, 2), (13, 3)])
+def test_stream_nearest_equals_brute_force(spark, tmp_path, seed, n_batches):
+    """Random interleaved probe/quote feeds under random time-cut
+    batching: the incremental state machine's emitted set must equal an
+    INDEPENDENT brute-force model (per probe: max quote at-or-before,
+    min quote after, emitted iff a quote at/after exists or any row
+    passes the horizon, nearest within H, backward ties)."""
+    import os
+
+    from greenplum_cdc_spark.streaming.stateful import (
+        _NEAR_H_US,
+        run_stream_nearest,
+    )
+
+    H = _NEAR_H_US
+    rng = random.Random(seed)
+    rows = []
+    seq = 0
+    for k in range(6):
+        t = 0
+        for _ in range(40):
+            # jumps up to 2.5 days so horizon expiry and no-match rows
+            # actually occur
+            t += rng.randrange(1, int(2.5 * H))
+            seq += 1
+            rows.append((k, t, seq, 1 if rng.random() < 0.4 else 0))
+    # dedupe quotes per (k, ts) like the production feed prep (random
+    # jumps make collisions near-impossible; keep the guard anyway)
+    rows.sort(key=lambda r: (r[1], -r[3]))
+    cuts = sorted(rng.sample(range(1, len(rows)), n_batches - 1))
+    pieces, prev = [], 0
+    for c in cuts + [len(rows)]:
+        pieces.append(rows[prev:c])
+        prev = c
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    for i, piece in enumerate(pieces):
+        df = spark.createDataFrame(
+            piece, "k long, ts_us long, seq long, kind int"
+        )
+        pdir = os.path.join(feed_dir, f"_b={i}")
+        df.coalesce(1).write.parquet(pdir)
+        for f in os.listdir(pdir):
+            os.utime(
+                os.path.join(pdir, f),
+                (1_700_000_000 + i, 1_700_000_000 + i),
+            )
+    out = run_stream_nearest(
+        spark,
+        feed_dir + "/_b=*",
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+    got = {
+        r["probe_id"]: (r["direction"], r["matched_qid"], r["dist_us"])
+        for r in out.collect()
+    }
+    # independent brute-force model
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r[0], []).append(r)
+    want = {}
+    for k, krows in by_key.items():
+        quotes = [(t, s) for _, t, s, kind in krows if kind == 1]
+        max_ts = max(t for _, t, _s, _k in krows)
+        for _, pt, pid, kind in krows:
+            if kind == 1:
+                continue
+            before = [q for q in quotes if q[0] <= pt]
+            after = [q for q in quotes if q[0] > pt]
+            b = max(before) if before else None
+            f = min(after) if after else None
+            emitted = (
+                f is not None
+                or (b is not None and b[0] == pt)
+                or max_ts > pt + H
+            )
+            if not emitted:
+                continue
+            db = pt - b[0] if b else None
+            df_ = f[0] - pt if f else None
+            eb = db is not None and db <= H
+            ef = df_ is not None and df_ <= H
+            if eb and (not ef or db <= df_):
+                want[pid] = ("backward", b[1], db)
+            elif ef:
+                want[pid] = ("forward", f[1], df_)
+            else:
+                want[pid] = (None, None, None)
+    assert got == want
+
+
 @pytest.mark.parametrize("seed,n_batches", [(11, 2), (23, 4), (47, 3)])
 def test_scd2_incremental_equals_one_shot(spark, tmp_path, seed, n_batches):
     """Random history, random batch boundaries (cutting the globally
