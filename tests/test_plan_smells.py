@@ -174,6 +174,43 @@ def _unpartitioned_windows(df):
     return out
 
 
+def test_detector_fires_on_unpartitioned_window(spark):
+    """The detector itself must stay RED on the class it guards: the
+    r6 cdc_tombstone_gc shape (max over Window.partitionBy()) and a
+    growing unbounded-following frame both trip their assertions."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    df = spark.range(10).withColumn(
+        "m", F.max("id").over(Window.partitionBy())
+    )
+    assert _unpartitioned_windows(df), "unpartitioned-window detector is blind"
+    ok = spark.range(10).withColumn(
+        "g", F.col("id") % 3
+    ).withColumn("m", F.max("id").over(Window.partitionBy("g")))
+    assert not _unpartitioned_windows(ok)
+
+
+def test_detector_fires_on_quadratic_frame(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(F.col("id") % 3)
+        .orderBy("id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    df = spark.range(10).withColumn("m", F.min("id").over(w))
+    assert _quadratic_frames(df), "quadratic-frame detector is blind"
+    # whole-partition frames are computed once and stay allowed
+    wfull = (
+        Window.partitionBy(F.col("id") % 3)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ok = spark.range(10).withColumn("m", F.min("id").over(wfull))
+    assert not _quadratic_frames(ok)
+
+
 @pytest.mark.parametrize("name", [
     k for k in entrymod.queries() if k not in _SKIP
 ])
