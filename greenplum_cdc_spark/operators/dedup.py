@@ -1209,17 +1209,29 @@ def source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     most |sources|^2 joined rows); at web scale add a document-frequency
     cap on shingles (drop boilerplate n-grams seen in >T sources)
     before the join, which only removes rows that carry no signal.
+
+    Shingles are reduced to 60-bit md5-prefix DIGESTS map-side before
+    anything shuffles (round 7: the deferred 100x probe measured the
+    raw-string form linear but constant-heavy — multi-word shingle
+    strings through the distinct AND the self-join churned executor
+    GC; the digest form moves ~5x fewer shuffle bytes). Both engines
+    hash identically, so overlap-by-digest is engine-exact; a digest
+    collision would merge two shingles in BOTH engines at probability
+    ~n^2/2^61 — negligible and, crucially, never an oracle divergence.
     """
     docs = load_table(spark, sf_dir, "documents")
     grams = F.expr(
         f"CASE WHEN size(toks) >= {OVERLAP_SHINGLE} THEN "
         f"transform(sequence(0, size(toks) - {OVERLAP_SHINGLE}), "
-        f"i -> concat_ws(' ', {', '.join(f'toks[i+{j}]' for j in range(OVERLAP_SHINGLE))})) "
+        f"i -> conv(substring(md5(concat_ws(' ', "
+        f"{', '.join(f'toks[i+{j}]' for j in range(OVERLAP_SHINGLE))}"
+        ")), 1, 15), 16, 10)) "
         "ELSE array() END"
     )
     sh = (
         docs.withColumn("toks", F.filter(F.split("text", " "), lambda x: x != ""))
-        .select("source", F.explode(grams).alias("g"))
+        .select("source", F.explode(grams).alias("gs"))
+        .select("source", F.col("gs").cast("bigint").alias("g"))
         .distinct()
     )
     sizes = sh.groupBy("source").agg(F.count("*").alias("n_shingles"))
@@ -1255,7 +1267,9 @@ WITH t AS (
 ),
 sh AS (
   SELECT DISTINCT source,
-         {' || '.join(f"toks[i+{j}]" if j == 0 else f"' ' || toks[i+{j}]" for j in range(OVERLAP_SHINGLE)).replace("toks[i+0]", "toks[i]")} AS g
+         CAST(('0x' || substr(md5(
+           {' || '.join(f"toks[i+{j}]" if j == 0 else f"' ' || toks[i+{j}]" for j in range(OVERLAP_SHINGLE)).replace("toks[i+0]", "toks[i]")}
+         ), 1, 15)) AS BIGINT) AS g
   FROM (SELECT source, toks, unnest(range(1, len(toks) - {OVERLAP_SHINGLE - 2})) AS i
         FROM t WHERE len(toks) >= {OVERLAP_SHINGLE})
 ),
