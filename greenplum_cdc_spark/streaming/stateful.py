@@ -965,6 +965,20 @@ _NEAR_STATE = StructType(
 )
 
 
+def _near_expired(ts_us: int, wm_ms: int) -> bool:
+    """Watermark-expiry rule, stated at the engine's ms granularity.
+
+    Spark tracks event-time watermarks in MILLISECONDS (the stats
+    accumulator floors micros/1000) and fires an event-time timer
+    strictly when `timer_ms < watermark_ms`.  Mirroring that exact
+    rule here — `(ts_us + H) // 1000 < wm_ms` — keeps the drained
+    emit set closed-form: a probe expires by watermark iff
+    `(probe_ts + H) // 1000 < max(feed ts) // 1000`, which is the
+    oracle SQL's global clause (integer floor division in both
+    engines)."""
+    return (ts_us + _NEAR_H_US) // 1000 < wm_ms
+
+
 def _nearest_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -980,11 +994,21 @@ def _nearest_fn(
     - ANY row whose ts has passed a pending probe's ts + H proves no
       in-horizon forward quote can still arrive: the probe resolves
       backward-only (or as an explicit no-match row);
+    - the GLOBAL event-time watermark passing a pending probe's
+      horizon proves the same thing WITHOUT same-key traffic: an
+      event-time timer (registered at the oldest live horizon,
+      re-armed every invocation — the Flink KeyedProcessFunction
+      timer idiom) fires on watermark advance, flushes every expired
+      probe, and once nothing live remains REMOVES the key's state,
+      so a key that goes silent cannot leak state on an unbounded
+      stream;
     - probes still pending when the stream drains stay unemitted (the
-      open-session analog) — the oracle states the same exclusion.
+      open-session analog) — the oracle states the same exclusion,
+      with the watermark clause at ms granularity (`_near_expired`).
 
     State is one tuple + the pending probes of the last H per key:
-    bounded by horizon x probe rate, sharded by key.
+    bounded by horizon x probe rate, sharded by key, freed on
+    idle-key expiry.
     """
     if state.exists:
         lq_ts, lq_id, p_ts, p_id, p_bts, p_bid = state.get
@@ -1006,7 +1030,20 @@ def _nearest_fn(
         else:
             out.append((key[0], pid, pts, None, None, None))
 
-    frames = [pdf for pdf in pdfs if len(pdf)]
+    wm_ms = state.getCurrentWatermarkMs()
+    if wm_ms > 0 and pend:  # timer/watermark expiry: no same-key row needed
+        still = []
+        for p in pend:
+            if _near_expired(p[0], wm_ms):
+                resolve(p, None, None)
+            else:
+                still.append(p)
+        pend = still
+
+    if not state.hasTimedOut:
+        frames = [pdf for pdf in pdfs if len(pdf)]
+    else:  # timer firing: engine passes no rows, flush above did the work
+        frames = []
     if frames:
         df = pd.concat(frames).sort_values(
             ["ts_us", "kind"], ascending=[True, False]
@@ -1030,16 +1067,29 @@ def _nearest_fn(
                     resolve([ts, seq, lq_ts, lq_id], None, None)
                 else:
                     pend.append([ts, seq, lq_ts, lq_id])
-    state.update(
-        (
-            lq_ts,
-            lq_id,
-            [p[0] for p in pend],
-            [p[1] for p in pend],
-            [p[2] for p in pend],
-            [p[3] for p in pend],
+    # A backward candidate no future probe can reach (every non-late row
+    # has ts >= wm_ms*1000 > lq_ts + H) is dead weight: drop it, and once
+    # nothing live remains free the key's state entirely.
+    if lq_ts is not None and wm_ms > 0 and _near_expired(lq_ts, wm_ms):
+        lq_ts, lq_id = None, None
+    if not pend and lq_ts is None:
+        state.remove()
+    else:
+        state.update(
+            (
+                lq_ts,
+                lq_id,
+                [p[0] for p in pend],
+                [p[1] for p in pend],
+                [p[2] for p in pend],
+                [p[3] for p in pend],
+            )
         )
-    )
+        # Re-arm (timers reset on every invocation) at the oldest live
+        # horizon; the +1 clamp keeps the engine's ts > watermark rule.
+        horizons = [p[0] for p in pend] + ([lq_ts] if lq_ts is not None else [])
+        t_ms = min((h + _NEAR_H_US) // 1000 for h in horizons)
+        state.setTimeoutTimestamp(max(t_ms, wm_ms + 1))
     if out:
         yield pd.DataFrame(
             out,
@@ -1064,13 +1114,27 @@ def stream_nearest_join(feed_stream: DataFrame) -> DataFrame:
 
     Input stream needs (k, ts_us, seq, kind) with kind 1 = quote,
     0 = probe; output is one row per RESOLVED probe.
+
+    Idle keys are bounded by an EVENT-TIME TIMER, not same-key
+    traffic: the stream carries a 0-delay watermark on ts_us, each
+    key re-arms a timeout at its oldest live horizon, and the timer
+    branch flushes expired probes / removes drained state — so a key
+    that goes silent still resolves (backward-only or no-match) in a
+    micro-batch containing only OTHER keys' rows, and its state is
+    freed. (This is the timer half of the Flink KeyedProcessFunction
+    pattern the reference's bus consumers would lean on; cf.
+    rabbitmq.go:95-186 for the reference's delegation of all
+    stateful stream logic to the downstream engine.)
     """
-    return feed_stream.groupBy("k").applyInPandasWithState(
+    with_time = feed_stream.withColumn(
+        "ts_ev", F.timestamp_micros(F.col("ts_us"))
+    ).withWatermark("ts_ev", "0 seconds")
+    return with_time.groupBy("k").applyInPandasWithState(
         _nearest_fn,
         outputStructType=_NEAR_OUT,
         stateStructType=_NEAR_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -1107,9 +1171,11 @@ def stream_nearest_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_id % 3 == 0, deduped to one per (k, ts) keeping max id) and
     probes, replayed as 2 time-ordered micro-batches. The drained
     output must equal the closed-form SQL: every probe with a quote
-    at/after it OR any row beyond its horizon resolves (nearest within
-    H = 1 day, integer micros, backward ties, explicit no-match rows);
-    probes the stream could not yet decide stay unemitted."""
+    at/after it, OR any same-key row beyond its horizon, OR the global
+    event-time watermark (ms-floored max feed ts) beyond its horizon
+    resolves (nearest within H = 1 day, integer micros, backward ties,
+    explicit no-match rows); probes the stream could not yet decide
+    stay unemitted."""
     import os
     import shutil
 
@@ -1178,6 +1244,7 @@ probes AS (
   SELECT k, ts_us, seq AS probe_id FROM feed WHERE kind = 0
 ),
 keymax AS (SELECT k, MAX(ts_us) AS max_ts FROM feed GROUP BY k),
+gm AS (SELECT MAX(ts_us) AS gm_us FROM feed),
 b AS (
   SELECT p.k, p.probe_id, q.ts_us AS b_ts, q.qid AS b_id
   FROM probes p ASOF LEFT JOIN quotes q
@@ -1222,8 +1289,10 @@ FROM probes p
 LEFT JOIN b ON p.k = b.k AND p.probe_id = b.probe_id
 LEFT JOIN f ON p.k = f.k AND p.probe_id = f.probe_id
 JOIN keymax km ON p.k = km.k
+CROSS JOIN gm
 WHERE f.f_ts IS NOT NULL
    OR b.b_ts = p.ts_us
    OR km.max_ts > p.ts_us + {_NEAR_H_US}
+   OR (p.ts_us + {_NEAR_H_US}) // 1000 < gm.gm_us // 1000
 ORDER BY p.k, p.probe_id
 """

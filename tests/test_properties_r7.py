@@ -116,7 +116,10 @@ def test_stream_nearest_equals_brute_force(spark, tmp_path, seed, n_batches):
     batching: the incremental state machine's emitted set must equal an
     INDEPENDENT brute-force model (per probe: max quote at-or-before,
     min quote after, emitted iff a quote at/after exists or any row
-    passes the horizon, nearest within H, backward ties)."""
+    passes the horizon, nearest within H, backward ties). Round 8
+    added event-time timers: a probe ALSO emits once the global
+    watermark (ms-floored max feed ts) passes its horizon, so the
+    model carries the same clause."""
     import os
 
     from greenplum_cdc_spark.streaming.stateful import (
@@ -171,6 +174,7 @@ def test_stream_nearest_equals_brute_force(spark, tmp_path, seed, n_batches):
     by_key: dict[int, list] = {}
     for r in rows:
         by_key.setdefault(r[0], []).append(r)
+    gm = max(t for _, t, _s, _k in rows)
     want = {}
     for k, krows in by_key.items():
         quotes = [(t, s) for _, t, s, kind in krows if kind == 1]
@@ -186,6 +190,7 @@ def test_stream_nearest_equals_brute_force(spark, tmp_path, seed, n_batches):
                 f is not None
                 or (b is not None and b[0] == pt)
                 or max_ts > pt + H
+                or (pt + H) // 1000 < gm // 1000  # event-time timer
             )
             if not emitted:
                 continue

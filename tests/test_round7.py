@@ -415,6 +415,51 @@ class TestStreamNearestJoin:
         assert got[1]["direction"] == "backward"
         assert got[1]["matched_qid"] == 10
 
+    def test_idle_key_resolves_via_event_time_timer(self, spark, tmp_path):
+        """Round 8: key 1 sends ONE quote + ONE probe in batch 1 and
+        then goes silent forever; batch 2 carries ONLY key-2 traffic.
+        The event-time timer (armed at key 1's oldest horizon, fired by
+        the watermark key 2 advances) must flush key 1's pending probe
+        as backward-only — under the r7 NoTimeout build this probe
+        could never emit, leaking its state for the stream's lifetime."""
+        from greenplum_cdc_spark.streaming.stateful import _NEAR_H_US
+
+        H = _NEAR_H_US
+        b1 = [
+            (1, 1_000, 10, 1),       # key-1 quote (backward candidate)
+            (1, 500_000, 1, 0),      # key-1 probe: pends (no forward yet)
+            (2, 600_000, 20, 1),     # key-2 noise
+        ]
+        b2 = [  # ONLY key-2 rows: watermark sails past key 1's horizon
+            (2, 500_000 + 3 * H, 21, 1),
+            (2, 500_000 + 3 * H, 2, 0),  # same-instant: resolves dist 0
+        ]
+        got = self._run(spark, tmp_path, [b1, b2])
+        assert got[1]["direction"] == "backward"
+        assert got[1]["matched_qid"] == 10
+        assert got[1]["dist_us"] == 499_000
+        # key 2's own zero-distance resolution unaffected by the timer
+        assert got[2]["direction"] == "backward" and got[2]["dist_us"] == 0
+
+    def test_idle_key_no_match_flush_and_state_removal(self, spark, tmp_path):
+        """A quote-less idle key flushes an explicit no-match row on
+        timer fire; replaying MORE traffic for it afterwards behaves
+        as a fresh key (state was removed, not wedged)."""
+        from greenplum_cdc_spark.streaming.stateful import _NEAR_H_US
+
+        H = _NEAR_H_US
+        b1 = [(1, 1_000, 1, 0), (2, 2_000, 20, 1)]   # key-1 probe, no quote
+        b2 = [(2, 2_000 + 2 * H, 21, 1)]             # key-2 only: fires timer
+        b3 = [  # key 1 returns long after: must act like a fresh key
+            (1, 3_000 + 4 * H, 11, 1),
+            (1, 3_000 + 4 * H, 3, 0),   # same-instant: resolves dist 0
+        ]
+        got = self._run(spark, tmp_path, [b1, b2, b3])
+        assert got[1]["direction"] is None          # timer-flushed no-match
+        assert got[1]["matched_qid"] is None
+        assert got[3]["direction"] == "backward"    # fresh-state resolution
+        assert got[3]["matched_qid"] == 11 and got[3]["dist_us"] == 0
+
 
 class TestMixtureTemperature:
     def test_weight_semantics(self, spark):
