@@ -1,0 +1,153 @@
+"""Round-8 hardening tests: ReplicaStore segment compaction, vacuum
+sidecar GC, and the SCD2 legacy-base loud guard (VERDICT r7 items 2,
+ADVICE items 1 and 4)."""
+
+import os
+
+import pytest
+
+
+def _df(spark, *vals):
+    return spark.createDataFrame([(v,) for v in vals], "x int")
+
+
+def _fingerprint(root):
+    """(relpath, size, mtime_ns) of every data file under root."""
+    out = {}
+    for r, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(r, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+class TestReplicaStoreCompaction:
+    def test_manifest_bounded_across_3k_batches(self, spark, tmp_path):
+        """K=4: across 3K append-mode commits the manifest length never
+        exceeds K, every version's time-travel read stays exact, and
+        compaction writes NEW segment files only — segments linked by
+        older versions are never mutated (file-fingerprint check)."""
+        from greenplum_cdc_spark.streaming.pipeline import ReplicaStore
+
+        K = 4
+        store = ReplicaStore(spark, str(tmp_path / "rep"), compact_after=K)
+        seg_root = os.path.join(store.path, "seg")
+        expected = {}  # version -> sorted logical contents
+        appended = []
+        fps = {}  # segment dir -> fingerprint at creation
+        for i in range(3 * K):
+            base = [1000 + i]  # rewritable open slice
+            appended.append(2000 + i)  # this batch's write-once rows
+            v = store.commit(
+                _df(spark, *base), append=_df(spark, 2000 + i)
+            )
+            expected[v] = sorted(base + appended)
+            assert len(store._manifest(v)) <= K, (v, store._manifest(v))
+            # fingerprints: previously recorded segment dirs unchanged
+            for d in os.listdir(seg_root):
+                fp = _fingerprint(os.path.join(seg_root, d))
+                if d in fps:
+                    assert fps[d] == fp, f"segment {d} mutated at v{v}"
+                else:
+                    fps[d] = fp
+        # compaction actually fired (c-segments exist) and every
+        # version's read — including pre-compaction ones — is exact
+        assert any(d.startswith("c") for d in os.listdir(seg_root))
+        for v, want in expected.items():
+            got = sorted(r["x"] for r in store.read(version=v).collect())
+            assert got == want, (v, got, want)
+
+    def test_vacuum_gc_after_compaction(self, spark, tmp_path):
+        """After vacuuming pre-compaction versions, the original
+        b-segments they linked are GC'd while the compacted segment
+        (linked by retained versions) survives; reads stay exact."""
+        from greenplum_cdc_spark.streaming.pipeline import ReplicaStore
+
+        K = 3
+        store = ReplicaStore(spark, str(tmp_path / "rep"), compact_after=K)
+        for i in range(2 * K):
+            store.commit(_df(spark, 0), append=_df(spark, 100 + i))
+        seg_root = os.path.join(store.path, "seg")
+        assert any(d.startswith("c") for d in os.listdir(seg_root))
+        store.vacuum(keep_last=1)
+        cur = store.current_version()
+        linked = set(store._manifest(cur))
+        on_disk = {os.path.join("seg", d) for d in os.listdir(seg_root)}
+        assert on_disk == linked  # nothing unreferenced survives
+        got = sorted(r["x"] for r in store.read().collect())
+        assert got == [0] + [100 + i for i in range(2 * K)]
+
+
+class TestVacuumSidecarGC:
+    def test_wm_sidecars_of_dropped_versions_removed(self, spark, tmp_path):
+        """ADVICE r7: vacuum() must drop the `_wm/v=N` per-key state
+        sidecars of GC'd versions — they are one O(keys) parquet copy
+        per commit and previously accumulated forever."""
+        from greenplum_cdc_spark.streaming.pipeline import ReplicaStore
+
+        store = ReplicaStore(spark, str(tmp_path / "rep"))
+        for i in range(1, 6):
+            v = store.commit(_df(spark, i))
+            _df(spark, i).write.parquet(
+                os.path.join(store.path, "_wm", f"v={v}")
+            )
+        store.vacuum(keep_last=2)
+        left = sorted(os.listdir(os.path.join(store.path, "_wm")))
+        assert left == ["v=4", "v=5"]
+        # retained sidecars still readable
+        assert spark.read.parquet(
+            os.path.join(store.path, "_wm", "v=5")
+        ).count() == 1
+
+
+class TestScd2LegacyBaseGuard:
+    def test_full_snapshot_base_fails_loud(self, spark, tmp_path):
+        """ADVICE r7: a store whose base holds CLOSED rows (legacy full
+        snapshot) must raise with the migration path, not mis-merge
+        closed rows back through the window."""
+        from greenplum_cdc_spark.streaming.pipeline import (
+            ReplicaStore,
+            scd2_merge_fn,
+        )
+
+        store = ReplicaStore(spark, str(tmp_path / "rep"))
+        legacy = spark.createDataFrame(
+            [
+                (1, 10, 100, 200, False, 1.0, "a"),   # closed row in base
+                (1, 20, 200, None, True, 2.0, "a"),
+            ],
+            "pk long, version_seq long, valid_from long, valid_to long,"
+            " is_current boolean, value double, event_type string",
+        )
+        store.commit(legacy)
+        batch = spark.createDataFrame(
+            [(1, 300, 30, "update", 3.0, "a")],
+            "pk long, ts long, seq long, op string, value double,"
+            " event_type string",
+        )
+        with pytest.raises(ValueError, match="CLOSED version rows"):
+            scd2_merge_fn(store)(batch, 0)
+
+    def test_open_only_base_still_merges(self, spark, tmp_path):
+        """The guard must not fire on a healthy append-mode store."""
+        from greenplum_cdc_spark.streaming.pipeline import (
+            ReplicaStore,
+            scd2_merge_fn,
+        )
+
+        store = ReplicaStore(spark, str(tmp_path / "rep"))
+        merge = scd2_merge_fn(store)
+        mk = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows,
+            "pk long, ts long, seq long, op string, value double,"
+            " event_type string",
+        )
+        merge(mk([(1, 100, 10, "insert", 1.0, "a")]), 0)
+        merge(mk([(1, 200, 20, "update", 2.0, "a")]), 1)
+        rows = {
+            (r["pk"], r["valid_from"]): (r["valid_to"], r["is_current"])
+            for r in store.read().collect()
+        }
+        assert rows[(1, 100)] == (200, False)
+        assert rows[(1, 200)] == (None, True)
