@@ -1961,59 +1961,88 @@ ORDER BY s.alpha, s.source
 """
 
 
-_CDC_W = 16  # content-window width (chars)
-_CDC_MASK = 64  # boundary when window-hash % 64 == 0 -> ~64-char chunks
+_CDC_W = 24  # Gear window width (chars) == hash bits: mod 2^24 forgets lag-24+
+_CDC_G_MULT = 2654435761  # Knuth multiplicative constant: the "Gear table"
+_CDC_MOD = 1 << 24  # hash modulus (shift-1 recurrence -> 24-char window)
+_CDC_THRESH = 1 << 18  # boundary iff hash < 2^18: top 6 bits zero, ~64-char chunks
+
+
+def _gear_bounds_py(text: str) -> list[int]:
+    """Gear boundary positions (1-indexed chunk-end chars) of `text`.
+
+    h(p) = sum_{j=0..W-1} 2^j * G(c[p-j])  mod 2^W,  W = 24,
+    G(c)  = (codepoint(c) * 2654435761) mod 2^W,
+    boundary at p (p >= W) iff h(p) < 2^18 (top 6 bits zero, so every
+    window char — not just the newest 6 — votes; ~1/64 positions).
+
+    This is the closed form of the Gear recurrence
+    h = (2*h + G(c)) mod 2^W: mod 2^W forgets chars older than W, so
+    the hash IS a trailing-window hash and insertion stability holds
+    (an edit reshapes at most the chunks within W chars past it). A
+    byte-table Gear keeps G as 256 random constants; the multiplicative
+    form is the same algebraic object, covers full Unicode (code
+    points, not bytes), and — the oracle discipline — both engines can
+    state it VERBATIM as integer multiply-add-mod, no opaque table.
+    Vectorized: code points via utf-32 view, per-lag coefficients via
+    a sliding-window matvec (int64-safe: 24 terms < 2^47 each).
+    """
+    import numpy as np
+
+    n = len(text)
+    if n < _CDC_W:
+        return []
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    g = (cps.astype(np.int64) * _CDC_G_MULT) % _CDC_MOD
+    win = np.lib.stride_tricks.sliding_window_view(g, _CDC_W)
+    coeffs = (1 << np.arange(_CDC_W - 1, -1, -1, dtype=np.int64))
+    h = (win @ coeffs) % _CDC_MOD
+    return (np.nonzero(h < _CDC_THRESH)[0] + _CDC_W).tolist()
 
 
 def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C97 (round-7 addition): content-defined chunking — the
-    Rabin-style variable-size chunker every dedup-friendly blob store
-    runs (LBFS/restic/borg lineage): a chunk boundary falls wherever
-    the hash of the trailing {W}-char window satisfies
-    hash % {MASK} == 0, so an insertion early in a document only
-    reshapes the chunks it touches — fixed-size chunking (C29
-    context_chunks) re-aligns EVERYTHING after the edit and defeats
-    dedup. Per source: chunk count, unique-chunk count (by chunk
-    hash), exact byte totals, and the dedup storage ratio in basis
-    points — the report that sizes a chunk store before building it.
+    """C97 (round-7 addition; round-8 Gear rewrite): content-defined
+    chunking — the Rabin-style variable-size chunker every
+    dedup-friendly blob store runs (LBFS/restic/borg lineage): a chunk
+    boundary falls wherever the Gear hash of the trailing {W}-char
+    window lands below the threshold (see _gear_bounds_py), so an
+    insertion early in a document only reshapes the chunks it
+    touches — fixed-size chunking (C29 context_chunks) re-aligns
+    EVERYTHING after the edit and defeats dedup. Per source: chunk
+    count, unique-chunk count (by chunk hash), exact byte totals, and
+    the dedup storage ratio in basis points — the report that sizes a
+    chunk store before building it.
 
     Textbook basic CDC (no FastCDC min/max normalization — noted as
-    the production variant; the boundary rule here is the pure
-    content-defined one both engines can state verbatim). All exact:
-    md5 window hashes, integer modulus, integer-div ratios.
+    the production variant; the boundary rule is the pure
+    content-defined one both engines state verbatim). All exact:
+    integer Gear hashes, md5 chunk digests, integer-div ratios.
 
-    Plan: boundary positions computed WITHIN each row (higher-order
-    filter over the position sequence — see the inline tradeoff note),
-    spans exploded from the per-doc boundary array, then two
-    map-side-combined groupBys (per-(source, hash), per source) as the
-    only shuffles. Linear in corpus bytes by design — a chunker cannot
-    read less than the data — but never shuffles the corpus.
+    Plan: boundary positions computed WITHIN each row — round 8 swaps
+    the r7 md5-per-position higher-order filter (a full md5 of the
+    trailing window at EVERY position, the VERDICT r7 watch item) for
+    the O(1)-per-position-equivalent Gear closed form, Arrow-batched
+    and numpy-vectorized in a scalar pandas UDF (the interpreted-HOF
+    inner fold would be the r5 knn_ivfpq trap). Spans explode from the
+    per-doc boundary array; two map-side-combined groupBys
+    (per-(source, hash), per source) are the only shuffles. Linear in
+    corpus bytes by design — a chunker cannot read less than the
+    data — but never shuffles the corpus.
     """
+    import pandas as pd
+
+    def _bounds_batch(texts: "pd.Series") -> "pd.Series":
+        return texts.map(_gear_bounds_py)
+
+    _bounds_batch.__annotations__ = {
+        "texts": pd.Series, "return": pd.Series
+    }
+    gear_bounds = F.pandas_udf(_bounds_batch, "array<int>")
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text", F.length("text").alias("n")
     )
-    # boundaries per doc via a higher-order filter over the position
-    # sequence — the whole chunking stays WITHIN the row (no position
-    # explode, no union+DISTINCT shuffle, no per-doc window sort, and
-    # crucially NO join that re-shuffles the full corpus text by
-    # doc_id); the only shuffles are the two rollup groupBys over
-    # chunk hashes. Tradeoff, measured: Spark evaluates lambda bodies
-    # interpreted (no codegen), costing ~15% wall locally vs the
-    # explode+window form — but that form shuffles the CORPUS once,
-    # which is the wrong trade at 100 TB. The md5 itself dominates
-    # either way. The oracle states the same math in the readable
-    # explode+lag form — identical results, different plan.
     spans = (
-        docs.withColumn(
-            "bs",
-            F.expr(
-                f"CASE WHEN n >= {_CDC_W} THEN"
-                f" filter(sequence({_CDC_W}, n), p ->"
-                f"  CAST(conv(substring(md5(substring(text, p - {_CDC_W - 1},"
-                f" {_CDC_W})), 1, 8), 16, 10) AS BIGINT) % {_CDC_MASK} = 0)"
-                " ELSE array() END"
-            ),
-        )
+        docs.withColumn("bs", gear_bounds("text"))
         .withColumn(
             "ends",
             F.expr(
@@ -2069,17 +2098,21 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTENT_DEFINED_CHUNKING_SQL = f"""
 WITH docs AS (
-  SELECT doc_id, source, text, len(text) AS n FROM documents
+  SELECT doc_id, source, text, len(text) AS n,
+         list_transform(string_split(text, ''),
+                        c -> (ascii(c) * {_CDC_G_MULT}) % {_CDC_MOD}) AS g
+  FROM documents
 ),
 pos AS (
-  SELECT doc_id, unnest(range({_CDC_W}, n + 1)) AS p, text
+  SELECT doc_id, unnest(range({_CDC_W}, n + 1)) AS p, g
   FROM docs
 ),
 bounds AS (
   SELECT doc_id, p
   FROM pos
-  WHERE CAST(('0x' || substr(md5(substr(text, p - {_CDC_W - 1}, {_CDC_W})), 1, 8)) AS BIGINT)
-        % {_CDC_MASK} = 0
+  WHERE list_sum(list_transform(range(0, {_CDC_W}),
+                                j -> g[p - j] * (1 << j))) % {_CDC_MOD}
+        < {_CDC_THRESH}
 ),
 ends AS (
   SELECT DISTINCT doc_id, p FROM (

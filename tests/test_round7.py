@@ -248,18 +248,24 @@ class TestAsofNearestJoin:
 
 
 def _py_chunks(text: str):
-    """Pure-python twin of the C97 boundary rule (same W/MASK/md5)."""
-    import hashlib
+    """Pure-python INDEPENDENT twin of the C97 Gear boundary rule
+    (same W/multiplier/modulus/threshold, scalar loop — no numpy, no
+    shared code with the operator's vectorized _gear_bounds_py)."""
+    from greenplum_cdc_spark.operators.text import (
+        _CDC_G_MULT,
+        _CDC_MOD,
+        _CDC_THRESH,
+        _CDC_W,
+    )
 
-    from greenplum_cdc_spark.operators.text import _CDC_MASK, _CDC_W
+    def is_boundary(p: int) -> bool:  # p is a 1-indexed end position
+        h = sum(
+            (1 << j) * ((ord(text[p - 1 - j]) * _CDC_G_MULT) % _CDC_MOD)
+            for j in range(_CDC_W)
+        )
+        return h % _CDC_MOD < _CDC_THRESH
 
-    ends = [
-        p
-        for p in range(_CDC_W, len(text) + 1)
-        if int(hashlib.md5(text[p - _CDC_W : p].encode()).hexdigest()[:8], 16)
-        % _CDC_MASK
-        == 0
-    ]
+    ends = [p for p in range(_CDC_W, len(text) + 1) if is_boundary(p)]
     if not ends or ends[-1] != len(text):
         ends.append(len(text))
     out, s = [], 0
