@@ -1871,11 +1871,16 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame, and two broadcast joins — nothing downstream of the scan is
     data-proportional. At 100 TB the token count is the only pass.
     """
+    from .dedup import _swap_persist
+
     docs = load_table(spark, sf_dir, "documents")
     # persist the |domains|-row rollup: three consumers (scores, the
     # ordered-fold normalizer, the budget scalar) would otherwise each
-    # re-run the corpus token scan — the ONE data-proportional pass
-    counts = (
+    # re-run the corpus token scan — the ONE data-proportional pass.
+    # Routed through the _swap_persist slot convention so repeat
+    # invocations in a long session swap (not stack) the cached copy.
+    counts = _swap_persist(
+        "mixture_temp_counts",
         docs.select(
             "source",
             F.expr(
@@ -1883,8 +1888,7 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tok"),
         )
         .groupBy("source")
-        .agg(F.sum("tok").alias("tokens"))
-        .persist()
+        .agg(F.sum("tok").alias("tokens")),
     )
     scored = counts.select(
         "source",
