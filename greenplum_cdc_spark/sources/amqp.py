@@ -83,6 +83,16 @@ class AmqpProtocolError(RuntimeError):
     """Unexpected frame / method during the consumer conversation."""
 
 
+class AmqpConnectionLost(AmqpProtocolError):
+    """The broker dropped the TCP connection (peer close / reset) —
+    the RETRIABLE failure class: everything delivered but unacked will
+    be REDELIVERED on the next connection (AMQP at-least-once), so the
+    caller reconnects and drains again; duplicates are absorbed
+    downstream (latest-wins merge / stateful dedup). Subclassed so
+    existing best-effort catches still absorb it, while retry loops
+    catch it FIRST and leave a genuinely malformed conversation loud."""
+
+
 # --- wire codec --------------------------------------------------------
 
 
@@ -211,15 +221,21 @@ class AmqpConsumer:
 
     def _send(self, data: bytes) -> None:
         assert self.sock is not None
-        self.sock.sendall(data)
+        try:
+            self.sock.sendall(data)
+        except (BrokenPipeError, ConnectionResetError) as e:
+            raise AmqpConnectionLost(f"send failed: {e}") from e
 
     def _fill(self) -> None:
         """One recv() appended to the buffer (may raise socket.timeout
         with the buffer intact — nothing is ever consumed partially)."""
         assert self.sock is not None
-        chunk = self.sock.recv(65536)
+        try:
+            chunk = self.sock.recv(65536)
+        except ConnectionResetError as e:
+            raise AmqpConnectionLost(f"recv failed: {e}") from e
         if not chunk:
-            raise AmqpProtocolError("connection closed by peer")
+            raise AmqpConnectionLost("connection closed by peer")
         self._recv_buf += chunk
 
     def read_frame(self) -> tuple[int, int, bytes]:
@@ -402,6 +418,14 @@ class AmqpConsumer:
         write lands the batch durably, preserving the reference's
         ack-after-land at-least-once ordering.
 
+        If the broker drops the connection MID-batch, the partial
+        batch is still landed through ``before_ack`` (the ack can no
+        longer go out, so the broker will redeliver every unacked
+        message on the next connection) and AmqpConnectionLost is
+        raised so the caller can reconnect — the land-before-ack
+        at-least-once contract, exercised end-to-end by the
+        subprocess-broker reconnect pytest.
+
         Timeout discipline (ADVICE r5): the short ``idle_timeout`` is
         armed ONLY while waiting for the next Basic.Deliver method
         frame with an empty buffer — "no new deliveries" is the batch
@@ -414,55 +438,22 @@ class AmqpConsumer:
         """
         assert self.sock is not None
         bodies: list[bytes] = []
-        last_tag = 0
         self.sock.settimeout(idle_timeout)
         try:
-            while True:
-                try:
-                    frame_type, _ch, payload = self.read_frame()
-                except socket.timeout:
-                    if not self._recv_buf:
-                        break  # idle between deliveries: batch over
-                    # mid-frame: the peer started a frame — give it
-                    # the content deadline to finish (read_frame
-                    # consumes atomically, so the buffer is aligned)
-                    self.sock.settimeout(content_timeout)
-                    try:
-                        frame_type, _ch, payload = self.read_frame()
-                    except socket.timeout:
-                        raise AmqpProtocolError(
-                            "peer stalled mid-frame for "
-                            f"{content_timeout}s"
-                        ) from None
-                    finally:
-                        self.sock.settimeout(idle_timeout)
-                if frame_type == FRAME_HEARTBEAT:
-                    continue
-                if frame_type != FRAME_METHOD:
-                    raise AmqpProtocolError(
-                        f"expected Basic.Deliver, got frame {frame_type}"
-                    )
-                got, cur = unpack_method(payload)
-                if got != BASIC_DELIVER:
-                    raise AmqpProtocolError(f"expected Deliver, got {got}")
-                cur.shortstr()  # consumer-tag
-                last_tag = cur.longlong()  # delivery-tag
-                # redelivered bit / exchange / routing-key: not needed.
-                # Content frames get the longer deadline: they belong
-                # to a delivery already in progress.
-                self.sock.settimeout(content_timeout)
-                try:
-                    body = self._read_content()
-                except socket.timeout:
-                    raise AmqpProtocolError(
-                        "peer stalled mid-message for "
-                        f"{content_timeout}s"
-                    ) from None
-                finally:
-                    self.sock.settimeout(idle_timeout)
-                bodies.append(body)
+            last_tag = self._drain_loop(bodies, idle_timeout, content_timeout)
+        except AmqpConnectionLost:
+            # the broker died mid-batch: land what arrived (the ack
+            # can never go out, so the broker will REDELIVER these —
+            # at-least-once, land-before-ack ordering preserved), then
+            # surface the loss so the caller can reconnect
+            if before_ack is not None and bodies:
+                before_ack(bodies)
+            raise
         finally:
-            self.sock.settimeout(None)
+            try:
+                self.sock.settimeout(None)
+            except OSError:
+                pass
         if before_ack is not None:
             before_ack(bodies)
         if last_tag:
@@ -475,6 +466,62 @@ class AmqpConsumer:
                 )
             )
         return bodies
+
+    def _drain_loop(
+        self,
+        bodies: list[bytes],
+        idle_timeout: float,
+        content_timeout: float,
+    ) -> int:
+        """Inner read loop of ``drain``, appending into ``bodies`` as
+        deliveries complete (split out so the connection-lost handler
+        can land the partial batch). Returns the last delivery tag."""
+        last_tag = 0
+        while True:
+            try:
+                frame_type, _ch, payload = self.read_frame()
+            except socket.timeout:
+                if not self._recv_buf:
+                    break  # idle between deliveries: batch over
+                # mid-frame: the peer started a frame — give it
+                # the content deadline to finish (read_frame
+                # consumes atomically, so the buffer is aligned)
+                self.sock.settimeout(content_timeout)
+                try:
+                    frame_type, _ch, payload = self.read_frame()
+                except socket.timeout:
+                    raise AmqpProtocolError(
+                        "peer stalled mid-frame for "
+                        f"{content_timeout}s"
+                    ) from None
+                finally:
+                    self.sock.settimeout(idle_timeout)
+            if frame_type == FRAME_HEARTBEAT:
+                continue
+            if frame_type != FRAME_METHOD:
+                raise AmqpProtocolError(
+                    f"expected Basic.Deliver, got frame {frame_type}"
+                )
+            got, cur = unpack_method(payload)
+            if got != BASIC_DELIVER:
+                raise AmqpProtocolError(f"expected Deliver, got {got}")
+            cur.shortstr()  # consumer-tag
+            last_tag = cur.longlong()  # delivery-tag
+            # redelivered bit / exchange / routing-key: not needed.
+            # Content frames get the longer deadline: they belong
+            # to a delivery already in progress.
+            self.sock.settimeout(content_timeout)
+            try:
+                body = self._read_content()
+            except socket.timeout:
+                raise AmqpProtocolError(
+                    "peer stalled mid-message for "
+                    f"{content_timeout}s"
+                ) from None
+            finally:
+                self.sock.settimeout(idle_timeout)
+            bodies.append(body)
+        return last_tag
 
     def _read_content(self) -> bytes:
         """Content header frame + as many body frames as it declares."""
@@ -524,12 +571,29 @@ def consume_to_spool(
     binding_key: str = "test-key",
     consumer_tag: str = "simple-consumer",
     idle_timeout: float = 0.1,
+    retries: int = 0,
+    retry_delay: float = 0.2,
     **conn_opts,
 ) -> int:
     """One full reference-consumer cycle: connect → declare → consume →
     drain (spooling the batch atomically tmp→rename BEFORE the deferred
     ack goes out) → close. Returns the number of lines landed.
+
+    ``retries`` > 0 adds the reconnect leg (round 8): when the broker
+    drops the connection mid-batch (AmqpConnectionLost), the partial
+    batch has already been landed by ``drain``'s land-before-ack
+    contract; this loop dials again after ``retry_delay`` and drains
+    the REDELIVERED batch — so the spool may contain duplicates of the
+    partial batch, which is exactly AMQP's at-least-once promise.
+    Downstream dedup (latest-wins merge / stream_dedup) absorbs them;
+    the reconnect pytest pins both the duplication and the absorption.
+    A dial failure on a retry attempt keeps retrying (broker restart);
+    a dial failure on the FIRST attempt still raises ConnectionError
+    immediately (no broker at all — the env-gated skip path).
     """
+    import time
+
+    landed = {"n": 0}
 
     def _land(bodies: list[bytes]) -> None:
         os.makedirs(spool_dir, exist_ok=True)
@@ -545,13 +609,31 @@ def consume_to_spool(
         with open(tmp, "wb") as f:
             f.write(b"\n".join(sane) + b"\n")
         os.replace(tmp, final)
+        landed["n"] += len(bodies)
 
-    consumer = AmqpConsumer(host=host, port=port, **conn_opts)
-    consumer.connect()
-    try:
-        consumer.declare(exchange, exchange_type, queue, binding_key)
-        consumer.consume(queue, consumer_tag)
-        bodies = consumer.drain(idle_timeout, before_ack=_land)
-    finally:
-        consumer.close()
-    return len(bodies)
+    attempt = 0
+    ever_connected = False
+    while True:
+        consumer = AmqpConsumer(host=host, port=port, **conn_opts)
+        try:
+            consumer.connect()
+            ever_connected = True
+            consumer.declare(exchange, exchange_type, queue, binding_key)
+            consumer.consume(queue, consumer_tag)
+            consumer.drain(idle_timeout, before_ack=_land)
+            return landed["n"]
+        except AmqpConnectionLost:
+            if attempt >= retries:
+                raise
+            attempt += 1
+            time.sleep(retry_delay)
+        except ConnectionError:
+            # dial failure: retry only if a broker ever answered (it
+            # may be restarting); a broker that was never there stays
+            # an immediate, loud ConnectionError (the env-gated skip)
+            if not ever_connected or attempt >= retries:
+                raise
+            attempt += 1
+            time.sleep(retry_delay)
+        finally:
+            consumer.close()

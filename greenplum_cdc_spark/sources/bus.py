@@ -131,9 +131,13 @@ def read_bus_stream(spark: SparkSession, kind: str, **opts: str) -> DataFrame:
                     for kafka-shaped pipelines in broker-less sandboxes)
       rabbitmq:     spool (required; batch landing dir), host, port,
                     exchange, exchange_type, queue, binding_key,
-                    consumer_tag, idle_timeout — one reference-consumer
-                    drain cycle (connect/declare/consume/spool/ack)
-                    runs eagerly, then the stream tails the spool.
+                    consumer_tag, idle_timeout, retries, retry_delay —
+                    one reference-consumer drain cycle
+                    (connect/declare/consume/spool/ack) runs eagerly,
+                    then the stream tails the spool. retries > 0
+                    reconnects after a mid-batch connection loss and
+                    drains the redelivered batch (at-least-once spool;
+                    downstream dedup absorbs the overlap).
                     ConnectionError when no broker answers.
       rabbitmq-double: path (required), exchange, routing_key —
                     file-backed stream reshaped through the AMQP
@@ -183,6 +187,8 @@ def read_bus_stream(spark: SparkSession, kind: str, **opts: str) -> DataFrame:
             binding_key=opts.get("binding_key", "test-key"),
             consumer_tag=opts.get("consumer_tag", "simple-consumer"),
             idle_timeout=float(opts.get("idle_timeout", "0.1")),
+            retries=int(opts.get("retries", "0")),
+            retry_delay=float(opts.get("retry_delay", "0.2")),
         )
         return (
             spark.readStream.format("text")

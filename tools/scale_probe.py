@@ -6,7 +6,18 @@ the 100 TB design review.
 Synthesizes the 10x inputs by unioning shifted copies of the sf0.1
 tables into /tmp (never touches /root/testdata). Usage:
 
-    python tools/scale_probe.py [sf_dir]
+    python tools/scale_probe.py [sf_dir] [op ...] [--warm]
+
+COLD-vs-COLD is the default (round 8, VERDICT r7 item 5): library
+memo caches (_swap_persist slots, the IVF/PQ quantizer training memo)
+and the Spark cache are cleared before EVERY timed run, so the 1x
+denominator can never ride a memoized index that the bigger run must
+rebuild.  The round-7 sweep produced two false super-linear alarms
+exactly this way (lsh_band_tuning "222x", hard_negative_mining "137x"
+— both ~50x once decomposed cold-vs-cold).  One un-timed warm-up run
+still precedes the measurements to absorb JVM/py4j/codegen start-up;
+its caches are then dropped.  Pass --warm for the legacy behavior
+(useful to measure the memoized steady-state itself).
 """
 
 from __future__ import annotations
@@ -330,18 +341,42 @@ def _sketches():
     return sketches
 
 
+def reset_caches(spark) -> None:
+    """Drop every library-level memo a previous run may have left:
+    _swap_persist slots (cached index relations), the IVF/PQ quantizer
+    training memo, and Spark's own cache registry. Scratch FEEDS on
+    disk are kept — they are inputs, not computed state."""
+    from greenplum_cdc_spark.operators import dedup, similarity
+
+    for df in list(dedup._PERSIST_CACHE.values()):
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — best-effort teardown
+            pass
+    dedup._PERSIST_CACHE.clear()
+    similarity._IVF_TRAIN_CACHE.clear()
+    spark.catalog.clearCache()
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    warm = "--warm" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     big_dir = f"/tmp/scale_probe_{MULT}x"
     spark = get_spark("scale-probe")
     synthesize(spark, sf_dir, big_dir)
-    only = set(sys.argv[2:])
-    print(f"op,t_1x_s,t_{MULT}x_s,ratio")
+    only = set(args[1:])
+    mode = "warm" if warm else "cold"
+    print(f"op,t_1x_s,t_{MULT}x_s,ratio  # mode={mode}")
     for name, fn in {**OPS, **_late_ops()}.items():
         if only and name not in only:
             continue
         timed(fn, spark, sf_dir)  # warm plan/code paths
+        if not warm:
+            reset_caches(spark)
         t1 = timed(fn, spark, sf_dir)
+        if not warm:
+            reset_caches(spark)
         t10 = timed(fn, spark, big_dir)
         print(f"{name},{t1},{t10},{round(t10 / max(t1, 0.01), 1)}")
     shutil.rmtree(big_dir, ignore_errors=True)
