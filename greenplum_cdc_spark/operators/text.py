@@ -2153,3 +2153,256 @@ FROM per_chunk
 GROUP BY source
 ORDER BY source
 """
+
+
+# --- C98 (round-8 addition): FastCDC normalized chunking ---------------
+
+_FCDC_MIN = 16    # minimum chunk length (chars): skip-zone after a cut
+_FCDC_AVG = 64    # normalization point: mask switches hard -> easy here
+_FCDC_MAX = 256   # forced cut — bounds every chunk for the blob store
+_FCDC_T_HARD = 1 << 16  # near-region threshold (1/256): suppresses shorts
+_FCDC_T_EASY = 1 << 20  # far-region threshold (1/16): rescues longs
+
+
+def _gear_hashes_py(text: str):
+    """Gear hash h(p) for every end position p in [W, n] — the C97
+    closed form, shared verbatim by both chunkers (numpy-vectorized;
+    see _gear_bounds_py for the math and the overflow bounds)."""
+    import numpy as np
+
+    n = len(text)
+    if n < _CDC_W:
+        return np.zeros(0, dtype=np.int64)
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    g = (cps.astype(np.int64) * _CDC_G_MULT) % _CDC_MOD
+    win = np.lib.stride_tricks.sliding_window_view(g, _CDC_W)
+    coeffs = (1 << np.arange(_CDC_W - 1, -1, -1, dtype=np.int64))
+    return (win @ coeffs) % _CDC_MOD
+
+
+def _fastcdc_bounds_py(text: str) -> list[int]:
+    """FastCDC (Xia et al., USENIX ATC'16) boundary positions with
+    min/avg/max normalization over the C97 Gear hash:
+
+    from chunk start s (1-indexed), the next cut e is the SMALLEST
+    end position p with
+      - len = p-s+1 in [MIN, AVG] and h(p) < T_HARD   (near: strict), or
+      - len in (AVG, MAX)        and h(p) < T_EASY    (far: lenient),
+    else the forced cut at len = MAX (or the doc end). The skip-zone
+    below MIN kills the exponential tail of tiny chunks, the two-mask
+    normalization pulls lengths toward AVG, and the MAX cut bounds
+    every chunk — the three production fixes over basic CDC (C97),
+    at the cost of WEAKER insertion stability around forced cuts
+    (boundaries below MIN after an edit are suppressed, so resync
+    happens at the next surviving content boundary).
+
+    Sequential by nature (each cut depends on the previous), but the
+    scan state is one integer: the hash vector is the vectorized C97
+    closed form, candidate positions per mask are precomputed arrays,
+    and each step is two np.searchsorted probes — O(chunks) python
+    steps per doc, not O(chars).
+    """
+    import numpy as np
+
+    n = len(text)
+    h = _gear_hashes_py(text)
+    # end positions (1-indexed) carrying each h value: W, W+1, .., n
+    pos = np.arange(_CDC_W, n + 1, dtype=np.int64)
+    hard_pos = pos[h < _FCDC_T_HARD]
+    easy_pos = pos[h < _FCDC_T_EASY]
+    bounds: list[int] = []
+    s = 1
+    while s + _FCDC_MAX - 1 < n:
+        near_lo, near_hi = s + _FCDC_MIN - 1, s + _FCDC_AVG - 1
+        far_hi = s + _FCDC_MAX - 1
+        i = np.searchsorted(hard_pos, near_lo)
+        if i < len(hard_pos) and hard_pos[i] <= near_hi:
+            e = int(hard_pos[i])
+        else:
+            j = np.searchsorted(easy_pos, near_hi + 1)
+            if j < len(easy_pos) and easy_pos[j] < far_hi:
+                e = int(easy_pos[j])
+            else:
+                e = far_hi  # forced cut at MAX
+        bounds.append(e)
+        s = e + 1
+    return bounds  # the final [s, n] remainder chunk is implicit
+
+
+def fastcdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C98 (round-8 addition): FastCDC normalized content-defined
+    chunking — the PRODUCTION variant C97's docstring names: basic CDC
+    (C97) has an exponential chunk-length tail (tiny chunks bloat the
+    chunk index, giant chunks kill dedup granularity); FastCDC's
+    min-skip / two-mask normalization / max-cut bounds every chunk in
+    [MIN, MAX] and concentrates mass near AVG. Per source: chunk
+    count, unique-chunk count, exact byte totals, dedup ratio in basis
+    points, and the min/max NON-FINAL chunk lengths — the [MIN, MAX]
+    bound the normalization exists to enforce (final chunks are the
+    remainder and may run short).
+
+    Plan: identical shape to C97 — boundaries WITHIN the row (pandas
+    UDF; the sequential cut recurrence costs O(chunks) numpy probes
+    per doc on top of the vectorized Gear hash), spans exploded from
+    the boundary array, two map-side-combined groupBys the only
+    shuffles. The oracle states the SAME recurrence as a DuckDB
+    recursive CTE over the per-position Gear hashes (each step picks
+    the minimal qualifying cut via a correlated aggregate — sequential
+    semantics, declaratively stated).
+    """
+    import pandas as pd
+
+    def _bounds_batch(texts: "pd.Series") -> "pd.Series":
+        return texts.map(_fastcdc_bounds_py)
+
+    _bounds_batch.__annotations__ = {
+        "texts": pd.Series, "return": pd.Series
+    }
+    fc_bounds = F.pandas_udf(_bounds_batch, "array<int>")
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.length("text").alias("n")
+    )
+    spans = (
+        docs.withColumn("bs", fc_bounds("text"))
+        .withColumn(
+            "ends",
+            F.expr(
+                "CASE WHEN size(bs) > 0 AND element_at(bs, -1) = n"
+                " THEN bs ELSE concat(bs, array(n)) END"
+            ),
+        )
+        .withColumn(
+            "span",
+            F.explode(
+                F.expr(
+                    "transform(ends, (e, i) -> struct("
+                    " CASE WHEN i = 0 THEN 1"
+                    "      ELSE element_at(ends, i) + 1 END AS s,"
+                    " e AS e,"
+                    " i = size(ends) - 1 AS is_final))"
+                )
+            ),
+        )
+    )
+    chunks = spans.select(
+        "source",
+        (F.col("span.e") - F.col("span.s") + 1).alias("chunk_len"),
+        F.col("span.is_final").alias("is_final"),
+        F.md5(
+            F.expr("substring(text, span.s, span.e - span.s + 1)")
+        ).alias("chunk_hash"),
+    )
+    per_chunk = chunks.groupBy("source", "chunk_hash").agg(
+        F.count("*").alias("cnt"),
+        F.max("chunk_len").alias("chunk_len"),
+        # a hash observed only as a final-remainder chunk is exempt
+        # from the [MIN, MAX] bound report
+        F.min(F.col("is_final").cast("int")).alias("all_final"),
+    )
+    return (
+        per_chunk.groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_chunks"),
+            F.count("*").alias("n_unique_chunks"),
+            F.sum(F.col("cnt") * F.col("chunk_len")).alias("total_chars"),
+            F.sum("chunk_len").alias("unique_chars"),
+            F.min(
+                F.when(F.col("all_final") == 0, F.col("chunk_len"))
+            ).alias("min_body_len"),
+            F.max(
+                F.when(F.col("all_final") == 0, F.col("chunk_len"))
+            ).alias("max_body_len"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_unique_chunks",
+            "total_chars",
+            "unique_chars",
+            F.expr("(unique_chars * 10000) div total_chars").alias(
+                "dedup_ratio_bp"
+            ),
+            "min_body_len",
+            "max_body_len",
+        )
+        .orderBy("source")
+    )
+
+
+FASTCDC_CHUNKING_SQL = f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, source, text, len(text) AS n,
+         list_transform(string_split(text, ''),
+                        c -> (ascii(c) * {_CDC_G_MULT}) % {_CDC_MOD}) AS g
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(range({_CDC_W}, n + 1)) AS p, g
+  FROM docs
+),
+hashes AS (
+  SELECT doc_id, p,
+         list_sum(list_transform(range(0, {_CDC_W}),
+                                 j -> g[p - j] * (1 << j))) % {_CDC_MOD}
+           AS h
+  FROM pos
+),
+cuts AS (
+  SELECT doc_id, 0 AS e, 0 AS i FROM docs
+  UNION ALL
+  SELECT c.doc_id,
+         COALESCE(
+           (SELECT MIN(k.p) FROM hashes k
+             WHERE k.doc_id = c.doc_id
+               AND k.p >= c.e + {_FCDC_MIN}
+               AND k.p < c.e + {_FCDC_MAX}
+               AND ((k.p <= c.e + {_FCDC_AVG} AND k.h < {_FCDC_T_HARD})
+                 OR (k.p > c.e + {_FCDC_AVG} AND k.h < {_FCDC_T_EASY}))),
+           c.e + {_FCDC_MAX}) AS e,
+         c.i + 1
+  FROM cuts c JOIN docs d USING (doc_id)
+  WHERE c.e + {_FCDC_MAX} < d.n
+),
+ends AS (
+  SELECT doc_id, e, i FROM cuts WHERE i > 0
+  UNION ALL
+  SELECT doc_id, n AS e,
+         (SELECT COALESCE(MAX(i), 0) + 1 FROM cuts c
+           WHERE c.doc_id = docs.doc_id) AS i
+  FROM docs
+),
+spans AS (
+  SELECT doc_id, e, i,
+         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s,
+         i = (SELECT MAX(i) FROM ends e2 WHERE e2.doc_id = ends.doc_id)
+           AS is_final
+  FROM ends
+),
+chunks AS (
+  SELECT sp.doc_id, d.source,
+         sp.e - sp.s + 1 AS chunk_len,
+         sp.is_final,
+         md5(substr(d.text, sp.s, sp.e - sp.s + 1)) AS chunk_hash
+  FROM spans sp JOIN docs d USING (doc_id)
+),
+per_chunk AS (
+  SELECT source, chunk_hash, COUNT(*) AS cnt, MAX(chunk_len) AS chunk_len,
+         MIN(CASE WHEN is_final THEN 1 ELSE 0 END) AS all_final
+  FROM chunks GROUP BY source, chunk_hash
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+       COUNT(*) AS n_unique_chunks,
+       CAST(SUM(cnt * chunk_len) AS BIGINT) AS total_chars,
+       CAST(SUM(chunk_len) AS BIGINT) AS unique_chars,
+       CAST((SUM(chunk_len) * 10000) // SUM(cnt * chunk_len) AS BIGINT)
+         AS dedup_ratio_bp,
+       CAST(MIN(CASE WHEN all_final = 0 THEN chunk_len END) AS BIGINT)
+         AS min_body_len,
+       CAST(MAX(CASE WHEN all_final = 0 THEN chunk_len END) AS BIGINT)
+         AS max_body_len
+FROM per_chunk
+GROUP BY source
+ORDER BY source
+"""

@@ -151,3 +151,87 @@ class TestScd2LegacyBaseGuard:
         }
         assert rows[(1, 100)] == (200, False)
         assert rows[(1, 200)] == (None, True)
+
+
+class TestFastCdcChunking:
+    def test_bounds_invariant_and_python_twin(self, spark):
+        """C98: every NON-final chunk length lies in [MIN, MAX] (the
+        normalization contract basic CDC cannot give), bytes are
+        conserved per source, and the operator's chunk count matches
+        the independent python twin on a sampled source."""
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.text import (
+            _FCDC_MAX,
+            _FCDC_MIN,
+            _fastcdc_bounds_py,
+            fastcdc_chunking,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = {r["source"]: r for r in fastcdc_chunking(spark, sf).collect()}
+        docs = load_table(spark, sf, "documents")
+        truth = {
+            r["source"]: r["total"]
+            for r in docs.groupBy("source")
+            .agg(F.sum(F.length("text")).alias("total"))
+            .collect()
+        }
+        assert set(out) == set(truth)
+        for src, r in out.items():
+            assert r["total_chars"] == truth[src]
+            if r["min_body_len"] is not None:
+                assert _FCDC_MIN <= r["min_body_len"]
+                assert r["max_body_len"] <= _FCDC_MAX
+        src0 = sorted(out)[0]
+        texts = [
+            r["text"] for r in docs.filter(F.col("source") == src0).collect()
+        ]
+        n_chunks = 0
+        for t in texts:
+            bs = _fastcdc_bounds_py(t)
+            ends = bs if (bs and bs[-1] == len(t)) else bs + [len(t)]
+            n_chunks += len(ends)
+            s = 1
+            for e in bs:  # non-final cuts obey the bound per doc too
+                assert _FCDC_MIN <= e - s + 1 <= _FCDC_MAX
+                s = e + 1
+        assert out[src0]["n_chunks"] == n_chunks
+
+    def test_normalization_tightens_the_tail(self):
+        """The point of FastCDC over basic CDC: on the same text the
+        normalized chunker has NO chunk shorter than MIN or longer
+        than MAX (basic CDC's exponential tail produces both)."""
+        import random
+
+        from greenplum_cdc_spark.operators.text import (
+            _FCDC_MAX,
+            _FCDC_MIN,
+            _fastcdc_bounds_py,
+            _gear_bounds_py,
+        )
+
+        rng = random.Random(42)
+        words = ["alpha", "bravo", "charlie", "delta", "echo", "fox"]
+        text = " ".join(rng.choice(words) for _ in range(3000))
+
+        def lens(bounds):
+            ends = bounds if (bounds and bounds[-1] == len(text)) else (
+                bounds + [len(text)]
+            )
+            s, out = 1, []
+            for e in ends:
+                out.append(e - s + 1)
+                s = e + 1
+            return out
+
+        basic = lens(_gear_bounds_py(text))
+        fast = lens(_fastcdc_bounds_py(text))
+        # basic CDC's geometric tail: shorts below MIN and longs above
+        # MAX both occur on a corpus this size
+        assert min(basic) < _FCDC_MIN
+        assert max(basic) > _FCDC_MAX
+        # normalized: every non-final chunk in [MIN, MAX]
+        assert min(fast[:-1]) >= _FCDC_MIN
+        assert max(fast) <= _FCDC_MAX

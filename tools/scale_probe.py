@@ -306,6 +306,7 @@ def _late_ops():
         "mixture_temperature": text.mixture_temperature,
         # round 7: Rabin-style content-defined chunking
         "content_defined_chunking": text.content_defined_chunking,
+        "fastcdc_chunking": text.fastcdc_chunking,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
