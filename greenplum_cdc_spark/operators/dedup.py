@@ -19,7 +19,7 @@ Scale design:
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..io import load_table
 
@@ -1645,4 +1645,166 @@ SELECT p.doc_id, p.text_hash, p.bloom_positive,
           SELECT 1 FROM hist h WHERE h.text_hash = p.text_hash)) AS is_dup
 FROM probed p
 ORDER BY p.doc_id
+"""
+
+
+# --- B99 (round-8 addition): star-contraction connected components -----
+
+_CC_CHAIN = 64  # adversarial chain length: diameter label-prop can't afford
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14): for every node u, connect each
+    LARGER neighbor v to m = min(N(u) ∪ {u}). Strictly decreases the
+    potential of long chains while never joining distinct components."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("mn", F.col("src")).alias("m"))
+    )
+    return (
+        sym.filter(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge toward its smaller
+    endpoint, then for every node u connect each smaller neighbor (and
+    u itself) to m = min(N(u)) — the step that flattens shallow trees
+    into stars."""
+    oriented = edges.filter(F.col("src") != F.col("dst")).select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    )
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    nbrs = (
+        oriented.join(mins, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    selfe = mins.select("src", F.col("m").alias("dst"))
+    return nbrs.unionByName(selfe).distinct()
+
+
+def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B99 (round-8 addition): connected components by alternating
+    LARGE-STAR / SMALL-STAR contraction — the 100 TB upgrade path
+    dedup_clusters (C27) names for adversarial long-chain graphs:
+    plain min-label propagation needs one shuffle round PER HOP of the
+    component diameter, while star contraction converges in O(log n)
+    rounds regardless of diameter (each round is two groupBy+join
+    exchanges over the edge set, lineage truncated per round).
+
+    The feed is deliberately the adversarial case LSH pair graphs never
+    produce: a deterministic CHAIN graph — documents ranked per source,
+    each rank linked to its predecessor except every {_CC_CHAIN}th —
+    giving components of diameter {_CC_CHAIN}-1 where label propagation
+    would pay {_CC_CHAIN}-1 rounds and this converges in ~2·log2 of
+    that (pytest pins rounds and exposes them as
+    ``connected_components.last_rounds``).
+
+    Termination is EXACT, not checksum-based: the fixpoint of the
+    alternation is a star set (every edge points at its component
+    minimum — Kiveris et al. Thm 1), and the star test — no edge's dst
+    is any edge's src — is one left-semi join per round, so a hash
+    collision can never stop the loop early with a wrong answer.
+
+    Oracle: DuckDB recursive CTE propagating labels downhill over the
+    same chain edges (every node receives its component minimum) —
+    sequential truth for a logarithmic distributed plan, the same
+    pairing as C27.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    chain = docs.select(
+        "doc_id",
+        F.lag("doc_id").over(w).alias("prev"),
+        F.row_number().over(w).alias("rn"),
+    )
+    edges = chain.filter(
+        F.col("prev").isNotNull() & ((F.col("rn") - 1) % _CC_CHAIN != 0)
+    ).select(F.col("doc_id").alias("src"), F.col("prev").alias("dst"))
+
+    cur = edges.localCheckpoint()
+    rounds = 0
+    while True:
+        rounds += 1
+        if rounds > 60:  # 2*log2(n) for any real n; a loop bug otherwise
+            raise RuntimeError(
+                "connected_components: star contraction failed to "
+                f"converge in {rounds} rounds"
+            )
+        cur = _small_star(_large_star(cur)).localCheckpoint()
+        non_star = (
+            cur.alias("a")
+            .join(
+                cur.alias("b"),
+                F.col("a.dst") == F.col("b.src"),
+                "left_semi",
+            )
+            .limit(1)
+            .count()
+        )
+        if non_star == 0:
+            break
+    connected_components.last_rounds = rounds
+    labels = (
+        docs.join(
+            cur.select(F.col("src").alias("doc_id"), F.col("dst").alias("root")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("root", "doc_id").alias("component_id"),
+        )
+    )
+    wc = Window.partitionBy("component_id")
+    return (
+        labels.withColumn("component_size", F.count("*").over(wc))
+        .withColumn(
+            "is_root", (F.col("doc_id") == F.col("component_id")).cast("int")
+        )
+        .orderBy("doc_id")
+    )
+
+
+CONNECTED_COMPONENTS_SQL = f"""
+WITH RECURSIVE ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+         LAG(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS prev
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id AS a, prev AS b FROM ranked
+  WHERE prev IS NOT NULL AND (rn - 1) % {_CC_CHAIN} != 0
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b, a FROM pairs
+),
+walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.label
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.label < e.dst
+),
+labels AS (
+  SELECT node AS doc_id, MIN(label) AS component_id FROM walk GROUP BY node
+)
+SELECT doc_id, component_id,
+       COUNT(*) OVER (PARTITION BY component_id) AS component_size,
+       CAST(doc_id = component_id AS INT) AS is_root
+FROM labels
+ORDER BY doc_id
 """

@@ -235,3 +235,63 @@ class TestFastCdcChunking:
         # normalized: every non-final chunk in [MIN, MAX]
         assert min(fast[:-1]) >= _FCDC_MIN
         assert max(fast) <= _FCDC_MAX
+
+
+class TestConnectedComponents:
+    def test_log_rounds_and_union_find_truth(self, spark):
+        """B99: star contraction must converge in far fewer rounds than
+        the chain diameter (the property that makes it the 100 TB path
+        over per-hop label propagation), and the labels must equal an
+        independent union-find ground truth."""
+        import math
+
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.dedup import (
+            _CC_CHAIN,
+            connected_components,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = connected_components(spark, sf)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        rounds = connected_components.last_rounds
+        # label propagation would need diameter rounds (= chain length
+        # - 1 = 63); star contraction stays in the log regime
+        assert rounds <= 2 * math.ceil(math.log2(_CC_CHAIN)) + 2, rounds
+        # independent union-find over the same chain construction
+        docs = sorted(
+            (r["source"], r["doc_id"])
+            for r in load_table(spark, sf, "documents")
+            .select("doc_id", "source")
+            .collect()
+        )
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        by_src = {}
+        for src, d in docs:
+            by_src.setdefault(src, []).append(d)
+        for src, ids in by_src.items():
+            ids.sort()
+            for i, d in enumerate(ids):
+                parent[d] = d
+                if i % _CC_CHAIN != 0:
+                    ra, rb = find(d), find(ids[i - 1])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        want = {d: find(d) for _, d in docs}
+        sizes = {}
+        for d, c in want.items():
+            sizes[c] = sizes.get(c, 0) + 1
+        assert set(rows) == set(want)
+        for d, r in rows.items():
+            assert r["component_id"] == want[d], d
+            assert r["component_size"] == sizes[want[d]]
+            assert r["is_root"] == int(d == want[d])

@@ -307,6 +307,7 @@ def _late_ops():
         # round 7: Rabin-style content-defined chunking
         "content_defined_chunking": text.content_defined_chunking,
         "fastcdc_chunking": text.fastcdc_chunking,
+        "connected_components": dedup.connected_components,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
