@@ -1346,3 +1346,74 @@ CONTAMINATION_SWEEP_SQL = (
     + "\n  UNION ALL\n".join(_contam_sweep_block(k) for k in SWEEP_KS)
     + "\n) ORDER BY ngram_k"
 )
+
+
+# --- C99 (round-8 addition): Pareto curation frontier -------------------
+
+
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C99 (round-8 addition): the per-source Pareto frontier of
+    documents under (maximize length, maximize vocabulary richness) —
+    the skyline every quality-vs-cost curation sweep reads: a document
+    is ON the frontier iff no other document of its source is at least
+    as long AND at least as rich with one strict improvement. Both
+    axes integer-exact (n_chars; distinct-token count), so the oracle
+    hashes bit-for-bit.
+
+    Plan — the 2D skyline WITHOUT the O(n^2) dominance join: per
+    source, a row is dominated iff
+      max(rich | longer docs)        >= its richness, or
+      max(rich | equal-length docs)  >  its richness.
+    The first max is a RUNNING frame over descending length — ordered
+    by -n_chars with RANGE (unboundedPreceding, -1), i.e. strictly
+    longer docs only — never the quadratic currentRow→unboundedFollowing
+    frame the plan-smell sweep bans (the r7 asof lesson: O(1)/row vs a
+    206x rescan); the second is a plain same-length partition max. One
+    sort shuffle per source group, O(n log n) total, skyline selected
+    by two window columns. The oracle states dominance directly as
+    NOT EXISTS — the O(n^2) sequential truth for the O(n log n)
+    distributed plan.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr(
+            "size(array_distinct(filter(split(text, ' '), t -> t != '')))"
+        ).cast("long").alias("vocab"),
+    )
+    w_longer = (
+        Window.partitionBy("source")
+        .orderBy((-F.col("n_chars")).cast("long"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_equal = Window.partitionBy("source", "n_chars")
+    return (
+        docs.withColumn("m_longer", F.max("vocab").over(w_longer))
+        .withColumn("m_equal", F.max("vocab").over(w_equal))
+        .filter(
+            (F.col("m_longer").isNull() | (F.col("m_longer") < F.col("vocab")))
+            & (F.col("m_equal") <= F.col("vocab"))
+        )
+        .select("source", "doc_id", "n_chars", "vocab")
+        .orderBy("source", "doc_id")
+    )
+
+
+PARETO_FRONTIER_SQL = """
+WITH m AS (
+  SELECT doc_id, source, n_chars,
+         len(list_distinct(list_filter(string_split(text, ' '),
+                                       t -> t <> ''))) AS vocab
+  FROM documents
+)
+SELECT a.source, a.doc_id, a.n_chars, a.vocab
+FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE b.source = a.source
+    AND b.n_chars >= a.n_chars AND b.vocab >= a.vocab
+    AND (b.n_chars > a.n_chars OR b.vocab > a.vocab)
+)
+ORDER BY a.source, a.doc_id
+"""

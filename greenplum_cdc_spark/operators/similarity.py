@@ -2367,3 +2367,102 @@ SELECT h.nprobe, h.n_hits,
 FROM hits h JOIN scanned s USING (nprobe)
 ORDER BY h.nprobe
 """
+
+
+# --- C100 (round-8 addition): exact integer embedding covariance --------
+
+_COV_SCALE = 1000  # fixed-point quantization: q = floor(v * 1000)
+_COV_DIM = 64
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C100 (round-8 addition): the exact covariance structure of the
+    embedding space — the matrix every whitening / PCA / drift monitor
+    consumes. Components are fixed-point quantized (q = floor(v*1000),
+    a deterministic IEEE op both engines evaluate identically — never
+    round(), the one op they disagree on) so all downstream sums are
+    INTEGER-exact and the oracle hashes bit-for-bit: per dim pair
+    (i <= j) the row carries n, sum_ij, and the integer covariance
+    numerator n*sum_ij - sum_i*sum_j (= n^2 * covariance, exact).
+
+    Plan — partial Gram matrices, never a pairwise explode: each Arrow
+    batch computes its d x d int64 Gram (one numpy matmul), column
+    sums and count, and emits d(d+1)/2 = {n_out} rows; the ONLY
+    shuffle aggregates those tiny partials by (i, j) — map-side
+    combine of a matrix, the classic one-pass distributed covariance.
+    At 100 TB the shuffle stays d(d+1)/2 rows x tasks regardless of
+    corpus size. The d^2-explode the oracle uses (unnest x unnest) is
+    the sequential truth, not the plan.
+    """.format(n_out=_COV_DIM * (_COV_DIM + 1) // 2)
+    import numpy as np
+    import pandas as pd
+
+    iu = np.triu_indices(_COV_DIM)
+    schema = (
+        "i int, j int, n long, sum_ij long, sum_i long, sum_j long"
+    )
+
+    def partial_gram(pdfs):
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy())
+            Q = np.floor(X.astype(np.float64) * _COV_SCALE).astype(np.int64)
+            G = Q.T @ Q  # exact int64: |q| <= ~1e3, n_batch <= ~1e4
+            s = Q.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": iu[0] + 1,
+                    "j": iu[1] + 1,
+                    "n": np.int64(len(Q)),
+                    "sum_ij": G[iu],
+                    "sum_i": s[iu[0]],
+                    "sum_j": s[iu[1]],
+                }
+            )
+
+    vecs = load_table(spark, sf_dir, "embeddings").select("embedding")
+    partials = vecs.mapInPandas(partial_gram, schema=schema)
+    return (
+        partials.groupBy("i", "j")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_ij").alias("sum_ij"),
+            F.sum("sum_i").alias("sum_i"),
+            F.sum("sum_j").alias("sum_j"),
+        )
+        .select(
+            "i",
+            "j",
+            "n",
+            "sum_ij",
+            (F.col("n") * F.col("sum_ij") - F.col("sum_i") * F.col("sum_j"))
+            .alias("cov_num"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+EMBEDDING_COVARIANCE_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+                        v -> CAST(floor(v * {_COV_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+pairs AS (
+  SELECT i, j,
+         SUM(q[i] * q[j]) AS sum_ij,
+         SUM(q[i]) AS sum_i,
+         SUM(q[j]) AS sum_j,
+         COUNT(*) AS n
+  FROM q, range(1, {_COV_DIM + 1}) t1(i), range(1, {_COV_DIM + 1}) t2(j)
+  WHERE j >= i
+  GROUP BY i, j
+)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       CAST(n AS BIGINT) AS n,
+       CAST(sum_ij AS BIGINT) AS sum_ij,
+       CAST(n * sum_ij - sum_i * sum_j AS BIGINT) AS cov_num
+FROM pairs
+ORDER BY i, j
+"""

@@ -295,3 +295,92 @@ class TestConnectedComponents:
             assert r["component_id"] == want[d], d
             assert r["component_size"] == sizes[want[d]]
             assert r["is_root"] == int(d == want[d])
+
+
+class TestParetoFrontier:
+    def test_matches_brute_force_dominance(self, spark):
+        """C99: the running-frame skyline equals the O(n^2) dominance
+        definition computed independently in python; frontier rows are
+        mutually non-dominated and every non-frontier row has a
+        dominator."""
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.quality import pareto_frontier
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            (r["source"], r["doc_id"])
+            for r in pareto_frontier(spark, sf).collect()
+        }
+        docs = (
+            load_table(spark, sf, "documents")
+            .select(
+                "source",
+                "doc_id",
+                F.col("n_chars").cast("long").alias("x"),
+                F.expr(
+                    "size(array_distinct(filter(split(text, ' '),"
+                    " t -> t != '')))"
+                ).cast("long").alias("y"),
+            )
+            .collect()
+        )
+        by_src = {}
+        for r in docs:
+            by_src.setdefault(r["source"], []).append(
+                (r["doc_id"], r["x"], r["y"])
+            )
+        want = set()
+        for src, rows in by_src.items():
+            for d, x, y in rows:
+                dominated = any(
+                    (x2 >= x and y2 >= y and (x2 > x or y2 > y))
+                    for _d2, x2, y2 in rows
+                )
+                if not dominated:
+                    want.add((src, d))
+        assert got == want and want
+
+
+class TestEmbeddingCovariance:
+    def test_exact_vs_numpy_and_psd(self, spark):
+        """C100: the distributed partial-Gram aggregation equals a
+        single-shot numpy computation exactly (integer identity, no
+        tolerance), and the resulting covariance matrix is symmetric
+        PSD (eigmin >= -tiny numerical slack after de-quantization)."""
+        import numpy as np
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.similarity import (
+            _COV_DIM,
+            _COV_SCALE,
+            embedding_covariance,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = embedding_covariance(spark, sf).collect()
+        assert len(rows) == _COV_DIM * (_COV_DIM + 1) // 2
+        X = np.stack(
+            [
+                r["embedding"]
+                for r in load_table(spark, sf, "embeddings")
+                .select("embedding")
+                .collect()
+            ]
+        )
+        Q = np.floor(X.astype(np.float64) * _COV_SCALE).astype(np.int64)
+        n = len(Q)
+        G = Q.T @ Q
+        s = Q.sum(axis=0)
+        C = np.zeros((_COV_DIM, _COV_DIM), dtype=np.int64)
+        for r in rows:
+            i, j = r["i"] - 1, r["j"] - 1
+            assert r["n"] == n
+            assert r["sum_ij"] == G[i, j], (i, j)
+            want = n * G[i, j] - s[i] * s[j]
+            assert r["cov_num"] == want, (i, j)
+            C[i, j] = C[j, i] = r["cov_num"]
+        # n^2 * covariance must be (numerically) PSD
+        eig = np.linalg.eigvalsh(C.astype(np.float64))
+        assert eig.min() >= -1e-6 * max(eig.max(), 1.0)

@@ -308,6 +308,8 @@ def _late_ops():
         "content_defined_chunking": text.content_defined_chunking,
         "fastcdc_chunking": text.fastcdc_chunking,
         "connected_components": dedup.connected_components,
+        "pareto_frontier": quality.pareto_frontier,
+        "embedding_covariance": similarity.embedding_covariance,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
