@@ -1417,3 +1417,107 @@ WHERE NOT EXISTS (
 )
 ORDER BY a.source, a.doc_id
 """
+
+
+# --- C101 (round-8 addition): reciprocal rank fusion --------------------
+
+_RRF_K = 60            # the standard RRF damping constant
+_RRF_SCALE = 10 ** 9   # fixed-point: each term = floor(1e9 / (k + rank))
+_RRF_TOP = 5           # fused results kept per source
+
+
+def reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C101 (round-8 addition): reciprocal rank fusion (Cormack et
+    al., SIGIR'09) — the rank-combination every hybrid-retrieval data
+    pipeline runs to merge a lexical and a semantic ranking before
+    dedup/curation. Here the two per-source rankings are vocabulary
+    richness (distinct tokens) and document length — deterministic,
+    integer-exact stand-ins with full tie discipline (doc_id
+    tiebreak), fused as
+
+        rrf = sum_r floor(1e9 / (k + rank_r)),   k = 60
+
+    floor division keeps every term INTEGER (the float 1/(k+r) sum
+    would be engine-order-dependent); top 5 per source kept.
+
+    Plan: two per-source row_number windows over the same scan (one
+    sort shuffle each, never a global/empty partitionBy — the
+    single-task smell the sweep bans), an integer map, one more
+    window for the final top-k. All exact; oracle is the same three
+    windows in SQL.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr(
+            "size(array_distinct(filter(split(text, ' '), t -> t != '')))"
+        ).cast("long").alias("vocab"),
+    )
+    w_vocab = Window.partitionBy("source").orderBy(
+        F.desc("vocab"), F.asc("doc_id")
+    )
+    w_len = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.row_number().over(w_vocab).alias("rank_vocab"),
+        F.row_number().over(w_len).alias("rank_len"),
+    ).withColumn(
+        "rrf_score",
+        F.expr(
+            f"{_RRF_SCALE} div ({_RRF_K} + rank_vocab)"
+            f" + {_RRF_SCALE} div ({_RRF_K} + rank_len)"
+        ),
+    )
+    w_top = Window.partitionBy("source").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        ranked.withColumn("fused_rank", F.row_number().over(w_top))
+        .filter(F.col("fused_rank") <= _RRF_TOP)
+        .select(
+            "source", "fused_rank", "doc_id",
+            "rank_vocab", "rank_len", "rrf_score",
+        )
+        .orderBy("source", "fused_rank")
+    )
+
+
+RECIPROCAL_RANK_FUSION_SQL = f"""
+WITH m AS (
+  SELECT doc_id, source, n_chars,
+         len(list_distinct(list_filter(string_split(text, ' '),
+                                       t -> t <> ''))) AS vocab
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY vocab DESC, doc_id) AS rank_vocab,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rank_len
+  FROM m
+),
+scored AS (
+  SELECT source, doc_id, rank_vocab, rank_len,
+         {_RRF_SCALE} // ({_RRF_K} + rank_vocab)
+           + {_RRF_SCALE} // ({_RRF_K} + rank_len) AS rrf_score
+  FROM ranked
+),
+fused AS (
+  SELECT source, doc_id, rank_vocab, rank_len, rrf_score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY rrf_score DESC, doc_id) AS fused_rank
+  FROM scored
+)
+SELECT source, CAST(fused_rank AS INT) AS fused_rank, doc_id,
+       CAST(rank_vocab AS INT) AS rank_vocab,
+       CAST(rank_len AS INT) AS rank_len,
+       CAST(rrf_score AS BIGINT) AS rrf_score
+FROM fused
+WHERE fused_rank <= {_RRF_TOP}
+ORDER BY source, fused_rank
+"""

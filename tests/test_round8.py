@@ -384,3 +384,42 @@ class TestEmbeddingCovariance:
         # n^2 * covariance must be (numerically) PSD
         eig = np.linalg.eigvalsh(C.astype(np.float64))
         assert eig.min() >= -1e-6 * max(eig.max(), 1.0)
+
+
+class TestReciprocalRankFusion:
+    def test_fusion_semantics(self, spark):
+        """C101: RRF brings up documents strong in EITHER ranking —
+        per source, every fused top-1 is top-3 in at least one input
+        ranking; scores are the exact integer floor-division sums; no
+        source emits more than TOP rows; ranks carry the doc_id tie
+        discipline (strictly increasing over the emitted order)."""
+        from greenplum_cdc_spark.operators.quality import (
+            _RRF_K,
+            _RRF_SCALE,
+            _RRF_TOP,
+            reciprocal_rank_fusion,
+        )
+
+        rows = reciprocal_rank_fusion(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r)
+        assert by_src
+        for src, rs in by_src.items():
+            assert len(rs) <= _RRF_TOP
+            assert [r["fused_rank"] for r in rs] == list(
+                range(1, len(rs) + 1)
+            )
+            for r in rs:
+                want = _RRF_SCALE // (_RRF_K + r["rank_vocab"]) + (
+                    _RRF_SCALE // (_RRF_K + r["rank_len"])
+                )
+                assert r["rrf_score"] == want
+            # fused winner is strong in at least one input ranking
+            top = rs[0]
+            assert min(top["rank_vocab"], top["rank_len"]) <= 3, top
+            # emitted order is score-desc with doc_id tiebreak
+            scores = [(-(r["rrf_score"]), r["doc_id"]) for r in rs]
+            assert scores == sorted(scores)
