@@ -1521,3 +1521,90 @@ FROM fused
 WHERE fused_rank <= {_RRF_TOP}
 ORDER BY source, fused_rank
 """
+
+
+# --- C102 (round-8 addition): unicode anomaly scan ----------------------
+
+# The character classes a curation pipeline screens before training:
+# invisible joiners/spaces that hide spans from dedup, bidi controls
+# that reorder rendered text (CVE-2021-42574 "Trojan Source"), and the
+# replacement char that marks upstream mojibake. Stated as explicit
+# code-point lists so both engines scan for EXACTLY the same set.
+_UNICODE_ANOMALIES = (
+    ("zero_width", (0x200B, 0x200C, 0x200D, 0x2060, 0xFEFF)),
+    ("bidi_control", (0x202A, 0x202B, 0x202C, 0x202D, 0x202E,
+                      0x2066, 0x2067, 0x2068, 0x2069)),
+    ("replacement", (0xFFFD,)),
+    ("c0_control", tuple(range(0x00, 0x09)) + (0x0B, 0x0C)
+     + tuple(range(0x0E, 0x20))),
+)
+
+
+def unicode_anomaly_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C102 (round-8 addition): per-source unicode anomaly audit — the
+    screen a corpus passes before training: zero-width characters
+    (invisible to the eye, poison to exact dedup), bidi control
+    characters (the "Trojan Source" reordering class), replacement
+    chars (upstream decode damage), and stray C0 controls. Per
+    (source, class): documents affected and total occurrences — all
+    integer-exact counts over explicit shared code-point lists.
+
+    Plan: one corpus scan; per class a regexp_count with a verbatim
+    code-point character class (JVM regex, codegen'd — no Python in
+    the hot path), then one map-side-combined groupBy(source). The
+    oracle states the same counts via length-difference over
+    regexp_replace with the identical pattern.
+    """
+    def _cls(points: tuple) -> str:
+        return "[" + "".join(f"\\x{{{p:04X}}}" for p in points) + "]"
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per_class = []
+    for name, points in _UNICODE_ANOMALIES:
+        pat = _cls(points)
+        per_class.append(
+            docs.select(
+                "source",
+                F.lit(name).alias("anomaly"),
+                F.regexp_count("text", F.lit(pat)).alias("hits"),
+            )
+        )
+    union = per_class[0]
+    for df in per_class[1:]:
+        union = union.unionByName(df)
+    return (
+        union.groupBy("source", "anomaly")
+        .agg(
+            F.sum((F.col("hits") > 0).cast("long")).alias("docs_affected"),
+            F.sum("hits").alias("occurrences"),
+        )
+        .orderBy("source", "anomaly")
+    )
+
+
+def _unicode_sql() -> str:
+    classes = []
+    for name, points in _UNICODE_ANOMALIES:
+        pat = "[" + "".join(f"\\x{{{p:04X}}}" for p in points) + "]"
+        classes.append(
+            f"SELECT source, '{name}' AS anomaly,\n"
+            f"       len(text) - len(regexp_replace(text, '{pat}', '', 'g'))\n"
+            f"         AS hits\n"
+            f"FROM documents"
+        )
+    body = "\nUNION ALL\n".join(classes)
+    return f"""
+WITH hits AS (
+{body}
+)
+SELECT source, anomaly,
+       CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_affected,
+       CAST(SUM(hits) AS BIGINT) AS occurrences
+FROM hits
+GROUP BY source, anomaly
+ORDER BY source, anomaly
+"""
+
+
+UNICODE_ANOMALY_SCAN_SQL = _unicode_sql()

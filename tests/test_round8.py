@@ -423,3 +423,51 @@ class TestReciprocalRankFusion:
             # emitted order is score-desc with doc_id tiebreak
             scores = [(-(r["rrf_score"]), r["doc_id"]) for r in rs]
             assert scores == sorted(scores)
+
+
+class TestUnicodeAnomalyScan:
+    def test_crafted_anomalies_counted_exactly(self, spark, tmp_path):
+        """C102: a crafted corpus with KNOWN zero-width / bidi /
+        replacement / C0 injections — counts must match the python
+        ground truth exactly (the sf corpora are clean, so this test
+        is where the regex semantics are actually exercised)."""
+        from greenplum_cdc_spark.operators.quality import (
+            _UNICODE_ANOMALIES,
+            unicode_anomaly_scan,
+        )
+
+        docs = [
+            (1, "clean text here", "en", "web", 15),
+            (2, "hid​den zero​width⁠", "en", "web", 0),
+            (3, "bidi ‮evil‬ attack", "en", "web", 0),
+            (4, "moji�bake��", "en", "books", 0),
+            (5, "ctrl\x07bell\x1bescape", "en", "books", 0),
+            (6, "‍‍‍", "en", "books", 3),
+        ]
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        out = {
+            (r["source"], r["anomaly"]): (
+                r["docs_affected"], r["occurrences"]
+            )
+            for r in unicode_anomaly_scan(spark, str(tmp_path)).collect()
+        }
+        # python ground truth over the same explicit code-point lists
+        want = {}
+        for src in ("web", "books"):
+            texts = [t for _i, t, _l, s, _n in docs if s == src]
+            for name, points in _UNICODE_ANOMALIES:
+                chars = {chr(p) for p in points}
+                hits = [sum(1 for c in t if c in chars) for t in texts]
+                want[(src, name)] = (
+                    sum(1 for h in hits if h > 0), sum(hits)
+                )
+        assert out == want
+        assert out[("web", "zero_width")] == (1, 3)
+        assert out[("web", "bidi_control")] == (1, 2)
+        assert out[("books", "replacement")] == (1, 3)
+        assert out[("books", "c0_control")] == (1, 2)
+        assert out[("books", "zero_width")] == (1, 3)

@@ -311,6 +311,7 @@ def _late_ops():
         "pareto_frontier": quality.pareto_frontier,
         "embedding_covariance": similarity.embedding_covariance,
         "reciprocal_rank_fusion": quality.reciprocal_rank_fusion,
+        "unicode_anomaly_scan": quality.unicode_anomaly_scan,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
