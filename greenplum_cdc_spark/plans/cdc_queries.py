@@ -3137,3 +3137,121 @@ FROM events
 WHERE event_id % {_KSEG_MOD} = 0
 ORDER BY "offset"
 """
+
+
+# --- B100 (round-8 addition): bitemporal belief audit -------------------
+
+_BT_NUM, _BT_DEN = 6, 10  # valid-time cut V at 60% of the event span
+
+
+def bitemporal_belief_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B100 (round-8 addition): the bitemporal audit trail — for a
+    fixed VALID-time cut V, replay arrivals in TRANSACTION-time order
+    (event_id — the arrival sequence every bus transport preserves)
+    and emit each point where the answer to "what is this key's state
+    at valid time V?" CHANGED. Row k is the belief the system served
+    between its arrival and the next correction — exactly what a
+    bitemporal warehouse must reconstruct for "as known at T" audits
+    (late/out-of-order data rewrites history; this op measures where
+    and how often). The latest-wins replica (A10) keeps only the final
+    row; SCD2 (A17) keeps valid-time history but not what was BELIEVED
+    when — this is the missing transaction-time axis.
+
+    Semantics, integer-exact: V = min_ts + (span * {n}) // {d} in
+    micros (a data-derived scalar, broadcast back — the B32/C34
+    idiom). The TRANSACTION axis is a deterministic hash permutation
+    of event_id (md5-derived, the engines' shared hex idiom): the sf
+    feed arrives valid-time-ordered, where the audit is vacuous, so
+    the op replays the heavily out-of-order arrival schedule a real
+    multi-partition bus produces — same rows, permuted arrival. Among
+    events with ts_us <= V per key in that arrival order, a row is a
+    belief change iff ts_us >= the running max over prior arrivals
+    (equal valid time: the later ARRIVAL wins — the CDC latest-wins
+    tie rule): the PREFIX MAXIMA of the (valid, txn) lattice via one
+    RUNNING frame (unboundedPreceding, -1 — never the banned growing
+    frame), a filter, and a row_number for the belief index. Expected
+    changes per key ~ H(n): the audit output stays logarithmically
+    small even under total reordering.
+    """.format(n=_BT_NUM, d=_BT_DEN)
+    from pyspark.sql import Window
+
+    from ..io import load_table, materialize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.expr(
+            "cast(conv(substring(md5(cast(event_id as string)), 1, 8),"
+            " 16, 10) as bigint)"
+        ).alias("arr_key"),
+    )
+    ev = materialize(ev, "bitemporal_ev_")
+    # integer floor division on both sides: double division + cast
+    # diverges between engines (Spark truncates, DuckDB rounds)
+    cut = ev.agg(
+        F.expr(
+            f"min(ts_us) + (max(ts_us) - min(ts_us)) * {_BT_NUM}"
+            f" div {_BT_DEN}"
+        ).alias("v_us")
+    )
+    known = ev.crossJoin(F.broadcast(cut)).filter(F.col("ts_us") <= F.col("v_us"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("arr_key", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    changes = known.withColumn(
+        "prev_max", F.max("ts_us").over(w_prev)
+    ).filter(F.col("prev_max").isNull() | (F.col("ts_us") >= F.col("prev_max")))
+    w_idx = Window.partitionBy("user_id").orderBy("arr_key", "event_id")
+    return (
+        changes.withColumn("belief_idx", F.row_number().over(w_idx))
+        .select(
+            "user_id",
+            "belief_idx",
+            "event_id",
+            F.timestamp_micros(F.col("ts_us")).alias("valid_ts"),
+            "value_cents",
+        )
+        .orderBy("user_id", "belief_idx")
+    )
+
+
+BITEMPORAL_BELIEF_AUDIT_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100) AS BIGINT) AS value_cents,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS arr_key
+  FROM events
+),
+cut AS (
+  SELECT MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) * {_BT_NUM} // {_BT_DEN}
+           AS v_us
+  FROM ev
+),
+known AS (
+  SELECT ev.* FROM ev, cut WHERE ev.ts_us <= cut.v_us
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us, value_cents, arr_key,
+         MAX(ts_us) OVER (PARTITION BY user_id
+                          ORDER BY arr_key, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_max
+  FROM known
+),
+changes AS (
+  SELECT user_id, event_id, ts_us, value_cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY arr_key, event_id) AS belief_idx
+  FROM flagged
+  WHERE prev_max IS NULL OR ts_us >= prev_max
+)
+SELECT user_id, CAST(belief_idx AS INT) AS belief_idx, event_id,
+       make_timestamp(ts_us) AS valid_ts, value_cents
+FROM changes
+ORDER BY user_id, belief_idx
+"""
