@@ -2406,3 +2406,107 @@ FROM per_chunk
 GROUP BY source
 ORDER BY source
 """
+
+
+# --- C103 (round-8 addition): padding waste audit ------------------------
+
+_PAD_B = 32  # micro-batch size for the padding audit
+
+
+def padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C103 (round-8 addition): padding-waste audit — the number that
+    justifies length-sorted (bucketed) batching in every training
+    loader: batches pad to their longest member, so the cost of a
+    batch is B * max(len) and the waste is that minus the real
+    tokens. Computed for BOTH disciplines over the same corpus:
+    'arrival' (doc_id order — the naive loader) and 'sorted'
+    (token-count order — bucketed batching), per source, batch size
+    {b}. All integer-exact: whitespace token counts, integer division
+    batch assignment, waste basis points by floor division.
+
+    Plan: one scan computes token counts; each discipline is a
+    per-source row_number (sort shuffle — never a global order), an
+    integer div into batch ids, one (source, batch) rollup, one
+    source rollup. The oracle states the identical windows; the final
+    row set is 2 rows per source.
+    """.format(b=_PAD_B)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(
+            "size(filter(split(text, ' '), t -> t != ''))"
+        ).cast("long").alias("tok"),
+    )
+
+    def discipline(name: str, order_cols) -> DataFrame:
+        w = Window.partitionBy("source").orderBy(*order_cols)
+        batches = (
+            docs.withColumn(
+                "batch", ((F.row_number().over(w) - 1) / _PAD_B).cast("long")
+            )
+            .groupBy("source", "batch")
+            .agg(
+                F.count("*").alias("rows"),
+                F.max("tok").alias("max_tok"),
+                F.sum("tok").alias("sum_tok"),
+            )
+        )
+        return batches.groupBy("source").agg(
+            F.lit(name).alias("discipline"),
+            F.count("*").alias("n_batches"),
+            F.sum("sum_tok").alias("total_tokens"),
+            F.sum(F.col("rows") * F.col("max_tok")).alias("padded_tokens"),
+        )
+    arrival = discipline("arrival", [F.asc("doc_id")])
+    by_len = discipline("sorted", [F.asc("tok"), F.asc("doc_id")])
+    return (
+        arrival.unionByName(by_len)
+        .select(
+            "source",
+            "discipline",
+            "n_batches",
+            "total_tokens",
+            "padded_tokens",
+            (F.col("padded_tokens") - F.col("total_tokens")).alias("waste"),
+            F.expr(
+                "(padded_tokens - total_tokens) * 10000 div padded_tokens"
+            ).alias("waste_bp"),
+        )
+        .orderBy("source", "discipline")
+    )
+
+
+PADDING_WASTE_AUDIT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+  FROM documents
+),
+assigned AS (
+  SELECT source, tok, 'arrival' AS discipline,
+         (ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+           // {_PAD_B} AS batch
+  FROM toks
+  UNION ALL
+  SELECT source, tok, 'sorted',
+         (ROW_NUMBER() OVER (PARTITION BY source ORDER BY tok, doc_id) - 1)
+           // {_PAD_B}
+  FROM toks
+),
+batches AS (
+  SELECT source, discipline, batch,
+         COUNT(*) AS rows_, MAX(tok) AS max_tok, SUM(tok) AS sum_tok
+  FROM assigned
+  GROUP BY source, discipline, batch
+)
+SELECT source, discipline,
+       COUNT(*) AS n_batches,
+       CAST(SUM(sum_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(rows_ * max_tok) AS BIGINT) AS padded_tokens,
+       CAST(SUM(rows_ * max_tok) - SUM(sum_tok) AS BIGINT) AS waste,
+       CAST((SUM(rows_ * max_tok) - SUM(sum_tok)) * 10000
+            // SUM(rows_ * max_tok) AS BIGINT) AS waste_bp
+FROM batches
+GROUP BY source, discipline
+ORDER BY source, discipline
+"""

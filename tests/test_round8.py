@@ -531,3 +531,54 @@ class TestBitemporalBeliefAudit:
         assert any(
             len(want[u]) < len(by_user[u]) for u in want
         )
+
+
+class TestPaddingWasteAudit:
+    def test_sorted_batching_never_worse_and_exact(self, spark):
+        """C103: per source, length-sorted batching's waste is <= the
+        arrival-order waste (the theorem the op exists to quantify);
+        totals conserve (total_tokens identical across disciplines);
+        one source's numbers re-derived exactly in python."""
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.text import (
+            _PAD_B,
+            padding_waste_audit,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = padding_waste_audit(spark, sf).collect()
+        by = {(r["source"], r["discipline"]): r for r in rows}
+        sources = {s for s, _d in by}
+        assert sources and len(by) == 2 * len(sources)
+        for src in sources:
+            a, s_ = by[(src, "arrival")], by[(src, "sorted")]
+            assert a["total_tokens"] == s_["total_tokens"]
+            assert s_["waste"] <= a["waste"], src
+            assert a["waste"] == a["padded_tokens"] - a["total_tokens"]
+        # exact python re-derivation for one source
+        src0 = sorted(sources)[0]
+        docs = sorted(
+            (r["doc_id"], len([t for t in r["text"].split(" ") if t]))
+            for r in load_table(spark, sf, "documents")
+            .filter(F.col("source") == src0)
+            .select("doc_id", "text")
+            .collect()
+        )
+
+        def waste(ordered):
+            w = tot = pad = 0
+            for i in range(0, len(ordered), _PAD_B):
+                b = ordered[i : i + _PAD_B]
+                mx = max(t for _d, t in b)
+                pad += len(b) * mx
+                tot += sum(t for _d, t in b)
+            return pad - tot, tot, pad
+
+        wa, ta, pa = waste(docs)  # arrival = doc_id order
+        ws, ts_, ps = waste(sorted(docs, key=lambda dt: (dt[1], dt[0])))
+        assert by[(src0, "arrival")]["waste"] == wa
+        assert by[(src0, "arrival")]["padded_tokens"] == pa
+        assert by[(src0, "sorted")]["waste"] == ws
+        assert by[(src0, "sorted")]["padded_tokens"] == ps
