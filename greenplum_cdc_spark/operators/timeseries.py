@@ -2401,3 +2401,101 @@ SELECT d, cents, s_t, CAST(d = (SELECT cp_day FROM cp) AS INT) AS is_changepoint
 FROM scored
 ORDER BY d
 """
+
+
+# --- B101 (round-8 addition): seasonal decomposition --------------------
+
+_SEAS_P = 7  # weekly period: centered MA width and seasonal slot count
+
+
+def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B101 (round-8 addition): classical seasonal decomposition of the
+    per-event-type daily revenue series — the trend/seasonal split
+    every capacity/anomaly dashboard draws: trend = centered 7-day
+    moving average, seasonal index = mean detrended value per weekday.
+    All INTEGER-exact by working at 7x scale: with a full 7-row
+    centered window, detrended_x7 = 7*day_cents - rolling_sum_cents is
+    an integer, and the weekday seasonal index is its floor-div mean —
+    no double division anywhere, so the oracle hashes bit-for-bit.
+
+    Plan: one scan -> per-(type, day) rollup; the centered MA is a
+    BOUNDED two-sided ROWS frame (-3, +3) partitioned by event_type —
+    bounded frames are O(1)/row (the banned class is growing unbounded-
+    FOLLOWING frames); rows lacking the full window (series edges) are
+    excluded by the frame COUNT, exactly as the textbook method drops
+    the first/last half-window. One more groupBy lands the weekday
+    index. Day gaps (none in this corpus's daily cadence, but possible
+    upstream) make the frame span 7 OBSERVATIONS rather than 7
+    calendar days — deterministic in both engines and stated here.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(_SEAS_P // 2), _SEAS_P // 2)
+    )
+    detr = (
+        daily.withColumn("win_n", F.count("*").over(w))
+        .withColumn("win_sum", F.sum("cents").over(w))
+        .filter(F.col("win_n") == _SEAS_P)
+        .select(
+            "event_type",
+            (F.dayofweek("day") - 1).alias("weekday"),  # Sunday = 0
+            (F.col("cents") * _SEAS_P - F.col("win_sum")).alias("d7"),
+        )
+    )
+    return (
+        detr.groupBy("event_type", "weekday")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum("d7").alias("sum_detrended_x7"),
+        )
+        .select(
+            "event_type",
+            "weekday",
+            "n_days",
+            "sum_detrended_x7",
+            F.expr("sum_detrended_x7 div n_days").alias("seasonal_x7_cents"),
+        )
+        .orderBy("event_type", "weekday")
+    )
+
+
+SEASONAL_DECOMPOSE_SQL = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+  FROM events
+  GROUP BY event_type, date_trunc('day', ts)
+),
+win AS (
+  SELECT event_type, day, cents,
+         COUNT(*) OVER w AS win_n,
+         SUM(cents) OVER w AS win_sum
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {_SEAS_P // 2} PRECEDING
+                        AND {_SEAS_P // 2} FOLLOWING)
+),
+detr AS (
+  SELECT event_type, dayofweek(day) AS weekday,
+         cents * {_SEAS_P} - win_sum AS d7
+  FROM win WHERE win_n = {_SEAS_P}
+)
+SELECT event_type, CAST(weekday AS INT) AS weekday,
+       COUNT(*) AS n_days,
+       CAST(SUM(d7) AS BIGINT) AS sum_detrended_x7,
+       CAST(SUM(d7) // COUNT(*) AS BIGINT) AS seasonal_x7_cents
+FROM detr
+GROUP BY event_type, weekday
+ORDER BY event_type, weekday
+"""

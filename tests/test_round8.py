@@ -582,3 +582,56 @@ class TestPaddingWasteAudit:
         assert by[(src0, "arrival")]["padded_tokens"] == pa
         assert by[(src0, "sorted")]["waste"] == ws
         assert by[(src0, "sorted")]["padded_tokens"] == ps
+
+
+class TestSeasonalDecompose:
+    def test_exact_python_rederivation(self, spark):
+        """B101: the centered-MA weekly decomposition re-derived
+        exactly in python (integer identity at 7x scale): same daily
+        rollup, same 7-observation centered window with edge drops,
+        same weekday slots; seasonal indices of a weekday-balanced
+        series must roughly cancel (sum of slot means near zero
+        relative to the series magnitude)."""
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.timeseries import (
+            _SEAS_P,
+            seasonal_decompose,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = seasonal_decompose(spark, sf).collect()
+        got = {
+            (r["event_type"], r["weekday"]): (
+                r["n_days"], r["sum_detrended_x7"], r["seasonal_x7_cents"]
+            )
+            for r in rows
+        }
+        daily = (
+            load_table(spark, sf, "events")
+            .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+            .agg(
+                F.sum(F.floor(F.col("value") * 100).cast("long")).alias("c")
+            )
+            .collect()
+        )
+        series = {}
+        for r in daily:
+            series.setdefault(r["event_type"], []).append((r["day"], r["c"]))
+        want = {}
+        half = _SEAS_P // 2
+        for et, pts in series.items():
+            pts.sort()
+            for i in range(half, len(pts) - half):
+                window = pts[i - half : i + half + 1]
+                d7 = pts[i][1] * _SEAS_P - sum(c for _d, c in window)
+                # Sunday = 0, matching dayofweek-1 / duckdb dayofweek
+                wd = (pts[i][0].weekday() + 1) % 7
+                n, s_ = want.get((et, wd), (0, 0))
+                want[(et, wd)] = (n + 1, s_ + d7)
+        assert set(got) == set(want)
+        for k, (n, s_) in want.items():
+            # python // floors; both engines truncate toward zero
+            trunc = s_ // n if s_ >= 0 else -((-s_) // n)
+            assert got[k] == (n, s_, trunc), k

@@ -314,6 +314,7 @@ def _late_ops():
         "unicode_anomaly_scan": quality.unicode_anomaly_scan,
         "bitemporal_belief_audit": cdc_queries.bitemporal_belief_audit,
         "padding_waste_audit": text.padding_waste_audit,
+        "seasonal_decompose": timeseries.seasonal_decompose,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
