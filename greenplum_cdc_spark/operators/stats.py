@@ -1114,3 +1114,115 @@ SELECT event_type, n_rows, n_missing, observed_cents,
 FROM agg
 ORDER BY event_type
 """
+
+
+# --- B102 (round-8 addition): histogram drift (total variation) ---------
+
+_DRIFT_NB = 16         # equi-width value buckets
+_DRIFT_NUM, _DRIFT_DEN = 5, 10  # time cut at the mid-span
+
+
+def histogram_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B102 (round-8 addition): distribution-drift monitor — the check
+    every ML feature pipeline runs between a reference window and a
+    live window: split events at the mid-span time cut, histogram
+    `value` into {nb} equi-width buckets (integer cents over the
+    global range), and report per (event_type, bucket) the early/late
+    counts, the integer basis-point shares, the share shift, and the
+    per-type TOTAL VARIATION drift (sum of absolute share shifts) —
+    TVD instead of PSI/KL because floor-divided integer shares keep
+    the whole report engine-exact (ln() is not bit-portable; the
+    monitoring decision is the same).
+
+    Plan: one scan; the time cut and value range are ONE aggregate row
+    broadcast back (the B32/C34 scalar idiom — whitelisted BNLJ); one
+    (type, bucket) rollup with conditional sums; per-type totals and
+    the TVD as constant full-partition window sums (never a growing
+    frame). Output is at most {nb} rows per event type.
+    """.format(nb=_DRIFT_NB)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    scalars = ev.agg(
+        F.expr(
+            f"min(ts_us) + (max(ts_us) - min(ts_us)) * {_DRIFT_NUM}"
+            f" div {_DRIFT_DEN}"
+        ).alias("t_cut"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+    )
+    binned = ev.crossJoin(F.broadcast(scalars)).select(
+        "event_type",
+        (F.col("ts_us") <= F.col("t_cut")).alias("early"),
+        F.expr(f"(v - v_min) * {_DRIFT_NB} div (v_max - v_min + 1)").alias(
+            "bucket"
+        ),
+    )
+    counts = binned.groupBy("event_type", "bucket").agg(
+        F.sum(F.col("early").cast("long")).alias("early_n"),
+        F.sum((~F.col("early")).cast("long")).alias("late_n"),
+    )
+    w_type = Window.partitionBy("event_type")
+    shares = (
+        counts.withColumn("te", F.sum("early_n").over(w_type))
+        .withColumn("tl", F.sum("late_n").over(w_type))
+        .withColumn("early_bp", F.expr("early_n * 10000 div te"))
+        .withColumn("late_bp", F.expr("late_n * 10000 div tl"))
+        .withColumn("shift_bp", F.col("late_bp") - F.col("early_bp"))
+    )
+    return (
+        shares.withColumn(
+            "tvd_bp", F.sum(F.abs("shift_bp")).over(w_type)
+        )
+        .select(
+            "event_type", "bucket", "early_n", "late_n",
+            "early_bp", "late_bp", "shift_bp", "tvd_bp",
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+HISTOGRAM_DRIFT_TVD_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+),
+scalars AS (
+  SELECT MIN(ts_us) + (MAX(ts_us) - MIN(ts_us)) * {_DRIFT_NUM} // {_DRIFT_DEN}
+           AS t_cut,
+         MIN(v) AS v_min, MAX(v) AS v_max
+  FROM ev
+),
+binned AS (
+  SELECT event_type,
+         ts_us <= t_cut AS early,
+         (v - v_min) * {_DRIFT_NB} // (v_max - v_min + 1) AS bucket
+  FROM ev, scalars
+),
+counts AS (
+  SELECT event_type, bucket,
+         SUM(CASE WHEN early THEN 1 ELSE 0 END) AS early_n,
+         SUM(CASE WHEN early THEN 0 ELSE 1 END) AS late_n
+  FROM binned GROUP BY event_type, bucket
+),
+shares AS (
+  SELECT event_type, bucket, early_n, late_n,
+         early_n * 10000 // SUM(early_n) OVER (PARTITION BY event_type)
+           AS early_bp,
+         late_n * 10000 // SUM(late_n) OVER (PARTITION BY event_type)
+           AS late_bp
+  FROM counts
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(early_n AS BIGINT) AS early_n, CAST(late_n AS BIGINT) AS late_n,
+       CAST(early_bp AS BIGINT) AS early_bp,
+       CAST(late_bp AS BIGINT) AS late_bp,
+       CAST(late_bp - early_bp AS BIGINT) AS shift_bp,
+       CAST(SUM(ABS(late_bp - early_bp))
+              OVER (PARTITION BY event_type) AS BIGINT) AS tvd_bp
+FROM shares
+ORDER BY event_type, bucket
+"""

@@ -62,6 +62,7 @@ _SKIP = {
 # broadcast (documented in their docstrings)
 _BNLJ_OK = {
     "bitemporal_belief_audit",  # one-row valid-cut scalar (B32/C34 idiom)
+    "histogram_drift_tvd",  # one-row time-cut/range scalar (B32/C34 idiom)
     "kmeans_embeddings",  # K-row centroid table per Lloyd round
     "semantic_dedup",  # 8-row coarse-quantizer broadcast (assignment pass)
     "knn_cosine_bruteforce",  # broadcast query set, != condition

@@ -635,3 +635,65 @@ class TestSeasonalDecompose:
             # python // floors; both engines truncate toward zero
             trunc = s_ // n if s_ >= 0 else -((-s_) // n)
             assert got[k] == (n, s_, trunc), k
+
+
+class TestHistogramDriftTvd:
+    def test_exact_python_rederivation_and_tvd_bounds(self, spark):
+        """B102: the drift table re-derived exactly in python (same
+        time cut, same integer bucketing, same floor-div shares);
+        TVD is consistent with the per-bucket shifts and bounded by
+        2*10000 bp; bucket ids stay within [0, NB)."""
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.stats import (
+            _DRIFT_DEN,
+            _DRIFT_NB,
+            _DRIFT_NUM,
+            histogram_drift_tvd,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = histogram_drift_tvd(spark, sf).collect()
+        ev = (
+            load_table(spark, sf, "events")
+            .select(
+                "event_type",
+                F.unix_micros("ts").alias("t"),
+                F.floor(F.col("value") * 100).cast("long").alias("v"),
+            )
+            .collect()
+        )
+        lo = min(r["t"] for r in ev)
+        hi = max(r["t"] for r in ev)
+        cut = lo + (hi - lo) * _DRIFT_NUM // _DRIFT_DEN
+        vmin = min(r["v"] for r in ev)
+        vmax = max(r["v"] for r in ev)
+        cnt = {}
+        for r in ev:
+            b = (r["v"] - vmin) * _DRIFT_NB // (vmax - vmin + 1)
+            assert 0 <= b < _DRIFT_NB
+            k = (r["event_type"], b)
+            e, l_ = cnt.get(k, (0, 0))
+            if r["t"] <= cut:
+                cnt[k] = (e + 1, l_)
+            else:
+                cnt[k] = (e, l_ + 1)
+        te, tl = {}, {}
+        for (et, _b), (e, l_) in cnt.items():
+            te[et] = te.get(et, 0) + e
+            tl[et] = tl.get(et, 0) + l_
+        got = {(r["event_type"], r["bucket"]): r for r in rows}
+        assert set(got) == set(cnt)
+        tvd_want = {}
+        for (et, b), (e, l_) in cnt.items():
+            ebp = e * 10000 // te[et]
+            lbp = l_ * 10000 // tl[et]
+            r = got[(et, b)]
+            assert (r["early_n"], r["late_n"]) == (e, l_)
+            assert (r["early_bp"], r["late_bp"]) == (ebp, lbp)
+            assert r["shift_bp"] == lbp - ebp
+            tvd_want[et] = tvd_want.get(et, 0) + abs(lbp - ebp)
+        for r in rows:
+            assert r["tvd_bp"] == tvd_want[r["event_type"]]
+            assert 0 <= r["tvd_bp"] <= 20000

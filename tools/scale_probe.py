@@ -315,6 +315,7 @@ def _late_ops():
         "bitemporal_belief_audit": cdc_queries.bitemporal_belief_audit,
         "padding_waste_audit": text.padding_waste_audit,
         "seasonal_decompose": timeseries.seasonal_decompose,
+        "histogram_drift_tvd": _stats().histogram_drift_tvd,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
