@@ -1808,3 +1808,108 @@ SELECT doc_id, component_id,
 FROM labels
 ORDER BY doc_id
 """
+
+
+# --- C104 (round-8 addition): truncation (prefix) duplicate scan --------
+
+_PREFIX_BLOCK = 16  # blocking key width == minimum detectable prefix
+
+
+def prefix_dup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C104 (round-8 addition): truncation-duplicate scan — the crawl
+    pathology exact dedup cannot see: document A is a PROPER PREFIX of
+    document B (truncated re-crawl, partial mirror, pagination stub).
+    Hash dedup misses it (different digests), near-dup misses short
+    prefixes (Jaccard dilutes with B's tail). Per source of the
+    SHORTER doc: pair count, distinct truncated docs, and the exact
+    chars a dedup pass would reclaim by dropping the prefixes. Zero
+    rows are still rows (every source reports, zeros included) — the
+    sf corpora are truncation-free, so a crafted-corpus pytest carries
+    the detection semantics, the unicode-scan precedent.
+
+    Plan: self-join BLOCKED on the first {w} chars (any proper prefix
+    pair with len(A) >= {w} shares them — stated detection floor:
+    docs shorter than {w} chars are out of scope), length-ordered to
+    halve the pairs, then one substring equality verifies. The block
+    key is an equi-join — never an all-pairs product; block sizes are
+    the corpus's {w}-char-prefix collision counts (grow sublinearly as
+    prefix diversity grows with the corpus). The oracle states the
+    SAME blocked join, so DuckDB hash-joins it too.
+    """.format(w=_PREFIX_BLOCK)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.length("text").alias("n")
+    )
+    eligible = docs.filter(F.col("n") >= _PREFIX_BLOCK).withColumn(
+        "blk", F.expr(f"substring(text, 1, {_PREFIX_BLOCK})")
+    )
+    a = eligible.select(
+        F.col("blk"),
+        F.col("doc_id").alias("a_id"),
+        F.col("source").alias("a_source"),
+        F.col("text").alias("a_text"),
+        F.col("n").alias("a_n"),
+    )
+    b = eligible.select(
+        F.col("blk"),
+        F.col("doc_id").alias("b_id"),
+        F.col("text").alias("b_text"),
+        F.col("n").alias("b_n"),
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("a_n") < F.col("b_n"))
+        .filter(
+            F.expr("substring(b_text, 1, a_n) = a_text")
+        )
+        .select("a_source", "a_id", "a_n")
+    )
+    stats = pairs.groupBy("a_source").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("a_id").alias("n_truncated_docs"),
+        F.sum("a_n").alias("reclaimable_chars"),
+    )
+    sources = docs.select(F.col("source").alias("a_source")).distinct()
+    return (
+        sources.join(stats, "a_source", "left")
+        .select(
+            F.col("a_source").alias("source"),
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_truncated_docs", F.lit(0)).alias(
+                "n_truncated_docs"
+            ),
+            F.coalesce("reclaimable_chars", F.lit(0)).alias(
+                "reclaimable_chars"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+PREFIX_DUP_SCAN_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source, text, len(text) AS n FROM documents
+),
+eligible AS (
+  SELECT doc_id, source, text, n, substr(text, 1, {_PREFIX_BLOCK}) AS blk
+  FROM docs WHERE n >= {_PREFIX_BLOCK}
+),
+pairs AS (
+  SELECT a.source AS a_source, a.doc_id AS a_id, a.n AS a_n
+  FROM eligible a JOIN eligible b
+    ON a.blk = b.blk AND a.n < b.n
+  WHERE substr(b.text, 1, a.n) = a.text
+),
+stats AS (
+  SELECT a_source, COUNT(*) AS n_pairs,
+         COUNT(DISTINCT a_id) AS n_truncated_docs,
+         SUM(a_n) AS reclaimable_chars
+  FROM pairs GROUP BY a_source
+)
+SELECT d.source,
+       CAST(COALESCE(s.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(s.n_truncated_docs, 0) AS BIGINT) AS n_truncated_docs,
+       CAST(COALESCE(s.reclaimable_chars, 0) AS BIGINT) AS reclaimable_chars
+FROM (SELECT DISTINCT source FROM docs) d
+LEFT JOIN stats s ON s.a_source = d.source
+ORDER BY d.source
+"""

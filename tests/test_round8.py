@@ -697,3 +697,60 @@ class TestHistogramDriftTvd:
         for r in rows:
             assert r["tvd_bp"] == tvd_want[r["event_type"]]
             assert 0 <= r["tvd_bp"] <= 20000
+
+
+class TestPrefixDupScan:
+    def test_crafted_truncations_detected(self, spark, tmp_path):
+        """C104: a crafted corpus with known truncation chains — A is a
+        prefix of B is a prefix of C — plus decoys (shared block but
+        diverging tail; identical twins; short-doc out of scope).
+        Counts and reclaimable chars must match the brute-force python
+        dominance exactly."""
+        from greenplum_cdc_spark.operators.dedup import (
+            _PREFIX_BLOCK,
+            prefix_dup_scan,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        docs = [
+            (1, base[:30], "web"),        # prefix of 2 and 3
+            (2, base[:45], "web"),        # prefix of 3
+            (3, base, "web"),
+            (4, base[:16] + "ZZZ diverges", "web"),  # same block, no prefix
+            (5, "tiny", "web"),           # below the detection floor
+            (6, "identical twin text here", "books"),
+            (7, "identical twin text here", "books"),  # equal != prefix
+            (8, "completely different start", "books"),
+        ]
+        rows = [(i, t, "en", s, len(t)) for i, t, s in docs]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        out = {r["source"]: r for r in prefix_dup_scan(spark, str(tmp_path)).collect()}
+        # brute force
+        want = {}
+        for s in ("web", "books"):
+            members = [(i, t) for i, t, src in docs if src == s]
+            pairs = [
+                (ai, len(at))
+                for ai, at in members
+                for bi, bt in members
+                if ai != bi
+                and len(at) >= _PREFIX_BLOCK
+                and len(at) < len(bt)
+                and bt.startswith(at)
+            ]
+            want[s] = (
+                len(pairs),
+                len({i for i, _n in pairs}),
+                sum(n for _i, n in pairs),
+            )
+        for s, (np_, nd, rc) in want.items():
+            r = out[s]
+            assert (r["n_pairs"], r["n_truncated_docs"],
+                    r["reclaimable_chars"]) == (np_, nd, rc), s
+        assert out["web"]["n_pairs"] == 3      # (1,2) (1,3) (2,3)
+        assert out["web"]["n_truncated_docs"] == 2
+        assert out["books"]["n_pairs"] == 0    # twins are equal, not proper

@@ -316,6 +316,7 @@ def _late_ops():
         "padding_waste_audit": text.padding_waste_audit,
         "seasonal_decompose": timeseries.seasonal_decompose,
         "histogram_drift_tvd": _stats().histogram_drift_tvd,
+        "prefix_dup_scan": dedup.prefix_dup_scan,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
