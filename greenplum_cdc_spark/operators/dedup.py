@@ -109,6 +109,25 @@ def _shingle_set_sizes(docs: DataFrame) -> DataFrame:
     )
 
 
+def _rarity_docsets(sh: DataFrame) -> DataFrame:
+    """(doc_id, arr, n): each doc's DISTINCT shingles sorted by global
+    rarity (document frequency, shingle as tiebreak) — the shared index
+    structure behind prefix-filtered set-similarity joins (AllPairs /
+    PPJoin and the containment variant). One shuffle for df, one for
+    the per-doc collect; consumers slice prefixes off ``arr``."""
+    df_tbl = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    shdf = sh.join(df_tbl, "sh").hint("shuffle_hash")
+    return (
+        shdf.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("ord"))
+        .select(
+            "doc_id",
+            F.expr("transform(ord, x -> x.sh)").alias("arr"),
+            F.size("ord").alias("n"),
+        )
+    )
+
+
 # DuckDB twin: list comprehension over the filtered token list
 # (1-based; range end-exclusive, empty when len(toks) < 3).
 _SHINGLES_SQL = f"""
@@ -347,24 +366,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # against prefixes — rare shingles, tiny buckets.
     # Verification is exact via array_intersect on the full sets, so the
     # OUTPUT is identical to the naive join (same oracle).
-    df_tbl = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    shdf = sh.join(df_tbl, "sh").hint("shuffle_hash")
-    docsets = (
-        shdf.groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("df", "sh"))).alias("ord"))
-        .select(
-            "doc_id",
-            F.expr("transform(ord, x -> x.sh)").alias("arr"),
-            F.size("ord").alias("n"),
-        )
-    )
     # docsets feeds FOUR consumers (probe prefixes, index prefixes, and
     # both verify sides); without materialization the whole shingle →
     # document-frequency → rarity-sort pipeline re-executes per consumer
     # (4x the shuffles). Persist is exactly what a 100 TB run would do —
     # the ordered sets are the algorithm's index structure. Only one
-    # cached copy is kept alive across invocations.
-    docsets = _swap_persist("jaccard_docsets", docsets)
+    # cached copy is kept alive across invocations (and the plan is
+    # byte-identical to dedup_containment's, so the two ops SHARE it
+    # via the sameResult fast path).
+    docsets = _swap_persist("jaccard_docsets", _rarity_docsets(sh))
     tau_num, tau_den = int(JACCARD_THRESHOLD * 100), 100
     # probe prefix: n - ceil(tau*n) + 1 (exact integer math)
     plen_sql = f"n - ((n * {tau_num} + {tau_den - 1}) div {tau_den}) + 1"
@@ -1912,4 +1922,110 @@ SELECT d.source,
 FROM (SELECT DISTINCT source FROM docs) d
 LEFT JOIN stats s ON s.a_source = d.source
 ORDER BY d.source
+"""
+
+
+# Containment threshold as an exact integer ratio (4/5) and the stated
+# detection floor: a doc with fewer than MIN distinct shingles yields
+# containment scores too coarse to act on (1 shared shingle out of 2 is
+# already 0.5), so contained-side docs below the floor are out of scope.
+CONTAINMENT_NUM, CONTAINMENT_DEN = 4, 5
+CONTAINMENT_MIN_SHINGLES = 5
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C105 (round-8 addition): ASYMMETRIC n-gram containment pairs —
+    the sub-document duplication Jaccard dilutes. A quote, boilerplate
+    block, or whole short article embedded in a much longer page has
+    C(A→B) = |S(A)∩S(B)| / |S(A)| ≈ 1 while J(A,B) ≈ |A|/|B| → 0, so
+    a symmetric near-dup pass (C4/C2/C3) never surfaces it; C104 only
+    catches the strict-prefix special case. Emits every ORDERED pair
+    with containment >= 4/5 over word-3-gram shingle sets (twins
+    appear in both directions — the relation is directional by
+    construction). Mirrors the reference's dedup surface
+    (cdc_plpgsql_functions.sql similarity checks) extended per the
+    training-data-pipeline mandate.
+
+    Plan — the containment variant of prefix filtering: order each
+    doc's shingles by global rarity (shared `_rarity_docsets` index,
+    cache-shared with C4 via sameResult). If C(A→B) >= tau then
+    |A∩B| >= ceil(tau*n_a), so the intersection cannot fit in A's last
+    ceil(tau*n_a) - 1 positions — A's first n_a - ceil(tau*n_a) + 1
+    RAREST shingles must hit B. Unlike Jaccard there is no symmetric
+    bound on B, so the index side is B's FULL postings; the join is
+    still rare-key-dominated (A's prefix holds its globally rarest
+    shingles, and a shingle's posting bucket IS its df). The one
+    available B-side prune — n_b >= |A∩B| >= ceil(tau*n_a) — is
+    applied before the distinct. Verification is exact
+    (array_intersect on full sets) with an INTEGER threshold test
+    (n_inter * den >= n_a * num) and an integer ppm score, so no
+    float-boundary or ROUND-mode divergence exists vs the oracle,
+    which states the naive all-shingles join (same output by the
+    prefix-filter completeness argument above).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _distinct_shingles(docs)
+    docsets = _swap_persist("jaccard_docsets", _rarity_docsets(sh))
+    num, den = CONTAINMENT_NUM, CONTAINMENT_DEN
+    floor_n = CONTAINMENT_MIN_SHINGLES
+    # probe prefix of the CONTAINED side: n - ceil(tau*n) + 1
+    plen_sql = f"n - ((n * {num} + {den - 1}) div {den}) + 1"
+    probe = (
+        docsets.filter(F.col("n") >= floor_n)
+        .select(
+            F.col("doc_id").alias("a_id"),
+            F.col("n").alias("n_a"),
+            F.explode(F.expr(f"slice(arr, 1, {plen_sql})")).alias("sh"),
+        )
+    )
+    postings = docsets.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("n").alias("n_b"),
+        F.explode("arr").alias("sh"),
+    )
+    cand = (
+        probe.join(postings, "sh")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(F.col("n_b") * den >= F.col("n_a") * num)
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    va = docsets.select(
+        F.col("doc_id").alias("a_id"), F.col("arr").alias("arr_a"), F.col("n").alias("n_a")
+    )
+    vb = docsets.select(F.col("doc_id").alias("b_id"), F.col("arr").alias("arr_b"))
+    return (
+        cand.join(va, "a_id")
+        .join(vb, "b_id")
+        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .filter(F.col("n_inter") * den >= F.col("n_a") * num)
+        .select(
+            F.col("a_id").alias("contained_id"),
+            F.col("b_id").alias("container_id"),
+            "n_inter",
+            F.col("n_a").alias("n_contained_sh"),
+            F.expr("n_inter * 1000000 div n_a").alias("containment_ppm"),
+        )
+        .orderBy("contained_id", "container_id")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH {_SHINGLES_SQL.strip().lstrip()},
+dsh AS (SELECT DISTINCT doc_id, sh FROM shingles),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_inter
+  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id AS contained_id, b_id AS container_id,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n_sh AS BIGINT) AS n_contained_sh,
+       CAST(n_inter * 1000000 // sa.n_sh AS BIGINT) AS containment_ppm
+FROM inter
+JOIN sizes sa ON sa.doc_id = a_id
+WHERE sa.n_sh >= {CONTAINMENT_MIN_SHINGLES}
+  AND n_inter * {CONTAINMENT_DEN} >= sa.n_sh * {CONTAINMENT_NUM}
+ORDER BY contained_id, container_id
 """

@@ -754,3 +754,78 @@ class TestPrefixDupScan:
         assert out["web"]["n_pairs"] == 3      # (1,2) (1,3) (2,3)
         assert out["web"]["n_truncated_docs"] == 2
         assert out["books"]["n_pairs"] == 0    # twins are equal, not proper
+
+
+class TestDedupContainment:
+    def test_crafted_containment_vs_brute_force(self, spark, tmp_path):
+        """C105: a crafted corpus with a known embedded document (whole
+        short doc inside a long page), a partial-overlap decoy below
+        threshold, identical twins (containment 1 in BOTH directions),
+        and a doc below the shingle floor that is fully contained but
+        out of scope. Output must equal the brute-force ordered-pair
+        containment over distinct word-3-gram sets."""
+        from greenplum_cdc_spark.operators.dedup import (
+            CONTAINMENT_DEN,
+            CONTAINMENT_MIN_SHINGLES,
+            CONTAINMENT_NUM,
+            SHINGLE_WORDS,
+            dedup_containment,
+        )
+
+        a = "alpha bravo charlie delta echo foxtrot golf"
+        docs = [
+            (1, a, "web"),  # embedded in 2; floor-eligible (5 shingles)
+            (2, "intro words here " + a + " trailing content words beyond", "web"),
+            # decoy: shares only 2 of doc 1's shingles -> 0.4 < 0.8
+            (3, "alpha bravo charlie delta junkone junktwo", "web"),
+            (4, "same twin text repeated enough words here", "books"),
+            (5, "same twin text repeated enough words here", "books"),
+            # below the floor (2 shingles) though fully inside doc 1
+            (6, "alpha bravo charlie delta", "web"),
+            (7, "completely unrelated content with different words", "books"),
+        ]
+        rows = [(i, t, "en", s, len(t)) for i, t, s in docs]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            (r["contained_id"], r["container_id"]): r
+            for r in dedup_containment(spark, str(tmp_path)).collect()
+        }
+        # brute force over distinct word-3-gram sets
+        def sh(t):
+            w = [x for x in t.split(" ") if x]
+            return {
+                " ".join(w[i : i + SHINGLE_WORDS])
+                for i in range(len(w) - SHINGLE_WORDS + 1)
+            }
+
+        sets = {i: sh(t) for i, t, _s in docs}
+        want = {}
+        for ai, sa in sets.items():
+            if len(sa) < CONTAINMENT_MIN_SHINGLES:
+                continue
+            for bi, sb in sets.items():
+                if ai == bi:
+                    continue
+                inter = len(sa & sb)
+                if inter * CONTAINMENT_DEN >= len(sa) * CONTAINMENT_NUM:
+                    want[(ai, bi)] = (
+                        inter,
+                        len(sa),
+                        inter * 1000000 // len(sa),
+                    )
+        assert set(got) == set(want)
+        for k, (ni, na, ppm) in want.items():
+            r = got[k]
+            assert (r["n_inter"], r["n_contained_sh"], r["containment_ppm"]) == (
+                ni, na, ppm,
+            ), k
+        # the semantics the op exists for, pinned explicitly:
+        assert (1, 2) in got and got[(1, 2)]["containment_ppm"] == 1000000
+        assert (2, 1) not in got            # asymmetric: the page is not in the doc
+        assert (3, 1) not in got            # below threshold decoy
+        assert (6, 1) not in got            # below the shingle floor
+        assert (4, 5) in got and (5, 4) in got  # twins, both directions
