@@ -1226,3 +1226,118 @@ SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
 FROM shares
 ORDER BY event_type, bucket
 """
+
+
+# floor(10000 * log10(1 + 1/d)) for d = 1..9 — the Benford expectation
+# as a STATED integer table (sums to 9995; the 5 bp are floor loss).
+# Both engines consume the same literals, so no log10 bit-portability
+# question ever reaches the comparison.
+BENFORD_BP = (3010, 1760, 1249, 969, 791, 669, 579, 511, 457)
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B103 (round-8 addition): Benford first-significant-digit audit —
+    the classic fabricated-data / broken-feed screen for financial
+    facts: naturally-grown multiplicative amounts follow
+    P(d) = log10(1+1/d); a synthesized or truncated feed does not.
+    Per order priority: each digit's count, observed share (bp),
+    the stated Benford expectation (bp), the deviation, and the
+    per-priority total variation from Benford — all integer-exact.
+    Every (priority, digit) cell reports, zeros included, so a digit
+    that NEVER occurs (the strongest fabrication signal) is a visible
+    row, not an absent one.
+
+    Plan: one orders scan; first digit comes from the integer-cents
+    STRING head (substring of a BIGINT cast — identical formatting in
+    both engines; no log10 on doubles anywhere), one (priority, digit)
+    rollup, a broadcast 5x9 digit spine for the zero cells, per-
+    priority totals and the TVD as constant full-partition window
+    sums. Output is exactly 9 rows per priority.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    digits = orders.filter(F.col("cents") > 0).select(
+        "o_orderpriority",
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("digit"),
+    )
+    counts = digits.groupBy("o_orderpriority", "digit").agg(
+        F.count("*").alias("n")
+    )
+    spine = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .select("o_orderpriority", F.explode(F.expr("sequence(1, 9)")).alias("digit"))
+    )
+    benford = F.expr(
+        "element_at(array({}), digit)".format(", ".join(map(str, BENFORD_BP)))
+    )
+    w_pri = Window.partitionBy("o_orderpriority")
+    filled = (
+        spine.join(counts, ["o_orderpriority", "digit"], "left")
+        .select(
+            "o_orderpriority",
+            "digit",
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+        .withColumn("total", F.sum("n").over(w_pri))
+        .withColumn("observed_bp", F.expr("n * 10000 div total"))
+        .withColumn("benford_bp", benford.cast("long"))
+        .withColumn("dev_bp", F.col("observed_bp") - F.col("benford_bp"))
+    )
+    return (
+        filled.withColumn("tvd_bp", F.sum(F.abs("dev_bp")).over(w_pri))
+        .select(
+            "o_orderpriority", "digit", "n",
+            "observed_bp", "benford_bp", "dev_bp", "tvd_bp",
+        )
+        .orderBy("o_orderpriority", "digit")
+    )
+
+
+BENFORD_DIGIT_AUDIT_SQL = """
+WITH cents AS (
+  SELECT o_orderpriority,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+digits AS (
+  SELECT o_orderpriority,
+         CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit
+  FROM cents WHERE cents > 0
+),
+counts AS (
+  SELECT o_orderpriority, digit, COUNT(*) AS n
+  FROM digits GROUP BY o_orderpriority, digit
+),
+benford(digit, benford_bp) AS (
+  VALUES (1, 3010), (2, 1760), (3, 1249), (4, 969), (5, 791),
+         (6, 669), (7, 579), (8, 511), (9, 457)
+),
+spine AS (
+  SELECT p.o_orderpriority, b.digit, b.benford_bp
+  FROM (SELECT DISTINCT o_orderpriority FROM cents) p, benford b
+),
+filled AS (
+  SELECT s.o_orderpriority, s.digit, s.benford_bp,
+         COALESCE(c.n, 0) AS n
+  FROM spine s LEFT JOIN counts c
+    ON c.o_orderpriority = s.o_orderpriority AND c.digit = s.digit
+),
+shares AS (
+  SELECT o_orderpriority, digit, n, benford_bp,
+         n * 10000 // SUM(n) OVER (PARTITION BY o_orderpriority)
+           AS observed_bp
+  FROM filled
+)
+SELECT o_orderpriority, CAST(digit AS INTEGER) AS digit,
+       CAST(n AS BIGINT) AS n,
+       CAST(observed_bp AS BIGINT) AS observed_bp,
+       CAST(benford_bp AS BIGINT) AS benford_bp,
+       CAST(observed_bp - benford_bp AS BIGINT) AS dev_bp,
+       CAST(SUM(ABS(observed_bp - benford_bp))
+              OVER (PARTITION BY o_orderpriority) AS BIGINT) AS tvd_bp
+FROM shares
+ORDER BY o_orderpriority, digit
+"""

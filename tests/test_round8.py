@@ -829,3 +829,76 @@ class TestDedupContainment:
         assert (3, 1) not in got            # below threshold decoy
         assert (6, 1) not in got            # below the shingle floor
         assert (4, 5) in got and (5, 4) in got  # twins, both directions
+
+
+class TestBenfordDigitAudit:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B103: every cell re-derived in python from the raw parquet —
+        counts, floor-div shares, stated Benford table, deviations, and
+        the per-priority TVD; zero cells present as rows."""
+        from greenplum_cdc_spark.operators.stats import (
+            BENFORD_BP,
+            benford_digit_audit,
+        )
+
+        rows = benford_digit_audit(spark, sf_dir).collect()
+        raw = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select("o_orderpriority", "o_totalprice")
+            .collect()
+        )
+        import math
+
+        cnt, tot = {}, {}
+        pris = set()
+        for r in raw:
+            pris.add(r["o_orderpriority"])
+            cents = math.floor(r["o_totalprice"] * 100)
+            if cents <= 0:
+                continue
+            d = int(str(cents)[0])
+            k = (r["o_orderpriority"], d)
+            cnt[k] = cnt.get(k, 0) + 1
+            tot[r["o_orderpriority"]] = tot.get(r["o_orderpriority"], 0) + 1
+        assert len(rows) == 9 * len(pris)
+        tvd_want = {}
+        for p in pris:
+            tvd_want[p] = sum(
+                abs(cnt.get((p, d), 0) * 10000 // tot[p] - BENFORD_BP[d - 1])
+                for d in range(1, 10)
+            )
+        for r in rows:
+            p, d = r["o_orderpriority"], r["digit"]
+            n = cnt.get((p, d), 0)
+            obs = n * 10000 // tot[p]
+            assert r["n"] == n, (p, d)
+            assert r["observed_bp"] == obs
+            assert r["benford_bp"] == BENFORD_BP[d - 1]
+            assert r["dev_bp"] == obs - BENFORD_BP[d - 1]
+            assert r["tvd_bp"] == tvd_want[p]
+
+    def test_fabricated_feed_flags(self, spark, tmp_path):
+        """A constant-amount (fabricated) feed concentrates all mass on
+        one digit: its TVD must be near the 2*(10000-benford_bp(d))
+        ceiling, far above a Benford-ish organic feed's."""
+        import datetime
+
+        rows = [
+            (i, i, "1-URGENT", 555.0, datetime.datetime(2024, 1, 1), "x")
+            for i in range(100)
+        ]
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        ).write.parquet(str(tmp_path / "orders.parquet"))
+        from greenplum_cdc_spark.operators.stats import benford_digit_audit
+
+        out = benford_digit_audit(spark, str(tmp_path)).collect()
+        assert len(out) == 9
+        by_d = {r["digit"]: r for r in out}
+        assert by_d[5]["n"] == 100 and by_d[5]["observed_bp"] == 10000
+        assert all(by_d[d]["n"] == 0 for d in range(1, 10) if d != 5)
+        # TVD = (10000-791) + sum of the other digits' benford_bp
+        assert by_d[1]["tvd_bp"] == (10000 - 791) + (9995 - 791)

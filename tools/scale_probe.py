@@ -318,6 +318,7 @@ def _late_ops():
         "histogram_drift_tvd": _stats().histogram_drift_tvd,
         "prefix_dup_scan": dedup.prefix_dup_scan,
         "dedup_containment": dedup.dedup_containment,
+        "benford_digit_audit": _stats().benford_digit_audit,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
