@@ -1608,3 +1608,114 @@ ORDER BY source, anomaly
 
 
 UNICODE_ANOMALY_SCAN_SQL = _unicode_sql()
+
+
+# Truncated two-sided geometric noise (alpha = 1/2, i.e. epsilon = ln 2
+# per released cell), STATED as exclusive upper thresholds over a
+# uniform 60-bit hash u in [0, 2^60): k(u) = first j with u < bound(j).
+# P(0) = 1/3, P(+-j) = (1/3)*2^-j, tails beyond +-8 folded into the end
+# bins (the standard truncated-geometric release mechanism). Both
+# engines consume the same 17 literals, so the mechanism is
+# deterministic and engine-exact — no RNG, no float CDF inversion.
+DP_NOISE_BOUNDS = (
+    (-8, 3002399751580330),
+    (-7, 6004799503160661),
+    (-6, 12009599006321322),
+    (-5, 24019198012642645),
+    (-4, 48038396025285290),
+    (-3, 96076792050570581),
+    (-2, 192153584101141162),
+    (-1, 384307168202282325),
+    (0, 768614336404564650),
+    (1, 960767920505705813),
+    (2, 1056844712556276394),
+    (3, 1104883108581561685),
+    (4, 1128902306594204330),
+    (5, 1140911905600525653),
+    (6, 1146916705103686314),
+    (7, 1149919104855266645),
+    (8, 1152921504606846976),
+)
+
+
+def _dp_noise_case(u_col: str) -> str:
+    """CASE cascade mapping the uniform 60-bit integer to the noise k."""
+    arms = " ".join(
+        f"WHEN {u_col} < {b} THEN {k}" for k, b in DP_NOISE_BOUNDS[:-1]
+    )
+    return f"CASE {arms} ELSE {DP_NOISE_BOUNDS[-1][0]} END"
+
+
+def dp_histogram_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C106 (round-8 addition): differentially-private histogram
+    release of the (source, lang) document counts — the mechanism a
+    data owner runs before publishing corpus composition stats. Every
+    cell of the PUBLIC domain (distinct sources x distinct langs)
+    reports, INCLUDING empty cells: releasing only non-empty cells
+    leaks exact absence, the textbook stability-histogram mistake.
+    Noise is the truncated two-sided geometric (alpha=1/2, eps=ln 2)
+    derived from a keyed md5 of the cell label via the stated
+    DP_NOISE_BOUNDS table — deterministic, integer-exact, auditable;
+    released counts clamp at 0 (counts are non-negative by contract).
+
+    Plan: one (source, lang) rollup; the domain spine is the broadcast
+    product of the two small distinct sets; noise is pure map-side
+    expression work (md5 -> 60-bit int -> 16-comparison CASE). At
+    100 TB the rollup is the only shuffle and its width is the
+    released histogram's, not the corpus's.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    spine = (
+        docs.select("source").distinct()
+        .crossJoin(F.broadcast(docs.select("lang").distinct()))
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("dp-release-v1"), "source", "lang")),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        spine.join(counts, ["source", "lang"], "left")
+        .select(
+            "source", "lang",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            u.alias("u"),
+        )
+        .withColumn("noise", F.expr(_dp_noise_case("u")).cast("long"))
+        .select(
+            "source", "lang",
+            F.greatest(F.col("n") + F.col("noise"), F.lit(0)).alias("released_n"),
+            "noise",
+        )
+        .orderBy("source", "lang")
+    )
+
+
+DP_HISTOGRAM_RELEASE_SQL = f"""
+WITH counts AS (
+  SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+),
+spine AS (
+  SELECT s.source, l.lang
+  FROM (SELECT DISTINCT source FROM documents) s,
+       (SELECT DISTINCT lang FROM documents) l
+),
+cells AS (
+  SELECT sp.source, sp.lang, COALESCE(c.n, 0) AS n,
+         CAST(('0x' || substr(md5('dp-release-v1' || '|' || sp.source
+                || '|' || sp.lang), 1, 15)) AS BIGINT) AS u
+  FROM spine sp LEFT JOIN counts c
+    ON c.source = sp.source AND c.lang = sp.lang
+),
+noised AS (
+  SELECT source, lang, n, {_dp_noise_case("u")} AS noise FROM cells
+)
+SELECT source, lang,
+       CAST(GREATEST(n + noise, 0) AS BIGINT) AS released_n,
+       CAST(noise AS BIGINT) AS noise
+FROM noised
+ORDER BY source, lang
+"""

@@ -902,3 +902,86 @@ class TestBenfordDigitAudit:
         assert all(by_d[d]["n"] == 0 for d in range(1, 10) if d != 5)
         # TVD = (10000-791) + sum of the other digits' benford_bp
         assert by_d[1]["tvd_bp"] == (10000 - 791) + (9995 - 791)
+
+
+class TestDpHistogramRelease:
+    def test_mechanism_exact_and_domain_complete(self, spark, tmp_path):
+        """C106: released = clamp(n + k(md5 u), 0) re-derived exactly in
+        python from the stated threshold table; empty public-domain
+        cells (source x lang present in the corpus but not jointly)
+        appear as pure-noise rows."""
+        import hashlib
+
+        from greenplum_cdc_spark.operators.quality import (
+            DP_NOISE_BOUNDS,
+            dp_histogram_release,
+        )
+
+        docs = [
+            (1, "aaa", "en", "web"),
+            (2, "bbb", "en", "web"),
+            (3, "ccc", "de", "books"),
+            (4, "ddd", "en", "books"),
+            (5, "eee", "de", "books"),
+        ]  # (web, de) is an EMPTY public-domain cell
+        spark.createDataFrame(
+            [(i, t, l, s, len(t)) for i, t, l, s in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        rows = {
+            (r["source"], r["lang"]): r
+            for r in dp_histogram_release(spark, str(tmp_path)).collect()
+        }
+        assert set(rows) == {
+            ("web", "en"), ("web", "de"), ("books", "en"), ("books", "de"),
+        }
+
+        def noise(source, lang):
+            h = hashlib.md5(f"dp-release-v1|{source}|{lang}".encode()).hexdigest()
+            u = int(h[:15], 16)
+            for k, b in DP_NOISE_BOUNDS:
+                if u < b:
+                    return k
+            raise AssertionError("u out of range")
+
+        true_n = {("web", "en"): 2, ("books", "de"): 2, ("books", "en"): 1,
+                  ("web", "de"): 0}
+        for cell, n in true_n.items():
+            k = noise(*cell)
+            r = rows[cell]
+            assert r["noise"] == k, cell
+            assert r["released_n"] == max(n + k, 0), cell
+
+    def test_noise_distribution_matches_stated_pmf(self):
+        """The threshold table itself: bin widths over [0, 2^60) must
+        equal the truncated two-sided geometric pmf within 1 ulp of the
+        exact rational (floor rounding), and the hash-driven empirical
+        distribution over 20k labels must be close to it."""
+        import hashlib
+        from fractions import Fraction
+
+        from greenplum_cdc_spark.operators.quality import DP_NOISE_BOUNDS
+
+        T = 1 << 60
+        pmf = {}
+        for j in range(-8, 9):
+            pmf[j] = Fraction(1, 3) / (2 ** abs(j)) if j else Fraction(1, 3)
+        tail = Fraction(1, 3) / (2 ** 8)
+        pmf[-8] += tail
+        pmf[8] += tail
+        lo = 0
+        for k, hi in DP_NOISE_BOUNDS:
+            width = hi - lo
+            exact = pmf[k] * T
+            assert abs(width - exact) < 2, k
+            lo = hi
+        assert lo == T
+        # empirical check over hash-uniform labels
+        cnt = {}
+        for i in range(20000):
+            u = int(hashlib.md5(f"lbl{i}".encode()).hexdigest()[:15], 16)
+            k = next(k for k, b in DP_NOISE_BOUNDS if u < b)
+            cnt[k] = cnt.get(k, 0) + 1
+        assert abs(cnt[0] / 20000 - 1 / 3) < 0.02
+        assert abs(cnt[1] / 20000 - 1 / 6) < 0.02
+        assert abs(cnt[-1] / 20000 - 1 / 6) < 0.02

@@ -319,6 +319,7 @@ def _late_ops():
         "prefix_dup_scan": dedup.prefix_dup_scan,
         "dedup_containment": dedup.dedup_containment,
         "benford_digit_audit": _stats().benford_digit_audit,
+        "dp_histogram_release": _quality().dp_histogram_release,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
@@ -340,6 +341,12 @@ def _stats():
     from greenplum_cdc_spark.operators import stats
 
     return stats
+
+
+def _quality():
+    from greenplum_cdc_spark.operators import quality
+
+    return quality
 
 
 def _multimodal():
