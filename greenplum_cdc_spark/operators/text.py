@@ -2510,3 +2510,85 @@ FROM batches
 GROUP BY source, discipline
 ORDER BY source, discipline
 """
+
+
+_KFOLD_K = 5
+
+
+def stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C107 (round-8 addition): deterministic stratified k-fold
+    assignment audit — the split plan behind cross-validated eval:
+    within each stratum (source), docs are ordered by a keyed content
+    hash (a deterministic shuffle) and dealt round-robin into {k}
+    folds, so per-stratum fold sizes differ by AT MOST ONE — the
+    balance guarantee plain hash-mod assignment cannot give (binomial
+    spread grows with the stratum). Emits every (source, fold) cell
+    (zeros included via the fold spine: a stratum smaller than {k}
+    leaves visible empty folds) with the per-stratum max-min spread
+    repeated per row so the audit threshold (spread <= 1) is a column
+    scan, not a join.
+
+    Plan: one per-stratum sort shuffle (row_number over source — never
+    a global window), modulo deal, one rollup, broadcast fold spine,
+    constant full-partition window min/max. The oracle states the
+    identical window with the unique doc_id tiebreak (engine-portable
+    peer order).
+    """.format(k=_KFOLD_K)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.concat_ws("|", F.lit("kfold-v1"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    assigned = docs.select(
+        "source",
+        ((F.row_number().over(w) - 1) % _KFOLD_K).alias("fold"),
+    )
+    counts = assigned.groupBy("source", "fold").agg(F.count("*").alias("n_docs"))
+    spine = (
+        docs.select("source").distinct()
+        .select("source", F.explode(F.expr(f"sequence(0, {_KFOLD_K - 1})")).alias("fold"))
+    )
+    w_src = Window.partitionBy("source")
+    return (
+        spine.join(counts, ["source", "fold"], "left")
+        .select("source", "fold", F.coalesce("n_docs", F.lit(0)).alias("n_docs"))
+        .withColumn(
+            "spread",
+            F.max("n_docs").over(w_src) - F.min("n_docs").over(w_src),
+        )
+        .orderBy("source", "fold")
+    )
+
+
+STRATIFIED_KFOLD_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, source,
+         md5('kfold-v1' || '|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+assigned AS (
+  SELECT source,
+         (ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) - 1)
+           % {_KFOLD_K} AS fold
+  FROM hashed
+),
+counts AS (
+  SELECT source, fold, COUNT(*) AS n_docs FROM assigned GROUP BY source, fold
+),
+spine AS (
+  SELECT s.source, f.fold
+  FROM (SELECT DISTINCT source FROM documents) s,
+       (SELECT unnest(range(0, {_KFOLD_K})) AS fold) f
+),
+filled AS (
+  SELECT sp.source, sp.fold, COALESCE(c.n_docs, 0) AS n_docs
+  FROM spine sp LEFT JOIN counts c
+    ON c.source = sp.source AND c.fold = sp.fold
+)
+SELECT source, CAST(fold AS BIGINT) AS fold, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(MAX(n_docs) OVER (PARTITION BY source)
+              - MIN(n_docs) OVER (PARTITION BY source) AS BIGINT) AS spread
+FROM filled
+ORDER BY source, fold
+"""

@@ -985,3 +985,47 @@ class TestDpHistogramRelease:
         assert abs(cnt[0] / 20000 - 1 / 3) < 0.02
         assert abs(cnt[1] / 20000 - 1 / 6) < 0.02
         assert abs(cnt[-1] / 20000 - 1 / 6) < 0.02
+
+
+class TestStratifiedKfold:
+    def test_balance_and_determinism(self, spark, sf_dir):
+        """C107: per-stratum fold sizes differ by at most 1, fold sizes
+        sum to the stratum size, the spread column equals max-min, and
+        assignment is deterministic across invocations."""
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.text import _KFOLD_K, stratified_kfold
+
+        rows = stratified_kfold(spark, sf_dir).collect()
+        sizes = {
+            r["source"]: r["n"]
+            for r in load_table(spark, sf_dir, "documents")
+            .groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        per_src = {}
+        for r in rows:
+            per_src.setdefault(r["source"], []).append(r)
+        assert set(per_src) == set(sizes)
+        for src, cells in per_src.items():
+            assert sorted(c["fold"] for c in cells) == list(range(_KFOLD_K))
+            ns = [c["n_docs"] for c in cells]
+            assert sum(ns) == sizes[src]
+            assert max(ns) - min(ns) <= 1
+            assert all(c["spread"] == max(ns) - min(ns) for c in cells)
+        again = stratified_kfold(spark, sf_dir).collect()
+        assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+    def test_tiny_stratum_leaves_empty_folds(self, spark, tmp_path):
+        """A 3-doc stratum under K=5 shows two visible zero folds."""
+        from greenplum_cdc_spark.operators.text import stratified_kfold
+
+        spark.createDataFrame(
+            [(i, f"doc {i}", "en", "tiny", 5) for i in range(3)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        out = stratified_kfold(spark, str(tmp_path)).collect()
+        assert len(out) == 5
+        ns = sorted(r["n_docs"] for r in out)
+        assert ns == [0, 0, 1, 1, 1]
+        assert all(r["spread"] == 1 for r in out)

@@ -320,6 +320,7 @@ def _late_ops():
         "dedup_containment": dedup.dedup_containment,
         "benford_digit_audit": _stats().benford_digit_audit,
         "dp_histogram_release": _quality().dp_histogram_release,
+        "stratified_kfold": text.stratified_kfold,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
