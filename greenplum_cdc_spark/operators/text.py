@@ -2592,3 +2592,142 @@ SELECT source, CAST(fold AS BIGINT) AS fold, CAST(n_docs AS BIGINT) AS n_docs,
 FROM filled
 ORDER BY source, fold
 """
+
+
+_CALIB_NB = 10
+
+
+def langid_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C108 (round-8 addition): calibration report (reliability table +
+    ECE) for the C8 stopword language classifier — the eval every
+    score-thresholded curation filter needs before its confidences are
+    trusted: per confidence bucket, how often is the classifier
+    actually right? Confidence = max stopword-hit share in bp
+    (integer), bucketed into {nb} equal bins; per bucket the doc
+    count, accuracy (bp), mean confidence (bp), and gap; the expected
+    calibration error ECE = sum(n_b * |gap_b|) div N repeated per row.
+    Docs with zero stopword hits ('und' — the classifier abstains) are
+    out of scope by statement. Every bucket reports; empty buckets
+    carry NULL accuracy/confidence (no docs to average), not zeros.
+
+    Plan: one token explode + (doc, lang) rollup (C8's exact hit
+    logic), map-side confidence/pred, one bucket rollup, broadcast
+    bucket spine, and the ECE as a 1-row aggregate broadcast back
+    (the B32/C34 scalar idiom — never a global window). Integer bp
+    arithmetic end-to-end: no ROUND, no float shares.
+    """.format(nb=_CALIB_NB)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tok(docs)
+    hits = tok.groupBy("doc_id", "lang").agg(
+        *[
+            F.sum(F.when(F.col("w").isin(*words), 1).otherwise(0)).alias(f"{code}_hits")
+            for code, words in STOPWORDS.items()
+        ]
+    )
+    pred = F.expr(
+        "CASE WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'und' "
+        "WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de' "
+        "WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en' "
+        "WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END"
+    )
+    scored = (
+        hits.withColumn("total", F.expr("de_hits + en_hits + es_hits + fr_hits"))
+        .filter(F.col("total") > 0)
+        .withColumn(
+            "conf_bp",
+            F.expr("greatest(de_hits, en_hits, es_hits, fr_hits) * 10000 div total"),
+        )
+        .withColumn("ok", (pred == F.col("lang")).cast("long"))
+        .select(
+            F.least(F.expr(f"conf_bp div {10000 // _CALIB_NB}"), F.lit(_CALIB_NB - 1)).alias("bucket"),
+            "conf_bp",
+            "ok",
+        )
+    )
+    buckets = scored.groupBy("bucket").agg(
+        F.count("*").alias("n"),
+        F.sum("ok").alias("n_ok"),
+        F.sum("conf_bp").alias("sum_conf"),
+    )
+    spine = spark.range(_CALIB_NB).select(F.col("id").cast("int").alias("bucket"))
+    filled = (
+        spine.join(buckets, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.expr("n_ok * 10000 div n").alias("acc_bp"),
+            F.expr("sum_conf div n").alias("avg_conf_bp"),
+        )
+        .withColumn("gap_bp", F.col("acc_bp") - F.col("avg_conf_bp"))
+    )
+    ece = filled.agg(
+        F.expr(
+            "CASE WHEN sum(n) > 0 THEN "
+            "sum(coalesce(n * abs(gap_bp), 0)) div sum(n) ELSE 0 END"
+        ).alias("ece_bp")
+    )
+    return (
+        filled.crossJoin(F.broadcast(ece))
+        .select("bucket", "n", "acc_bp", "avg_conf_bp", "gap_bp", "ece_bp")
+        .orderBy("bucket")
+    )
+
+
+LANGID_CALIBRATION_SQL = f"""
+WITH {_TOK_SQL.strip()},
+hits AS (
+  SELECT doc_id, lang,
+         CAST(SUM(CASE WHEN w IN ({{de}}) THEN 1 ELSE 0 END) AS BIGINT) AS de_hits,
+         CAST(SUM(CASE WHEN w IN ({{en}}) THEN 1 ELSE 0 END) AS BIGINT) AS en_hits,
+         CAST(SUM(CASE WHEN w IN ({{es}}) THEN 1 ELSE 0 END) AS BIGINT) AS es_hits,
+         CAST(SUM(CASE WHEN w IN ({{fr}}) THEN 1 ELSE 0 END) AS BIGINT) AS fr_hits
+  FROM tok2
+  GROUP BY doc_id, lang
+),
+scored AS (
+  SELECT LEAST(greatest(de_hits, en_hits, es_hits, fr_hits) * 10000
+                 // (de_hits + en_hits + es_hits + fr_hits)
+                 // {10000 // _CALIB_NB}, {_CALIB_NB - 1}) AS bucket,
+         greatest(de_hits, en_hits, es_hits, fr_hits) * 10000
+           // (de_hits + en_hits + es_hits + fr_hits) AS conf_bp,
+         CASE WHEN lang = CASE
+             WHEN greatest(de_hits, en_hits, es_hits, fr_hits) = 0 THEN 'und'
+             WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+             WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+             WHEN es_hits >= fr_hits THEN 'es' ELSE 'fr' END
+           THEN 1 ELSE 0 END AS ok
+  FROM hits
+  WHERE de_hits + en_hits + es_hits + fr_hits > 0
+),
+buckets AS (
+  SELECT bucket, COUNT(*) AS n, SUM(ok) AS n_ok, SUM(conf_bp) AS sum_conf
+  FROM scored GROUP BY bucket
+),
+filled AS (
+  SELECT s.bucket,
+         COALESCE(b.n, 0) AS n,
+         b.n_ok * 10000 // b.n AS acc_bp,
+         b.sum_conf // b.n AS avg_conf_bp
+  FROM (SELECT unnest(range(0, {_CALIB_NB})) AS bucket) s
+  LEFT JOIN buckets b ON b.bucket = s.bucket
+),
+ece AS (
+  SELECT CASE WHEN SUM(n) > 0 THEN
+           SUM(COALESCE(n * ABS(acc_bp - avg_conf_bp), 0)) // SUM(n)
+         ELSE 0 END AS ece_bp
+  FROM filled
+)
+SELECT CAST(f.bucket AS INTEGER) AS bucket, CAST(f.n AS BIGINT) AS n,
+       CAST(f.acc_bp AS BIGINT) AS acc_bp,
+       CAST(f.avg_conf_bp AS BIGINT) AS avg_conf_bp,
+       CAST(f.acc_bp - f.avg_conf_bp AS BIGINT) AS gap_bp,
+       CAST(e.ece_bp AS BIGINT) AS ece_bp
+FROM filled f, ece e
+ORDER BY f.bucket
+"""
+LANGID_CALIBRATION_SQL = LANGID_CALIBRATION_SQL.format(
+    de=_inlist(STOPWORDS["de"]),
+    en=_inlist(STOPWORDS["en"]),
+    es=_inlist(STOPWORDS["es"]),
+    fr=_inlist(STOPWORDS["fr"]),
+)

@@ -1029,3 +1029,46 @@ class TestStratifiedKfold:
         ns = sorted(r["n_docs"] for r in out)
         assert ns == [0, 0, 1, 1, 1]
         assert all(r["spread"] == 1 for r in out)
+
+
+class TestLangidCalibration:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """C108: buckets, accuracies, mean confidences, and the ECE
+        re-derived in python from the C8 classifier's own per-doc
+        output (lang_id is already oracle-gated, so it is a valid
+        truth source for the calibration layer)."""
+        from greenplum_cdc_spark.operators.text import (
+            _CALIB_NB,
+            lang_id,
+            langid_calibration,
+        )
+
+        per_doc = lang_id(spark, sf_dir).collect()
+        cells = {}
+        for r in per_doc:
+            total = r["de_hits"] + r["en_hits"] + r["es_hits"] + r["fr_hits"]
+            if total == 0:
+                continue
+            conf = max(r["de_hits"], r["en_hits"], r["es_hits"], r["fr_hits"]) * 10000 // total
+            b = min(conf // (10000 // _CALIB_NB), _CALIB_NB - 1)
+            n, ok, sc = cells.get(b, (0, 0, 0))
+            cells[b] = (n + 1, ok + r["is_correct"], sc + conf)
+        rows = {r["bucket"]: r for r in langid_calibration(spark, sf_dir).collect()}
+        assert set(rows) == set(range(_CALIB_NB))
+        num = den = 0
+        for b in range(_CALIB_NB):
+            r = rows[b]
+            if b not in cells:
+                assert r["n"] == 0
+                assert r["acc_bp"] is None and r["avg_conf_bp"] is None
+                assert r["gap_bp"] is None
+                continue
+            n, ok, sc = cells[b]
+            acc, avg = ok * 10000 // n, sc // n
+            assert (r["n"], r["acc_bp"], r["avg_conf_bp"]) == (n, acc, avg)
+            assert r["gap_bp"] == acc - avg
+            num += n * abs(acc - avg)
+            den += n
+        ece = num // den if den else 0
+        assert all(r["ece_bp"] == ece for r in rows.values())
+        assert 0 <= ece <= 10000

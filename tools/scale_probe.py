@@ -321,6 +321,7 @@ def _late_ops():
         "benford_digit_audit": _stats().benford_digit_audit,
         "dp_histogram_release": _quality().dp_histogram_release,
         "stratified_kfold": text.stratified_kfold,
+        "langid_calibration": text.langid_calibration,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
