@@ -2731,3 +2731,82 @@ LANGID_CALIBRATION_SQL = LANGID_CALIBRATION_SQL.format(
     es=_inlist(STOPWORDS["es"]),
     fr=_inlist(STOPWORDS["fr"]),
 )
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C109 (round-8 addition): tokenizer fertility audit per language
+    — the multilingual-cost-skew number every tokenizer choice is
+    judged on: how many subword (BPE-ish regex) tokens the tokenizer
+    spends per whitespace word and per character in each language, and
+    each language's premium over the corpus-wide rate (a language
+    whose fertility_ppm is 2x the baseline pays 2x the context budget
+    for the same text). Integer ppm end-to-end (floor division; C10's
+    exact token definitions), corpus totals via a 1-row aggregate
+    broadcast back — never a global window.
+
+    Plan: one scan computes per-doc ws/bpe/char counts map-side (the
+    C10 expressions), one per-lang rollup, one scalar rollup broadcast
+    back. Fertility of the whole corpus at 100 TB is two shuffles of
+    |langs| and 1 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    bpe = F.size(F.expr(f"regexp_extract_all(text, '{BPE_PATTERN}', 0)"))
+    per_doc = docs.select(
+        "lang",
+        ws.alias("n_ws"),
+        bpe.alias("n_bpe"),
+        F.length("text").alias("n_chars"),
+    )
+    per_lang = per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_ws").alias("ws_tokens"),
+        F.sum("n_bpe").alias("bpe_tokens"),
+        F.sum("n_chars").alias("chars"),
+    )
+    totals = per_doc.agg(
+        F.sum("n_ws").alias("t_ws"), F.sum("n_bpe").alias("t_bpe")
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(totals))
+        .select(
+            "lang", "n_docs", "ws_tokens", "bpe_tokens", "chars",
+            F.expr("bpe_tokens * 1000000 div ws_tokens").alias("fertility_ppm"),
+            F.expr("chars * 1000000 div bpe_tokens").alias("chars_per_bpe_ppm"),
+            F.expr(
+                "(bpe_tokens * 1000000 div ws_tokens) * 1000000"
+                " div (t_bpe * 1000000 div t_ws)"
+            ).alias("premium_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+TOKENIZER_FERTILITY_SQL = f"""
+WITH per_doc AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws,
+         len(regexp_extract_all(text, '{{bpe}}')) AS n_bpe,
+         length(text) AS n_chars
+  FROM documents
+),
+per_lang AS (
+  SELECT lang, COUNT(*) AS n_docs, SUM(n_ws) AS ws_tokens,
+         SUM(n_bpe) AS bpe_tokens, SUM(n_chars) AS chars
+  FROM per_doc GROUP BY lang
+),
+totals AS (
+  SELECT SUM(n_ws) AS t_ws, SUM(n_bpe) AS t_bpe FROM per_doc
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(ws_tokens AS BIGINT) AS ws_tokens,
+       CAST(bpe_tokens AS BIGINT) AS bpe_tokens,
+       CAST(chars AS BIGINT) AS chars,
+       CAST(bpe_tokens * 1000000 // ws_tokens AS BIGINT) AS fertility_ppm,
+       CAST(chars * 1000000 // bpe_tokens AS BIGINT) AS chars_per_bpe_ppm,
+       CAST((bpe_tokens * 1000000 // ws_tokens) * 1000000
+              // (t_bpe * 1000000 // t_ws) AS BIGINT) AS premium_ppm
+FROM per_lang, totals
+ORDER BY lang
+"""
+TOKENIZER_FERTILITY_SQL = TOKENIZER_FERTILITY_SQL.format(bpe=BPE_PATTERN)

@@ -1072,3 +1072,47 @@ class TestLangidCalibration:
         ece = num // den if den else 0
         assert all(r["ece_bp"] == ece for r in rows.values())
         assert 0 <= ece <= 10000
+
+
+class TestTokenizerFertility:
+    def test_rederived_from_gated_token_counts(self, spark, sf_dir):
+        """C109: per-lang totals and all three ppm ratios re-derived
+        from C10's already-gated per-doc token counts joined to the
+        raw lang column."""
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.text import (
+            token_count,
+            tokenizer_fertility,
+        )
+
+        langs = {
+            r["doc_id"]: (r["lang"], r["n_chars_txt"])
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", F.length("text").alias("n_chars_txt"))
+            .collect()
+        }
+        agg = {}
+        t_ws = t_bpe = 0
+        for r in token_count(spark, sf_dir).collect():
+            lang, nch = langs[r["doc_id"]]
+            d = agg.setdefault(lang, [0, 0, 0, 0])  # docs, ws, bpe, chars
+            d[0] += 1
+            d[1] += r["n_ws_tokens"]
+            d[2] += r["n_bpe_tokens"]
+            d[3] += nch
+            t_ws += r["n_ws_tokens"]
+            t_bpe += r["n_bpe_tokens"]
+        rows = {r["lang"]: r for r in tokenizer_fertility(spark, sf_dir).collect()}
+        assert set(rows) == set(agg)
+        base = t_bpe * 1000000 // t_ws
+        for lang, (nd, ws, bpe, ch) in agg.items():
+            r = rows[lang]
+            assert (r["n_docs"], r["ws_tokens"], r["bpe_tokens"], r["chars"]) == (
+                nd, ws, bpe, ch,
+            )
+            fert = bpe * 1000000 // ws
+            assert r["fertility_ppm"] == fert
+            assert r["chars_per_bpe_ppm"] == ch * 1000000 // bpe
+            assert r["premium_ppm"] == fert * 1000000 // base

@@ -322,6 +322,7 @@ def _late_ops():
         "dp_histogram_release": _quality().dp_histogram_release,
         "stratified_kfold": text.stratified_kfold,
         "langid_calibration": text.langid_calibration,
+        "tokenizer_fertility": text.tokenizer_fertility,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
