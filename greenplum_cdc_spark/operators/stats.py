@@ -1341,3 +1341,80 @@ SELECT o_orderpriority, CAST(digit AS INTEGER) AS digit,
 FROM shares
 ORDER BY o_orderpriority, digit
 """
+
+
+# Candidate functional dependencies to audit: (label, table, lhs, rhs).
+# Mix of true FDs (keys, dimension hierarchies) and plausible-but-false
+# ones — the profiler's job is to MEASURE, not assume.
+FD_CANDIDATES = (
+    ("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("customer.c_custkey->c_nationkey", "customer", "c_custkey", "c_nationkey"),
+    ("nation.n_nationkey->n_regionkey", "nation", "n_nationkey", "n_regionkey"),
+    ("lineitem.l_orderkey->l_suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+    ("lineitem.l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+    ("events.user_id->event_type", "events", "user_id", "event_type"),
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+)
+
+
+def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B104 (round-8 addition): functional-dependency audit — the
+    schema-profiling pass behind normalization, CDC key inference, and
+    join-safety checks: for each stated candidate X -> Y, does every X
+    group carry exactly one Y? Reports per candidate the LHS group
+    count, violating groups (distinct Y > 1), violation share (bp),
+    the worst group's distinct-Y count, and the verdict. True FDs
+    (keys, dimension hierarchies) and plausible-but-false ones are
+    audited alike — the profiler measures, never assumes.
+
+    Plan: per candidate one (lhs -> countDistinct rhs) partial-agg
+    rollup collapsed to a single stats row, all unioned — at 100 TB
+    each audit is one map-side-combined shuffle of |distinct lhs|
+    rows, and candidates run independently (Spark unions them into
+    one job, stages in parallel).
+    """
+    parts = []
+    for label, table, lhs, rhs in FD_CANDIDATES:
+        tbl = load_table(spark, sf_dir, table)
+        grp = tbl.groupBy(F.col(lhs).alias("k")).agg(
+            F.countDistinct(rhs).alias("ndv")
+        )
+        parts.append(
+            grp.agg(
+                F.count("*").alias("n_groups"),
+                F.sum((F.col("ndv") > 1).cast("long")).alias("n_violating"),
+                F.max("ndv").alias("max_distinct_rhs"),
+            ).select(
+                F.lit(label).alias("fd"),
+                "n_groups",
+                "n_violating",
+                F.expr("n_violating * 10000 div n_groups").alias("violation_bp"),
+                "max_distinct_rhs",
+                (F.col("n_violating") == 0).alias("holds"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fd")
+
+
+def _fd_sql() -> str:
+    arms = []
+    for label, table, lhs, rhs in FD_CANDIDATES:
+        arms.append(f"""
+SELECT '{label}' AS fd,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+       CAST(SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+         AS violation_bp,
+       CAST(MAX(ndv) AS BIGINT) AS max_distinct_rhs,
+       SUM(CASE WHEN ndv > 1 THEN 1 ELSE 0 END) = 0 AS holds
+FROM (
+  SELECT {lhs} AS k, COUNT(DISTINCT {rhs}) AS ndv
+  FROM {table} GROUP BY {lhs}
+)""")
+    return "\nUNION ALL\n".join(arms) + "\nORDER BY fd"
+
+
+FD_DISCOVERY_SQL = _fd_sql()

@@ -1116,3 +1116,32 @@ class TestTokenizerFertility:
             assert r["fertility_ppm"] == fert
             assert r["chars_per_bpe_ppm"] == ch * 1000000 // bpe
             assert r["premium_ppm"] == fert * 1000000 // base
+
+
+class TestFdDiscovery:
+    def test_exact_python_rederivation_and_known_verdicts(self, spark, sf_dir):
+        """B104: every candidate's stats re-derived in python from the
+        raw parquet; the key-based candidates must hold, and any
+        lineitem.l_orderkey->l_suppkey violation must be visible."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.stats import FD_CANDIDATES, fd_discovery
+
+        rows = {r["fd"]: r for r in fd_discovery(spark, sf_dir).collect()}
+        assert set(rows) == {c[0] for c in FD_CANDIDATES}
+        for label, table, lhs, rhs in FD_CANDIDATES:
+            data = load_table(spark, sf_dir, table).select(lhs, rhs).collect()
+            groups = {}
+            for r in data:
+                groups.setdefault(r[lhs], set()).add(r[rhs])
+            n_groups = len(groups)
+            n_viol = sum(1 for v in groups.values() if len(v) > 1)
+            r = rows[label]
+            assert r["n_groups"] == n_groups, label
+            assert r["n_violating"] == n_viol, label
+            assert r["violation_bp"] == n_viol * 10000 // n_groups, label
+            assert r["max_distinct_rhs"] == max(len(v) for v in groups.values())
+            assert r["holds"] == (n_viol == 0), label
+        # structural truths of the schema
+        assert rows["orders.o_orderkey->o_custkey"]["holds"]
+        assert rows["customer.c_custkey->c_nationkey"]["holds"]
+        assert rows["nation.n_nationkey->n_regionkey"]["holds"]

@@ -323,6 +323,7 @@ def _late_ops():
         "stratified_kfold": text.stratified_kfold,
         "langid_calibration": text.langid_calibration,
         "tokenizer_fertility": text.tokenizer_fertility,
+        "fd_discovery": _stats().fd_discovery,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
