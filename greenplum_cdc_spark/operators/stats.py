@@ -1418,3 +1418,113 @@ FROM (
 
 
 FD_DISCOVERY_SQL = _fd_sql()
+
+
+_WINSOR_LO_PCT, _WINSOR_HI_PCT = 5, 95
+
+
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B105 (round-8 addition): robust per-group statistics — the
+    outlier-tolerant aggregate a metrics pipeline publishes when raw
+    means are poisoned by fat tails: per event type, the exact
+    nearest-rank p{lo}/p{hi} cutoffs over integer cents, the
+    winsorized mean (tails CLAMPED to the cutoffs), the trimmed mean
+    (tail VALUES dropped), the raw mean beside them, and the clamp
+    counts. Everything integer-exact: cutoffs are selected order
+    statistics (ceil-rank — the classical nearest-rank definition,
+    stated identically in both engines), means are integer-cent sums
+    under truncating division; no float percentile interpolation
+    (percentile_approx and DuckDB's quantile interpolate differently
+    and are not bit-portable).
+
+    Plan: one per-type sort shuffle assigns row_number (never a global
+    window), per-type counts ride the same partition as a constant-
+    frame window count, the two cutoff rows per type collapse to a
+    broadcast |types|-row dimension joined back to the feed, then one
+    final rollup. Two shuffles of the feed total at any scale.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    w_cnt = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "v",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(w_cnt).alias("n"),
+    )
+    cutoffs = (
+        ranked.filter(
+            (F.col("rn") == F.expr(f"(n * {_WINSOR_LO_PCT} + 99) div 100"))
+            | (F.col("rn") == F.expr(f"(n * {_WINSOR_HI_PCT} + 99) div 100"))
+        )
+        .groupBy("event_type")
+        .agg(F.min("v").alias("lo_cents"), F.max("v").alias("hi_cents"))
+    )
+    return (
+        ev.join(F.broadcast(cutoffs), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.first("lo_cents").alias("lo_cents"),
+            F.first("hi_cents").alias("hi_cents"),
+            F.sum((F.col("v") < F.col("lo_cents")).cast("long")).alias("n_clamped_low"),
+            F.sum((F.col("v") > F.col("hi_cents")).cast("long")).alias("n_clamped_high"),
+            F.expr("sum(v) div count(*)").alias("raw_mean_cents"),
+            F.expr(
+                "sum(greatest(least(v, hi_cents), lo_cents)) div count(*)"
+            ).alias("winsor_mean_cents"),
+            F.expr(
+                "CASE WHEN sum(CAST(v >= lo_cents AND v <= hi_cents AS BIGINT)) > 0"
+                " THEN sum(CASE WHEN v >= lo_cents AND v <= hi_cents THEN v ELSE 0 END)"
+                " div sum(CAST(v >= lo_cents AND v <= hi_cents AS BIGINT))"
+                " ELSE NULL END"
+            ).alias("trimmed_mean_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+WINSORIZED_STATS_SQL = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events
+),
+ranked AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM ev
+),
+cutoffs AS (
+  SELECT event_type, MIN(v) AS lo_cents, MAX(v) AS hi_cents
+  FROM ranked
+  WHERE rn = (n * {_WINSOR_LO_PCT} + 99) // 100
+     OR rn = (n * {_WINSOR_HI_PCT} + 99) // 100
+  GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(c.lo_cents) AS BIGINT) AS lo_cents,
+       CAST(MIN(c.hi_cents) AS BIGINT) AS hi_cents,
+       CAST(SUM(CASE WHEN e.v < c.lo_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_low,
+       CAST(SUM(CASE WHEN e.v > c.hi_cents THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clamped_high,
+       CAST(SUM(e.v) // COUNT(*) AS BIGINT) AS raw_mean_cents,
+       CAST(SUM(GREATEST(LEAST(e.v, c.hi_cents), c.lo_cents)) // COUNT(*)
+              AS BIGINT) AS winsor_mean_cents,
+       CAST(CASE WHEN SUM(CASE WHEN e.v BETWEEN c.lo_cents AND c.hi_cents
+                              THEN 1 ELSE 0 END) > 0
+            THEN SUM(CASE WHEN e.v BETWEEN c.lo_cents AND c.hi_cents
+                          THEN e.v ELSE 0 END)
+                 // SUM(CASE WHEN e.v BETWEEN c.lo_cents AND c.hi_cents
+                             THEN 1 ELSE 0 END)
+            ELSE NULL END AS BIGINT) AS trimmed_mean_cents
+FROM ev e JOIN cutoffs c ON c.event_type = e.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""

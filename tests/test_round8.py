@@ -1145,3 +1145,46 @@ class TestFdDiscovery:
         assert rows["orders.o_orderkey->o_custkey"]["holds"]
         assert rows["customer.c_custkey->c_nationkey"]["holds"]
         assert rows["nation.n_nationkey->n_regionkey"]["holds"]
+
+
+class TestWinsorizedStats:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B105: cutoffs (nearest-rank), clamp counts, and all three
+        means re-derived exactly in python from the raw parquet."""
+        import math
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.stats import (
+            _WINSOR_HI_PCT,
+            _WINSOR_LO_PCT,
+            winsorized_stats,
+        )
+
+        raw = load_table(spark, sf_dir, "events").select(
+            "event_type", "value"
+        ).collect()
+        by_type = {}
+        for r in raw:
+            by_type.setdefault(r["event_type"], []).append(
+                math.floor(r["value"] * 100)
+            )
+        rows = {r["event_type"]: r for r in winsorized_stats(spark, sf_dir).collect()}
+        assert set(rows) == set(by_type)
+        for et, vals in by_type.items():
+            vals.sort()
+            n = len(vals)
+            lo = vals[(n * _WINSOR_LO_PCT + 99) // 100 - 1]
+            hi = vals[(n * _WINSOR_HI_PCT + 99) // 100 - 1]
+            r = rows[et]
+            assert (r["n"], r["lo_cents"], r["hi_cents"]) == (n, lo, hi), et
+            assert r["n_clamped_low"] == sum(1 for v in vals if v < lo)
+            assert r["n_clamped_high"] == sum(1 for v in vals if v > hi)
+            q = sum(v for v in vals)
+            assert r["raw_mean_cents"] == q // n
+            wsum = sum(max(min(v, hi), lo) for v in vals)
+            assert r["winsor_mean_cents"] == wsum // n
+            kept = [v for v in vals if lo <= v <= hi]
+            assert r["trimmed_mean_cents"] == sum(kept) // len(kept)
+            # robustness direction: winsorized/trimmed between cutoffs
+            assert lo <= r["winsor_mean_cents"] <= hi
+            assert lo <= r["trimmed_mean_cents"] <= hi
