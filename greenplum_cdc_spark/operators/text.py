@@ -2810,3 +2810,111 @@ FROM per_lang, totals
 ORDER BY lang
 """
 TOKENIZER_FERTILITY_SQL = TOKENIZER_FERTILITY_SQL.format(bpe=BPE_PATTERN)
+
+
+_COLLOC_MIN_N, _COLLOC_TOPK = 5, 50
+
+
+def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C110 (round-8 addition): collocation extraction — the corpus-
+    linguistics pass behind phrase vocabularies and tokenizer merge
+    seeding: adjacent word pairs whose co-occurrence beats the
+    independence expectation, ranked by LIFT = P(w1w2)/(P(w1)P(w2)).
+    Lift instead of PMI because lift's ratio is computed in one
+    deterministic double expression with a FLOOR to ppm (identical
+    IEEE evaluation in both engines), while PMI's log is not
+    bit-portable; the RANKING is identical (log is monotone). Min
+    support {minn} occurrences, top {k} with a full deterministic
+    tiebreak (lift desc, pair asc).
+
+    Plan: bigrams built ARRAY-side per doc (transform over the token
+    array — no window, no shuffle), one bigram rollup + one unigram
+    rollup (both map-side combined), corpus totals as a 1-row
+    aggregate broadcast back, two broadcast-able unigram joins (the
+    unigram table is vocabulary-sized, exploding feed-size is never
+    joined to itself), then a global TakeOrdered top-{k} — never a
+    full sort of the pair space.
+    """.format(minn=_COLLOC_MIN_N, k=_COLLOC_TOPK)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.withColumn(
+        "toks", F.filter(F.split("text", " "), lambda w: w != "")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> struct(toks[i] AS w1, toks[i + 1] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n_xy"))
+    totals = toks.select(
+        F.sum(F.size("toks")).alias("n_tokens"),
+        F.sum(F.greatest(F.size("toks") - 1, F.lit(0))).alias("n_bigrams"),
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    return (
+        bg_counts.filter(F.col("n_xy") >= _COLLOC_MIN_N)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2", "n_xy", "n_w1", "n_w2",
+            F.floor(
+                F.expr(
+                    "CAST(n_xy AS DOUBLE) * CAST(n_tokens AS DOUBLE)"
+                    " * CAST(n_tokens AS DOUBLE) * 1e6"
+                    " / (CAST(n_bigrams AS DOUBLE) * CAST(n_w1 AS DOUBLE)"
+                    " * CAST(n_w2 AS DOUBLE))"
+                )
+            ).cast("long").alias("lift_ppm"),
+        )
+        .orderBy(F.desc("lift_ppm"), "w1", "w2")
+        .limit(_COLLOC_TOPK)
+    )
+
+
+COLLOCATION_LIFT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+  FROM documents
+),
+bigrams AS (
+  SELECT unnest([{{'w1': toks[i], 'w2': toks[i + 1]}}
+                 FOR i IN range(1, len(toks))], recursive := true)
+  FROM tok
+),
+uni AS (
+  SELECT w, COUNT(*) AS n_w
+  FROM (SELECT unnest(toks) AS w FROM tok) GROUP BY w
+),
+bg_counts AS (
+  SELECT w1, w2, COUNT(*) AS n_xy FROM bigrams GROUP BY w1, w2
+),
+totals AS (
+  SELECT SUM(len(toks)) AS n_tokens,
+         SUM(GREATEST(len(toks) - 1, 0)) AS n_bigrams
+  FROM tok
+)
+SELECT b.w1, b.w2, CAST(b.n_xy AS BIGINT) AS n_xy,
+       CAST(u1.n_w AS BIGINT) AS n_w1, CAST(u2.n_w AS BIGINT) AS n_w2,
+       CAST(FLOOR(CAST(b.n_xy AS DOUBLE) * CAST(t.n_tokens AS DOUBLE)
+                  * CAST(t.n_tokens AS DOUBLE) * 1e6
+                  / (CAST(t.n_bigrams AS DOUBLE) * CAST(u1.n_w AS DOUBLE)
+                     * CAST(u2.n_w AS DOUBLE))) AS BIGINT) AS lift_ppm
+FROM bg_counts b
+JOIN uni u1 ON u1.w = b.w1
+JOIN uni u2 ON u2.w = b.w2
+CROSS JOIN totals t
+WHERE b.n_xy >= {_COLLOC_MIN_N}
+ORDER BY lift_ppm DESC, b.w1, b.w2
+LIMIT {_COLLOC_TOPK}
+"""

@@ -1188,3 +1188,73 @@ class TestWinsorizedStats:
             # robustness direction: winsorized/trimmed between cutoffs
             assert lo <= r["winsor_mean_cents"] <= hi
             assert lo <= r["trimmed_mean_cents"] <= hi
+
+
+class TestCollocationLift:
+    def test_crafted_corpus_exact(self, spark, tmp_path):
+        """C110: a corpus with one planted strong collocation ('new
+        york' always adjacent), a frequent-but-independent pair, and
+        below-support pairs; output re-derived exactly in python."""
+        from greenplum_cdc_spark.operators.text import (
+            _COLLOC_MIN_N,
+            collocation_lift,
+        )
+
+        # 'new york' x6 (always together), 'the cat' scattered, filler
+        docs = [
+            (1, "new york is big and the cat sat here", "en", "web"),
+            (2, "i love new york and new york loves me", "en", "web"),
+            (3, "the dog saw the cat near new york today", "en", "web"),
+            (4, "new york winters are cold the cat agrees", "en", "web"),
+            (5, "the cat naps while the dog runs around", "en", "web"),
+            (6, "rare pair rare pair rare pair only thrice", "en", "web"),
+        ]
+        spark.createDataFrame(
+            [(i, t, l, s, len(t)) for i, t, l, s in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        out = collocation_lift(spark, str(tmp_path)).collect()
+        # python truth
+        import math
+
+        uni, bg = {}, {}
+        n_tok = n_bg = 0
+        for _i, t, _l, _s in docs:
+            ws = [w for w in t.split(" ") if w]
+            n_tok += len(ws)
+            n_bg += max(len(ws) - 1, 0)
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ws, ws[1:]):
+                bg[(a, b)] = bg.get((a, b), 0) + 1
+        want = []
+        for (a, b), nxy in bg.items():
+            if nxy < _COLLOC_MIN_N:
+                continue
+            lift = math.floor(nxy * n_tok * n_tok * 1e6 / (n_bg * uni[a] * uni[b]))
+            want.append((a, b, nxy, uni[a], uni[b], lift))
+        want.sort(key=lambda x: (-x[5], x[0], x[1]))
+        got = [
+            (r["w1"], r["w2"], r["n_xy"], r["n_w1"], r["n_w2"], r["lift_ppm"])
+            for r in out
+        ]
+        assert got == want[:50]
+        # the planted collocation is found and leads
+        assert got[0][:2] == ("new", "york")
+        # below-support pair excluded despite perfect adhesion
+        assert all((w1, w2) != ("rare", "pair") for w1, w2, *_ in got)
+
+    def test_topk_and_support_on_sf(self, spark, sf_dir):
+        """On real sf data: at most K rows, all above min support, and
+        sorted by (lift desc, pair asc)."""
+        from greenplum_cdc_spark.operators.text import (
+            _COLLOC_MIN_N,
+            _COLLOC_TOPK,
+            collocation_lift,
+        )
+
+        rows = collocation_lift(spark, sf_dir).collect()
+        assert 0 < len(rows) <= _COLLOC_TOPK
+        assert all(r["n_xy"] >= _COLLOC_MIN_N for r in rows)
+        keys = [(-r["lift_ppm"], r["w1"], r["w2"]) for r in rows]
+        assert keys == sorted(keys)

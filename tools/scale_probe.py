@@ -325,6 +325,7 @@ def _late_ops():
         "tokenizer_fertility": text.tokenizer_fertility,
         "fd_discovery": _stats().fd_discovery,
         "winsorized_stats": _stats().winsorized_stats,
+        "collocation_lift": text.collocation_lift,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
