@@ -2499,3 +2499,118 @@ FROM detr
 GROUP BY event_type, weekday
 ORDER BY event_type, weekday
 """
+
+
+_ACF_MAX_LAG = 7
+
+
+def count_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B106 (round-8 addition): autocorrelation of the daily event-count
+    series at lags 1..{L} — the seasonality detector that tells a
+    capacity planner WHICH period matters before B101 decomposes it
+    (a weekly cycle shows as a lag-7 peak). Per (event_type, lag):
+    overlapping-pair count and Pearson r in ppm. The day grid is
+    GAP-FILLED (a silent day is a 0-count observation, not a missing
+    row — lagging over existing rows would silently splice across
+    gaps and fabricate correlation). All five sufficient statistics
+    (sum x, sum y, sum xy, sum x^2, sum y^2) are exact BIGINT sums of
+    integer counts — no order-dependent double accumulation; only the
+    final r touches doubles (sqrt is correctly rounded in both
+    engines), floored to ppm. Zero-variance windows report NULL.
+
+    Plan: day index = integer division of epoch-micros (no date-type
+    round trips), one (type, day) rollup, per-type min/max day rolled
+    into a spine via sequence+explode, counts left-joined (zeros
+    filled), the {L} lags joined as (type, day+lag) equi-joins on the
+    SAME gap-filled relation, one final (type, lag) rollup. Shuffle
+    width is days x types — the rollup compresses the feed first.
+    """.format(L=_ACF_MAX_LAG)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count("*").alias("c"))
+    spans = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = spans.select(
+        "event_type", F.explode(F.expr("sequence(d0, d1)")).alias("day")
+    )
+    grid = (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    x = grid.crossJoin(F.broadcast(lags)).select(
+        "event_type", "lag", (F.col("day") + F.col("lag")).alias("jday"),
+        F.col("c").alias("xc"),
+    )
+    y = grid.select(
+        "event_type", F.col("day").alias("jday"), F.col("c").alias("yc")
+    )
+    pairs = x.join(y, ["event_type", "jday"])
+    stats = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("xc").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("xc") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("xc") * F.col("xc")).alias("sxx"),
+        F.sum(F.col("yc") * F.col("yc")).alias("syy"),
+    )
+    r_expr = (
+        "CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0 "
+        "THEN CAST(floor(CAST(n_pairs * sxy - sx * sy AS DOUBLE) * 1000000.0 "
+        "/ (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) "
+        "* sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))) AS BIGINT) "
+        "ELSE NULL END"
+    )
+    return (
+        stats.select(
+            "event_type", "lag", "n_pairs", F.expr(r_expr).alias("r_ppm")
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+COUNT_AUTOCORR_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events
+),
+daily AS (
+  SELECT event_type, day, COUNT(*) AS c FROM ev GROUP BY event_type, day
+),
+spine AS (
+  SELECT event_type, unnest(range(d0, d1 + 1)) AS day
+  FROM (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY event_type)
+),
+grid AS (
+  SELECT s.event_type, s.day, COALESCE(d.c, 0) AS c
+  FROM spine s LEFT JOIN daily d
+    ON d.event_type = s.event_type AND d.day = s.day
+),
+pairs AS (
+  SELECT x.event_type, l.lag, x.c AS xc, y.c AS yc
+  FROM grid x
+  CROSS JOIN (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag) l
+  JOIN grid y ON y.event_type = x.event_type AND y.day = x.day + l.lag
+),
+stats AS (
+  SELECT event_type, lag, COUNT(*) AS n_pairs,
+         SUM(xc) AS sx, SUM(yc) AS sy, SUM(xc * yc) AS sxy,
+         SUM(xc * xc) AS sxx, SUM(yc * yc) AS syy
+  FROM pairs GROUP BY event_type, lag
+)
+SELECT event_type, CAST(lag AS INTEGER) AS lag,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CASE WHEN n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+            THEN CAST(FLOOR(CAST(n_pairs * sxy - sx * sy AS DOUBLE) * 1000000.0
+                   / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))))
+                 AS BIGINT)
+            ELSE NULL END AS r_ppm
+FROM stats
+ORDER BY event_type, lag
+"""

@@ -61,6 +61,11 @@ _SKIP = {
 # ops whose BroadcastNestedLoopJoin is a deliberate constant-size
 # broadcast (documented in their docstrings)
 _BNLJ_OK = {
+    "dp_histogram_release",  # broadcast |langs|-row domain spine (C106)
+    "langid_calibration",  # one-row ECE scalar (B32/C34 idiom)
+    "tokenizer_fertility",  # one-row corpus-totals scalar
+    "collocation_lift",  # one-row token/bigram-totals scalar
+    "count_autocorr",  # 7-row lag table broadcast
     "bitemporal_belief_audit",  # one-row valid-cut scalar (B32/C34 idiom)
     "histogram_drift_tvd",  # one-row time-cut/range scalar (B32/C34 idiom)
     "kmeans_embeddings",  # K-row centroid table per Lloyd round

@@ -1258,3 +1258,86 @@ class TestCollocationLift:
         assert all(r["n_xy"] >= _COLLOC_MIN_N for r in rows)
         keys = [(-r["lift_ppm"], r["w1"], r["w2"]) for r in rows]
         assert keys == sorted(keys)
+
+
+class TestCountAutocorr:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B106: the gap-filled grid, all five sufficient statistics,
+        and the floored ppm correlation re-derived in python."""
+        import math
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.timeseries import (
+            _ACF_MAX_LAG,
+            count_autocorr,
+        )
+
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .selectExpr("event_type", "unix_micros(ts) div 86400000000 as day")
+            .collect()
+        )
+        daily = {}
+        for r in ev:
+            k = (r["event_type"], r["day"])
+            daily[k] = daily.get(k, 0) + 1
+        types = {et for et, _d in daily}
+        grids = {}
+        for et in types:
+            days = [d for t, d in daily if t == et]
+            grids[et] = [
+                daily.get((et, d), 0) for d in range(min(days), max(days) + 1)
+            ]
+        rows = {
+            (r["event_type"], r["lag"]): r
+            for r in count_autocorr(spark, sf_dir).collect()
+        }
+        for et, g in grids.items():
+            for lag in range(1, _ACF_MAX_LAG + 1):
+                xs, ys = g[:-lag] if lag else g, g[lag:]
+                xs = g[: len(g) - lag]
+                n = len(xs)
+                r = rows[(et, lag)]
+                assert r["n_pairs"] == n, (et, lag)
+                sx, sy = sum(xs), sum(ys)
+                sxy = sum(a * b for a, b in zip(xs, ys))
+                sxx = sum(a * a for a in xs)
+                syy = sum(b * b for b in ys)
+                vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+                if vx > 0 and vy > 0:
+                    want = math.floor(
+                        (n * sxy - sx * sy) * 1000000.0
+                        / (math.sqrt(vx) * math.sqrt(vy))
+                    )
+                    assert r["r_ppm"] == want, (et, lag)
+                else:
+                    assert r["r_ppm"] is None
+
+    def test_planted_weekly_cycle_peaks_at_lag7(self, spark, tmp_path):
+        """A planted 7-day cycle must produce r(7) ~ 1e6 and r(1) far
+        below it; a silent day inside the span must be treated as a
+        zero observation (gap-fill), which the cycle relies on."""
+        import datetime
+
+        rows = []
+        eid = 0
+        base = datetime.datetime(2024, 1, 1)
+        for day in range(56):
+            # weekly burst: 9 events on day%7==0, 1 otherwise; day 10 silent
+            n = 9 if day % 7 == 0 else (0 if day == 10 else 1)
+            for _ in range(n):
+                eid += 1
+                rows.append(
+                    (eid, base + datetime.timedelta(days=day, hours=1),
+                     1, "burst", 1.0, "{}")
+                )
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(str(tmp_path / "events.parquet"))
+        from greenplum_cdc_spark.operators.timeseries import count_autocorr
+
+        out = {r["lag"]: r for r in count_autocorr(spark, str(tmp_path)).collect()}
+        assert out[7]["r_ppm"] > 900000
+        assert out[1]["r_ppm"] < out[7]["r_ppm"] - 500000

@@ -326,6 +326,7 @@ def _late_ops():
         "fd_discovery": _stats().fd_discovery,
         "winsorized_stats": _stats().winsorized_stats,
         "collocation_lift": text.collocation_lift,
+        "count_autocorr": timeseries.count_autocorr,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
