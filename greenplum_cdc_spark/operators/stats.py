@@ -1528,3 +1528,131 @@ FROM ev e JOIN cutoffs c ON c.event_type = e.event_type
 GROUP BY e.event_type
 ORDER BY e.event_type
 """
+
+
+def ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B107 (round-8 addition): A/B experiment readout — the analysis
+    pass behind every feature-flag decision: users are split into two
+    arms by a keyed hash of user_id (deterministic, auditable — the
+    assignment a real experimentation system persists), and per event
+    type the arm sizes, mean values (integer cents), difference, and
+    the Welch z statistic in ppm with the |z| >= 1.96 significance
+    verdict. Sufficient statistics (n, sum, sum of squares) are exact
+    BIGINT sums; the z ratio is ONE stated double expression (casts
+    BEFORE any product that could overflow int64 — sum(cents)^2
+    exceeds 2^63 at bench scale), floored to ppm, identical IEEE
+    evaluation in both engines; degenerate variance reports NULL.
+
+    Plan: assignment is map-side expression work (md5 -> 60-bit int ->
+    parity); one (type, variant) rollup carries all sufficient
+    statistics; the two arm rows per type meet in a self-join on the
+    tiny aggregate — the feed is shuffled once, as partial aggregates.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("ab-v1"), F.col("user_id").cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long") % 2
+        ).alias("arm"),
+    )
+    agg = ev.groupBy("event_type", "arm").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+    )
+    a = agg.filter(F.col("arm") == 0).select(
+        "event_type", F.col("n").alias("n_a"), F.col("sx").alias("sx_a"),
+        F.col("sxx").alias("sxx_a"),
+    )
+    b = agg.filter(F.col("arm") == 1).select(
+        "event_type", F.col("n").alias("n_b"), F.col("sx").alias("sx_b"),
+        F.col("sxx").alias("sxx_b"),
+    )
+    var_a = (
+        "(CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE)"
+        " / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)"
+    )
+    var_b = (
+        "(CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE)"
+        " / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)"
+    )
+    z = (
+        f"CASE WHEN n_a > 1 AND n_b > 1 AND ({var_a}) + ({var_b}) > 0 THEN "
+        f"CAST(floor((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        f" - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1000000.0"
+        f" / sqrt(({var_a}) / CAST(n_a AS DOUBLE)"
+        f" + ({var_b}) / CAST(n_b AS DOUBLE))) AS BIGINT) ELSE NULL END"
+    )
+    return (
+        a.join(b, "event_type")
+        .select(
+            "event_type", "n_a", "n_b",
+            F.expr("sx_a div n_a").alias("mean_a_cents"),
+            F.expr("sx_b div n_b").alias("mean_b_cents"),
+            F.expr("sx_a div n_a - sx_b div n_b").alias("diff_cents"),
+            F.expr(z).alias("z_ppm"),
+        )
+        .withColumn(
+            "significant",
+            F.when(F.col("z_ppm").isNull(), F.lit(None).cast("boolean"))
+            .otherwise(F.abs("z_ppm") >= 1960000),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _ab_sql() -> str:
+    var_a = (
+        "(CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE)"
+        " / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)"
+    )
+    var_b = (
+        "(CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE)"
+        " / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)"
+    )
+    z = (
+        f"CASE WHEN n_a > 1 AND n_b > 1 AND ({var_a}) + ({var_b}) > 0 THEN "
+        f"CAST(FLOOR((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        f" - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * 1000000.0"
+        f" / sqrt(({var_a}) / CAST(n_a AS DOUBLE)"
+        f" + ({var_b}) / CAST(n_b AS DOUBLE))) AS BIGINT) ELSE NULL END"
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(floor(value * 100) AS BIGINT) AS v,
+         CAST(('0x' || substr(md5('ab-v1' || '|' || CAST(user_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 2 AS arm
+  FROM events
+),
+agg AS (
+  SELECT event_type, arm, COUNT(*) AS n, SUM(v) AS sx, SUM(v * v) AS sxx
+  FROM ev GROUP BY event_type, arm
+),
+j AS (
+  SELECT a.event_type,
+         a.n AS n_a, a.sx AS sx_a, a.sxx AS sxx_a,
+         b.n AS n_b, b.sx AS sx_b, b.sxx AS sxx_b
+  FROM (SELECT * FROM agg WHERE arm = 0) a
+  JOIN (SELECT * FROM agg WHERE arm = 1) b USING (event_type)
+)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(sx_a // n_a AS BIGINT) AS mean_a_cents,
+       CAST(sx_b // n_b AS BIGINT) AS mean_b_cents,
+       CAST(sx_a // n_a - sx_b // n_b AS BIGINT) AS diff_cents,
+       {z} AS z_ppm,
+       CASE WHEN ({z}) IS NULL THEN NULL
+            ELSE ABS({z}) >= 1960000 END AS significant
+FROM j
+ORDER BY event_type
+"""
+
+
+AB_TEST_READOUT_SQL = _ab_sql()

@@ -1341,3 +1341,76 @@ class TestCountAutocorr:
         out = {r["lag"]: r for r in count_autocorr(spark, str(tmp_path)).collect()}
         assert out[7]["r_ppm"] > 900000
         assert out[1]["r_ppm"] < out[7]["r_ppm"] - 500000
+
+
+class TestAbTestReadout:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B107: assignment, means, and the Welch z re-derived in
+        python with the same double-expression order."""
+        import hashlib
+        import math
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.stats import ab_test_readout
+
+        raw = load_table(spark, sf_dir, "events").select(
+            "event_type", "user_id", "value"
+        ).collect()
+        stats = {}
+        for r in raw:
+            u = int(
+                hashlib.md5(f"ab-v1|{r['user_id']}".encode()).hexdigest()[:15], 16
+            )
+            arm = u % 2
+            v = math.floor(r["value"] * 100)
+            k = (r["event_type"], arm)
+            n, sx, sxx = stats.get(k, (0, 0, 0))
+            stats[k] = (n + 1, sx + v, sxx + v * v)
+        rows = {r["event_type"]: r for r in ab_test_readout(spark, sf_dir).collect()}
+        types = {et for et, _a in stats}
+        assert set(rows) == types
+        for et in types:
+            na, sxa, sxxa = stats[(et, 0)]
+            nb, sxb, sxxb = stats[(et, 1)]
+            r = rows[et]
+            assert (r["n_a"], r["n_b"]) == (na, nb)
+            assert r["mean_a_cents"] == sxa // na
+            assert r["mean_b_cents"] == sxb // nb
+            assert r["diff_cents"] == sxa // na - sxb // nb
+            va = (sxxa - float(sxa) * float(sxa) / na) / (na - 1.0)
+            vb = (sxxb - float(sxb) * float(sxb) / nb) / (nb - 1.0)
+            want = math.floor(
+                (sxa / na - sxb / nb) * 1000000.0 / math.sqrt(va / na + vb / nb)
+            )
+            assert r["z_ppm"] == want, et
+            assert r["significant"] == (abs(want) >= 1960000)
+
+    def test_planted_effect_detected(self, spark, tmp_path):
+        """A corpus where arm membership shifts the value by a large
+        offset must read out significant with the right sign."""
+        import datetime
+        import hashlib
+
+        rows = []
+        base = datetime.datetime(2024, 3, 1)
+        eid = 0
+        for uid in range(200):
+            u = int(hashlib.md5(f"ab-v1|{uid}".encode()).hexdigest()[:15], 16)
+            arm = u % 2
+            for j in range(3):
+                eid += 1
+                # arm 0 pays 10.00 + jitter, arm 1 pays 5.00 + jitter
+                val = (10.0 if arm == 0 else 5.0) + (eid % 7) * 0.01
+                rows.append((eid, base, uid, "purchase", val, "{}"))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(str(tmp_path / "events.parquet"))
+        from greenplum_cdc_spark.operators.stats import ab_test_readout
+
+        out = ab_test_readout(spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["diff_cents"] > 400
+        assert r["z_ppm"] > 1960000 and r["significant"]
