@@ -1656,3 +1656,96 @@ ORDER BY event_type
 
 
 AB_TEST_READOUT_SQL = _ab_sql()
+
+
+# Columns the encoding advisor audits: low-NDV enums where dictionary
+# encoding wins, and high-entropy payloads where it loses — the
+# advisor MEASURES, the verdict is the output.
+COMPRESSION_COLUMNS = (
+    ("events", "event_type"),
+    ("events", "props"),
+    ("orders", "o_orderpriority"),
+    ("orders", "o_orderstatus"),
+    ("customer", "c_mktsegment"),
+    ("part", "p_brand"),
+    ("part", "p_type"),
+    ("part", "p_name"),
+    ("lineitem", "l_returnflag"),
+)
+
+
+def compression_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B108 (round-8 addition): dictionary-encoding advisor — the
+    ANALYZE-style layout decision every columnar warehouse makes: for
+    each stated string column, measure n, NDV, raw bytes, and the
+    dictionary-encoded estimate (distinct-value table + n indexes at
+    the stated 1/2/4-byte width by NDV), and report the verdict plus
+    the savings in basis points (negative = dictionary LOSES, which
+    high-entropy payload columns must show — the advisor measures,
+    never assumes). Pure integer arithmetic on byte counts.
+
+    Plan: per column one map-side-combined aggregate pair (full-column
+    byte sum + distinct-value byte sum over the NDV-sized distinct
+    set), all unioned; at 100 TB each audit is a scan-local partial
+    aggregate, and columns are independent parallel stages.
+    """
+    parts = []
+    for table, col in COMPRESSION_COLUMNS:
+        tbl = load_table(spark, sf_dir, table)
+        full = tbl.agg(
+            F.count("*").alias("n"),
+            F.countDistinct(col).alias("ndv"),
+            F.sum(F.octet_length(col)).alias("raw_bytes"),
+        )
+        dsz = (
+            tbl.select(F.col(col).alias("v")).distinct()
+            .agg(F.sum(F.octet_length("v")).alias("dict_table_bytes"))
+        )
+        parts.append(
+            full.crossJoin(F.broadcast(dsz)).select(
+                F.lit(f"{table}.{col}").alias("column_ref"),
+                "n", "ndv", "raw_bytes", "dict_table_bytes",
+                F.expr(
+                    "dict_table_bytes + n * (CASE WHEN ndv <= 256 THEN 1 "
+                    "WHEN ndv <= 65536 THEN 2 ELSE 4 END)"
+                ).alias("dict_bytes"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "column_ref", "n", "ndv", "raw_bytes", "dict_bytes",
+        F.expr("(raw_bytes - dict_bytes) * 10000 div raw_bytes").alias(
+            "savings_bp"
+        ),
+        (F.col("dict_bytes") < F.col("raw_bytes")).alias("use_dictionary"),
+    ).orderBy("column_ref")
+
+
+def _compression_sql() -> str:
+    arms = []
+    for table, col in COMPRESSION_COLUMNS:
+        arms.append(f"""
+SELECT '{table}.{col}' AS column_ref,
+       CAST(f.n AS BIGINT) AS n, CAST(f.ndv AS BIGINT) AS ndv,
+       CAST(f.raw_bytes AS BIGINT) AS raw_bytes,
+       CAST(d.dict_table_bytes + f.n * (CASE WHEN f.ndv <= 256 THEN 1
+              WHEN f.ndv <= 65536 THEN 2 ELSE 4 END) AS BIGINT) AS dict_bytes
+FROM (SELECT COUNT(*) AS n, COUNT(DISTINCT {col}) AS ndv,
+             SUM(strlen({col})) AS raw_bytes FROM {table}) f,
+     (SELECT SUM(strlen(v)) AS dict_table_bytes
+      FROM (SELECT DISTINCT {col} AS v FROM {table})) d""")
+    u = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH base AS ({u})
+SELECT column_ref, n, ndv, raw_bytes, dict_bytes,
+       CAST((raw_bytes - dict_bytes) * 10000 // raw_bytes AS BIGINT)
+         AS savings_bp,
+       dict_bytes < raw_bytes AS use_dictionary
+FROM base
+ORDER BY column_ref
+"""
+
+
+COMPRESSION_ADVISOR_SQL = _compression_sql()

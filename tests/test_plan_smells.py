@@ -62,6 +62,7 @@ _SKIP = {
 # broadcast (documented in their docstrings)
 _BNLJ_OK = {
     "dp_histogram_release",  # broadcast |langs|-row domain spine (C106)
+    "compression_advisor",  # 9x one-row dict-table-bytes scalars (B108)
     "langid_calibration",  # one-row ECE scalar (B32/C34 idiom)
     "tokenizer_fertility",  # one-row corpus-totals scalar
     "collocation_lift",  # one-row token/bigram-totals scalar

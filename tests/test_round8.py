@@ -1414,3 +1414,65 @@ class TestAbTestReadout:
         r = out[0]
         assert r["diff_cents"] > 400
         assert r["z_ppm"] > 1960000 and r["significant"]
+
+
+class TestCompressionAdvisor:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B108: every audited column's byte accounting re-derived in
+        python; enums must recommend dictionary, the high-entropy
+        props payload must not."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.stats import (
+            COMPRESSION_COLUMNS,
+            compression_advisor,
+        )
+
+        rows = {r["column_ref"]: r for r in compression_advisor(spark, sf_dir).collect()}
+        assert set(rows) == {f"{t}.{c}" for t, c in COMPRESSION_COLUMNS}
+        for table, col in COMPRESSION_COLUMNS:
+            vals = [
+                r[col]
+                for r in load_table(spark, sf_dir, table).select(col).collect()
+            ]
+            n = len(vals)
+            uniq = set(vals)
+            ndv = len(uniq)
+            raw = sum(len(v.encode()) for v in vals)
+            dict_table = sum(len(v.encode()) for v in uniq)
+            width = 1 if ndv <= 256 else (2 if ndv <= 65536 else 4)
+            dict_bytes = dict_table + n * width
+            r = rows[f"{table}.{col}"]
+            assert (r["n"], r["ndv"], r["raw_bytes"], r["dict_bytes"]) == (
+                n, ndv, raw, dict_bytes,
+            ), (table, col)
+            assert r["savings_bp"] == (raw - dict_bytes) * 10000 // raw
+            assert r["use_dictionary"] == (dict_bytes < raw)
+        assert rows["events.event_type"]["use_dictionary"]
+        assert rows["orders.o_orderpriority"]["use_dictionary"]
+
+    def test_high_entropy_column_loses(self, spark, tmp_path):
+        """A column of unique payloads must read 'do not dictionary':
+        the dict table repeats every byte and adds n index bytes."""
+        from greenplum_cdc_spark.operators.stats import compression_advisor
+
+        import datetime
+
+        spark.createDataFrame(
+            [
+                (i, datetime.datetime(2024, 1, 1), i, "purchase-completed",
+                 1.0, f"unique-payload-{i:08d}")
+                for i in range(500)
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(str(tmp_path / "events.parquet"))
+        for t in ("orders", "customer", "part", "lineitem"):
+            src = f"/root/testdata/sf0.001/{t}.parquet"
+            spark.read.parquet(src).write.parquet(str(tmp_path / f"{t}.parquet"))
+        rows = {
+            r["column_ref"]: r
+            for r in compression_advisor(spark, str(tmp_path)).collect()
+        }
+        assert not rows["events.props"]["use_dictionary"]
+        assert rows["events.props"]["savings_bp"] < 0
+        assert rows["events.event_type"]["use_dictionary"]  # constant col

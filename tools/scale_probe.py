@@ -328,6 +328,7 @@ def _late_ops():
         "collocation_lift": text.collocation_lift,
         "count_autocorr": timeseries.count_autocorr,
         "ab_test_readout": _stats().ab_test_readout,
+        "compression_advisor": _stats().compression_advisor,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
