@@ -1749,3 +1749,82 @@ ORDER BY column_ref
 
 
 COMPRESSION_ADVISOR_SQL = _compression_sql()
+
+
+def activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B109 (round-8 addition): activity-concentration audit — the
+    skew number that decides salting and partition strategy before a
+    hot key melts a shuffle: per event type, the Gini coefficient of
+    per-user event counts (0 = uniform load, ->1 = one user is the
+    feed) and the share held by the top decile of users. Gini via the
+    classical sorted-rank identity G = (2*sum(i*x_i) - (n+1)*sum(x))
+    / (n*sum(x)) over ascending ranks — every sum an exact BIGINT;
+    only the final ratio is one double division floored to ppm (the
+    numerator-times-1e6 would overflow int64 at the 100x probe). Top
+    decile = the ceil(n/10) highest ranks' share in integer bp.
+
+    Plan: the feed collapses to (type, user) counts first (map-side
+    combined — the ONLY feed-wide shuffle), one per-type sort window
+    for ranks (never global), one final rollup. At 100 TB the window
+    input is users-per-type, not events.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("c", "user_id")
+    w_n = Window.partitionBy("event_type")
+    ranked = counts.select(
+        "event_type", "c",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("c").alias("total_events"),
+            F.sum(F.col("i") * F.col("c")).alias("sic"),
+            F.sum(
+                F.when(
+                    F.col("i") > F.col("n") - F.expr("(n + 9) div 10"),
+                    F.col("c"),
+                ).otherwise(F.lit(0))
+            ).alias("top_decile_events"),
+        )
+        .select(
+            "event_type", "n_users", "total_events",
+            F.expr(
+                "CAST(floor(CAST(2 * sic - (n_users + 1) * total_events"
+                " AS DOUBLE) * 1000000.0"
+                " / CAST(n_users * total_events AS DOUBLE)) AS BIGINT)"
+            ).alias("gini_ppm"),
+            F.expr("top_decile_events * 10000 div total_events").alias(
+                "top_decile_bp"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+ACTIVITY_GINI_SQL = """
+WITH counts AS (
+  SELECT event_type, user_id, COUNT(*) AS c
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c, user_id) AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM counts
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(c) AS BIGINT) AS total_events,
+       CAST(FLOOR(CAST(2 * SUM(i * c) - (COUNT(*) + 1) * SUM(c) AS DOUBLE)
+              * 1000000.0 / CAST(COUNT(*) * SUM(c) AS DOUBLE)) AS BIGINT)
+         AS gini_ppm,
+       CAST(SUM(CASE WHEN i > n - (n + 9) // 10 THEN c ELSE 0 END)
+              * 10000 // SUM(c) AS BIGINT) AS top_decile_bp
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -1476,3 +1476,69 @@ class TestCompressionAdvisor:
         assert not rows["events.props"]["use_dictionary"]
         assert rows["events.props"]["savings_bp"] < 0
         assert rows["events.event_type"]["use_dictionary"]  # constant col
+
+
+class TestActivityGini:
+    def test_exact_python_rederivation_and_bounds(self, spark, sf_dir):
+        """B109: Gini and top-decile share re-derived in python via the
+        same sorted-rank identity; 0 <= G < 1e6 and the decile share
+        bounds respected."""
+        import math
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.stats import activity_gini
+
+        raw = load_table(spark, sf_dir, "events").select(
+            "event_type", "user_id"
+        ).collect()
+        cnt = {}
+        for r in raw:
+            k = (r["event_type"], r["user_id"])
+            cnt[k] = cnt.get(k, 0) + 1
+        per_type = {}
+        for (et, uid), c in cnt.items():
+            per_type.setdefault(et, []).append((c, uid))
+        rows = {r["event_type"]: r for r in activity_gini(spark, sf_dir).collect()}
+        assert set(rows) == set(per_type)
+        for et, pairs in per_type.items():
+            pairs.sort()  # ascending (c, user_id) = the stated rank order
+            n = len(pairs)
+            s = sum(c for c, _u in pairs)
+            sic = sum((i + 1) * c for i, (c, _u) in enumerate(pairs))
+            gini = math.floor((2 * sic - (n + 1) * s) * 1000000.0 / (n * s))
+            k = (n + 9) // 10
+            top = sum(c for c, _u in pairs[n - k:])
+            r = rows[et]
+            assert (r["n_users"], r["total_events"]) == (n, s), et
+            assert r["gini_ppm"] == gini, et
+            assert r["top_decile_bp"] == top * 10000 // s, et
+            assert 0 <= r["gini_ppm"] < 1000000
+            # top decile holds at least its uniform share
+            assert r["top_decile_bp"] >= k * 10000 // n - 1
+
+    def test_extreme_concentration(self, spark, tmp_path):
+        """One user generating everything plus 9 one-event users must
+        push Gini near its n-point maximum and the decile share high."""
+        import datetime
+
+        rows = []
+        eid = 0
+        for _ in range(991):
+            eid += 1
+            rows.append((eid, datetime.datetime(2024, 1, 1), 1, "hot", 1.0, "{}"))
+        for uid in range(2, 11):
+            eid += 1
+            rows.append((eid, datetime.datetime(2024, 1, 1), uid, "hot", 1.0, "{}"))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(str(tmp_path / "events.parquet"))
+        from greenplum_cdc_spark.operators.stats import activity_gini
+
+        out = activity_gini(spark, str(tmp_path)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_users"] == 10 and r["total_events"] == 1000
+        assert r["gini_ppm"] > 850000
+        assert r["top_decile_bp"] == 9910  # the one hot user IS the decile

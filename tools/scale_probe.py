@@ -329,6 +329,7 @@ def _late_ops():
         "count_autocorr": timeseries.count_autocorr,
         "ab_test_readout": _stats().ab_test_readout,
         "compression_advisor": _stats().compression_advisor,
+        "activity_gini": _stats().activity_gini,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
