@@ -2614,3 +2614,107 @@ SELECT event_type, CAST(lag AS INTEGER) AS lag,
 FROM stats
 ORDER BY event_type, lag
 """
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B110 (round-8 addition): conversion-latency readout for the B36
+    funnel — the OTHER half of funnel analysis: not how many users
+    convert, but how long each step takes (the number an SLA or a
+    remarketing window is set from). Per transition (view->click,
+    click->purchase, counting only B36-ordered conversions from each
+    user's EARLIEST stage times): converter count, exact nearest-rank
+    median and p90 of the step latency in whole seconds, and the mean
+    (integer-micros sum under truncating division). No float
+    percentile interpolation — the cutoffs are selected order
+    statistics, the same ceil-rank discipline as B105.
+
+    Plan: one user_id rollup builds the three earliest-stage times
+    (B36's exact shape), latencies are map-side, one per-transition
+    sort window ranks them (two transition partitions), cutoff rows
+    collapse via conditional aggregation. The feed shuffles once; the
+    window input is converters, not events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stage_min = [
+        F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+        for s in ("view", "click", "purchase")
+    ]
+    per_user = ev.groupBy("user_id").agg(*stage_min)
+    reached_click = F.col("t_view").isNotNull() & (
+        F.col("t_click") > F.col("t_view")
+    )
+    reached_purchase = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    d1 = per_user.filter(reached_click).select(
+        F.lit("view->click").alias("transition"),
+        (F.unix_micros("t_click") - F.unix_micros("t_view")).alias("d_us"),
+    )
+    d2 = per_user.filter(reached_purchase).select(
+        F.lit("click->purchase").alias("transition"),
+        (F.unix_micros("t_purchase") - F.unix_micros("t_click")).alias("d_us"),
+    )
+    deltas = d1.unionByName(d2)
+    w = Window.partitionBy("transition").orderBy("d_us")
+    w_n = Window.partitionBy("transition")
+    ranked = deltas.select(
+        "transition", "d_us",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    return (
+        ranked.groupBy("transition")
+        .agg(
+            F.count("*").alias("n_converters"),
+            F.min(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("d_us"))
+            ).alias("p50_us"),
+            F.min(
+                F.when(F.col("rn") == F.expr("(n * 9 + 9) div 10"), F.col("d_us"))
+            ).alias("p90_us"),
+            F.expr("sum(d_us) div count(*)").alias("mean_us"),
+        )
+        .select(
+            "transition", "n_converters",
+            F.expr("p50_us div 1000000").alias("p50_s"),
+            F.expr("p90_us div 1000000").alias("p90_s"),
+            F.expr("mean_us div 1000000").alias("mean_s"),
+        )
+        .orderBy("transition")
+    )
+
+
+FUNNEL_TIME_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+),
+deltas AS (
+  SELECT 'view->click' AS transition,
+         epoch_us(t_click) - epoch_us(t_view) AS d_us
+  FROM per_user
+  WHERE t_view IS NOT NULL AND t_click > t_view
+  UNION ALL
+  SELECT 'click->purchase' AS transition,
+         epoch_us(t_purchase) - epoch_us(t_click) AS d_us
+  FROM per_user
+  WHERE t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click
+),
+ranked AS (
+  SELECT transition, d_us,
+         ROW_NUMBER() OVER (PARTITION BY transition ORDER BY d_us) AS rn,
+         COUNT(*) OVER (PARTITION BY transition) AS n
+  FROM deltas
+)
+SELECT transition,
+       CAST(COUNT(*) AS BIGINT) AS n_converters,
+       CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN d_us END)
+              // 1000000 AS BIGINT) AS p50_s,
+       CAST(MIN(CASE WHEN rn = (n * 9 + 9) // 10 THEN d_us END)
+              // 1000000 AS BIGINT) AS p90_s,
+       CAST(SUM(d_us) // COUNT(*) // 1000000 AS BIGINT) AS mean_s
+FROM ranked
+GROUP BY transition
+ORDER BY transition
+"""

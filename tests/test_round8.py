@@ -1542,3 +1542,45 @@ class TestActivityGini:
         assert r["n_users"] == 10 and r["total_events"] == 1000
         assert r["gini_ppm"] > 850000
         assert r["top_decile_bp"] == 9910  # the one hot user IS the decile
+
+
+class TestFunnelTimeToConvert:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B110: converter sets, nearest-rank p50/p90, and means
+        re-derived in python from B36's exact earliest-stage rule."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.timeseries import (
+            funnel_time_to_convert,
+        )
+
+        raw = load_table(spark, sf_dir, "events").selectExpr(
+            "user_id", "event_type", "unix_micros(ts) AS t"
+        ).collect()
+        first = {}
+        for r in raw:
+            if r["event_type"] in ("view", "click", "purchase"):
+                k = (r["user_id"], r["event_type"])
+                first[k] = min(first.get(k, r["t"]), r["t"])
+        users = {u for u, _s in first}
+        d1, d2 = [], []
+        for u in users:
+            tv = first.get((u, "view"))
+            tc = first.get((u, "click"))
+            tp = first.get((u, "purchase"))
+            if tv is not None and tc is not None and tc > tv:
+                d1.append(tc - tv)
+                if tp is not None and tp > tc:
+                    d2.append(tp - tc)
+        rows = {
+            r["transition"]: r
+            for r in funnel_time_to_convert(spark, sf_dir).collect()
+        }
+        for label, ds in (("view->click", d1), ("click->purchase", d2)):
+            ds.sort()
+            n = len(ds)
+            r = rows[label]
+            assert r["n_converters"] == n, label
+            assert r["p50_s"] == ds[(n + 1) // 2 - 1] // 1000000
+            assert r["p90_s"] == ds[(n * 9 + 9) // 10 - 1] // 1000000
+            assert r["mean_s"] == sum(ds) // n // 1000000
+            assert r["p50_s"] <= r["p90_s"]

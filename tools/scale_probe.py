@@ -330,6 +330,7 @@ def _late_ops():
         "ab_test_readout": _stats().ab_test_readout,
         "compression_advisor": _stats().compression_advisor,
         "activity_gini": _stats().activity_gini,
+        "funnel_time_to_convert": timeseries.funnel_time_to_convert,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
