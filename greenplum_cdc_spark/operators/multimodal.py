@@ -670,3 +670,123 @@ FROM bits
 GROUP BY doc_id, w, h
 ORDER BY doc_id
 """
+
+
+_AF_FRAME = 256  # samples per analysis frame (stated)
+_AF_LOUD_T = 1_400_000 * _AF_FRAME  # frame sum-of-squares loudness floor
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, n_samples bigint, n_frames bigint, zero_crossings bigint,"
+    " total_energy bigint, mean_abs bigint, loud_frames bigint"
+)
+
+
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C111 (round-8 addition): audio feature extraction over REAL
+    RIFF/WAVE bytes — the mapInPandas stage a speech-data pipeline
+    runs before any model sees a waveform: per audio doc the sample
+    count, 256-sample frame count (final partial frame included),
+    zero-crossing count (sign-change rule stated below), total energy
+    (sum of squared samples — exact BIGINT), mean |sample| (floor),
+    and the count of LOUD frames (frame sum-of-squares >= the stated
+    floor — the voice-activity-detection primitive). Every statistic
+    is computed from DECODED PCM arrays in numpy, nothing from
+    metadata; the payloads are genuine WAV files parsed by RIFF
+    (codecs.py). The oracle re-derives the identical integers from the
+    closed-form generative signal s_i = (doc_id*7 + 13*i) mod 4096 -
+    2048 via an unnested index range — both engines state the same
+    integer recurrence, the multimodal_decode discipline.
+
+    Zero crossing: i in [1, n) where (s[i-1] < 0) != (s[i] < 0).
+
+    Plan: kind pruning happens BEFORE encoding (doc_id%3 pushdown);
+    encode and analyze are two Arrow-batched map stages with bytes
+    dropped at the feature projection; the only shuffle is the final
+    orderBy. At 100 TB this is the embarrassingly-parallel shape —
+    executor memory bounded by Arrow batch size, not partition size.
+    """
+    enc = media_table_encoded(spark, sf_dir, only_kind="audio")
+
+    def _features(batches):
+        import numpy as np
+        import pandas as pd
+
+        from . import codecs
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _rate, s = codecs.decode_wav(bytes(payload))
+                s = s.astype(np.int64)
+                n = len(s)
+                neg = s < 0
+                zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+                energy = int(np.sum(s * s))
+                mean_abs = int(np.sum(np.abs(s)) // n) if n else 0
+                n_frames = (n + _AF_FRAME - 1) // _AF_FRAME
+                loud = 0
+                for f in range(n_frames):
+                    fr = s[f * _AF_FRAME : (f + 1) * _AF_FRAME]
+                    if int(np.sum(fr * fr)) >= _AF_LOUD_T:
+                        loud += 1
+                rows.append(
+                    (int(doc_id), n, n_frames, zc, energy, mean_abs, loud)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "n_frames", "zero_crossings",
+                    "total_energy", "mean_abs", "loud_frames",
+                ],
+            )
+
+    return (
+        enc.mapInPandas(_features, schema=AUDIO_FEATURES_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+MEDIA_AUDIO_FEATURES_SQL = f"""
+WITH audio_docs AS (
+  SELECT doc_id, n_chars * 16 AS n
+  FROM documents WHERE doc_id % 3 = 1
+),
+samples AS (
+  SELECT doc_id, n, unnest(range(0, n)) AS i
+  FROM audio_docs
+),
+vals AS (
+  SELECT doc_id, n, i,
+         (doc_id * 7 + 13 * i) % 4096 - 2048 AS s,
+         i // {_AF_FRAME} AS frame
+  FROM samples
+),
+frames AS (
+  SELECT doc_id, frame, SUM(s * s) AS fe
+  FROM vals GROUP BY doc_id, frame
+),
+per_doc AS (
+  SELECT v.doc_id,
+         MAX(v.n) AS n_samples,
+         SUM(CASE WHEN v.i > 0 AND
+               ((((v.doc_id * 7 + 13 * (v.i - 1)) % 4096 - 2048) < 0)
+                <> (v.s < 0)) THEN 1 ELSE 0 END) AS zero_crossings,
+         SUM(v.s * v.s) AS total_energy,
+         SUM(ABS(v.s)) // MAX(v.n) AS mean_abs
+  FROM vals v GROUP BY v.doc_id
+),
+loud AS (
+  SELECT doc_id, COUNT(*) AS n_frames,
+         SUM(CASE WHEN fe >= {_AF_LOUD_T} THEN 1 ELSE 0 END) AS loud_frames
+  FROM frames GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n_samples AS BIGINT) AS n_samples,
+       CAST(l.n_frames AS BIGINT) AS n_frames,
+       CAST(p.zero_crossings AS BIGINT) AS zero_crossings,
+       CAST(p.total_energy AS BIGINT) AS total_energy,
+       CAST(p.mean_abs AS BIGINT) AS mean_abs,
+       CAST(l.loud_frames AS BIGINT) AS loud_frames
+FROM per_doc p JOIN loud l USING (doc_id)
+ORDER BY p.doc_id
+"""

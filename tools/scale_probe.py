@@ -331,6 +331,7 @@ def _late_ops():
         "compression_advisor": _stats().compression_advisor,
         "activity_gini": _stats().activity_gini,
         "funnel_time_to_convert": timeseries.funnel_time_to_convert,
+        "media_audio_features": _multimodal().media_audio_features,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
