@@ -3255,3 +3255,140 @@ SELECT user_id, CAST(belief_idx AS INT) AS belief_idx, event_id,
 FROM changes
 ORDER BY user_id, belief_idx
 """
+
+
+_CONFLICT_W_US = 3_600_000_000  # multi-writer conflict window (1 hour)
+
+
+def cdc_write_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B111 (round-8 addition): multi-writer conflict detection — the
+    audit a dual-master / split-ingest deployment runs before trusting
+    last-write-wins (the A31 cutover scenario, one step earlier: A31
+    asks whether two paths' SNAPSHOTS agree; this asks WHERE the two
+    writers actually raced). A conflict pair = one 'a'-source write
+    and one 'b'-source write to the SAME pk within {w} s of each
+    other (sources are the A31 seq-parity convention). Per conflicted
+    pk: the pair count, both writers' write counts, the last conflict
+    instant, and the write that WINS that final race under the
+    engine's (ts, seq) total order — the row an operator inspects
+    before declaring LWW safe.
+
+    Plan: the banded time join (the B23 interval idiom — never a
+    per-pk cross product): writes bucket by ts div W, the 'b' side
+    fans out to its 3 adjacent buckets map-side, the join key is
+    (pk, bucket), and |delta| <= W verifies — bucket width = W makes
+    adjacency sufficient AND each qualifying pair match exactly once
+    (a's bucket hits exactly one of b's three). Winner per pk by a
+    ROW_NUMBER over (w_ts, w_seq) DESC — seq is globally unique, so
+    the order is total in both engines.
+    """.format(w=_CONFLICT_W_US // 1_000_000)
+    feed = _feed(spark, sf_dir).select(
+        "pk",
+        F.unix_micros("ts").alias("t"),
+        "seq",
+        F.when(F.col("seq") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    w = _CONFLICT_W_US
+    a = feed.filter(F.col("source") == "a").select(
+        "pk", F.col("t").alias("ta"), F.col("seq").alias("seqa"),
+        F.expr(f"t div {w}").alias("bkt"),
+    )
+    b = (
+        feed.filter(F.col("source") == "b")
+        .select(
+            "pk", F.col("t").alias("tb"), F.col("seq").alias("seqb"),
+            F.explode(
+                F.expr(f"array(t div {w} - 1, t div {w}, t div {w} + 1)")
+            ).alias("bkt"),
+        )
+    )
+    pairs = (
+        a.join(b, ["pk", "bkt"])
+        .filter(F.abs(F.col("ta") - F.col("tb")) <= w)
+        .select(
+            "pk", "ta", "seqa", "tb", "seqb",
+            F.expr(
+                "CASE WHEN ta > tb OR (ta = tb AND seqa > seqb)"
+                " THEN struct(ta AS w_ts, seqa AS w_seq, 'a' AS w_src)"
+                " ELSE struct(tb AS w_ts, seqb AS w_seq, 'b' AS w_src) END"
+            ).alias("win"),
+        )
+    )
+    wr = Window.partitionBy("pk").orderBy(
+        F.desc("win.w_ts"), F.desc("win.w_seq")
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(wr))
+    agg = pairs.groupBy("pk").agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("seqa").alias("n_a_writes"),
+        F.countDistinct("seqb").alias("n_b_writes"),
+        F.max(F.greatest("ta", "tb")).alias("last_conflict_us"),
+    )
+    winners = ranked.filter(F.col("rn") == 1).select(
+        "pk",
+        F.col("win.w_src").alias("winner_source"),
+        F.col("win.w_seq").alias("winner_seq"),
+    )
+    return (
+        agg.join(winners, "pk")
+        .select(
+            "pk", "n_pairs", "n_a_writes", "n_b_writes",
+            "last_conflict_us", "winner_source", "winner_seq",
+        )
+        .orderBy("pk")
+    )
+
+
+CDC_WRITE_CONFLICTS_SQL = f"""
+WITH cdc AS ({{feed}}),
+writes AS (
+  SELECT pk, epoch_us(ts) AS t, seq,
+         CASE WHEN seq % 2 = 0 THEN 'a' ELSE 'b' END AS source
+  FROM cdc
+),
+a AS (
+  SELECT pk, t AS ta, seq AS seqa, t // {_CONFLICT_W_US} AS bkt
+  FROM writes WHERE source = 'a'
+),
+b AS (
+  SELECT pk, t AS tb, seq AS seqb,
+         unnest([t // {_CONFLICT_W_US} - 1, t // {_CONFLICT_W_US},
+                 t // {_CONFLICT_W_US} + 1]) AS bkt
+  FROM writes WHERE source = 'b'
+),
+pairs AS (
+  SELECT a.pk, a.ta, a.seqa, b.tb, b.seqb,
+         CASE WHEN a.ta > b.tb OR (a.ta = b.tb AND a.seqa > b.seqb)
+              THEN a.ta ELSE b.tb END AS w_ts,
+         CASE WHEN a.ta > b.tb OR (a.ta = b.tb AND a.seqa > b.seqb)
+              THEN a.seqa ELSE b.seqb END AS w_seq,
+         CASE WHEN a.ta > b.tb OR (a.ta = b.tb AND a.seqa > b.seqb)
+              THEN 'a' ELSE 'b' END AS w_src
+  FROM a JOIN b ON a.pk = b.pk AND a.bkt = b.bkt
+  WHERE ABS(a.ta - b.tb) <= {_CONFLICT_W_US}
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pk
+                               ORDER BY w_ts DESC, w_seq DESC) AS rn
+  FROM pairs
+),
+agg AS (
+  SELECT pk, COUNT(*) AS n_pairs,
+         COUNT(DISTINCT seqa) AS n_a_writes,
+         COUNT(DISTINCT seqb) AS n_b_writes,
+         MAX(GREATEST(ta, tb)) AS last_conflict_us
+  FROM pairs GROUP BY pk
+)
+SELECT g.pk,
+       CAST(g.n_pairs AS BIGINT) AS n_pairs,
+       CAST(g.n_a_writes AS BIGINT) AS n_a_writes,
+       CAST(g.n_b_writes AS BIGINT) AS n_b_writes,
+       CAST(g.last_conflict_us AS BIGINT) AS last_conflict_us,
+       r.w_src AS winner_source,
+       CAST(r.w_seq AS BIGINT) AS winner_seq
+FROM agg g JOIN ranked r ON r.pk = g.pk AND r.rn = 1
+ORDER BY g.pk
+"""
+CDC_WRITE_CONFLICTS_SQL = CDC_WRITE_CONFLICTS_SQL.format(
+    feed=maxwell.EVENTS_AS_CDC_SQL.strip()
+)

@@ -1641,3 +1641,94 @@ class TestMediaAudioFeatures:
         with pytest.raises(ValueError, match="RIFF"):
             codecs.decode_wav(b"not a wave file at all........")
         del pd
+
+
+class TestCdcWriteConflicts:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B111: conflict pairs, write counts, and the final-race
+        winner re-derived by brute force (no banding) — proving the
+        banded join is lossless."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.cdc_queries import (
+            _CONFLICT_W_US,
+            cdc_write_conflicts,
+        )
+
+        ev = load_table(spark, sf_dir, "events").selectExpr(
+            "user_id AS pk", "unix_micros(ts) AS t", "event_id AS seq"
+        ).collect()
+        a, b = {}, {}
+        for r in ev:
+            (a if r["seq"] % 2 == 0 else b).setdefault(r["pk"], []).append(
+                (r["t"], r["seq"])
+            )
+        want = {}
+        for pk in set(a) & set(b):
+            pairs = [
+                (ta, sa, tb, sb)
+                for ta, sa in a[pk]
+                for tb, sb in b[pk]
+                if abs(ta - tb) <= _CONFLICT_W_US
+            ]
+            if not pairs:
+                continue
+            winners = [
+                (ta, sa, "a") if (ta, sa) > (tb, sb) else (tb, sb, "b")
+                for ta, sa, tb, sb in pairs
+            ]
+            w_ts, w_seq, w_src = max(winners)
+            want[pk] = (
+                len(pairs),
+                len({sa for _t, sa, _t2, _s2 in pairs}),
+                len({sb for _t, _s, _t2, sb in pairs}),
+                max(max(ta, tb) for ta, _s, tb, _s2 in pairs),
+                w_src, w_seq,
+            )
+        rows = {r["pk"]: r for r in cdc_write_conflicts(spark, sf_dir).collect()}
+        assert set(rows) == set(want)
+        for pk, (np_, na, nb, last, src, seq) in want.items():
+            r = rows[pk]
+            assert (r["n_pairs"], r["n_a_writes"], r["n_b_writes"]) == (
+                np_, na, nb,
+            ), pk
+            assert r["last_conflict_us"] == last
+            assert (r["winner_source"], r["winner_seq"]) == (src, seq), pk
+
+    def test_band_edges_exact(self, spark, tmp_path):
+        """Pairs exactly at |delta| = W are IN; one microsecond past is
+        OUT; a cross-bucket pair (delta < W but straddling a bucket
+        boundary) must still be found — the adjacency fan-out's job."""
+        import datetime
+
+        from greenplum_cdc_spark.plans.cdc_queries import (
+            _CONFLICT_W_US,
+            cdc_write_conflicts,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+
+        def at(us):
+            return base + datetime.timedelta(microseconds=us)
+
+        W = _CONFLICT_W_US
+        rows = [
+            # pk 1: exactly W apart (in), straddles buckets
+            (2, at(W - 1), 1, "click", 1.0, "{}"),      # a (seq even)
+            (3, at(2 * W - 1), 1, "click", 1.0, "{}"),  # b (seq odd)
+            # pk 2: W + 1 apart (out)
+            (4, at(0), 2, "click", 1.0, "{}"),
+            (5, at(W + 1), 2, "click", 1.0, "{}"),
+            # pk 3: same bucket, 10us apart (in); b is later -> b wins
+            (6, at(100), 3, "click", 1.0, "{}"),
+            (7, at(110), 3, "click", 1.0, "{}"),
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(str(tmp_path / "events.parquet"))
+        out = {r["pk"]: r for r in cdc_write_conflicts(spark, str(tmp_path)).collect()}
+        assert set(out) == {1, 3}
+        assert out[1]["n_pairs"] == 1
+        assert out[1]["winner_source"] == "b"  # 2W-1 > W-1
+        assert out[3]["n_pairs"] == 1 and out[3]["winner_source"] == "b"

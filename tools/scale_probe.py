@@ -332,6 +332,7 @@ def _late_ops():
         "activity_gini": _stats().activity_gini,
         "funnel_time_to_convert": timeseries.funnel_time_to_convert,
         "media_audio_features": _multimodal().media_audio_features,
+        "cdc_write_conflicts": _cdcq().cdc_write_conflicts,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
@@ -365,6 +366,12 @@ def _multimodal():
     from greenplum_cdc_spark.operators import multimodal
 
     return multimodal
+
+
+def _cdcq():
+    from greenplum_cdc_spark.plans import cdc_queries
+
+    return cdc_queries
 
 
 def _sketches():
