@@ -1547,6 +1547,10 @@ def ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity); one (type, variant) rollup carries all sufficient
     statistics; the two arm rows per type meet in a self-join on the
     tiny aggregate — the feed is shuffled once, as partial aggregates.
+    Scope: an event type whose traffic landed entirely in one arm has
+    no comparison to read out and is absent by the inner join — the
+    stated contract (a readout of a one-armed type would be a bug in
+    the caller's experiment, not a number).
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",

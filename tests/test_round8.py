@@ -1732,3 +1732,37 @@ class TestCdcWriteConflicts:
         assert out[1]["n_pairs"] == 1
         assert out[1]["winner_source"] == "b"  # 2W-1 > W-1
         assert out[3]["n_pairs"] == 1 and out[3]["winner_source"] == "b"
+
+
+class TestAbTestScopeContract:
+    def test_one_armed_type_absent(self, spark, tmp_path):
+        """B107 scope: a type whose users all hash to one arm has no
+        comparison and must be ABSENT, not a NULL-z row."""
+        import datetime
+        import hashlib
+
+        # find a user id for each arm
+        def arm(uid):
+            return int(
+                hashlib.md5(f"ab-v1|{uid}".encode()).hexdigest()[:15], 16
+            ) % 2
+
+        a_user = next(u for u in range(100) if arm(u) == 0)
+        b_user = next(u for u in range(100) if arm(u) == 1)
+        rows = []
+        for i in range(4):
+            rows.append((i, datetime.datetime(2024, 1, 1), a_user,
+                         "one_armed", 1.0 + i, "{}"))
+        for i in range(4, 8):
+            rows.append((i, datetime.datetime(2024, 1, 1),
+                         a_user if i % 2 else b_user, "balanced",
+                         2.0 + i, "{}"))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.parquet(str(tmp_path / "events.parquet"))
+        from greenplum_cdc_spark.operators.stats import ab_test_readout
+
+        out = {r["event_type"] for r in ab_test_readout(spark, str(tmp_path)).collect()}
+        assert out == {"balanced"}
