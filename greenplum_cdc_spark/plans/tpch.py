@@ -2166,3 +2166,94 @@ FROM via_fact f FULL OUTER JOIN via_mv m
   ON f.l_returnflag = m.l_returnflag AND f.month = m.month
 ORDER BY l_returnflag, month
 """
+
+
+def revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B112 (round-8 addition): revenue waterfall — the accounting
+    decomposition a finance dashboard reads before any margin
+    discussion: per order year, gross extended price, the discount
+    give-back, net after discount, the tax collected on the net, and
+    the final charge — each an EXACT decimal sum (the B1 `_dsum`
+    discipline: order-insensitive decimal math, rounded to scale 4
+    BEFORE the double cast), plus the discount and tax loads in
+    integer basis points of gross (floor division on the scale-4
+    integers, so the shares carry no float at all). The waterfall
+    identities (gross - discount = net; net + tax = charge) hold
+    exactly in the decimal domain — pinned by pytest, not assumed.
+
+    Plan: lineitem joins orders only for the year (broadcast is wrong
+    here — orders is fact-sized; the join shuffles on l_orderkey once,
+    the house bucketed-join candidate), then one year rollup of four
+    decimal sums. Output is |years| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.year("o_orderdate").alias("order_year"),
+    )
+    gross = _money("l_extendedprice")
+    disc_amt = _money("l_extendedprice") * _rate("l_discount")
+    net = _money("l_extendedprice") * (F.lit(1).cast(_RATE) - _rate("l_discount"))
+    tax_amt = net * _rate("l_tax")
+    j = li.join(orders, "l_orderkey")
+    out = (
+        j.groupBy("order_year")
+        .agg(
+            _dsum(gross, "gross"),
+            _dsum(disc_amt, "discount_amount"),
+            _dsum(net, "net_after_discount"),
+            _dsum(tax_amt, "tax_amount"),
+            _dsum(net * (F.lit(1).cast(_RATE) + _rate("l_tax")), "final_charge"),
+            # bp shares via the B1 discipline: round the exact decimal
+            # sums to scale 4 (below 2^53 -> the double cast is exact in
+            # both engines), then ONE double division + floor — decimal
+            # `div`/`//` quotient scales differ between engines by 1 at
+            # bp boundaries (measured: 489 vs 490), doubles do not.
+            F.expr(
+                "CAST(floor(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))"
+                " * CAST(l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) * 10000"
+                " / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))), 4)"
+                " AS DOUBLE)) AS BIGINT)"
+            ).alias("discount_load_bp"),
+            F.expr(
+                "CAST(floor(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))"
+                " * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))"
+                " * CAST(l_tax AS DECIMAL(6,4))), 4) AS DOUBLE) * 10000"
+                " / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))), 4)"
+                " AS DOUBLE)) AS BIGINT)"
+            ).alias("tax_load_bp"),
+        )
+        .orderBy("order_year")
+    )
+    return out
+
+
+REVENUE_WATERFALL_SQL = """
+WITH j AS (
+  SELECT year(o.o_orderdate) AS order_year,
+         CAST(l.l_extendedprice AS DECIMAL(12,4)) AS px,
+         CAST(l.l_discount AS DECIMAL(6,4)) AS disc,
+         CAST(l.l_tax AS DECIMAL(6,4)) AS tax
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT order_year,
+       CAST(ROUND(SUM(px), 4) AS DOUBLE) AS gross,
+       CAST(ROUND(SUM(px * disc), 4) AS DOUBLE) AS discount_amount,
+       CAST(ROUND(SUM(px * (CAST(1 AS DECIMAL(6,4)) - disc)), 4) AS DOUBLE)
+         AS net_after_discount,
+       CAST(ROUND(SUM(px * (CAST(1 AS DECIMAL(6,4)) - disc) * tax), 4) AS DOUBLE)
+         AS tax_amount,
+       CAST(ROUND(SUM(px * (CAST(1 AS DECIMAL(6,4)) - disc)
+                     * (CAST(1 AS DECIMAL(6,4)) + tax)), 4) AS DOUBLE)
+         AS final_charge,
+       CAST(FLOOR(CAST(ROUND(SUM(px * disc), 4) AS DOUBLE) * 10000
+              / CAST(ROUND(SUM(px), 4) AS DOUBLE)) AS BIGINT)
+         AS discount_load_bp,
+       CAST(FLOOR(CAST(ROUND(SUM(px * (CAST(1 AS DECIMAL(6,4)) - disc) * tax),
+                             4) AS DOUBLE) * 10000
+              / CAST(ROUND(SUM(px), 4) AS DOUBLE)) AS BIGINT)
+         AS tax_load_bp
+FROM j
+GROUP BY order_year
+ORDER BY order_year
+"""

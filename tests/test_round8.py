@@ -1766,3 +1766,72 @@ class TestAbTestScopeContract:
 
         out = {r["event_type"] for r in ab_test_readout(spark, str(tmp_path)).collect()}
         assert out == {"balanced"}
+
+
+class TestRevenueWaterfall:
+    def test_waterfall_identities_and_python_truth(self, spark, sf_dir):
+        """B112: the decimal identities gross - discount = net and
+        net + tax = charge hold to the cent at scale 4, and every cell
+        matches an exact-Fraction python re-derivation."""
+        from fractions import Fraction
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.tpch import revenue_waterfall
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount", "l_tax"
+        ).collect()
+        years = {
+            r["o_orderkey"]: r["year"]
+            for r in load_table(spark, sf_dir, "orders")
+            .selectExpr("o_orderkey", "year(o_orderdate) AS year").collect()
+        }
+
+        def dec4(x):
+            # CAST(double AS DECIMAL(12,4)): round half-up at scale 4
+            q = Fraction(x).limit_denominator(10**12) * 10000
+            from decimal import Decimal, ROUND_HALF_UP
+
+            return Fraction(
+                int(Decimal(repr(x)).quantize(Decimal("0.0001"),
+                                              ROUND_HALF_UP) * 10000), 10000
+            )
+
+        agg = {}
+        for r in li:
+            y = years[r["l_orderkey"]]
+            px = dec4(r["l_extendedprice"])
+            d = dec4(r["l_discount"])
+            t = dec4(r["l_tax"])
+            g, da, net, ta, ch = agg.get(y, (0, 0, 0, 0, 0))
+            agg[y] = (
+                g + px, da + px * d, net + px * (1 - d),
+                ta + px * (1 - d) * t, ch + px * (1 - d) * (1 + t),
+            )
+        rows = {r["order_year"]: r for r in revenue_waterfall(spark, sf_dir).collect()}
+        assert set(rows) == set(agg)
+
+        def r4(f):
+            # ROUND(decimal, 4) half-up, exact
+            from decimal import Decimal, ROUND_HALF_UP
+
+            return float(
+                (Decimal(f.numerator) / Decimal(f.denominator)).quantize(
+                    Decimal("0.0001"), ROUND_HALF_UP
+                )
+            )
+
+        import math
+
+        for y, (g, da, net, ta, ch) in agg.items():
+            r = rows[y]
+            assert r["gross"] == r4(g), y
+            assert r["discount_amount"] == r4(da), y
+            assert r["net_after_discount"] == r4(net), y
+            assert r["tax_amount"] == r4(ta), y
+            assert r["final_charge"] == r4(ch), y
+            # exact identities in the rational domain
+            assert g - da == net
+            assert net + ta == ch
+            assert r["discount_load_bp"] == math.floor(r4(da) * 10000 / r4(g))
+            assert r["tax_load_bp"] == math.floor(r4(ta) * 10000 / r4(g))

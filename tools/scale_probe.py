@@ -333,6 +333,7 @@ def _late_ops():
         "funnel_time_to_convert": timeseries.funnel_time_to_convert,
         "media_audio_features": _multimodal().media_audio_features,
         "cdc_write_conflicts": _cdcq().cdc_write_conflicts,
+        "revenue_waterfall": _tpch().revenue_waterfall,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
@@ -372,6 +373,12 @@ def _cdcq():
     from greenplum_cdc_spark.plans import cdc_queries
 
     return cdc_queries
+
+
+def _tpch():
+    from greenplum_cdc_spark.plans import tpch
+
+    return tpch
 
 
 def _sketches():
