@@ -2257,3 +2257,93 @@ FROM j
 GROUP BY order_year
 ORDER BY order_year
 """
+
+
+_SLA_BREACH_DAYS = 90
+
+
+def shipping_delay_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B113 (round-8 addition): fulfillment-latency SLA readout — the
+    operations dashboard behind every priority tier: per order
+    priority, the exact nearest-rank median and p90 of the
+    order-to-ship delay in whole days, the worst delay, the integer
+    mean, and the share of line items breaching the stated
+    {d}-day SLA in basis points. Percentiles are selected order
+    statistics (the B105/B110 ceil-rank discipline — no float
+    interpolation); day deltas are integer epoch-micros division, so
+    nothing floats anywhere.
+
+    Plan: the lineitem-orders key join shuffles once (fact-to-fact),
+    delays are map-side, one per-priority sort window ranks them
+    (partitions = priority tiers, never global), conditional-agg
+    cutoff collapse plus the breach share in the same rollup.
+    """.format(d=_SLA_BREACH_DAYS)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority", "o_orderdate"
+    )
+    from pyspark.sql import Window
+
+    j = li.join(orders, "l_orderkey").select(
+        "o_orderpriority",
+        F.expr(
+            "(unix_micros(l_shipdate) - unix_micros(o_orderdate))"
+            " div 86400000000"
+        ).alias("delay_days"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("delay_days")
+    w_n = Window.partitionBy("o_orderpriority")
+    ranked = j.select(
+        "o_orderpriority", "delay_days",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(w_n).alias("n"),
+    )
+    return (
+        ranked.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.min(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("delay_days"))
+            ).alias("p50_days"),
+            F.min(
+                F.when(F.col("rn") == F.expr("(n * 9 + 9) div 10"), F.col("delay_days"))
+            ).alias("p90_days"),
+            F.max("delay_days").alias("max_days"),
+            F.expr("sum(delay_days) div count(*)").alias("mean_days"),
+            F.expr(
+                f"sum(CAST(delay_days > {_SLA_BREACH_DAYS} AS BIGINT))"
+                " * 10000 div count(*)"
+            ).alias("breach_bp"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SHIPPING_DELAY_SLA_SQL = f"""
+WITH j AS (
+  SELECT o.o_orderpriority,
+         (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000
+           AS delay_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+ranked AS (
+  SELECT o_orderpriority, delay_days,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY delay_days) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM j
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN delay_days END) AS BIGINT)
+         AS p50_days,
+       CAST(MIN(CASE WHEN rn = (n * 9 + 9) // 10 THEN delay_days END) AS BIGINT)
+         AS p90_days,
+       CAST(MAX(delay_days) AS BIGINT) AS max_days,
+       CAST(SUM(delay_days) // COUNT(*) AS BIGINT) AS mean_days,
+       CAST(SUM(CASE WHEN delay_days > {_SLA_BREACH_DAYS} THEN 1 ELSE 0 END)
+              * 10000 // COUNT(*) AS BIGINT) AS breach_bp
+FROM ranked
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -1835,3 +1835,42 @@ class TestRevenueWaterfall:
             assert net + ta == ch
             assert r["discount_load_bp"] == math.floor(r4(da) * 10000 / r4(g))
             assert r["tax_load_bp"] == math.floor(r4(ta) * 10000 / r4(g))
+
+
+class TestShippingDelaySla:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B113: delays, nearest-rank percentiles, mean, and breach
+        share re-derived in python from the raw parquet."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.tpch import (
+            _SLA_BREACH_DAYS,
+            shipping_delay_sla,
+        )
+
+        orders = {
+            r["o_orderkey"]: (r["o_orderpriority"], r["t"])
+            for r in load_table(spark, sf_dir, "orders")
+            .selectExpr("o_orderkey", "o_orderpriority",
+                        "unix_micros(o_orderdate) AS t").collect()
+        }
+        delays = {}
+        for r in load_table(spark, sf_dir, "lineitem").selectExpr(
+            "l_orderkey", "unix_micros(l_shipdate) AS t"
+        ).collect():
+            pri, ot = orders[r["l_orderkey"]]
+            d = (r["t"] - ot) // 86400000000
+            delays.setdefault(pri, []).append(d)
+        rows = {r["o_orderpriority"]: r for r in shipping_delay_sla(spark, sf_dir).collect()}
+        assert set(rows) == set(delays)
+        for pri, ds in delays.items():
+            ds.sort()
+            n = len(ds)
+            r = rows[pri]
+            assert r["n_lineitems"] == n
+            assert r["p50_days"] == ds[(n + 1) // 2 - 1]
+            assert r["p90_days"] == ds[(n * 9 + 9) // 10 - 1]
+            assert r["max_days"] == ds[-1]
+            assert r["mean_days"] == sum(ds) // n
+            breach = sum(1 for d in ds if d > _SLA_BREACH_DAYS)
+            assert r["breach_bp"] == breach * 10000 // n
+            assert r["p50_days"] <= r["p90_days"] <= r["max_days"]

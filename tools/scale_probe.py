@@ -334,6 +334,7 @@ def _late_ops():
         "media_audio_features": _multimodal().media_audio_features,
         "cdc_write_conflicts": _cdcq().cdc_write_conflicts,
         "revenue_waterfall": _tpch().revenue_waterfall,
+        "shipping_delay_sla": _tpch().shipping_delay_sla,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
