@@ -790,3 +790,148 @@ SELECT p.doc_id,
 FROM per_doc p JOIN loud l USING (doc_id)
 ORDER BY p.doc_id
 """
+
+
+_PH_MAX_HAMMING = 3  # Manku near-dup radius; pigeonhole blocks = 4 x 16 bit
+
+
+def media_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C113 (round-8 addition): perceptual near-duplicate IMAGE pairs —
+    C55's pigeonhole search applied to the dHash domain over REAL
+    decoded BMP bytes: two images are near-dups when their 64-bit
+    dHashes (C75, computed from actual pixel decode in mapInPandas)
+    differ in <= {d} bits, and any such pair agrees exactly on one of
+    4 16-bit blocks — so candidates come from equi-joins on
+    (block_idx, block_value), never an all-pairs Hamming scan, and
+    verification is two xor+bit_count ops per candidate. Emits every
+    verified ordered pair with its exact Hamming distance.
+
+    Output honesty: the generative image corpus is DENSE in near-dups
+    (~4.5% of all pairs at sf0.01 — doc_id enters the pixel formula
+    mod 256, so the hash space saturates), which makes the op
+    output-bound at scale like the radius joins (B23/B64 discipline):
+    the JOIN stays block-bucketed; the answer itself grows with the
+    true pair count, and the 100x probe reads accordingly.
+
+    Oracle: DuckDB re-derives the dHash from the closed-form
+    generative pixel formula (the C75 discipline — any decode bug
+    breaks the match) and states the SAME 4-block equi-join + Hamming
+    verify, so neither engine ever enumerates all pairs.
+    """.format(d=_PH_MAX_HAMMING)
+    fp = media_phash(spark, sf_dir).select(
+        "doc_id",
+        "phash_hi",
+        "phash_lo",
+        F.expr("phash_lo % 65536").alias("blk0"),
+        F.expr("phash_lo div 65536").alias("blk1"),
+        F.expr("phash_hi % 65536").alias("blk2"),
+        F.expr("phash_hi div 65536").alias("blk3"),
+    )
+    from .dedup import _swap_persist
+
+    fp = _swap_persist("media_phash_fp", fp)
+    unpiv = fp.select(
+        "doc_id",
+        F.expr(
+            "stack(4, 0, blk0, 1, blk1, 2, blk2, 3, blk3) AS (blk_idx, blk_val)"
+        ),
+    )
+    cand = (
+        unpiv.alias("a")
+        .join(
+            unpiv.alias("b"),
+            (F.col("a.blk_idx") == F.col("b.blk_idx"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    fa = fp.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash_hi").alias("hi_a"),
+        F.col("phash_lo").alias("lo_a"),
+    )
+    fb = fp.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash_hi").alias("hi_b"),
+        F.col("phash_lo").alias("lo_b"),
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b)"),
+        )
+        .filter(F.col("hamming") <= _PH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+MEDIA_PHASH_NEAR_PAIRS_SQL = f"""
+WITH imgs AS (
+  SELECT doc_id,
+         CAST(n_chars % 64 + 16 AS INT) AS w,
+         CAST(n_chars % 48 + 12 AS INT) AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+grid AS (
+  SELECT doc_id, w, h, yy, xx,
+         (yy * h) // {_PH_H} AS yi,
+         (xx * w) // {_PH_W} AS xi
+  FROM imgs,
+       (SELECT unnest(generate_series(0, {_PH_H - 1})) AS yy),
+       (SELECT unnest(generate_series(0, {_PH_W - 1})) AS xx)
+),
+gray AS (
+  SELECT doc_id, yy, xx,
+         ((doc_id + (yi * w + xi) * 3) % 256)
+       + ((doc_id + (yi * w + xi) * 3 + 1) % 256)
+       + ((doc_id + (yi * w + xi) * 3 + 2) % 256) AS g
+  FROM grid
+),
+bits AS (
+  SELECT doc_id, yy, xx,
+         CASE WHEN g > LEAD(g) OVER (
+           PARTITION BY doc_id, yy ORDER BY xx) THEN 1 ELSE 0 END AS bit
+  FROM gray
+  QUALIFY xx < {_PH_W - 1}
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN yy * 8 + xx >= 32
+                       THEN bit * (1::BIGINT << (yy * 8 + xx - 32))
+                       ELSE 0 END) AS BIGINT) AS hi,
+         CAST(SUM(CASE WHEN yy * 8 + xx < 32
+                       THEN bit * (1::BIGINT << (yy * 8 + xx))
+                       ELSE 0 END) AS BIGINT) AS lo
+  FROM bits GROUP BY doc_id
+),
+blocks AS (
+  SELECT doc_id, blk_idx,
+         CASE blk_idx WHEN 0 THEN lo % 65536
+                      WHEN 1 THEN lo // 65536
+                      WHEN 2 THEN hi % 65536
+                      ELSE hi // 65536 END AS blk_val
+  FROM fp, (SELECT unnest(generate_series(0, 3)) AS blk_idx)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM blocks a
+  JOIN blocks b ON a.blk_idx = b.blk_idx AND a.blk_val = b.blk_val
+              AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo))
+            AS INT) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.doc_a
+JOIN fp fb ON fb.doc_id = c.doc_b
+WHERE bit_count(xor(fa.hi, fb.hi)) + bit_count(xor(fa.lo, fb.lo))
+      <= {_PH_MAX_HAMMING}
+ORDER BY c.doc_a, c.doc_b
+"""

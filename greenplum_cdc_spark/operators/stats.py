@@ -1832,3 +1832,331 @@ FROM ranked
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# (label, table, int64 value expr, page-partition expr, page order exprs).
+# The page unit mirrors a columnar row group: delta encoding restarts at
+# every page boundary, so the first row of a page stores the full value.
+DELTA_COLUMNS = (
+    ("events.ts@arrival", "events",
+     "unix_micros(ts)", "unix_micros(ts) div 86400000000", ("event_id",)),
+    ("events.event_id@arrival", "events",
+     "event_id", "unix_micros(ts) div 86400000000", ("event_id",)),
+    ("events.user_id@arrival", "events",
+     "user_id", "unix_micros(ts) div 86400000000", ("event_id",)),
+    ("lineitem.l_orderkey@clustered", "lineitem",
+     "l_orderkey", "l_orderkey div 4096", ("l_orderkey", "l_linenumber")),
+    ("orders.o_orderkey@clustered", "orders",
+     "o_orderkey", "o_orderkey div 4096", ("o_orderkey",)),
+)
+
+# zigzag varint width (bytes) by magnitude; 9 = full-value escape, also
+# charged to every page-leading row.
+_VARINT_CASE = (
+    "CASE WHEN z IS NULL THEN 9 "
+    "WHEN z < 128 THEN 1 WHEN z < 16384 THEN 2 WHEN z < 2097152 THEN 3 "
+    "WHEN z < 268435456 THEN 4 WHEN z < 34359738368 THEN 5 ELSE 9 END"
+)
+
+
+def delta_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B116 (round-8 addition): delta/varint encoding advisor for
+    integer and timestamp columns — the other half of the B108 layout
+    decision (B108 prices dictionaries for strings; sorted integer
+    keys and quasi-monotone timestamps are where DELTA wins): for each
+    stated (column, page unit, page order) the row and page counts,
+    raw bytes at 8/row, the delta estimate — page-leading rows pay the
+    9-byte full-value escape, every other row pays the zigzag varint
+    width of its delta under the STATED width table — savings in basis
+    points, and the verdict. The advisor measures, never assumes: on
+    this corpus even arrival-ordered user ids win (the id SPACE is
+    small, so random adjacent deltas still fit 2-byte varints — a
+    finding, not a bug), while a wide random id space makes delta
+    LOSE to the 9-byte escape (pinned by the crafted-corpus pytest).
+    Pure integer arithmetic; zigzag maps signed deltas to magnitudes
+    with no branches on sign ambiguity.
+
+    Plan: per audit one page-partitioned lag window (pages are
+    div-bucketed — the sort shuffle is per page unit, never global),
+    widths map-side, one 1-row rollup; audits union as independent
+    parallel stages. At 100 TB each audit is a sort within row-group
+    -sized pages — exactly what a writer pipeline does.
+    """
+    from pyspark.sql import Window
+
+    parts = []
+    for label, table, vexpr, pexpr, oexprs in DELTA_COLUMNS:
+        tbl = load_table(spark, sf_dir, table)
+        w = Window.partitionBy(F.expr(pexpr)).orderBy(
+            *[F.expr(o) for o in oexprs]
+        )
+        d = (
+            tbl.select(
+                F.expr(vexpr).cast("long").alias("v"),
+                F.expr(pexpr).alias("pg"),
+                *[F.expr(o).alias(f"o{i}") for i, o in enumerate(oexprs)],
+            )
+            .select(
+                "pg",
+                (F.col("v") - F.lag("v").over(
+                    Window.partitionBy("pg").orderBy(
+                        *[F.col(f"o{i}") for i in range(len(oexprs))]
+                    )
+                )).alias("d"),
+            )
+            .select(
+                "pg",
+                F.expr(
+                    "CASE WHEN d IS NULL THEN NULL "
+                    "WHEN d >= 0 THEN 2*d ELSE -2*d - 1 END"
+                ).alias("z"),
+            )
+        )
+        parts.append(
+            d.agg(
+                F.count("*").alias("n"),
+                F.countDistinct("pg").alias("n_pages"),
+                F.expr(f"sum({_VARINT_CASE})").alias("delta_bytes"),
+            ).select(
+                F.lit(label).alias("column_ref"),
+                "n",
+                "n_pages",
+                (F.col("n") * 8).alias("raw_bytes"),
+                "delta_bytes",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "column_ref", "n", "n_pages", "raw_bytes", "delta_bytes",
+        F.expr("(raw_bytes - delta_bytes) * 10000 div raw_bytes").alias(
+            "savings_bp"
+        ),
+        (F.col("delta_bytes") < F.col("raw_bytes")).alias("use_delta"),
+    ).orderBy("column_ref")
+
+
+def _delta_sql() -> str:
+    arms = []
+    for label, table, vexpr, pexpr, oexprs in DELTA_COLUMNS:
+        v = vexpr.replace("unix_micros(ts)", "epoch_us(ts)").replace(
+            " div ", " // "
+        )
+        p = pexpr.replace("unix_micros(ts)", "epoch_us(ts)").replace(
+            " div ", " // "
+        )
+        order = ", ".join(oexprs)
+        arms.append(f"""
+SELECT '{label}' AS column_ref,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT pg) AS BIGINT) AS n_pages,
+       CAST(COUNT(*) * 8 AS BIGINT) AS raw_bytes,
+       CAST(SUM({_VARINT_CASE}) AS BIGINT) AS delta_bytes
+FROM (
+  SELECT pg,
+         CASE WHEN d IS NULL THEN NULL
+              WHEN d >= 0 THEN 2*d ELSE -2*d - 1 END AS z
+  FROM (
+    SELECT pg, v - LAG(v) OVER (PARTITION BY pg ORDER BY {order}) AS d
+    FROM (SELECT CAST({v} AS BIGINT) AS v, {p} AS pg, * FROM {table}) t
+  ) dd
+) zz""")
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH audits AS ({union})
+SELECT column_ref, n, n_pages, raw_bytes, delta_bytes,
+       CAST((raw_bytes - delta_bytes) * 10000 // raw_bytes AS BIGINT)
+         AS savings_bp,
+       delta_bytes < raw_bytes AS use_delta
+FROM audits
+ORDER BY column_ref
+"""
+
+
+DELTA_ENCODING_ADVISOR_SQL = _delta_sql()
+
+
+def cuped_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B117 (round-8 addition): CUPED variance-reduced experiment
+    readout (Deng et al., WSDM'13) — the industry-standard upgrade to
+    the raw B107 A/B readout: each user's PRE-period activity is used
+    as a control covariate, so the adjusted treatment effect has
+    variance var(Y)*(1-rho^2) and experiments reach significance with
+    a fraction of the traffic. Users are assigned to arms by B107's
+    exact keyed-md5 parity; the pre/post cut is the feed's midpoint
+    timestamp (one 1-row scalar agg broadcast back — the whitelisted
+    B32/C34 idiom). Per event type and user: X = pre-window cents,
+    Y = post-window cents (absent window = 0 — every user of the type
+    is in the population). Per event type the output carries both arm
+    sizes, raw and CUPED-adjusted mean differences in ppm of a cent,
+    theta (the pooled cov(X,Y)/var(X) regression weight) in ppm, and
+    the variance-explained rho^2 in ppm via the closed form
+    cov^2/(var X * var Y) — the second aggregation pass var(Y-theta*X)
+    would need is algebraically eliminated.
+
+    Determinism discipline: every sufficient statistic (n, Sx, Sy,
+    Sxy, Sxx, Syy, per arm and pooled) is an exact BIGINT sum; doubles
+    appear only in the FINAL stated expressions, with casts BEFORE any
+    product that could overflow int64 (Sx*Sy at bench scale), floored
+    to ppm — bit-identical IEEE evaluation in both engines (the B107
+    precedent). Degenerate var(X)=0 or var(Y)=0 reports NULL theta /
+    rho^2; the adjusted difference falls back to raw when theta is
+    NULL. One-armed types are out of scope by the B107 contract.
+
+    Plan: midpoint scalar, map-side window/arm/cents classification,
+    one (type, user) rollup — users are the reduced cardinality — one
+    (type, arm) rollup of sufficient stats, a two-row pivot per type.
+    Nothing wider than |types| ever leaves an executor.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mid = ev.agg(
+        F.expr("(min(us) + max(us)) div 2").alias("mid_us")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("mid_us"), F.col("cents"))
+                  .otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("us") >= F.col("mid_us"), F.col("cents"))
+                  .otherwise(0)).alias("y"),
+        )
+        .withColumn(
+            "arm",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.lit("ab-v1"),
+                                          F.col("user_id").cast("string"))),
+                        1, 15,
+                    ),
+                    16, 10,
+                ).cast("long") % 2
+            ),
+        )
+    )
+    stats = per_user.groupBy("event_type", "arm").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    a = stats.filter(F.col("arm") == 0).select(
+        "event_type", F.col("n").alias("n_a"), F.col("sx").alias("sx_a"),
+        F.col("sy").alias("sy_a"),
+    )
+    b = stats.filter(F.col("arm") == 1).select(
+        "event_type", F.col("n").alias("n_b"), F.col("sx").alias("sx_b"),
+        F.col("sy").alias("sy_b"),
+    )
+    pooled = stats.groupBy("event_type").agg(
+        F.sum("n").alias("n"), F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"), F.sum("sxy").alias("sxy"),
+        F.sum("sxx").alias("sxx"), F.sum("syy").alias("syy"),
+    )
+    # all-double expressions over exact BIGINTs (identical text in SQL)
+    cov = ("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))")
+    varx = ("(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")
+    vary = ("(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))")
+    theta = f"(CASE WHEN {varx} > 0 THEN {cov} / {varx} ELSE NULL END)"
+    raw_diff = ("(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+                " - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))")
+    pre_diff = ("(CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+                " - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))")
+    adj_diff = (f"({raw_diff} - CASE WHEN {theta} IS NULL THEN CAST(0 AS DOUBLE)"
+                f" ELSE {theta} * {pre_diff} END)")
+    rho2 = (f"(CASE WHEN {varx} > 0 AND {vary} > 0 THEN"
+            f" ({cov} * {cov}) / ({varx} * {vary}) ELSE NULL END)")
+    return (
+        pooled.join(a, "event_type").join(b, "event_type")
+        .select(
+            "event_type", "n_a", "n_b",
+            F.expr(f"CAST(floor(1000000 * {raw_diff}) AS BIGINT)").alias(
+                "raw_diff_ppm"
+            ),
+            F.expr(f"CAST(floor(1000000 * {adj_diff}) AS BIGINT)").alias(
+                "adj_diff_ppm"
+            ),
+            F.expr(f"CAST(floor(1000000 * {theta}) AS BIGINT)").alias(
+                "theta_ppm"
+            ),
+            F.expr(f"CAST(floor(1000000 * {rho2}) AS BIGINT)").alias(
+                "rho2_ppm"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _cuped_sql() -> str:
+    cov = ("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))")
+    varx = ("(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")
+    vary = ("(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))")
+    theta = f"(CASE WHEN {varx} > 0 THEN {cov} / {varx} ELSE NULL END)"
+    raw_diff = ("(CAST(sy_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+                " - CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))")
+    pre_diff = ("(CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+                " - CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE))")
+    adj_diff = (f"({raw_diff} - CASE WHEN {theta} IS NULL THEN CAST(0 AS DOUBLE)"
+                f" ELSE {theta} * {pre_diff} END)")
+    rho2 = (f"(CASE WHEN {varx} > 0 AND {vary} > 0 THEN"
+            f" ({cov} * {cov}) / ({varx} * {vary}) ELSE NULL END)")
+    return f"""
+WITH ev AS (
+  SELECT event_type, user_id, epoch_us(ts) AS us,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM ev),
+per_user AS (
+  SELECT event_type, user_id,
+         SUM(CASE WHEN us < (SELECT mid_us FROM mid) THEN cents ELSE 0 END)
+           AS x,
+         SUM(CASE WHEN us >= (SELECT mid_us FROM mid) THEN cents ELSE 0 END)
+           AS y,
+         CAST(('0x' || substr(md5('ab-v1' || '|' || CAST(user_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 2 AS arm
+  FROM ev GROUP BY event_type, user_id
+),
+stats AS (
+  SELECT event_type, arm, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM per_user GROUP BY event_type, arm
+),
+pooled AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(sx) AS BIGINT) AS sx, CAST(SUM(sy) AS BIGINT) AS sy,
+         CAST(SUM(sxy) AS BIGINT) AS sxy, CAST(SUM(sxx) AS BIGINT) AS sxx,
+         CAST(SUM(syy) AS BIGINT) AS syy
+  FROM stats GROUP BY event_type
+),
+a AS (SELECT event_type, CAST(n AS BIGINT) AS n_a, CAST(sx AS BIGINT) AS sx_a,
+             CAST(sy AS BIGINT) AS sy_a FROM stats WHERE arm = 0),
+b AS (SELECT event_type, CAST(n AS BIGINT) AS n_b, CAST(sx AS BIGINT) AS sx_b,
+             CAST(sy AS BIGINT) AS sy_b FROM stats WHERE arm = 1)
+SELECT p.event_type, n_a, n_b,
+       CAST(floor(1000000 * {raw_diff}) AS BIGINT) AS raw_diff_ppm,
+       CAST(floor(1000000 * {adj_diff}) AS BIGINT) AS adj_diff_ppm,
+       CAST(floor(1000000 * {theta}) AS BIGINT) AS theta_ppm,
+       CAST(floor(1000000 * {rho2}) AS BIGINT) AS rho2_ppm
+FROM pooled p JOIN a ON a.event_type = p.event_type
+JOIN b ON b.event_type = p.event_type
+ORDER BY p.event_type
+"""
+
+
+CUPED_READOUT_SQL = _cuped_sql()

@@ -2918,3 +2918,185 @@ WHERE b.n_xy >= {_COLLOC_MIN_N}
 ORDER BY lift_ppm DESC, b.w1, b.w2
 LIMIT {_COLLOC_TOPK}
 """
+
+
+_BOILER_SEG_W = 8       # tokens per disjoint segment (the pseudo-line)
+_BOILER_DF_PCT = 25     # boilerplate iff df >= max(2, ceil(pct% of source docs))
+
+
+def boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C112 (round-8 addition): repeated-segment boilerplate screen —
+    the CCNet/RefinedWeb curation pass that exact and near dedup both
+    miss (they compare whole documents; boilerplate is a SHORT unit
+    repeated across MANY documents of one source: nav bars, cookie
+    banners, footers). The unit here is the deterministic pseudo-line
+    both engines can state — disjoint {w}-token segments in document
+    order (final partial segment included) — and a segment is
+    boilerplate within its source iff its document frequency reaches
+    max(2, ceil({p}% of the source's docs)). Per source: doc/char
+    totals, segment instance and distinct counts, boilerplate distinct
+    segments, their instance count, the documents affected, the exact
+    removable chars (sum of segment string length over boilerplate
+    instances), and the removal share in basis points. All integers.
+
+    The sf corpora draw tokens ~uniformly, so cross-document segment
+    collisions are essentially absent and every source reports zero
+    boilerplate — the semantics are carried by the crafted planted-
+    boilerplate pytest (the C102/C104 discipline).
+
+    Plan: segmentation is array-side per row (split -> slice windows —
+    no explode until segments exist); one (source, doc, segment)
+    rollup, one (source, segment) rollup on the SAME key prefix, the
+    per-source doc totals broadcast back (|sources| rows), the flag
+    map-side, affected-docs via one more rollup of the doc-level rows
+    against flagged segments. Shuffle keys are always (source,
+    segment[, doc]) — never a global window; at 100 TB the heavy
+    relation is the segment-instance table, linear in corpus tokens.
+    """.format(w=_BOILER_SEG_W, p=_BOILER_DF_PCT)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    seg_expr = (
+        "CASE WHEN size(toks) = 0 THEN array() ELSE "
+        "transform(sequence(0, (size(toks) + {w} - 1) div {w} - 1), "
+        "i -> array_join(slice(toks, i * {w} + 1, {w}), ' ')) END"
+    ).format(w=_BOILER_SEG_W)
+    inst = (
+        docs.withColumn(
+            "toks", F.filter(F.split("text", " "), lambda x: x != "")
+        )
+        .withColumn("seg", F.explode_outer(F.expr(seg_expr)))
+        .select("source", "doc_id", "seg")
+    )
+    per_doc_seg = (
+        inst.filter(F.col("seg").isNotNull())
+        .groupBy("source", "doc_id", "seg")
+        .agg(F.count("*").alias("n_inst"))
+    )
+    src_totals = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+    per_seg = (
+        per_doc_seg.groupBy("source", "seg")
+        .agg(F.count("*").alias("df"), F.sum("n_inst").alias("inst"))
+        .join(F.broadcast(src_totals.select("source", "n_docs")), "source")
+        .withColumn(
+            "is_boiler",
+            F.col("df")
+            >= F.greatest(
+                F.lit(2),
+                F.expr(f"(n_docs * {_BOILER_DF_PCT} + 99) div 100"),
+            ),
+        )
+    )
+    seg_stats = per_seg.groupBy("source").agg(
+        F.sum("inst").alias("n_segments"),
+        F.count("*").alias("n_distinct_segments"),
+        F.sum(F.col("is_boiler").cast("long")).alias("n_boilerplate_segments"),
+        F.sum(F.when(F.col("is_boiler"), F.col("inst")).otherwise(0)).alias(
+            "boiler_instances"
+        ),
+        F.sum(
+            F.when(F.col("is_boiler"), F.col("inst") * F.length("seg")).otherwise(0)
+        ).alias("removable_chars"),
+    )
+    affected = (
+        per_doc_seg.join(
+            per_seg.filter("is_boiler").select("source", "seg"),
+            ["source", "seg"],
+            "left_semi",
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("affected_docs"))
+    )
+    return (
+        src_totals.join(seg_stats, "source", "left")
+        .join(affected, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.coalesce("n_segments", F.lit(0)).alias("n_segments"),
+            F.coalesce("n_distinct_segments", F.lit(0)).alias(
+                "n_distinct_segments"
+            ),
+            F.coalesce("n_boilerplate_segments", F.lit(0)).alias(
+                "n_boilerplate_segments"
+            ),
+            F.coalesce("boiler_instances", F.lit(0)).alias("boiler_instances"),
+            F.coalesce("affected_docs", F.lit(0)).alias("affected_docs"),
+            F.coalesce("removable_chars", F.lit(0)).alias("removable_chars"),
+            F.expr(
+                "coalesce(removable_chars, 0) * 10000 div total_chars"
+            ).alias("removable_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+BOILERPLATE_SEGMENTS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+inst AS (
+  SELECT source, doc_id,
+         array_to_string(
+           list_slice(toks, i * {_BOILER_SEG_W} + 1,
+                      i * {_BOILER_SEG_W} + {_BOILER_SEG_W}), ' ') AS seg
+  FROM d, UNNEST(range((len(toks) + {_BOILER_SEG_W} - 1) // {_BOILER_SEG_W}))
+         AS t(i)
+),
+per_doc_seg AS (
+  SELECT source, doc_id, seg, COUNT(*) AS n_inst
+  FROM inst GROUP BY source, doc_id, seg
+),
+src_totals AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(length(text)) AS total_chars
+  FROM d GROUP BY source
+),
+per_seg AS (
+  SELECT p.source, p.seg, COUNT(*) AS df, SUM(p.n_inst) AS inst,
+         COUNT(*) >= GREATEST(2, (s.n_docs * {_BOILER_DF_PCT} + 99) // 100)
+           AS is_boiler
+  FROM per_doc_seg p JOIN src_totals s ON s.source = p.source
+  GROUP BY p.source, p.seg, s.n_docs
+),
+seg_stats AS (
+  SELECT source,
+         SUM(inst) AS n_segments,
+         COUNT(*) AS n_distinct_segments,
+         SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END)
+           AS n_boilerplate_segments,
+         SUM(CASE WHEN is_boiler THEN inst ELSE 0 END) AS boiler_instances,
+         SUM(CASE WHEN is_boiler THEN inst * length(seg) ELSE 0 END)
+           AS removable_chars
+  FROM per_seg GROUP BY source
+),
+affected AS (
+  SELECT p.source, COUNT(DISTINCT p.doc_id) AS affected_docs
+  FROM per_doc_seg p
+  WHERE EXISTS (SELECT 1 FROM per_seg f
+                WHERE f.source = p.source AND f.seg = p.seg AND f.is_boiler)
+  GROUP BY p.source
+)
+SELECT t.source,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(t.total_chars AS BIGINT) AS total_chars,
+       CAST(COALESCE(g.n_segments, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(g.n_distinct_segments, 0) AS BIGINT)
+         AS n_distinct_segments,
+       CAST(COALESCE(g.n_boilerplate_segments, 0) AS BIGINT)
+         AS n_boilerplate_segments,
+       CAST(COALESCE(g.boiler_instances, 0) AS BIGINT) AS boiler_instances,
+       CAST(COALESCE(a.affected_docs, 0) AS BIGINT) AS affected_docs,
+       CAST(COALESCE(g.removable_chars, 0) AS BIGINT) AS removable_chars,
+       CAST(COALESCE(g.removable_chars, 0) * 10000 // t.total_chars AS BIGINT)
+         AS removable_bp
+FROM src_totals t
+LEFT JOIN seg_stats g ON g.source = t.source
+LEFT JOIN affected a ON a.source = t.source
+ORDER BY t.source
+"""

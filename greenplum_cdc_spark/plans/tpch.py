@@ -2347,3 +2347,242 @@ FROM ranked
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+_TRIPLE_MIN_SUP = 2  # one support floor at EVERY Apriori level (see below)
+
+
+def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B114 (round-8 addition): frequent 3-itemsets over the order
+    baskets — the Apriori level the pair passes (B38/B68) stop short
+    of, and the level where anti-monotone pruning starts to matter:
+    the raw triple space is sum over baskets of C(|basket|,3), but a
+    triple can only be frequent if all three items and all three
+    sub-pairs are (Agrawal-Srikant), so candidate generation never
+    touches a triple whose cheapest witness is already below floor.
+    Per frequent triple: the three parts, the basket count, and the
+    support in basis points of ALL baskets (integer floor division).
+
+    The SAME floor ({s}) is applied at every level — a HIGHER
+    item/pair floor would violate anti-monotonicity and silently drop
+    true triples, the classic hand-rolled-Apriori bug (pinned by the
+    brute-force equivalence pytest).
+
+    Plan: distinct (order, part) once; frequent items collapse to a
+    broadcast dimension that prunes the basket feed map-side; the
+    pair instances come from ONE orderkey-co-partitioned self-join
+    (both sides share the shuffle); frequent pairs are dimension-sized
+    and broadcast back as semi-joins on ALL THREE sub-pairs before the
+    triple rollup — the only feed-wide shuffles are the distinct, the
+    self-join exchange, and the final triple groupBy. Basket total is
+    a 1-row scalar crossJoin (the whitelisted B32/C34 idiom). At 100
+    TB basket size is bounded by order width, so per-basket fan-out is
+    constant-bounded and the candidate space is governed by the floor,
+    not the corpus.
+    """.format(s=_TRIPLE_MIN_SUP)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_baskets = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    freq_items = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _TRIPLE_MIN_SUP)
+        .select("l_partkey")
+    )
+    bf = li.join(F.broadcast(freq_items), "l_partkey").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    pair_inst = (
+        bf.alias("a")
+        .join(
+            bf.alias("b"),
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .select(F.col("a.o").alias("o"), F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+    )
+    freq_pairs = (
+        pair_inst.groupBy("pa", "pb")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _TRIPLE_MIN_SUP)
+        .select("pa", "pb")
+    )
+    cand_inst = (
+        pair_inst.join(F.broadcast(freq_pairs), ["pa", "pb"], "left_semi")
+        .alias("pi")
+        .join(
+            bf.alias("c3"),
+            (F.col("pi.o") == F.col("c3.o")) & (F.col("pi.pb") < F.col("c3.p")),
+        )
+        .select("pi.o", "pi.pa", "pi.pb", F.col("c3.p").alias("pc"))
+        # Apriori: the other two sub-pairs must be frequent too
+        .join(
+            F.broadcast(freq_pairs.select(F.col("pa"), F.col("pb").alias("pc"))),
+            ["pa", "pc"],
+            "left_semi",
+        )
+        .join(
+            F.broadcast(
+                freq_pairs.select(F.col("pa").alias("pb"), F.col("pb").alias("pc"))
+            ),
+            ["pb", "pc"],
+            "left_semi",
+        )
+    )
+    return (
+        cand_inst.groupBy("pa", "pb", "pc")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= _TRIPLE_MIN_SUP)
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            F.col("pc").alias("part_c"),
+            "n_orders",
+            F.expr("n_orders * 10000 div n_baskets").alias("support_bp"),
+        )
+        .orderBy(F.desc("n_orders"), "part_a", "part_b", "part_c")
+    )
+
+
+FREQUENT_TRIPLES_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+tot AS (SELECT COUNT(DISTINCT o) AS n_baskets FROM li),
+trip AS (
+  -- the NAIVE sequential truth: enumerate every in-basket triple and
+  -- filter by support. The Spark plan's Apriori pruning is provably
+  -- equivalent (anti-monotonicity; pinned by the brute-force pytest);
+  -- stating the unpruned form keeps the oracle independent of the
+  -- optimization under test, and keeps DuckDB's join-order optimizer
+  -- away from the quadratic fpairs-x-fpairs shape the pruned SQL
+  -- tempted it into at the 10x gate (36 GB spill, found-and-fixed).
+  -- every join pair carries the basket equi-key (a.o=c.o AND b.o=c.o):
+  -- over a stats-less parquet scan DuckDB may start from ANY pair, and
+  -- a pair whose only condition is the p-inequality is a quadratic
+  -- nested loop (measured: >110 s at the 10x gate vs 0.2 s saturated).
+  SELECT a.p AS pa, b.p AS pb, c.p AS pc, COUNT(*) AS n_orders
+  FROM li a
+  JOIN li b ON a.o = b.o AND a.p < b.p
+  JOIN li c ON b.o = c.o AND a.o = c.o AND b.p < c.p
+  GROUP BY a.p, b.p, c.p
+)
+SELECT pa AS part_a, pb AS part_b, pc AS part_c,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(n_orders * 10000 // (SELECT n_baskets FROM tot) AS BIGINT)
+         AS support_bp
+FROM trip
+WHERE n_orders >= {_TRIPLE_MIN_SUP}
+ORDER BY n_orders DESC, part_a, part_b, part_c
+"""
+
+
+def customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B115 (round-8 addition): cohort lifetime-value curve — the
+    finance/growth staple that neither the retention matrix (B35
+    counts users) nor month-over-month growth (B60 sums one month)
+    answers: for each acquisition cohort (calendar month of a
+    customer's FIRST order) and each age in months since acquisition,
+    the active-customer count, the month's revenue, the cohort's
+    cumulative revenue to that age, and the cumulative LTV per
+    acquired customer (floor division — integer cents end to end, so
+    the curve is engine-exact; a double cumulative sum would be
+    partition-order-dependent at 1000 executors).
+
+    Ages are observed months only (a cohort with a silent month shows
+    no row at that age — stated; the cumulative sum still carries, by
+    summing over rows, not a gap-filled spine). Month arithmetic is
+    the integer index year*12 + month - 1, so age = m - cohort_m needs
+    no interval types.
+
+    Plan: one per-customer rollup (min month) — customers are the
+    reduced cardinality; the feed joins back on the SAME custkey
+    partitioning (one exchange reused), collapses to (cohort, age)
+    — months-squared-bounded, tiny — and the running cumulative is a
+    streaming O(1)/row frame over ages within a cohort (the allowed
+    running class, never a growing unbounded-FOLLOWING frame).
+    Cohort sizes ride the same rollup; no scalar crossJoin needed.
+    """
+    from pyspark.sql import Window
+
+    ord_ = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cohort = ord_.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    cohort_size = cohort.groupBy("cohort_m").agg(
+        F.count("*").alias("n_customers")
+    )
+    cells = (
+        ord_.join(cohort, "o_custkey")
+        .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("age_months"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_active"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.withColumn("cum_revenue_cents", F.sum("revenue_cents").over(w))
+        .join(F.broadcast(cohort_size), "cohort_m")
+        .select(
+            F.expr("cohort_m div 12").alias("cohort_year"),
+            (F.col("cohort_m") % 12 + 1).alias("cohort_month"),
+            "age_months",
+            "n_active",
+            "n_customers",
+            "revenue_cents",
+            "cum_revenue_cents",
+            F.expr("cum_revenue_cents div n_customers").alias(
+                "ltv_cents_per_customer"
+            ),
+        )
+        .orderBy("cohort_year", "cohort_month", "age_months")
+    )
+
+
+CUSTOMER_LTV_COHORT_SQL = """
+WITH ord AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+cohort AS (
+  SELECT o_custkey, MIN(m) AS cohort_m FROM ord GROUP BY o_custkey
+),
+csize AS (
+  SELECT cohort_m, COUNT(*) AS n_customers FROM cohort GROUP BY cohort_m
+),
+cells AS (
+  SELECT c.cohort_m, o.m - c.cohort_m AS age_months,
+         COUNT(DISTINCT o.o_custkey) AS n_active,
+         SUM(o.cents) AS revenue_cents
+  FROM ord o JOIN cohort c ON c.o_custkey = o.o_custkey
+  GROUP BY c.cohort_m, o.m - c.cohort_m
+)
+SELECT CAST(cells.cohort_m // 12 AS BIGINT) AS cohort_year,
+       CAST(cells.cohort_m % 12 + 1 AS BIGINT) AS cohort_month,
+       CAST(age_months AS BIGINT) AS age_months,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(SUM(revenue_cents) OVER (
+              PARTITION BY cells.cohort_m ORDER BY age_months
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS cum_revenue_cents,
+       CAST(SUM(revenue_cents) OVER (
+              PARTITION BY cells.cohort_m ORDER BY age_months
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) // n_customers AS BIGINT) AS ltv_cents_per_customer
+FROM cells JOIN csize ON csize.cohort_m = cells.cohort_m
+ORDER BY cohort_year, cohort_month, age_months
+"""

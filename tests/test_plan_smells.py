@@ -121,6 +121,9 @@ _BNLJ_OK = {
     "cdc_tombstone_gc",  # 1-row high-watermark scalar (r7 fix of the
     # unpartitioned-window regression — the scalar now broadcasts)
     "mixture_temperature",  # 1-row token-budget scalar x 3-row totals
+    # round-8 continuation session: 1-row scalar broadcasts (B32/C34 idiom)
+    "frequent_triples",  # 1-row basket-total scalar
+    "cuped_readout",  # 1-row pre/post midpoint scalar
 }
 
 

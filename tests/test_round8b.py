@@ -1,0 +1,490 @@
+"""Round-8 continuation session: new-operator semantics tests.
+
+Each operator added in this session gets (a) an exact brute-force or
+python re-derivation check on the real sf0.001 corpus and (b) where
+the corpus cannot exercise the semantics, a crafted corpus that does.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import pytest
+
+
+class TestFrequentTriples:
+    def test_brute_force_equivalence(self, spark, sf_dir):
+        """B114: Apriori output == naive count-all-triples-then-filter.
+
+        This is the anti-monotonicity proof in test form: the pruned
+        candidate generation (frequent items -> frequent pairs -> all
+        three sub-pairs frequent) must lose NOTHING relative to the
+        exhaustive enumeration, because any triple with support >= s
+        has every subset at support >= s. A higher floor at the item
+        or pair level would fail exactly here.
+        """
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.tpch import (
+            _TRIPLE_MIN_SUP,
+            frequent_triples,
+        )
+
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .collect()
+        )
+        baskets = {}
+        for r in li:
+            baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+        truth = {}
+        for items in baskets.values():
+            for t in combinations(sorted(items), 3):
+                truth[t] = truth.get(t, 0) + 1
+        truth = {t: c for t, c in truth.items() if c >= _TRIPLE_MIN_SUP}
+        n_baskets = len(baskets)
+
+        rows = frequent_triples(spark, sf_dir).collect()
+        got = {
+            (r["part_a"], r["part_b"], r["part_c"]): (
+                r["n_orders"],
+                r["support_bp"],
+            )
+            for r in rows
+        }
+        assert set(got) == set(truth)
+        for t, c in truth.items():
+            assert got[t] == (c, c * 10000 // n_baskets), t
+        # output ordering: support desc, then keys
+        keys = [
+            (-r["n_orders"], r["part_a"], r["part_b"], r["part_c"])
+            for r in rows
+        ]
+        assert keys == sorted(keys)
+
+    def test_crafted_pruning_cases(self, spark, tmp_path):
+        """A pair frequent in isolation does NOT imply its extensions
+        emit (pair {1,2} appears 3x but {1,2,3} only once -> out), and
+        a triple exactly at floor emits; items below floor never
+        appear."""
+        from greenplum_cdc_spark.plans.tpch import frequent_triples
+
+        rows = []
+        # two baskets with the full triple {1,2,3} -> frequent at s=2
+        for o, items in enumerate(
+            [
+                (1, 2, 3),
+                (1, 2, 3),
+                (1, 2, 4),  # pair {1,2} now 3x; {1,2,4} once only
+                (5, 6, 7),  # all items support 1 -> fully pruned
+            ]
+        ):
+            rows += [(o, p) for p in items]
+        import pandas as pd
+
+        pd.DataFrame(
+            rows, columns=["l_orderkey", "l_partkey"]
+        ).to_parquet(str(tmp_path / "lineitem.parquet"))
+        got = {
+            (r["part_a"], r["part_b"], r["part_c"]): r["n_orders"]
+            for r in frequent_triples(spark, str(tmp_path)).collect()
+        }
+        assert got == {(1, 2, 3): 2}
+
+
+class TestCustomerLtvCohort:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B115: every cell (actives, revenue, cumulative, LTV) re-derived
+        exactly in python from raw orders; cumulative monotone; age 0
+        exists for every cohort (the acquisition order itself)."""
+        import math
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.tpch import customer_ltv_cohort
+
+        raw = load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderdate", "o_totalprice"
+        ).collect()
+        orders = [
+            (
+                r["o_custkey"],
+                r["o_orderdate"].year * 12 + r["o_orderdate"].month - 1,
+                math.floor(r["o_totalprice"] * 100),
+            )
+            for r in raw
+        ]
+        cohort = {}
+        for ck, m, _ in orders:
+            cohort[ck] = min(cohort.get(ck, m), m)
+        csize = {}
+        for cm in cohort.values():
+            csize[cm] = csize.get(cm, 0) + 1
+        cells = {}
+        for ck, m, cents in orders:
+            key = (cohort[ck], m - cohort[ck])
+            actives, rev = cells.get(key, (set(), 0))
+            actives.add(ck)
+            cells[key] = (actives, rev + cents)
+
+        rows = customer_ltv_cohort(spark, sf_dir).collect()
+        assert len(rows) == len(cells)
+        cum = {}
+        seen_age0 = set()
+        for r in rows:
+            cm = r["cohort_year"] * 12 + r["cohort_month"] - 1
+            key = (cm, r["age_months"])
+            actives, rev = cells[key]
+            assert r["n_active"] == len(actives), key
+            assert r["revenue_cents"] == rev, key
+            assert r["n_customers"] == csize[cm], key
+            cum[cm] = cum.get(cm, 0) + rev
+            # rows arrive cohort-ordered then age-ordered, so the running
+            # python total IS the expected cumulative
+            assert r["cum_revenue_cents"] == cum[cm], key
+            assert r["ltv_cents_per_customer"] == cum[cm] // csize[cm]
+            if r["age_months"] == 0:
+                seen_age0.add(cm)
+        assert seen_age0 == set(csize)
+
+
+class TestDeltaEncodingAdvisor:
+    def test_exact_python_byte_accounting(self, spark, sf_dir):
+        """B116: every audit's delta_bytes re-derived exactly in python
+        (zigzag widths, 9-byte page-leading escape), and the measured
+        verdicts hold: clustered keys and event-time win; arrival-order
+        user ids ALSO win here because the id space is small (2-byte
+        deltas) — the wide-id losing case is the crafted test below."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.stats import (
+            DELTA_COLUMNS,
+            delta_encoding_advisor,
+        )
+
+        def width(z):
+            if z is None:
+                return 9
+            for w, lim in ((1, 128), (2, 16384), (3, 2097152),
+                           (4, 268435456), (5, 34359738368)):
+                if z < lim:
+                    return w
+            return 9
+
+        rows = {r["column_ref"]: r
+                for r in delta_encoding_advisor(spark, sf_dir).collect()}
+        assert set(rows) == {lbl for lbl, *_ in DELTA_COLUMNS}
+
+        for label, table, vexpr, pexpr, oexprs in DELTA_COLUMNS:
+            tbl = load_table(spark, sf_dir, table)
+            import pyspark.sql.functions as F
+            raw = tbl.select(
+                F.expr(vexpr).cast("long").alias("v"),
+                F.expr(pexpr).alias("pg"),
+                *[F.expr(o).alias(f"o{i}") for i, o in enumerate(oexprs)],
+            ).collect()
+            pages = {}
+            for r in raw:
+                pages.setdefault(r["pg"], []).append(
+                    (tuple(r[f"o{i}"] for i in range(len(oexprs))), r["v"])
+                )
+            total = 0
+            for vals in pages.values():
+                vals.sort()
+                prev = None
+                for _, v in vals:
+                    if prev is None:
+                        total += 9
+                    else:
+                        d = v - prev
+                        z = 2 * d if d >= 0 else -2 * d - 1
+                        total += width(z)
+                    prev = v
+            r = rows[label]
+            assert r["n"] == len(raw), label
+            assert r["n_pages"] == len(pages), label
+            assert r["raw_bytes"] == 8 * len(raw), label
+            assert r["delta_bytes"] == total, label
+            assert r["savings_bp"] == (8 * len(raw) - total) * 10000 // (
+                8 * len(raw)
+            ), label
+            assert r["use_delta"] == (total < 8 * len(raw)), label
+
+        assert rows["events.user_id@arrival"]["use_delta"]  # small id space
+        assert rows["lineitem.l_orderkey@clustered"]["use_delta"]
+        assert rows["orders.o_orderkey@clustered"]["use_delta"]
+        assert rows["events.ts@arrival"]["use_delta"]
+
+    def test_crafted_wide_id_space_loses(self, spark, tmp_path):
+        """A genuinely wide random id column (md5-derived 60-bit values,
+        one page) must make delta LOSE: nearly every zigzag delta needs
+        the 9-byte escape vs 8 raw."""
+        import pyspark.sql.functions as F
+        from greenplum_cdc_spark.operators.stats import (
+            _VARINT_CASE,  # noqa: F401  (documents the shared width rule)
+            delta_encoding_advisor,
+        )
+
+        # reuse the advisor's machinery by pointing one stated audit at a
+        # crafted events table: user_id becomes a 60-bit hash value
+        ev = spark.range(2000).select(
+            F.col("id").alias("event_id"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+            F.expr(
+                "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 15), 16, 10)"
+                " AS BIGINT)"
+            ).alias("user_id"),
+            F.lit("t").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        # satisfy the other stated audits with tiny stand-in tables
+        spark.createDataFrame(
+            [(1, 1, 1.0)], "l_orderkey long, l_linenumber int, l_quantity double"
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        spark.createDataFrame(
+            [(1,)], "o_orderkey long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        rows = {r["column_ref"]: r
+                for r in delta_encoding_advisor(spark, str(tmp_path)).collect()}
+        r = rows["events.user_id@arrival"]
+        assert not r["use_delta"]
+        assert r["savings_bp"] < 0
+
+
+class TestBoilerplateSegments:
+    def test_real_corpus_zero_and_totals(self, spark, sf_dir):
+        """C112: on the uniform-token sf corpus no segment repeats
+        across docs, so boilerplate is zero everywhere — but the
+        totals (docs, chars, instances, distinct) must still be exact
+        vs python."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.text import (
+            _BOILER_SEG_W,
+            boilerplate_segments,
+        )
+
+        raw = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        ).collect()
+        per_src = {}
+        for r in raw:
+            toks = [t for t in r["text"].split(" ") if t]
+            segs = [
+                " ".join(toks[i:i + _BOILER_SEG_W])
+                for i in range(0, len(toks), _BOILER_SEG_W)
+            ]
+            d = per_src.setdefault(r["source"], {
+                "n_docs": 0, "chars": 0, "inst": 0, "distinct": set()})
+            d["n_docs"] += 1
+            d["chars"] += len(r["text"])
+            d["inst"] += len(segs)
+            d["distinct"].update(segs)
+
+        rows = {r["source"]: r
+                for r in boilerplate_segments(spark, sf_dir).collect()}
+        assert set(rows) == set(per_src)
+        for src, d in per_src.items():
+            r = rows[src]
+            assert r["n_docs"] == d["n_docs"]
+            assert r["total_chars"] == d["chars"]
+            assert r["n_segments"] == d["inst"]
+            assert r["n_distinct_segments"] == len(d["distinct"])
+            assert r["n_boilerplate_segments"] == 0
+            assert r["removable_chars"] == 0 == r["removable_bp"]
+            assert r["affected_docs"] == 0
+
+    def test_crafted_planted_boilerplate(self, spark, tmp_path):
+        """A footer segment planted in 3 of 4 docs of srcA crosses the
+        max(2, ceil(25%*4)=1)->2 floor and is flagged with exact
+        removable chars; a segment repeated 5x inside ONE doc has df=1
+        and is NOT boilerplate; srcB's unique docs report zero."""
+        import pandas as pd
+
+        from greenplum_cdc_spark.operators.text import boilerplate_segments
+
+        footer = "subscribe to our newsletter now ok yes thanks"  # 8 tokens
+        uniq = ["alpha beta gamma delta epsilon zeta eta theta",
+                "one two three four five six seven eight",
+                "red green blue cyan magenta yellow black white"]
+        docs = [
+            (0, "srcA", uniq[0] + " " + footer),
+            (1, "srcA", uniq[1] + " " + footer),
+            (2, "srcA", footer + " " + uniq[2]),
+            (3, "srcA", " ".join([uniq[0].upper()] * 1)),  # no footer
+            # df=1 even though repeated 5x within the doc:
+            (4, "srcB", " ".join([footer] * 5)),
+            (5, "srcB", uniq[1].upper()),
+        ]
+        pd.DataFrame(docs, columns=["doc_id", "source", "text"]).to_parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        rows = {r["source"]: r
+                for r in boilerplate_segments(spark, str(tmp_path)).collect()}
+        a, b = rows["srcA"], rows["srcB"]
+        assert a["n_boilerplate_segments"] == 1
+        assert a["boiler_instances"] == 3
+        assert a["affected_docs"] == 3
+        assert a["removable_chars"] == 3 * len(footer)
+        assert a["removable_bp"] == 3 * len(footer) * 10000 // a["total_chars"]
+        assert b["n_boilerplate_segments"] == 0
+        assert b["affected_docs"] == 0
+
+
+class TestCupedReadout:
+    @staticmethod
+    def _python_truth(rows_xyarm):
+        """IEEE-double twin of the stated expressions."""
+        import math
+
+        out = {}
+        for et, users in rows_xyarm.items():
+            n = len(users)
+            sx = sum(x for x, _, _ in users)
+            sy = sum(y for _, y, _ in users)
+            sxy = sum(x * y for x, y, _ in users)
+            sxx = sum(x * x for x, _, _ in users)
+            syy = sum(y * y for _, y, _ in users)
+            arms = {0: [0, 0, 0], 1: [0, 0, 0]}  # n, sx, sy
+            for x, y, arm in users:
+                arms[arm][0] += 1
+                arms[arm][1] += x
+                arms[arm][2] += y
+            (n_a, sx_a, sy_a), (n_b, sx_b, sy_b) = arms[0], arms[1]
+            cov = float(n) * float(sxy) - float(sx) * float(sy)
+            varx = float(n) * float(sxx) - float(sx) * float(sx)
+            vary = float(n) * float(syy) - float(sy) * float(sy)
+            theta = cov / varx if varx > 0 else None
+            raw = float(sy_b) / float(n_b) - float(sy_a) / float(n_a)
+            pre = float(sx_b) / float(n_b) - float(sx_a) / float(n_a)
+            adj = raw - (theta * pre if theta is not None else 0.0)
+            rho2 = (cov * cov) / (varx * vary) if varx > 0 and vary > 0 else None
+            out[et] = {
+                "n_a": n_a, "n_b": n_b,
+                "raw_diff_ppm": math.floor(1e6 * raw),
+                "adj_diff_ppm": math.floor(1e6 * adj),
+                "theta_ppm": None if theta is None else math.floor(1e6 * theta),
+                "rho2_ppm": None if rho2 is None else math.floor(1e6 * rho2),
+            }
+        return out
+
+    def _collect_xyarm(self, spark, sf_dir):
+        import hashlib
+        import math
+
+        from greenplum_cdc_spark.io import load_table
+
+        raw = load_table(spark, sf_dir, "events").select(
+            "event_type", "user_id", "ts", "value"
+        ).collect()
+        ev = [
+            (r["event_type"], r["user_id"],
+             int(r["ts"].timestamp() * 1_000_000),
+             math.floor(r["value"] * 100))
+            for r in raw
+        ]
+        mid = (min(e[2] for e in ev) + max(e[2] for e in ev)) // 2
+        agg = {}
+        for et, uid, us, cents in ev:
+            x, y = agg.setdefault((et, uid), [0, 0])
+            if us < mid:
+                agg[(et, uid)][0] = x + cents
+            else:
+                agg[(et, uid)][1] = y + cents
+        per_type = {}
+        for (et, uid), (x, y) in agg.items():
+            arm = int(
+                hashlib.md5(f"ab-v1|{uid}".encode()).hexdigest()[:15], 16
+            ) % 2
+            per_type.setdefault(et, []).append((x, y, arm))
+        return per_type
+
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B117: every ppm column re-derived through an IEEE-double twin
+        of the stated expressions over exact integer sufficient stats."""
+        from greenplum_cdc_spark.operators.stats import cuped_readout
+
+        truth = self._python_truth(self._collect_xyarm(spark, sf_dir))
+        rows = {r["event_type"]: r for r in cuped_readout(spark, sf_dir).collect()}
+        assert set(rows) == set(truth)
+        for et, t in truth.items():
+            r = rows[et]
+            for k, v in t.items():
+                assert r[k] == v, (et, k, r[k], v)
+
+    def test_planted_covariate_effect(self, spark, tmp_path):
+        """A corpus where Y = X + planted 7-cent arm effect + per-user
+        noise that the covariate fully explains: CUPED must (a) recover
+        the effect in adj_diff within 1 cent, (b) explain >90% of the
+        variance, and (c) adjust by LESS than the raw imbalance when the
+        arms' pre-periods differ."""
+        import datetime
+        import hashlib
+
+        import pandas as pd
+
+        rows = []
+        t0 = datetime.datetime(2024, 1, 1)
+        for uid in range(400):
+            arm = int(
+                hashlib.md5(f"ab-v1|{uid}".encode()).hexdigest()[:15], 16
+            ) % 2
+            base = 100 + (uid * 37) % 500  # user-level heterogeneity
+            # pre event (before mid) and post event (after mid)
+            rows.append((2 * uid, t0, uid, "buy", base / 100.0, "{}"))
+            post = base + (7 if arm else 0)
+            rows.append(
+                (2 * uid + 1, t0 + datetime.timedelta(days=2), uid, "buy",
+                 post / 100.0, "{}")
+            )
+        # pin the span so mid falls between day 0 and day 2
+        rows.append((10**6, t0, 10**6, "other", 1.0, "{}"))
+        rows.append(
+            (10**6 + 1, t0 + datetime.timedelta(days=2), 10**6, "other",
+             1.0, "{}")
+        )
+        pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ).to_parquet(str(tmp_path / "events.parquet"))
+
+        from greenplum_cdc_spark.operators.stats import cuped_readout
+
+        r = {x["event_type"]: x
+             for x in cuped_readout(spark, str(tmp_path)).collect()}["buy"]
+        assert abs(r["adj_diff_ppm"] - 7_000_000) < 1_000_000
+        assert r["rho2_ppm"] > 900_000
+        assert r["theta_ppm"] is not None
+
+
+class TestMediaPhashNearPairs:
+    def test_pigeonhole_equals_bruteforce(self, spark, sf_dir):
+        """C113: the 4-block pigeonhole join finds EXACTLY the all-pairs
+        Hamming<=3 truth over the real decoded hashes (completeness is
+        the pigeonhole theorem; this pins it plus the verify filter)."""
+        from greenplum_cdc_spark.operators.multimodal import (
+            _PH_MAX_HAMMING,
+            media_phash,
+            media_phash_near_pairs,
+        )
+
+        fps = {
+            r["doc_id"]: (r["phash_hi"], r["phash_lo"])
+            for r in media_phash(spark, sf_dir).collect()
+        }
+        ids = sorted(fps)
+        truth = {}
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                h = bin(fps[a][0] ^ fps[b][0]).count("1") + bin(
+                    fps[a][1] ^ fps[b][1]
+                ).count("1")
+                if h <= _PH_MAX_HAMMING:
+                    truth[(a, b)] = h
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in media_phash_near_pairs(spark, sf_dir).collect()
+        }
+        assert got == truth
+        assert truth, "corpus should contain at least one near-dup pair"

@@ -335,6 +335,12 @@ def _late_ops():
         "cdc_write_conflicts": _cdcq().cdc_write_conflicts,
         "revenue_waterfall": _tpch().revenue_waterfall,
         "shipping_delay_sla": _tpch().shipping_delay_sla,
+        "frequent_triples": _tpch().frequent_triples,
+        "customer_ltv_cohort": _tpch().customer_ltv_cohort,
+        "delta_encoding_advisor": __import__("greenplum_cdc_spark.operators.stats", fromlist=["stats"]).delta_encoding_advisor,
+        "boilerplate_segments": text.boilerplate_segments,
+        "cuped_readout": __import__("greenplum_cdc_spark.operators.stats", fromlist=["stats"]).cuped_readout,
+        "media_phash_near_pairs": __import__("greenplum_cdc_spark.operators.multimodal", fromlist=["multimodal"]).media_phash_near_pairs,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
