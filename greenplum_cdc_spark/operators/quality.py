@@ -1719,3 +1719,83 @@ SELECT source, lang,
 FROM noised
 ORDER BY source, lang
 """
+
+
+L_DIVERSITY = 3  # distinct sensitive values required per equivalence class
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B120 (round-8 addition): l-diversity audit — the attack model
+    k-anonymity (C85) cannot see: a class of k rows that all belong to
+    the SAME user is k-anonymous yet discloses everything (homogeneity
+    attack, Machanavajjhala et al., ICDE'06). Over C85's exact
+    equivalence classes (event type, hour-of-day, value band) the
+    sensitive attribute is the user identity: each class reports its
+    size, the count of DISTINCT users, the l={l} violation flag, and
+    the dominant user's share of the class in basis points (the
+    probabilistic-disclosure number a stricter t-closeness policy
+    reads). A class can pass k and fail l — the audit exists to show
+    exactly those rows.
+
+    Plan: one (class, user) rollup then one class rollup (map-side
+    combined, the max_by dominant count rides the same pass); at
+    100 TB this is two rollups on the same key prefix — no wider
+    shuffle than C85 itself.
+    """.format(l=L_DIVERSITY)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.select(
+            "event_type",
+            F.hour("ts").alias("hour_of_day"),
+            F.expr(f"CAST(floor(value / {_KA_BAND}) AS INT)").alias(
+                "value_band"
+            ),
+            "user_id",
+        )
+        .groupBy("event_type", "hour_of_day", "value_band", "user_id")
+        .agg(F.count("*").alias("n_user"))
+    )
+    return (
+        per_user.groupBy("event_type", "hour_of_day", "value_band")
+        .agg(
+            F.sum("n_user").alias("n"),
+            F.count("*").alias("distinct_users"),
+            F.max("n_user").alias("dominant_user_rows"),
+        )
+        .select(
+            "event_type",
+            "hour_of_day",
+            "value_band",
+            "n",
+            "distinct_users",
+            (F.col("distinct_users") < L_DIVERSITY).cast("int").alias(
+                "violates_l"
+            ),
+            F.expr("dominant_user_rows * 10000 div n").alias(
+                "dominant_share_bp"
+            ),
+        )
+        .orderBy("event_type", "hour_of_day", "value_band")
+    )
+
+
+L_DIVERSITY_SQL = f"""
+WITH per_user AS (
+  SELECT event_type,
+         CAST(hour(ts) AS INT) AS hour_of_day,
+         CAST(floor(value / {_KA_BAND}) AS INT) AS value_band,
+         user_id, COUNT(*) AS n_user
+  FROM events
+  GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, hour_of_day, value_band,
+       CAST(SUM(n_user) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS distinct_users,
+       CAST(CASE WHEN COUNT(*) < {L_DIVERSITY} THEN 1 ELSE 0 END AS INT)
+         AS violates_l,
+       CAST(MAX(n_user) * 10000 // SUM(n_user) AS BIGINT)
+         AS dominant_share_bp
+FROM per_user
+GROUP BY event_type, hour_of_day, value_band
+ORDER BY event_type, hour_of_day, value_band
+"""

@@ -2160,3 +2160,97 @@ ORDER BY p.event_type
 
 
 CUPED_READOUT_SQL = _cuped_sql()
+
+
+_QB_BUCKET_SHIFT = 10  # round-1 bucket = cents div 2^10 (~1024 values/bucket)
+_QB_QUANTILES = (50, 90, 99)
+
+
+def exact_quantile_bisect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B118 (round-8 addition): EXACT global order statistics WITHOUT a
+    global sort — the 100 TB path to the number B27 computes by
+    sorting and A-series sketches only approximate: the classical
+    two-round histogram-refinement selection. Round 1 aggregates
+    counts per coarse bucket (cents div 2^{s} — map-side combined, the
+    collect is bounded by the VALUE RANGE / 2^{s}, ~10^2 rows here and
+    range-bounded at any corpus size, never corpus-bounded); the
+    driver walks the cumulative histogram to locate each target
+    rank's bucket; round 2 aggregates exact value counts INSIDE the
+    few chosen buckets (<= 2^{s} distinct values each) and walks to
+    the rank. Two scan+combine passes, zero sorts, zero shuffles wider
+    than the bucket spine — this is how an exact global p99 is
+    actually computed over 100 TB (the same refinement loop DuckDB's
+    external quantile and ClickHouse's exact quantile use internally).
+
+    Ranks are the B105 ceil-rank nearest-rank definition
+    (k = (n*q + 99) div 100), values integer cents — bit-identical to
+    the oracle's single ORDER BY walk at any scale. The two bounded
+    collects are the documented scalar/codebook idiom (pack_sequences,
+    kmeans), not a driver-side data plane.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100).cast("long").alias("v")
+    )
+    shift = 2 ** _QB_BUCKET_SHIFT
+    hist = sorted(
+        (r["b"], r["c"])
+        for r in ev.groupBy(F.expr(f"v div {shift}").alias("b"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    n = sum(c for _, c in hist)
+    targets = {q: (n * q + 99) // 100 for q in _QB_QUANTILES}
+    bucket_of = {}
+    cum = 0
+    it = iter(hist)
+    b, c = next(it)
+    for q in sorted(targets, key=lambda q: targets[q]):
+        k = targets[q]
+        while cum + c < k:
+            cum += c
+            b, c = next(it)
+        bucket_of[q] = (b, cum)  # rank k falls inside bucket b; cum = rows before it
+    need = sorted({b for b, _ in bucket_of.values()})
+    fine = (
+        ev.filter(F.expr(f"v div {shift}").isin(need))
+        .groupBy(F.expr(f"v div {shift}").alias("b"), "v")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    by_bucket = {}
+    for r in fine:
+        by_bucket.setdefault(r["b"], []).append((r["v"], r["c"]))
+    out = []
+    for q in _QB_QUANTILES:
+        k = targets[q]
+        b, before = bucket_of[q]
+        cum2 = before
+        for v, c2 in sorted(by_bucket[b]):
+            cum2 += c2
+            if cum2 >= k:
+                out.append((q, n, k, v))
+                break
+    return spark.createDataFrame(
+        out, "quantile_pct int, n bigint, rank bigint, value_cents bigint"
+    ).orderBy("quantile_pct")
+
+
+EXACT_QUANTILE_BISECT_SQL = f"""
+WITH ev AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS v FROM events
+),
+ranked AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+         COUNT(*) OVER () AS n
+  FROM ev
+),
+q AS (SELECT unnest(ARRAY{list(_QB_QUANTILES)}) AS quantile_pct)
+SELECT CAST(q.quantile_pct AS INT) AS quantile_pct,
+       CAST(MIN(r.n) AS BIGINT) AS n,
+       CAST((MIN(r.n) * q.quantile_pct + 99) // 100 AS BIGINT) AS rank,
+       CAST(MIN(CASE WHEN r.rn = (r.n * q.quantile_pct + 99) // 100
+                     THEN r.v END) AS BIGINT) AS value_cents
+FROM ranked r CROSS JOIN q
+GROUP BY q.quantile_pct
+ORDER BY quantile_pct
+"""

@@ -3100,3 +3100,316 @@ LEFT JOIN seg_stats g ON g.source = t.source
 LEFT JOIN affected a ON a.source = t.source
 ORDER BY t.source
 """
+
+
+# Stated topic lexicons (the classifier IS this table — auditable, exact).
+TOPIC_LEXICONS = (
+    ("execution", ("join", "hash", "scan", "merge", "sort", "filter",
+                   "agg", "group", "query")),
+    ("storage", ("row", "column", "table", "key", "value", "data",
+                 "part", "line", "batch")),
+    ("streaming", ("stream", "window", "vector", "spark", "order",
+                   "fast", "slow")),
+)
+
+
+def topic_lexicon_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C114 (round-8 addition): lexicon topic classification and the
+    corpus-composition report it feeds — the domain-tagging pass a
+    mixture design (C95 consumes proportions; this PRODUCES the
+    per-source topic mix) runs before sampling: each document is
+    assigned the topic whose STATED lexicon matches the most token
+    occurrences (ties break to the lexicographically first topic —
+    stated; zero hits abstain to 'und', the C8 discipline — the
+    non-English docs land there, which is a visible finding, not
+    noise). Per (source, topic) cell of the FULL public domain
+    (every source x the 3 lexicons + 'und', zeros included — the C106
+    empty-cell discipline): doc count, share of the source's docs in
+    basis points, and total matched occurrences. All integers.
+
+    Plan: one token explode -> conditional per-lexicon sums per doc
+    (map-side; the lexicons are literals, no join), argmax expression,
+    one (source, topic) rollup, broadcast domain spine. At 100 TB this
+    is a linear scan plus a |sources x 4| rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    tok = docs.select(
+        "doc_id", "source",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("w"),
+    )
+    hit_aggs = [
+        F.sum(
+            F.col("w").isin(*words).cast("long")
+        ).alias(f"h_{name}")
+        for name, words in TOPIC_LEXICONS
+    ]
+    per_doc = tok.groupBy("doc_id", "source").agg(*hit_aggs)
+    names = [name for name, _ in TOPIC_LEXICONS]
+    best = "greatest({})".format(", ".join(f"h_{n}" for n in names))
+    topic_case = "CASE WHEN {best} = 0 THEN 'und' {arms} END".format(
+        best=best,
+        arms=" ".join(
+            f"WHEN h_{n} = {best} THEN '{n}'"
+            for n in sorted(names)  # lexicographic tie rule
+        ),
+    )
+    hits_case = "CASE {} ELSE 0 END".format(
+        " ".join(f"WHEN topic = '{n}' THEN h_{n}" for n in names)
+    )
+    classified = per_doc.withColumn("topic", F.expr(topic_case)).withColumn(
+        "hits", F.expr(hits_case)
+    )
+    cells = classified.groupBy("source", "topic").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("hits").alias("matched_occurrences"),
+    )
+    spine = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("src_docs"))
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(n,) for n in sorted(names) + ["und"]], "topic string"
+                )
+            )
+        )
+    )
+    return (
+        spine.join(cells, ["source", "topic"], "left")
+        .select(
+            "source",
+            "topic",
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.expr("coalesce(n_docs, 0) * 10000 div src_docs").alias(
+                "share_bp"
+            ),
+            F.coalesce("matched_occurrences", F.lit(0)).alias(
+                "matched_occurrences"
+            ),
+        )
+        .orderBy("source", "topic")
+    )
+
+
+def _topic_mix_sql() -> str:
+    names = sorted(n for n, _ in TOPIC_LEXICONS)
+    in_lists = {
+        n: ", ".join(f"'{w}'" for w in dict(TOPIC_LEXICONS)[n]) for n in names
+    }
+    hit_cols = ",\n         ".join(
+        f"SUM(CASE WHEN w IN ({in_lists[n]}) THEN 1 ELSE 0 END) AS h_{n}"
+        for n in names
+    )
+    best = "GREATEST({})".format(", ".join(f"h_{n}" for n in names))
+    arms = " ".join(f"WHEN h_{n} = {best} THEN '{n}'" for n in names)
+    hits = " ".join(f"WHEN topic = '{n}' THEN h_{n}" for n in names)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, source,
+         {hit_cols}
+  FROM tok GROUP BY doc_id, source
+),
+classified AS (
+  SELECT source,
+         CASE WHEN {best} = 0 THEN 'und' {arms} END AS topic,
+         CASE {hits} ELSE 0 END AS hits
+  FROM per_doc
+),
+cells AS (
+  SELECT source, topic, COUNT(*) AS n_docs, SUM(hits) AS occ
+  FROM classified GROUP BY source, topic
+),
+spine AS (
+  SELECT s.source, s.src_docs, t.topic
+  FROM (SELECT source, COUNT(*) AS src_docs FROM documents GROUP BY source) s
+  CROSS JOIN (SELECT unnest(ARRAY[{", ".join(f"'{n}'" for n in names)},
+                                  'und']) AS topic) t
+)
+SELECT sp.source, sp.topic,
+       CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(c.n_docs, 0) * 10000 // sp.src_docs AS BIGINT)
+         AS share_bp,
+       CAST(COALESCE(c.occ, 0) AS BIGINT) AS matched_occurrences
+FROM spine sp
+LEFT JOIN cells c ON c.source = sp.source AND c.topic = sp.topic
+ORDER BY sp.source, sp.topic
+"""
+
+
+TOPIC_LEXICON_MIX_SQL = _topic_mix_sql()
+
+
+_CSW_W = 16  # tokens per classification window
+
+
+def code_switch_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C115 (round-8 addition): code-switching scan — the multilingual
+    pathology document-level langid (C8) averages away: a document
+    that alternates languages mid-stream poisons monolingual training
+    shards and tokenizer statistics, and its DOCUMENT-level stopword
+    vote can even land confidently on one language. The unit is the
+    disjoint {w}-token window (the C112 pseudo-line discipline at
+    classification granularity); each window is classified by C8's
+    exact stopword tables (max hits, alphabetical tie rule, zero hits
+    abstain to 'und'). Per source: docs, windows, classified windows,
+    documents whose classified windows span >= 2 languages
+    (code-switched), total adjacent classified-window transitions that
+    switch language, and the switch rate per 10k classified-window
+    adjacencies. All integers.
+
+    The sf corpora are strictly monolingual per document, so every
+    source reports zero switched docs — exact totals still pinned
+    vs python; detection semantics are carried by the crafted
+    interleaved-document pytest (the C102/C104/C112 discipline).
+
+    Plan: windows built array-side (slice over sequence — no explode
+    until windows exist), window classification via literal IN-list
+    conditional sums inside ONE aggregate over (doc, window), adjacent
+    transitions via a lag over (doc ORDER BY window index) — a per-doc
+    sort window, never global; one source rollup. Linear scan at
+    100 TB.
+    """.format(w=_CSW_W)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    seg_expr = (
+        "CASE WHEN size(toks) = 0 THEN array() ELSE "
+        "transform(sequence(0, (size(toks) + {w} - 1) div {w} - 1), "
+        "i -> slice(toks, i * {w} + 1, {w})) END"
+    ).format(w=_CSW_W)
+    win = (
+        docs.withColumn(
+            "toks", F.filter(F.split("text", " "), lambda x: x != "")
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(F.expr(seg_expr)).alias("win_idx", "wtoks"),
+        )
+    )
+    hit_cols = [
+        F.size(F.filter("wtoks", lambda x: x.isin(*words))).alias(f"h_{code}")
+        for code, words in sorted(STOPWORDS.items())
+    ]
+    classified = win.select("doc_id", "source", "win_idx", *hit_cols)
+    codes = sorted(STOPWORDS)
+    best = "greatest({})".format(", ".join(f"h_{c}" for c in codes))
+    lang_case = "CASE WHEN {best} = 0 THEN 'und' {arms} END".format(
+        best=best,
+        arms=" ".join(f"WHEN h_{c} = {best} THEN '{c}'" for c in codes),
+    )
+    lab = classified.withColumn("wlang", F.expr(lang_case))
+    w_lag = Window.partitionBy("doc_id").orderBy("win_idx")
+    flagged = lab.withColumn(
+        "prev_lang",
+        F.last(F.when(F.col("wlang") != "und", F.col("wlang")), True).over(
+            w_lag.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).withColumn(
+        "is_switch",
+        (
+            (F.col("wlang") != "und")
+            & F.col("prev_lang").isNotNull()
+            & (F.col("wlang") != F.col("prev_lang"))
+        ).cast("long"),
+    )
+    per_doc = flagged.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_windows"),
+        F.sum((F.col("wlang") != "und").cast("long")).alias("n_classified"),
+        F.countDistinct(
+            F.when(F.col("wlang") != "und", F.col("wlang"))
+        ).alias("n_langs"),
+        F.sum("is_switch").alias("n_switches"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_windows").alias("n_windows"),
+            F.sum("n_classified").alias("n_classified"),
+            F.sum((F.col("n_langs") >= 2).cast("long")).alias(
+                "code_switched_docs"
+            ),
+            F.sum("n_switches").alias("n_switches"),
+            F.expr(
+                "CASE WHEN sum(greatest(n_classified - 1, 0)) > 0 "
+                "THEN sum(n_switches) * 10000 div "
+                "sum(greatest(n_classified - 1, 0)) ELSE 0 END"
+            ).alias("switch_rate_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def _code_switch_sql() -> str:
+    codes = sorted(STOPWORDS)
+    hit_cols = ",\n         ".join(
+        "len(list_filter(wtoks, x -> x IN ({lst}))) AS h_{c}".format(
+            lst=", ".join(f"'{w}'" for w in STOPWORDS[c]), c=c
+        )
+        for c in codes
+    )
+    best = "GREATEST({})".format(", ".join(f"h_{c}" for c in codes))
+    arms = " ".join(f"WHEN h_{c} = {best} THEN '{c}'" for c in codes)
+    return f"""
+WITH d AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+win AS (
+  SELECT doc_id, source, i AS win_idx,
+         list_slice(toks, i * {_CSW_W} + 1, i * {_CSW_W} + {_CSW_W}) AS wtoks
+  FROM d, UNNEST(range((len(toks) + {_CSW_W} - 1) // {_CSW_W})) AS t(i)
+),
+hits AS (
+  SELECT doc_id, source, win_idx,
+         {hit_cols}
+  FROM win
+),
+lab AS (
+  SELECT doc_id, source, win_idx,
+         CASE WHEN {best} = 0 THEN 'und' {arms} END AS wlang
+  FROM hits
+),
+flagged AS (
+  SELECT doc_id, source, wlang,
+         LAST_VALUE(CASE WHEN wlang <> 'und' THEN wlang END IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY win_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_lang
+  FROM lab
+),
+per_doc AS (
+  SELECT doc_id, source,
+         COUNT(*) AS n_windows,
+         SUM(CASE WHEN wlang <> 'und' THEN 1 ELSE 0 END) AS n_classified,
+         COUNT(DISTINCT CASE WHEN wlang <> 'und' THEN wlang END) AS n_langs,
+         SUM(CASE WHEN wlang <> 'und' AND prev_lang IS NOT NULL
+                   AND wlang <> prev_lang THEN 1 ELSE 0 END) AS n_switches
+  FROM flagged GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_windows) AS BIGINT) AS n_windows,
+       CAST(SUM(n_classified) AS BIGINT) AS n_classified,
+       CAST(SUM(CASE WHEN n_langs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS code_switched_docs,
+       CAST(SUM(n_switches) AS BIGINT) AS n_switches,
+       CAST(CASE WHEN SUM(GREATEST(n_classified - 1, 0)) > 0
+            THEN SUM(n_switches) * 10000 // SUM(GREATEST(n_classified - 1, 0))
+            ELSE 0 END AS BIGINT) AS switch_rate_bp
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+CODE_SWITCH_SCAN_SQL = _code_switch_sql()

@@ -2586,3 +2586,138 @@ SELECT CAST(cells.cohort_m // 12 AS BIGINT) AS cohort_year,
 FROM cells JOIN csize ON csize.cohort_m = cells.cohort_m
 ORDER BY cohort_year, cohort_month, age_months
 """
+
+
+_ABC_A_PCT, _ABC_B_PCT = 80, 95  # cumulative-revenue class cuts
+
+
+def abc_pareto_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B119 (round-8 addition): ABC (Pareto) inventory classification —
+    the warehouse-operations classic: parts ranked by gross revenue,
+    class A while the running revenue share is within {a}%, B to {b}%,
+    C after; per class the part count, exact revenue, share in basis
+    points, and the rank span. Gross line revenue is integer cents
+    (floor per line, summed exact — order-insensitive), so the
+    classification is engine-exact.
+
+    The running share needs an EXACT global cumulative over parts in
+    (revenue DESC, partkey) order — computed WITHOUT the
+    single-partition global window (the banned scale-killer) via the
+    C67/_global_row_number construction extended to a running sum:
+    approxQuantile boundaries become literal bucket constants
+    (monotone placement is all that matters), one |buckets|-row
+    collect yields each bucket's starting rank AND starting revenue
+    offset, and a parallel within-bucket running frame adds the local
+    prefix. Parts are the reduced cardinality (still hundreds of
+    millions at 100 TB — exactly why the global window is banned).
+
+    Plan: one partkey rollup of the feed (the only feed-wide
+    shuffle), a bounded boundary/offsets collect, one bucket-keyed
+    sort window, a 3-row class rollup.
+    """.format(a=_ABC_A_PCT, b=_ABC_B_PCT)
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    rev = li.groupBy("l_partkey").agg(F.sum("cents").alias("rev"))
+    spark_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
+    probs = [i / spark_parts for i in range(1, spark_parts)]
+    bounds = sorted(set(rev.stat.approxQuantile("rev", probs, 0.01)))
+    if bounds:
+        # DESC buckets: bucket 0 holds the richest parts
+        arms = " ".join(
+            f"WHEN rev > {int(b)} THEN {len(bounds) - 1 - i}"
+            for i, b in reversed(list(enumerate(bounds)))
+        )
+        pid = F.expr(f"CASE {arms} ELSE {len(bounds)} END")
+    else:
+        pid = F.lit(0)
+    part = rev.withColumn("_pid", pid)
+    rows = (
+        part.groupBy("_pid")
+        .agg(F.sum("rev").alias("s"), F.count("*").alias("c"))
+        .collect()
+    )
+    total_rev = sum(r["s"] for r in rows)
+    rev_off, cnt_off, acc_s, acc_c = [], [], 0, 0
+    for r in sorted(rows, key=lambda r: r["_pid"]):
+        rev_off.extend([F.lit(r["_pid"]), F.lit(acc_s)])
+        cnt_off.extend([F.lit(r["_pid"]), F.lit(acc_c)])
+        acc_s += r["s"]
+        acc_c += r["c"]
+    w = Window.partitionBy("_pid").orderBy(
+        F.desc("rev"), F.asc("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = part.select(
+        "l_partkey",
+        "rev",
+        (F.sum("rev").over(w) + F.create_map(*rev_off)[F.col("_pid")]).alias(
+            "cum_rev"
+        ),
+        (
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(
+                    F.desc("rev"), F.asc("l_partkey")
+                )
+            )
+            + F.create_map(*cnt_off)[F.col("_pid")]
+        ).cast("long").alias("rank"),
+    ).withColumn(
+        "abc_class",
+        F.expr(
+            f"CASE WHEN cum_rev * 100 <= {_ABC_A_PCT} * {total_rev}L THEN 'A' "
+            f"WHEN cum_rev * 100 <= {_ABC_B_PCT} * {total_rev}L THEN 'B' "
+            "ELSE 'C' END"
+        ),
+    )
+    return (
+        ranked.groupBy("abc_class")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("rev").alias("revenue_cents"),
+            F.expr(f"sum(rev) * 10000 div {total_rev}L").alias(
+                "revenue_share_bp"
+            ),
+            F.min("rank").alias("min_rank"),
+            F.max("rank").alias("max_rank"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+ABC_PARETO_CLASS_SQL = f"""
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS rev
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(rev) AS total_rev FROM rev),
+ranked AS (
+  SELECT l_partkey, rev,
+         SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, l_partkey) AS rank
+  FROM rev
+),
+classed AS (
+  SELECT l_partkey, rev, rank,
+         CASE WHEN cum_rev * 100 <= {_ABC_A_PCT} * (SELECT total_rev FROM tot)
+              THEN 'A'
+              WHEN cum_rev * 100 <= {_ABC_B_PCT} * (SELECT total_rev FROM tot)
+              THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+       CAST(SUM(rev) * 10000 // (SELECT total_rev FROM tot) AS BIGINT)
+         AS revenue_share_bp,
+       CAST(MIN(rank) AS BIGINT) AS min_rank,
+       CAST(MAX(rank) AS BIGINT) AS max_rank
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+"""

@@ -124,6 +124,7 @@ _BNLJ_OK = {
     # round-8 continuation session: 1-row scalar broadcasts (B32/C34 idiom)
     "frequent_triples",  # 1-row basket-total scalar
     "cuped_readout",  # 1-row pre/post midpoint scalar
+    "topic_lexicon_mix",  # 4-row topic domain spine (C106 idiom)
 }
 
 

