@@ -2466,3 +2466,121 @@ SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
 FROM pairs
 ORDER BY i, j
 """
+
+
+_HUB_MAX_POP = 4096  # deterministic sample bound: stride = ceil(n / this)
+
+
+def embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C116 (round-8 addition): hubness diagnostic of the embedding
+    space — the known high-dimensional pathology (Radovanovic et al.,
+    JMLR'10) every ANN index inherits: a few "hub" points appear in a
+    disproportionate share of OTHER points' k-NN lists while orphans
+    appear in none, which skews retrieval, dedup thresholds (C5) and
+    IVF cell balance (C33). Over the exact cosine top-{k} graph the
+    audit emits the full in-degree histogram — degree, vector count,
+    share bp, and the >= 2k hub flag — with 0-degree orphans included
+    (a LEFT join from the population, not just observed degrees).
+
+    Population bound (the quadratic stays bounded FOREVER): vectors
+    with vec_id % S == 0 where S = (n + {m} - 1) div {m} — an integer
+    stride both engines state, so the all-pairs graph never exceeds
+    {m}^2 regardless of corpus size (hubness is a distributional
+    diagnostic; a deterministic stride sample measures it as well as
+    the full graph and is the honest alternative to letting brute
+    force go quadratic — at gate scales S = 1 and the graph is the
+    full corpus). Exact top-k at 100 TB serving scale is C33/C63's
+    IVF path; this op is the EVALUATION instrument, like C36.
+
+    Plan: the |pop|-row vector set self-joins against its own
+    broadcast (one C6-shaped exchange), the left-assoc _dot fold
+    keeps cosine bit-identical, per-query top-k window, in-degree by
+    one rollup, histogram by a second; the population scalar S is a
+    1-row bounded collect (codebook idiom).
+    """.format(k=TOPK, m=_HUB_MAX_POP)
+    vecs = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    n = vecs.count()
+    stride = (n + _HUB_MAX_POP - 1) // _HUB_MAX_POP
+    pop = vecs.filter(F.col("vec_id") % stride == 0)
+    n_pop = pop.count()
+    queries = pop.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    pairs = pop.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot("qe", "embedding") / (F.col("qn") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    edges = (
+        pairs.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(F.col("vec_id").alias("neighbor_id"))
+    )
+    indeg = edges.groupBy("neighbor_id").agg(F.count("*").alias("in_degree"))
+    per_vec = pop.select("vec_id").join(
+        indeg, pop["vec_id"] == indeg["neighbor_id"], "left"
+    ).select(F.coalesce("in_degree", F.lit(0)).alias("in_degree"))
+    return (
+        per_vec.groupBy("in_degree")
+        .agg(F.count("*").alias("n_vectors"))
+        .select(
+            F.col("in_degree").cast("long").alias("in_degree"),
+            "n_vectors",
+            F.expr(f"n_vectors * 10000 div {n_pop}L").alias("share_bp"),
+            (F.col("in_degree") >= 2 * TOPK).cast("int").alias("is_hub_degree"),
+        )
+        .orderBy("in_degree")
+    )
+
+
+EMBEDDING_HUBNESS_SQL = f"""
+WITH allv AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS norm
+  FROM embeddings
+),
+nn AS (SELECT COUNT(*) AS n FROM allv),
+pop AS (
+  -- parens are load-bearing: % and // are same-precedence left-assoc,
+  -- so "vec_id % (n+k) // m" parses as "(vec_id % (n+k)) // m" and
+  -- silently selects the first 4096 ids instead of the stride sample
+  -- (caught by the 10x gate, where stride first exceeds 1).
+  SELECT * FROM allv
+  WHERE vec_id % (((SELECT n FROM nn) + {_HUB_MAX_POP - 1})
+                  // {_HUB_MAX_POP}) = 0
+),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         {_dot_sql('q.embedding', 'v.embedding')} / (q.norm * v.norm)
+           AS cos_sim
+  FROM pop v JOIN pop q ON v.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+),
+indeg AS (
+  SELECT p.vec_id,
+         COUNT(r.neighbor_id) AS in_degree
+  FROM pop p
+  LEFT JOIN (SELECT neighbor_id FROM ranked WHERE rank <= {TOPK}) r
+         ON r.neighbor_id = p.vec_id
+  GROUP BY p.vec_id
+)
+SELECT CAST(in_degree AS BIGINT) AS in_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(*) * 10000 // (SELECT COUNT(*) FROM pop) AS BIGINT)
+         AS share_bp,
+       CAST(CASE WHEN in_degree >= {2 * TOPK} THEN 1 ELSE 0 END AS INT)
+         AS is_hub_degree
+FROM indeg
+GROUP BY in_degree
+ORDER BY in_degree
+"""

@@ -3413,3 +3413,241 @@ ORDER BY source
 
 
 CODE_SWITCH_SCAN_SQL = _code_switch_sql()
+
+
+_KN_TOPK = 50  # words reported (by frequency, full tiebreak)
+
+
+def ngram_continuation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C117 (round-8 addition): Kneser-Ney continuation statistics —
+    the quantity that made KN the standard n-gram smoother (Kneser &
+    Ney, ICASSP'95) and that frequency alone provably gets wrong: a
+    word's continuation count N1+(.w) = how many DISTINCT left
+    contexts it follows (the classic example: 'Francisco' is frequent
+    but almost always follows 'San', so its continuation probability
+    must be tiny). Per top-{k} word (by occurrence count, full
+    tiebreak): occurrences, distinct left contexts, distinct right
+    continuations (the forward branching factor tokenizer merge
+    seeding reads), and the KN continuation probability
+    N1+(.w) / |distinct bigram types| in ppm — every number an exact
+    integer or a floor-div ppm.
+
+    Plan: bigrams built array-side per doc (the C110 discipline — no
+    window shuffle), ONE distinct over bigram types (the only
+    vocabulary-squared-bounded relation), two rollups of it (by right
+    word, by left word), a unigram rollup, vocabulary-sized joins, a
+    1-row type-total broadcast, bounded top-k sort. At 100 TB the
+    heavy relation is the bigram-type table — vocabulary-bounded, not
+    corpus-bounded.
+    """.format(k=_KN_TOPK)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.withColumn(
+        "toks", F.filter(F.split("text", " "), lambda x: x != "")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN array() ELSE "
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> struct(toks[i] AS l, toks[i + 1] AS r)) END"
+            )
+        ).alias("bg")
+    ).select("bg.l", "bg.r")
+    types = bigrams.distinct()
+    from .dedup import _swap_persist
+
+    types = _swap_persist("kn_bigram_types", types)
+    n_types = types.agg(F.count("*").alias("n_types"))
+    cont = types.groupBy("r").agg(F.count("*").alias("distinct_left"))
+    branch = types.groupBy("l").agg(F.count("*").alias("distinct_right"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    return (
+        uni.join(cont, uni["w"] == cont["r"], "left")
+        .join(branch, uni["w"] == branch["l"], "left")
+        .crossJoin(F.broadcast(n_types))
+        .select(
+            "w",
+            "n_occurrences",
+            F.coalesce("distinct_left", F.lit(0)).alias("distinct_left"),
+            F.coalesce("distinct_right", F.lit(0)).alias("distinct_right"),
+            F.expr(
+                "coalesce(distinct_left, 0) * 1000000 div n_types"
+            ).alias("continuation_ppm"),
+        )
+        .orderBy(F.desc("n_occurrences"), "w")
+        .limit(_KN_TOPK)
+    )
+
+
+NGRAM_CONTINUATION_STATS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+),
+bigrams AS (
+  SELECT t[i] AS l, t[i + 1] AS r
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+types AS (SELECT DISTINCT l, r FROM bigrams),
+cont AS (SELECT r, COUNT(*) AS distinct_left FROM types GROUP BY r),
+branch AS (SELECT l, COUNT(*) AS distinct_right FROM types GROUP BY l),
+uni AS (
+  SELECT w, COUNT(*) AS n_occurrences
+  FROM (SELECT unnest(t) AS w FROM toks)
+  GROUP BY w
+)
+SELECT u.w,
+       CAST(u.n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(COALESCE(c.distinct_left, 0) AS BIGINT) AS distinct_left,
+       CAST(COALESCE(b.distinct_right, 0) AS BIGINT) AS distinct_right,
+       CAST(COALESCE(c.distinct_left, 0) * 1000000
+            // (SELECT COUNT(*) FROM types) AS BIGINT) AS continuation_ppm
+FROM uni u
+LEFT JOIN cont c ON c.r = u.w
+LEFT JOIN branch b ON b.l = u.w
+ORDER BY n_occurrences DESC, w
+LIMIT {_KN_TOPK}
+"""
+
+
+_BPE_SWEEP_ITERS = 5
+_BPE_SWEEP_SENTINELS = "#$%&@"  # one per merge; never appear in corpus tokens
+
+
+def bpe_merge_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C118 (round-8 addition): multi-step BPE tokenizer training —
+    the ITERATIVE algorithm C73 does one step of: {k} successive
+    merges, each round counting adjacent symbol pairs over the word-
+    frequency table (never the corpus — the Sennrich discipline),
+    promoting the heaviest pair (deterministic tiebreak), and
+    rewriting the vocabulary with a per-round sentinel symbol. Each
+    round emits the DECODED merge (token_a, token_b, the merged token,
+    and its weighted count): sentinels expand back through the merge
+    history in descending order, which fully decodes because round
+    j's winner can only contain sentinels from rounds < j.
+
+    This is the repo's canonical bounded driver-loop shape (kmeans'
+    Lloyd rounds): per round one vocabulary-sized aggregate and ONE
+    1-row collect (the winner — the scalar idiom), then a map-side
+    rewrite; at 100 TB every round is O(|vocab|), the corpus is
+    touched once. The oracle states the SAME {k} rounds as chained
+    CTEs with scalar-subquery winners — the iteration is expressible,
+    just not pretty, in SQL.
+    """.format(k=_BPE_SWEEP_ITERS)
+    from .dedup import _swap_persist
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    words = _swap_persist("bpe_sweep_words", words)
+
+    def pair_counts(df: DataFrame) -> DataFrame:
+        grams = F.expr(
+            "CASE WHEN length(word) >= 2 THEN "
+            "transform(sequence(0, length(word) - 2), "
+            "i -> substring(word, i + 1, 2)) ELSE array() END"
+        )
+        return (
+            df.select(F.explode(grams).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+
+    cur = words
+    merges: list[tuple[str, str]] = []  # (sentinel, raw winner pair)
+    rows = []
+    for it in range(1, _BPE_SWEEP_ITERS + 1):
+        top = (
+            pair_counts(cur)
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()[0]
+        )
+        raw, cnt = top["pair"], top["cnt"]
+
+        def decode(s: str) -> str:
+            for sent, rp in reversed(merges):
+                s = s.replace(sent, rp)
+            return s
+
+        token_a, token_b = decode(raw[0]), decode(raw[1])
+        rows.append((it, token_a, token_b, token_a + token_b, int(cnt)))
+        sent = _BPE_SWEEP_SENTINELS[it - 1]
+        cur = cur.select(
+            F.expr(f"replace(word, '{raw}', '{sent}')").alias("word"), "freq"
+        )
+        merges.append((sent, raw))
+    return spark.createDataFrame(
+        rows,
+        "iter int, token_a string, token_b string, merged string, cnt bigint",
+    ).orderBy("iter")
+
+
+def _bpe_sweep_sql() -> str:
+    pair_sub = """
+  SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT substr(word, i, 2) AS pair, freq
+    FROM (SELECT word, freq, unnest(range(1, length(word))) AS i FROM {src}
+          WHERE length(word) >= 2)
+  )
+  GROUP BY pair"""
+    ctes = ["""w0 AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+    FROM documents
+  )
+  GROUP BY word
+)"""]
+    for i in range(1, _BPE_SWEEP_ITERS + 1):
+        ctes.append(f"p{i} AS ({pair_sub.format(src=f'w{i - 1}')}\n)")
+        ctes.append(
+            f"m{i} AS (SELECT pair, cnt FROM p{i} "
+            "ORDER BY cnt DESC, pair ASC LIMIT 1)"
+        )
+        if i < _BPE_SWEEP_ITERS:
+            sent = _BPE_SWEEP_SENTINELS[i - 1]
+            ctes.append(
+                f"w{i} AS (SELECT replace(word, (SELECT pair FROM m{i}), "
+                f"'{sent}') AS word, freq FROM w{i - 1})"
+            )
+
+    def decode(expr: str, upto: int) -> str:
+        # expand sentinels in DESCENDING round order; round j's winner can
+        # only contain sentinels < j, so one descending pass fully decodes
+        out = expr
+        for j in range(upto, 0, -1):
+            sent = _BPE_SWEEP_SENTINELS[j - 1]
+            out = f"replace({out}, '{sent}', (SELECT pair FROM m{j}))"
+        return out
+
+    arms = []
+    for i in range(1, _BPE_SWEEP_ITERS + 1):
+        ta = decode(f"substr((SELECT pair FROM m{i}), 1, 1)", i - 1)
+        tb = decode(f"substr((SELECT pair FROM m{i}), 2, 1)", i - 1)
+        arms.append(
+            f"SELECT {i} AS iter, {ta} AS token_a, {tb} AS token_b,\n"
+            f"       {ta} || {tb} AS merged,\n"
+            f"       (SELECT cnt FROM m{i}) AS cnt"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(arms)
+        + "\nORDER BY iter\n"
+    )
+
+
+BPE_MERGE_SWEEP_SQL = _bpe_sweep_sql()

@@ -2718,3 +2718,109 @@ FROM ranked
 GROUP BY transition
 ORDER BY transition
 """
+
+
+_PATH_TOPK = 20  # trigram paths reported
+
+
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B121 (round-8 addition): top in-session event paths — the Sankey
+    /user-flow readout product analytics builds from the session model:
+    within each B7 session (30-min gap rule, same lag->flag->running-sum
+    construction over ONE user_id exchange) every consecutive
+    3-step event-type path (step1 -> step2 -> step3 over the (ts,
+    event_id) order) is counted corpus-wide; the top {k} paths by
+    count (full deterministic tiebreak on the three steps) are
+    reported with the count, the share of all trigram instances in
+    basis points, and the count of distinct users who walked the
+    path. B46's Markov matrix is the 1-step marginal of this; paths
+    of length 3 are where flow analysis starts to show intent, and
+    where the pair matrix provably loses information.
+
+    Plan: the session windows reuse the single user_id sort shuffle;
+    the two leads ride the same (user, session) partition order;
+    one (s1,s2,s3) rollup (map-side combined) plus a distinct-user
+    count; top-k via a bounded TakeOrdered-style global sort over the
+    |event_type|^3-bounded path table — never over instances. Total
+    instance scalar is a 1-row broadcast.
+    """.format(k=_PATH_TOPK)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap.isNull() | (gap > _GAP_MINUTES * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("is_new", new_session).withColumn(
+        "session_idx", F.sum("is_new").over(w)
+    )
+    ws = Window.partitionBy("user_id", "session_idx").orderBy("ts", "event_id")
+    tri = (
+        sess.withColumn("s2", F.lead("event_type", 1).over(ws))
+        .withColumn("s3", F.lead("event_type", 2).over(ws))
+        .filter(F.col("s3").isNotNull())
+        .select(
+            F.col("event_type").alias("step1"),
+            F.col("s2").alias("step2"),
+            F.col("s3").alias("step3"),
+            "user_id",
+        )
+    )
+    counts = tri.groupBy("step1", "step2", "step3").agg(
+        F.count("*").alias("n_instances"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    total = tri.agg(F.count("*").alias("total_instances"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "step1", "step2", "step3", "n_instances", "n_users",
+            F.expr("n_instances * 10000 div total_instances").alias(
+                "share_bp"
+            ),
+        )
+        .orderBy(
+            F.desc("n_instances"), "step1", "step2", "step3"
+        )
+        .limit(_PATH_TOPK)
+    )
+
+
+SESSION_PATH_TRIGRAMS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+              > {_GAP_MINUTES} * 60 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+),
+tri AS (
+  SELECT event_type AS step1,
+         LEAD(event_type, 1) OVER ws AS step2,
+         LEAD(event_type, 2) OVER ws AS step3,
+         user_id
+  FROM numbered
+  WINDOW ws AS (PARTITION BY user_id, session_idx ORDER BY ts, event_id)
+  QUALIFY LEAD(event_type, 2) OVER ws IS NOT NULL
+),
+counts AS (
+  SELECT step1, step2, step3,
+         COUNT(*) AS n_instances,
+         COUNT(DISTINCT user_id) AS n_users
+  FROM tri GROUP BY step1, step2, step3
+)
+SELECT step1, step2, step3,
+       CAST(n_instances AS BIGINT) AS n_instances,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_instances * 10000 // (SELECT COUNT(*) FROM tri) AS BIGINT)
+         AS share_bp
+FROM counts
+ORDER BY n_instances DESC, step1, step2, step3
+LIMIT {_PATH_TOPK}
+"""

@@ -125,6 +125,9 @@ _BNLJ_OK = {
     "frequent_triples",  # 1-row basket-total scalar
     "cuped_readout",  # 1-row pre/post midpoint scalar
     "topic_lexicon_mix",  # 4-row topic domain spine (C106 idiom)
+    "embedding_hubness",  # broadcast bounded query set, != condition (C6 shape)
+    "session_path_trigrams",  # 1-row trigram-total scalar
+    "ngram_continuation_stats",  # 1-row bigram-type-total scalar
 }
 
 

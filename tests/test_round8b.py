@@ -721,3 +721,157 @@ class TestCodeSwitchScan:
         assert r["n_switches"] == 3
         # adjacencies among classified windows: doc_a 2, doc_b 1, doc_c 0
         assert r["switch_rate_bp"] == 3 * 10000 // 3
+
+
+class TestEmbeddingHubness:
+    def test_matches_bruteforce_numpy(self, spark, sf_dir):
+        """C116: the in-degree histogram equals a numpy brute-force
+        top-k re-derivation (same float64 expressions, same ties);
+        histogram counts sum to the population."""
+        import numpy as np
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.similarity import (
+            _HUB_MAX_POP,
+            TOPK,
+            embedding_hubness,
+        )
+
+        raw = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        ).collect()
+        n = len(raw)
+        stride = (n + _HUB_MAX_POP - 1) // _HUB_MAX_POP
+        pop = sorted(
+            (r["vec_id"], np.array(r["embedding"], dtype=np.float64))
+            for r in raw
+            if r["vec_id"] % stride == 0
+        )
+        ids = [p[0] for p in pop]
+        M = np.stack([p[1] for p in pop])
+        # left-assoc float64 dot == np.dot for these magnitudes is NOT
+        # guaranteed; recompute with the same fold order as the engines
+        def fold_dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + float(x) * float(y)
+            return acc
+
+        norms = [np.sqrt(fold_dot(v, v)) for _, v in pop]
+        indeg = {i: 0 for i in ids}
+        for qi, (qid, qv) in enumerate(pop):
+            sims = []
+            for vi, (vid, vv) in enumerate(pop):
+                if vid == qid:
+                    continue
+                sims.append(
+                    (-(fold_dot(qv, vv) / (norms[qi] * norms[vi])), vid)
+                )
+            sims.sort()
+            for _, vid in sims[:TOPK]:
+                indeg[vid] += 1
+        hist = {}
+        for d in indeg.values():
+            hist[d] = hist.get(d, 0) + 1
+
+        rows = {r["in_degree"]: r
+                for r in embedding_hubness(spark, sf_dir).collect()}
+        assert {k: v["n_vectors"] for k, v in rows.items()} == hist
+        assert sum(r["n_vectors"] for r in rows.values()) == len(ids)
+        for d, r in rows.items():
+            assert r["share_bp"] == hist[d] * 10000 // len(ids)
+            assert r["is_hub_degree"] == int(d >= 2 * TOPK)
+
+
+class TestSessionPathTrigrams:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B121: top-k trigram paths re-derived exactly (session rule,
+        in-session ordering, counts, distinct users, shares, tiebreak
+        order)."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.timeseries import (
+            _GAP_MINUTES,
+            _PATH_TOPK,
+            session_path_trigrams,
+        )
+
+        raw = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        ).collect()
+        by_user = {}
+        for r in raw:
+            by_user.setdefault(r["user_id"], []).append(
+                (r["ts"], r["event_id"], r["event_type"])
+            )
+        paths = {}
+        total = 0
+        for uid, evs in by_user.items():
+            evs.sort()
+            sessions, cur, prev_ts = [], [], None
+            for ts, eid, et in evs:
+                if prev_ts is not None and (
+                    (ts - prev_ts).total_seconds() * 1_000_000
+                    <= _GAP_MINUTES * 60 * 1_000_000
+                ):
+                    cur.append(et)
+                else:
+                    if cur:
+                        sessions.append(cur)
+                    cur = [et]
+                prev_ts = ts
+            if cur:
+                sessions.append(cur)
+            for s in sessions:
+                for i in range(len(s) - 2):
+                    key = (s[i], s[i + 1], s[i + 2])
+                    cnt, users = paths.get(key, (0, set()))
+                    users.add(uid)
+                    paths[key] = (cnt + 1, users)
+                    total += 1
+        top = sorted(
+            paths.items(), key=lambda kv: (-kv[1][0], kv[0])
+        )[:_PATH_TOPK]
+
+        rows = session_path_trigrams(spark, sf_dir).collect()
+        assert len(rows) == len(top)
+        for r, (key, (cnt, users)) in zip(rows, top):
+            assert (r["step1"], r["step2"], r["step3"]) == key
+            assert r["n_instances"] == cnt
+            assert r["n_users"] == len(users)
+            assert r["share_bp"] == cnt * 10000 // total
+
+
+class TestNgramContinuationStats:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """C117: continuation/branching counts and KN ppm re-derived
+        exactly; the frequency-vs-continuation divergence the statistic
+        exists for is visible (rank by occurrences != rank by
+        continuation)."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.text import (
+            _KN_TOPK,
+            ngram_continuation_stats,
+        )
+
+        raw = load_table(spark, sf_dir, "documents").select("text").collect()
+        uni, types = {}, set()
+        for r in raw:
+            toks = [t for t in r["text"].split(" ") if t]
+            for t in toks:
+                uni[t] = uni.get(t, 0) + 1
+            types.update(zip(toks, toks[1:]))
+        cont, branch = {}, {}
+        for l, rr in types:
+            cont[rr] = cont.get(rr, 0) + 1
+            branch[l] = branch.get(l, 0) + 1
+        top = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:_KN_TOPK]
+
+        rows = ngram_continuation_stats(spark, sf_dir).collect()
+        assert len(rows) == len(top)
+        for r, (w, n) in zip(rows, top):
+            assert r["w"] == w and r["n_occurrences"] == n
+            assert r["distinct_left"] == cont.get(w, 0)
+            assert r["distinct_right"] == branch.get(w, 0)
+            assert r["continuation_ppm"] == cont.get(w, 0) * 1_000_000 // len(
+                types
+            )

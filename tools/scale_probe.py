@@ -346,6 +346,9 @@ def _late_ops():
         "abc_pareto_class": _tpch().abc_pareto_class,
         "l_diversity_audit": quality.l_diversity_audit,
         "code_switch_scan": text.code_switch_scan,
+        "embedding_hubness": similarity.embedding_hubness,
+        "session_path_trigrams": timeseries.session_path_trigrams,
+        "ngram_continuation_stats": text.ngram_continuation_stats,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
