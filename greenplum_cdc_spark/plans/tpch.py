@@ -2817,3 +2817,108 @@ SELECT p_brand,
 FROM agg
 ORDER BY p_brand
 """
+
+
+def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B123 (round-8 addition): daily order-backlog (cumulative-flow)
+    series — the work-in-progress accounting an operations dashboard
+    is built around and that no per-event rollup gives: an order opens
+    on its order date and closes when its LAST line item ships, so
+    backlog(t) = orders opened on or before t minus orders fully
+    shipped on or before t. Emits one row per calendar day of the
+    span: opened, closed, and the running backlog — day grain keeps
+    the spine bounded (~10^3-10^4 rows at ANY corpus size), which is
+    what makes the two running frames over it free. Orders with no
+    line items (none in this schema's integrity contract, but stated)
+    would never close and simply stay in the backlog.
+
+    Day indexes are integer epoch-micros division; the spine is a
+    sequence() explode between the feed's min/max day (two 1-row
+    scalars broadcast — the B32/C34 idiom). Plan: one orderkey rollup
+    of lineitem for close days (the only feed-wide shuffle), a
+    |days|-sized rollup each for opens and closes, spine left joins,
+    two running frames over the singleton-partition-SAFE day spine
+    (|spine| rows total — the whitelisted constant-size case, not a
+    data-wide global window).
+    """
+    from pyspark.sql import Window
+
+    day = "86400000000"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(f"unix_micros(o_orderdate) div {day}").alias("open_day"),
+    )
+    closes = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.expr(f"unix_micros(l_shipdate) div {day}").alias("ship_day"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.max("ship_day").alias("close_day"))
+    )
+    opened = orders.groupBy("open_day").agg(F.count("*").alias("opened"))
+    closed = closes.groupBy("close_day").agg(F.count("*").alias("closed"))
+    bounds = orders.join(
+        closes, orders["o_orderkey"] == closes["l_orderkey"], "left"
+    ).agg(
+        F.min("open_day").alias("d0"),
+        F.greatest(F.max("open_day"), F.max("close_day")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1)")).alias("day")
+    )
+    # unpartitioned running frame over the DAY SPINE only — calendar-
+    # bounded (whitelisted in test_plan_smells._UNPART_WINDOW_OK), never
+    # the data-proportional relation
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        spine.join(opened, spine["day"] == opened["open_day"], "left")
+        .join(closed, spine["day"] == closed["close_day"], "left")
+        .select(
+            "day",
+            F.coalesce("opened", F.lit(0)).alias("opened"),
+            F.coalesce("closed", F.lit(0)).alias("closed"),
+        )
+        .withColumn(
+            "backlog",
+            F.sum(F.col("opened") - F.col("closed")).over(w),
+        )
+        .orderBy("day")
+    )
+
+
+ORDER_BACKLOG_DAILY_SQL = """
+WITH orders_d AS (
+  SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS open_day
+  FROM orders
+),
+closes AS (
+  SELECT l_orderkey,
+         MAX(epoch_us(l_shipdate) // 86400000000) AS close_day
+  FROM lineitem GROUP BY l_orderkey
+),
+opened AS (SELECT open_day, COUNT(*) AS opened FROM orders_d GROUP BY open_day),
+closed AS (SELECT close_day, COUNT(*) AS closed FROM closes GROUP BY close_day),
+bounds AS (
+  SELECT MIN(o.open_day) AS d0,
+         GREATEST(MAX(o.open_day), MAX(c.close_day)) AS d1
+  FROM orders_d o LEFT JOIN closes c ON c.l_orderkey = o.o_orderkey
+),
+spine AS (
+  SELECT unnest(generate_series((SELECT d0 FROM bounds),
+                                (SELECT d1 FROM bounds))) AS day
+)
+SELECT s.day,
+       CAST(COALESCE(o.opened, 0) AS BIGINT) AS opened,
+       CAST(COALESCE(c.closed, 0) AS BIGINT) AS closed,
+       CAST(SUM(COALESCE(o.opened, 0) - COALESCE(c.closed, 0))
+              OVER (ORDER BY s.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS backlog
+FROM spine s
+LEFT JOIN opened o ON o.open_day = s.day
+LEFT JOIN closed c ON c.close_day = s.day
+ORDER BY s.day
+"""

@@ -150,6 +150,8 @@ _UNPART_WINDOW_OK = {
     # cardinality; docstring states the approx_percentile swap for
     # billion-key regimes)
     "period_over_period",  # lag over the per-MONTH rollup (calendar-size)
+    "order_backlog_daily",  # running flow over the per-DAY spine
+    # (calendar-size: bounded at any corpus size)
 }
 
 

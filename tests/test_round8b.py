@@ -875,3 +875,153 @@ class TestNgramContinuationStats:
             assert r["continuation_ppm"] == cont.get(w, 0) * 1_000_000 // len(
                 types
             )
+
+
+class TestSupplierHhi:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B122: per-brand HHI, top share, and DOJ bands re-derived
+        exactly from raw integers; single-supplier brands read 10000."""
+        import math
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.tpch import (
+            _HHI_HIGH_BP,
+            _HHI_MODERATE_BP,
+            supplier_hhi,
+        )
+
+        part_brand = {
+            r["p_partkey"]: r["p_brand"]
+            for r in load_table(spark, sf_dir, "part").collect()
+        }
+        vols = {}
+        for r in load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_suppkey", "l_quantity"
+        ).collect():
+            key = (part_brand[r["l_partkey"]], r["l_suppkey"])
+            vols[key] = vols.get(key, 0) + math.floor(r["l_quantity"])
+        brands = {}
+        for (b, _s), v in vols.items():
+            d = brands.setdefault(b, [])
+            d.append(v)
+        rows = {r["p_brand"]: r for r in supplier_hhi(spark, sf_dir).collect()}
+        assert set(rows) == set(brands)
+        for b, vs in brands.items():
+            r = rows[b]
+            tot = sum(vs)
+            hhi = sum(v * v for v in vs) * 10000 // (tot * tot)
+            assert r["n_suppliers"] == len(vs), b
+            assert r["total_qty"] == tot, b
+            assert r["top_share_bp"] == max(vs) * 10000 // tot, b
+            assert r["hhi_bp"] == hhi, b
+            band = ("high" if hhi >= _HHI_HIGH_BP
+                    else "moderate" if hhi >= _HHI_MODERATE_BP else "low")
+            assert r["doj_band"] == band, b
+
+    def test_single_supplier_brand_reads_10000(self, spark, tmp_path):
+        import pandas as pd
+
+        from greenplum_cdc_spark.plans.tpch import supplier_hhi
+
+        pd.DataFrame(
+            [(1, "B1"), (2, "B2")], columns=["p_partkey", "p_brand"]
+        ).to_parquet(str(tmp_path / "part.parquet"))
+        pd.DataFrame(
+            [(1, 10, 5.0), (1, 10, 3.0),           # B1: one supplier
+             (2, 20, 4.0), (2, 21, 4.0)],          # B2: 50/50 split
+            columns=["l_partkey", "l_suppkey", "l_quantity"],
+        ).to_parquet(str(tmp_path / "lineitem.parquet"))
+        rows = {r["p_brand"]: r
+                for r in supplier_hhi(spark, str(tmp_path)).collect()}
+        assert rows["B1"]["hhi_bp"] == 10000 and rows["B1"]["doj_band"] == "high"
+        assert rows["B2"]["hhi_bp"] == 5000  # two equal suppliers -> 1/2
+
+
+class TestBpeMergeSweep:
+    def test_greedy_reference_equivalence(self, spark, sf_dir):
+        """C118: the 5 merges equal a pure-python greedy BPE over the
+        same word-frequency table (same pair counting over raw strings,
+        same left-to-right replace rewrite, same tiebreak)."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.text import (
+            _BPE_SWEEP_ITERS,
+            _BPE_SWEEP_SENTINELS,
+            bpe_merge_sweep,
+        )
+
+        freq = {}
+        for r in load_table(spark, sf_dir, "documents").select("text").collect():
+            for w in r["text"].split(" "):
+                if w:
+                    freq[w] = freq.get(w, 0) + 1
+        merges = []
+        words = dict(freq)
+        expected = []
+        for it in range(1, _BPE_SWEEP_ITERS + 1):
+            pairs = {}
+            for w, f in words.items():
+                for i in range(len(w) - 1):
+                    pairs[w[i:i + 2]] = pairs.get(w[i:i + 2], 0) + f
+            raw, cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+
+            def decode(s):
+                for sent, rp in reversed(merges):
+                    s = s.replace(sent, rp)
+                return s
+
+            ta, tb = decode(raw[0]), decode(raw[1])
+            expected.append((it, ta, tb, ta + tb, cnt))
+            sent = _BPE_SWEEP_SENTINELS[it - 1]
+            new_words = {}
+            for w, f in words.items():
+                w2 = w.replace(raw, sent)
+                new_words[w2] = new_words.get(w2, 0) + f
+            words = new_words
+            merges.append((sent, raw))
+
+        got = [
+            (r["iter"], r["token_a"], r["token_b"], r["merged"], r["cnt"])
+            for r in bpe_merge_sweep(spark, sf_dir).collect()
+        ]
+        assert got == expected
+        # merged tokens are always >= 2 chars and counts positive
+        assert all(len(t[3]) >= 2 and t[4] > 0 for t in got)
+
+
+class TestOrderBacklogDaily:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B123: opened/closed/backlog re-derived exactly; flow
+        conservation (final backlog == opened - fully-shipped) and
+        non-negativity hold."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.tpch import order_backlog_daily
+
+        DAY = 86_400_000_000
+        orders = {
+            r["o_orderkey"]: int(r["o_orderdate"].timestamp() * 1e6) // DAY
+            for r in load_table(spark, sf_dir, "orders").collect()
+        }
+        close = {}
+        for r in load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_shipdate"
+        ).collect():
+            d = int(r["l_shipdate"].timestamp() * 1e6) // DAY
+            close[r["l_orderkey"]] = max(close.get(r["l_orderkey"], d), d)
+        d0 = min(orders.values())
+        d1 = max(max(orders.values()), max(close.values()))
+        opened, closed = {}, {}
+        for d in orders.values():
+            opened[d] = opened.get(d, 0) + 1
+        for d in close.values():
+            closed[d] = closed.get(d, 0) + 1
+
+        rows = order_backlog_daily(spark, sf_dir).collect()
+        assert [r["day"] for r in rows] == list(range(d0, d1 + 1))
+        backlog = 0
+        for r in rows:
+            assert r["opened"] == opened.get(r["day"], 0)
+            assert r["closed"] == closed.get(r["day"], 0)
+            backlog += r["opened"] - r["closed"]
+            assert r["backlog"] == backlog
+            assert r["backlog"] >= 0
+        assert rows[-1]["backlog"] == len(orders) - len(close)

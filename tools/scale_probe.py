@@ -349,6 +349,9 @@ def _late_ops():
         "embedding_hubness": similarity.embedding_hubness,
         "session_path_trigrams": timeseries.session_path_trigrams,
         "ngram_continuation_stats": text.ngram_continuation_stats,
+        "supplier_hhi": _tpch().supplier_hhi,
+        "bpe_merge_sweep": text.bpe_merge_sweep,
+        "order_backlog_daily": _tpch().order_backlog_daily,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
