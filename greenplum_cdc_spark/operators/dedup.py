@@ -2029,3 +2029,156 @@ WHERE sa.n_sh >= {CONTAINMENT_MIN_SHINGLES}
   AND n_inter * {CONTAINMENT_DEN} >= sa.n_sh * {CONTAINMENT_NUM}
 ORDER BY contained_id, container_id
 """
+
+
+_SWEEP_TAUS = (50, 60, 70, 80, 90)  # percent thresholds reported
+_SWEEP_TAU_MIN = 50
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C120 (round-8 addition): the dedup DECISION curve — before a
+    threshold is frozen, a curation run asks what each candidate tau
+    would actually remove: per threshold in {taus} (percent Jaccard),
+    the pair count, the documents flagged (the LARGER doc_id of each
+    pair — C5's removal convention), their exact char mass, and the
+    removal share of the corpus in basis points. C65 tunes the LSH
+    band approximation against a fixed tau; this sweeps the tau
+    itself over EXACT similarities.
+
+    One pass computes exact (intersection, union) integers for every
+    pair with J >= {mn}% via the C4 PPJoin machinery at the LOWEST
+    threshold (prefix-filter completeness holds at tau_min, and every
+    reported tau is a superset-threshold of it — so the single
+    candidate generation serves the whole sweep); the per-tau rollups
+    then run over the PAIR table, which is near-dup-bounded, not
+    corpus-bounded. Integer threshold tests (i*100 >= tau*u) — no
+    float J anywhere.
+
+    The sf corpora's planted dups are all J >= 0.9, so the real curve
+    is flat (oracle-checked); the crafted pytest plants graded-overlap
+    docs and pins a genuinely declining curve.
+    """.format(taus=list(_SWEEP_TAUS), mn=_SWEEP_TAU_MIN)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _distinct_shingles(docs)
+    docsets = _swap_persist("sweep_docsets", _rarity_docsets(sh))
+    tau_num, tau_den = _SWEEP_TAU_MIN, 100
+    plen_sql = f"n - ((n * {tau_num} + {tau_den - 1}) div {tau_den}) + 1"
+    i_num, i_den = 2 * tau_num, tau_den + tau_num
+    iplen_sql = f"n - ((n * {i_num} + {i_den - 1}) div {i_den}) + 1"
+    prefixes = docsets.select(
+        "doc_id", "n",
+        F.explode(F.expr(f"slice(arr, 1, {plen_sql})")).alias("sh"),
+    )
+    iprefixes = docsets.select(
+        "doc_id", "n",
+        F.explode(F.expr(f"slice(arr, 1, {iplen_sql})")).alias("sh"),
+    )
+    cand = (
+        prefixes.alias("p")
+        .join(iprefixes.alias("f"), "sh")
+        .filter(
+            (F.col("f.n") < F.col("p.n"))
+            | (
+                (F.col("f.n") == F.col("p.n"))
+                & (F.col("f.doc_id") != F.col("p.doc_id"))
+            )
+        )
+        .filter(F.col("f.n") * tau_den >= F.col("p.n") * tau_num)
+        .select(
+            F.least("p.doc_id", "f.doc_id").alias("doc_a"),
+            F.greatest("p.doc_id", "f.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a_sets = docsets.select(
+        F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"),
+        F.col("n").alias("n_a"),
+    )
+    b_sets = docsets.select(
+        F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"),
+        F.col("n").alias("n_b"),
+    )
+    chars = docs.select(F.col("doc_id").alias("doc_b"),
+                        F.length("text").alias("chars_b"))
+    pairs = (
+        cand.join(a_sets, "doc_a")
+        .join(b_sets, "doc_b")
+        .withColumn("i", F.size(F.array_intersect("arr_a", "arr_b")))
+        .withColumn("u", F.col("n_a") + F.col("n_b") - F.col("i"))
+        .filter(F.col("i") * 100 >= F.col("u") * _SWEEP_TAU_MIN)
+        .join(chars, "doc_b")
+        .select("doc_a", "doc_b", "i", "u", "chars_b")
+    )
+    pairs = _swap_persist("sweep_pairs", pairs)
+    total_chars = docs.agg(F.sum(F.length("text")).alias("tc"))
+    parts = []
+    for tau in _SWEEP_TAUS:
+        sel = pairs.filter(F.col("i") * 100 >= F.col("u") * tau)
+        flagged = sel.select("doc_b", "chars_b").distinct().agg(
+            F.count("*").alias("n_flagged_docs"),
+            F.coalesce(F.sum("chars_b"), F.lit(0)).alias("flagged_chars"),
+        )
+        parts.append(
+            sel.agg(F.count("*").alias("n_pairs"))
+            .crossJoin(F.broadcast(flagged))
+            .crossJoin(F.broadcast(total_chars))
+            .select(
+                F.lit(tau).alias("threshold_pct"),
+                "n_pairs",
+                "n_flagged_docs",
+                "flagged_chars",
+                F.expr("flagged_chars * 10000 div tc").alias(
+                    "removal_share_bp"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("threshold_pct")
+
+
+def _sweep_sql() -> str:
+    arms = []
+    for tau in _SWEEP_TAUS:
+        arms.append(f"""
+SELECT {tau} AS threshold_pct,
+       CAST((SELECT COUNT(*) FROM j WHERE i * 100 >= u * {tau}) AS BIGINT)
+         AS n_pairs,
+       CAST(COALESCE((SELECT COUNT(*) FROM (
+          SELECT DISTINCT db, chars_b FROM j WHERE i * 100 >= u * {tau})),
+          0) AS BIGINT) AS n_flagged_docs,
+       CAST(COALESCE((SELECT SUM(chars_b) FROM (
+          SELECT DISTINCT db, chars_b FROM j WHERE i * 100 >= u * {tau})),
+          0) AS BIGINT) AS flagged_chars,
+       CAST(COALESCE((SELECT SUM(chars_b) FROM (
+          SELECT DISTINCT db, chars_b FROM j WHERE i * 100 >= u * {tau})),
+          0) * 10000 // (SELECT SUM(length(text)) FROM documents)
+          AS BIGINT) AS removal_share_bp"""
+        )
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH {_SHINGLES_SQL},
+sizes AS (SELECT doc_id, COUNT(DISTINCT sh) AS n FROM shingles GROUP BY doc_id),
+dsh AS (SELECT DISTINCT doc_id, sh FROM shingles),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+  FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+j AS (
+  SELECT inter.da, inter.db, inter.i,
+         sa.n + sb.n - inter.i AS u,
+         length(d.text) AS chars_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.da
+  JOIN sizes sb ON sb.doc_id = inter.db
+  JOIN documents d ON d.doc_id = inter.db
+  WHERE inter.i * 100 >= (sa.n + sb.n - inter.i) * {_SWEEP_TAU_MIN}
+)
+{union}
+ORDER BY threshold_pct
+"""
+
+
+DEDUP_THRESHOLD_SWEEP_SQL = _sweep_sql()

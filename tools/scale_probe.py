@@ -352,6 +352,8 @@ def _late_ops():
         "supplier_hhi": _tpch().supplier_hhi,
         "bpe_merge_sweep": text.bpe_merge_sweep,
         "order_backlog_daily": _tpch().order_backlog_daily,
+        "token_budget_waterfill": text.token_budget_waterfill,
+        "dedup_threshold_sweep": dedup.dedup_threshold_sweep,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
