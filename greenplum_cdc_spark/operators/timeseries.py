@@ -2824,3 +2824,154 @@ FROM counts
 ORDER BY n_instances DESC, step1, step2, step3
 LIMIT {_PATH_TOPK}
 """
+
+
+def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B124 (round-8 addition): peak concurrent sessions per day — the
+    capacity number (license seats, connection pools, autoscaling
+    floors) that neither the backlog series (B123 counts open ORDERS
+    by day) nor any rollup gives, because concurrency is an interval
+    sweep-line property: over B7's sessions (same gap rule), each
+    session contributes +1 at its start and -1 after its end; the
+    day's peak is the maximum of the running sum. Inclusive-overlap
+    tie rule (a session starting at instant t overlaps one ending at
+    t): all +1 deltas at a timestamp order before the -1s — the daily
+    MAX is invariant to any further order among equal deltas, so the
+    statement is engine-exact without a unique tiebreak.
+
+    Cross-midnight sessions are handled by carry-in, not a global
+    sweep: each session explodes to the days it touches (bounded by
+    session length — the 30-min gap rule bounds sessions by activity
+    span), a day's carry_in counts sessions that started earlier and
+    are still open at midnight, and the within-day sweep runs in a
+    per-DAY partition window (hot days are one partition — at extreme
+    scale the day key gains an hour-grain pre-sweep, the standard
+    two-level sweep; stated, not built). Emits per day: sessions
+    touching the day, carry-in at midnight, and the concurrency peak.
+    """
+    DAY_US = 86_400_000_000
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap.isNull() | (gap > _GAP_MINUTES * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sessions = (
+        ev.withColumn("is_new", new_session)
+        .withColumn("session_idx", F.sum("is_new").over(w))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s_us"),
+            F.max(F.unix_micros("ts")).alias("e_us"),
+        )
+    )
+    from ..operators.dedup import _swap_persist
+
+    sessions = _swap_persist("conc_sessions", sessions)
+    touch = sessions.select(
+        "s_us", "e_us",
+        F.explode(
+            F.expr(f"sequence(s_us div {DAY_US}, e_us div {DAY_US})")
+        ).alias("day"),
+    )
+    carry = touch.filter(
+        F.expr(f"s_us div {DAY_US} < day")
+    ).groupBy("day").agg(F.count("*").alias("carry_in"))
+    touching = touch.groupBy("day").agg(F.count("*").alias("n_sessions"))
+    deltas = sessions.select(
+        F.expr(f"s_us div {DAY_US}").alias("day"),
+        F.col("s_us").alias("at_us"),
+        F.lit(1).alias("delta"),
+    ).unionByName(
+        sessions.select(
+            F.expr(f"e_us div {DAY_US}").alias("day"),
+            F.col("e_us").alias("at_us"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    ws = (
+        Window.partitionBy("day")
+        .orderBy("at_us", F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # within-day running sum counts only sessions that STARTED that day
+    # (a cross-midnight session's -1 lands on its end day, where its +1
+    # is the carry_in, so the sum stays consistent: peak = carry_in +
+    # max(running) when any within-day activity exists
+    within = (
+        deltas.withColumn("run", F.sum("delta").over(ws))
+        .groupBy("day")
+        .agg(F.max("run").alias("max_run"))
+    )
+    return (
+        touching.join(carry, "day", "left")
+        .join(within, "day", "left")
+        .select(
+            "day",
+            "n_sessions",
+            F.coalesce("carry_in", F.lit(0)).alias("carry_in"),
+            (
+                F.coalesce("carry_in", F.lit(0))
+                + F.greatest(F.coalesce("max_run", F.lit(0)), F.lit(0))
+            ).alias("peak_concurrency"),
+        )
+        .orderBy("day")
+    )
+
+
+CONCURRENT_SESSIONS_PEAK_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+              > {_GAP_MINUTES} * 60 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_idx,
+         MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+  FROM numbered GROUP BY user_id, session_idx
+),
+touch AS (
+  SELECT s_us, e_us, day
+  FROM sessions,
+       UNNEST(generate_series(s_us // 86400000000, e_us // 86400000000))
+         AS t(day)
+),
+carry AS (
+  SELECT day, COUNT(*) AS carry_in FROM touch
+  WHERE s_us // 86400000000 < day GROUP BY day
+),
+touching AS (SELECT day, COUNT(*) AS n_sessions FROM touch GROUP BY day),
+deltas AS (
+  SELECT s_us // 86400000000 AS day, s_us AS at_us, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT e_us // 86400000000 AS day, e_us AS at_us, -1 AS delta FROM sessions
+),
+within AS (
+  SELECT day, MAX(run) AS max_run
+  FROM (
+    SELECT day, SUM(delta) OVER (PARTITION BY day
+                                 ORDER BY at_us, delta DESC
+                                 ROWS UNBOUNDED PRECEDING) AS run
+    FROM deltas
+  ) GROUP BY day
+)
+SELECT t.day,
+       CAST(t.n_sessions AS BIGINT) AS n_sessions,
+       CAST(COALESCE(c.carry_in, 0) AS BIGINT) AS carry_in,
+       CAST(COALESCE(c.carry_in, 0)
+            + GREATEST(COALESCE(w.max_run, 0), 0) AS BIGINT)
+         AS peak_concurrency
+FROM touching t
+LEFT JOIN carry c ON c.day = t.day
+LEFT JOIN within w ON w.day = t.day
+ORDER BY t.day
+"""

@@ -2922,3 +2922,97 @@ LEFT JOIN opened o ON o.open_day = s.day
 LEFT JOIN closed c ON c.close_day = s.day
 ORDER BY s.day
 """
+
+
+def return_rate_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B125 (round-8 addition): return-rate trend per part brand — the
+    retail quality dashboard behind every "returns are spiking on
+    brand X" alert (Q10 bills returned revenue to customers; this
+    tracks the RATE per product line over time): per (brand, ship
+    month) the line items, returned line items (l_returnflag = 'R'),
+    returned and gross extended-price cents (exact integers), the
+    return rate in basis points, and the month-over-month rate delta
+    (lag over the brand's month series — a |brands x months|-bounded
+    partition window, never global). Month = integer index
+    year*12+month-1 (B115's discipline).
+
+    Plan: part's (partkey -> brand) broadcasts; ONE (brand, month)
+    rollup of the feed is the only feed-wide shuffle; the trend lag
+    runs over the calendar-bounded rollup.
+    """
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_returnflag",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("m"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "m")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias(
+                "n_returned"
+            ),
+            F.sum("cents").alias("gross_cents"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", F.col("cents")).otherwise(0)
+            ).alias("returned_cents"),
+        )
+        .withColumn(
+            "return_rate_bp", F.expr("n_returned * 10000 div n_lines")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy("m")
+    return (
+        cells.withColumn(
+            "rate_delta_bp",
+            F.col("return_rate_bp") - F.lag("return_rate_bp").over(w),
+        )
+        .select(
+            "p_brand",
+            F.expr("m div 12").alias("year"),
+            (F.col("m") % 12 + 1).alias("month"),
+            "n_lines",
+            "n_returned",
+            "gross_cents",
+            "returned_cents",
+            "return_rate_bp",
+            "rate_delta_bp",
+        )
+        .orderBy("p_brand", "year", "month")
+    )
+
+
+RETURN_RATE_TREND_SQL = """
+WITH cells AS (
+  SELECT p.p_brand,
+         year(l.l_shipdate) * 12 + month(l.l_shipdate) - 1 AS m,
+         COUNT(*) AS n_lines,
+         SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_returned,
+         SUM(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS gross_cents,
+         SUM(CASE WHEN l.l_returnflag = 'R'
+                  THEN CAST(floor(l.l_extendedprice * 100) AS BIGINT)
+                  ELSE 0 END) AS returned_cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY p.p_brand, year(l.l_shipdate) * 12 + month(l.l_shipdate) - 1
+),
+rated AS (
+  SELECT *, n_returned * 10000 // n_lines AS return_rate_bp FROM cells
+)
+SELECT p_brand,
+       CAST(m // 12 AS BIGINT) AS year,
+       CAST(m % 12 + 1 AS BIGINT) AS month,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_returned AS BIGINT) AS n_returned,
+       CAST(gross_cents AS BIGINT) AS gross_cents,
+       CAST(returned_cents AS BIGINT) AS returned_cents,
+       CAST(return_rate_bp AS BIGINT) AS return_rate_bp,
+       CAST(return_rate_bp - LAG(return_rate_bp) OVER (
+              PARTITION BY p_brand ORDER BY m) AS BIGINT) AS rate_delta_bp
+FROM rated
+ORDER BY p_brand, year, month
+"""

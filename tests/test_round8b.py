@@ -1159,3 +1159,137 @@ class TestDedupThresholdSweep:
         assert counts == sorted(counts, reverse=True)
         assert counts[0] > counts[-1] > 0 or counts[-1] >= 0
         assert counts[0] >= 2  # at least the two closest variants at 50%
+
+
+class TestConcurrentSessionsPeak:
+    def test_exact_python_sweep_rederivation(self, spark, sf_dir):
+        """B124: per-day peak re-derived by a full python sweep-line
+        (inclusive-overlap ties, midnight carry-in); cross-midnight
+        sessions exercised if present."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.timeseries import (
+            _GAP_MINUTES,
+            concurrent_sessions_peak,
+        )
+
+        DAY = 86_400_000_000
+        raw = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id"
+        ).collect()
+        by_user = {}
+        for r in raw:
+            by_user.setdefault(r["user_id"], []).append(
+                (int(r["ts"].timestamp() * 1e6), r["event_id"])
+            )
+        sessions = []
+        for evs in by_user.values():
+            evs.sort()
+            cur = [evs[0][0], evs[0][0]]
+            for us, _eid in evs[1:]:
+                if us - cur[1] <= _GAP_MINUTES * 60 * 1_000_000:
+                    cur[1] = us
+                else:
+                    sessions.append(tuple(cur))
+                    cur = [us, us]
+            sessions.append(tuple(cur))
+        days = {}
+        for s, e in sessions:
+            for d in range(s // DAY, e // DAY + 1):
+                days.setdefault(d, {"n": 0, "carry": 0, "events": []})
+                days[d]["n"] += 1
+                if s // DAY < d:
+                    days[d]["carry"] += 1
+            days[s // DAY]["events"].append((s, 0))   # +1 sorts before -1
+            days[e // DAY]["events"].append((e, 1))
+        truth = {}
+        for d, info in days.items():
+            run = best = 0
+            for _us, kind in sorted(info["events"]):
+                run += 1 if kind == 0 else -1
+                best = max(best, run)
+            truth[d] = (info["n"], info["carry"], info["carry"] + max(best, 0))
+
+        rows = {r["day"]: r
+                for r in concurrent_sessions_peak(spark, sf_dir).collect()}
+        assert set(rows) == set(truth)
+        for d, (n, carry, peak) in truth.items():
+            r = rows[d]
+            assert (r["n_sessions"], r["carry_in"], r["peak_concurrency"]) \
+                == (n, carry, peak), d
+
+    def test_crafted_midnight_span_and_ties(self, spark, tmp_path):
+        """A session spanning midnight carries into day 2's peak; a
+        start at exactly another session's end overlaps (inclusive)."""
+        import datetime
+
+        import pandas as pd
+
+        t = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)  # noqa: E731
+        rows = [
+            # user 1: one session 23:50 -> 00:10 (crosses midnight via
+            # 20-min gap < 30)
+            (1, t(23, 50), 1),
+            (2, datetime.datetime(2024, 1, 2, 0, 10), 1),
+            # user 2: session exactly at user 3's session end instant
+            (3, t(10, 0), 2),
+            # user 3: 09:00-10:00
+            (4, t(9, 0), 3),
+            (5, t(10, 0), 3),
+        ]
+        pd.DataFrame(
+            [(eid, ts, uid, "e", 1.0, "{}") for eid, ts, uid in rows],
+            columns=["event_id", "ts", "user_id", "event_type", "value",
+                     "props"],
+        ).to_parquet(str(tmp_path / "events.parquet"))
+        from greenplum_cdc_spark.operators.timeseries import (
+            concurrent_sessions_peak,
+        )
+
+        out = {r["day"]: r
+               for r in concurrent_sessions_peak(spark, str(tmp_path)).collect()}
+        d1 = 19723  # 2024-01-01 epoch day
+        assert out[d1]["peak_concurrency"] == 2   # inclusive overlap at 10:00
+        assert out[d1 + 1]["carry_in"] == 1       # the midnight session
+        assert out[d1 + 1]["peak_concurrency"] == 1
+        assert out[d1 + 1]["n_sessions"] == 1
+
+
+class TestReturnRateTrend:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B125: every (brand, month) cell and its MoM delta re-derived
+        exactly from raw parquet."""
+        import math
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.tpch import return_rate_trend
+
+        brand = {r["p_partkey"]: r["p_brand"]
+                 for r in load_table(spark, sf_dir, "part").collect()}
+        cells = {}
+        for r in load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_returnflag", "l_shipdate", "l_extendedprice"
+        ).collect():
+            m = r["l_shipdate"].year * 12 + r["l_shipdate"].month - 1
+            key = (brand[r["l_partkey"]], m)
+            c = cells.setdefault(key, [0, 0, 0, 0])
+            cents = math.floor(r["l_extendedprice"] * 100)
+            c[0] += 1
+            c[2] += cents
+            if r["l_returnflag"] == "R":
+                c[1] += 1
+                c[3] += cents
+        rows = return_rate_trend(spark, sf_dir).collect()
+        assert len(rows) == len(cells)
+        prev = {}
+        for r in rows:
+            key = (r["p_brand"], r["year"] * 12 + r["month"] - 1)
+            n, ret, gross, rcents = cells[key]
+            assert (r["n_lines"], r["n_returned"]) == (n, ret), key
+            assert (r["gross_cents"], r["returned_cents"]) == (gross, rcents)
+            rate = ret * 10000 // n
+            assert r["return_rate_bp"] == rate
+            if r["p_brand"] in prev:
+                assert r["rate_delta_bp"] == rate - prev[r["p_brand"]]
+            else:
+                assert r["rate_delta_bp"] is None
+            prev[r["p_brand"]] = rate

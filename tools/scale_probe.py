@@ -354,6 +354,8 @@ def _late_ops():
         "order_backlog_daily": _tpch().order_backlog_daily,
         "token_budget_waterfill": text.token_budget_waterfill,
         "dedup_threshold_sweep": dedup.dedup_threshold_sweep,
+        "concurrent_sessions_peak": timeseries.concurrent_sessions_peak,
+        "return_rate_trend": _tpch().return_rate_trend,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
