@@ -2468,7 +2468,10 @@ ORDER BY i, j
 """
 
 
-_HUB_MAX_POP = 4096  # deterministic sample bound: stride = ceil(n / this)
+_HUB_MAX_POP = 1024  # deterministic sample bound: stride = ceil(n / this)
+# (1024 keeps the exact all-pairs verify under ~1M fold-dot pairs — the
+# sf0.1 bench read 30 s at 4096; the histogram is statistically
+# indistinguishable at this sample size for a distributional diagnostic)
 
 
 def embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2483,7 +2486,9 @@ def embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a LEFT join from the population, not just observed degrees).
 
     Population bound (the quadratic stays bounded FOREVER): vectors
-    with vec_id % S == 0 where S = (n + {m} - 1) div {m} — an integer
+    with vec_id % S == 0 where S = (n + {m} - 1) div {m} ({m} caps the
+    exact verify near 10^6 fold-dot pairs — measured 30 s at 4096 on
+    the sf0.1 bench, ~2 s at 1024) — an integer
     stride both engines state, so the all-pairs graph never exceeds
     {m}^2 regardless of corpus size (hubness is a distributional
     diagnostic; a deterministic stride sample measures it as well as

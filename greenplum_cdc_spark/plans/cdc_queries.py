@@ -3392,3 +3392,136 @@ ORDER BY g.pk
 CDC_WRITE_CONFLICTS_SQL = CDC_WRITE_CONFLICTS_SQL.format(
     feed=maxwell.EVENTS_AS_CDC_SQL.strip()
 )
+
+
+_OOO_JITTER_MOD = 101  # bounded bus-reorder window (arrival skew model)
+
+
+def cdc_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A49 (round-8 addition): commit-order vs arrival-order audit —
+    the CDC health metric that decides watermark margins and
+    stale-replay guards (A22's guard assumes a bound; this MEASURES
+    it): how many events arrive AFTER an event with a later commit
+    timestamp has already arrived, and by how much. The synthetic feed
+    arrives commit-ordered (seq follows ts), where the audit is
+    vacuous, so arrival is the B100 discipline: a deterministic keyed
+    md5 jitter bounded by {j} positions models the multi-partition
+    bus's bounded reorder window — arrival order = (seq + jitter,
+    seq), a stated total order both engines construct identically.
+
+    An event is LATE iff its commit ts is below the running maximum of
+    commit ts over STRICTLY PRIOR arrivals. The running max is
+    DISTRIBUTED, not a global window (the A26 construction):
+    approxQuantile boundaries on the arrival key become literal range
+    buckets (monotone placement suffices), per-bucket maxima collect to
+    a |buckets|-row prefix-max table stitched on the driver, and each
+    bucket runs its own parallel exclusive running-max window plus its
+    prefix — bit-identical to the single-partition window at any data
+    size. Emits ONE summary row: events, late events and bp, the max
+    lateness (worst inversion, micros), the exact lateness sum, and
+    the floor-div mean among late events.
+    """.format(j=_OOO_JITTER_MOD)
+    from pyspark.sql import Window
+
+    feed = _feed(spark, sf_dir).select(
+        "seq",
+        F.unix_micros("ts").alias("us"),
+        (
+            F.col("seq")
+            + F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("ooo-v1"),
+                                      F.col("seq").cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % _OOO_JITTER_MOD
+        ).alias("arr"),
+    )
+    spark_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
+    probs = [i / spark_parts for i in range(1, spark_parts)]
+    bounds = sorted(
+        set(feed.stat.approxQuantile("arr", probs, 1.0 / (4 * spark_parts)))
+    )
+    if bounds:
+        arms = " ".join(
+            f"WHEN arr <= {int(b)} THEN {i}" for i, b in enumerate(bounds)
+        )
+        pid = F.expr(f"CASE {arms} ELSE {len(bounds)} END")
+    else:
+        pid = F.lit(0)
+    part = feed.withColumn("_pid", pid)
+    # per-bucket max -> exclusive prefix maxima (driver-side, |buckets| rows)
+    rows = (
+        part.groupBy("_pid").agg(F.max("us").alias("mx")).collect()
+    )
+    prefix, acc = [], None
+    for r in sorted(rows, key=lambda r: r["_pid"]):
+        prefix.extend(
+            [F.lit(r["_pid"]),
+             F.lit(-(2**62)) if acc is None else F.lit(acc)]
+        )
+        acc = r["mx"] if acc is None else max(acc, r["mx"])
+    pmax = F.create_map(*prefix)[F.col("_pid")]
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("arr", "seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lated = part.select(
+        "us",
+        F.greatest(
+            F.coalesce(F.max("us").over(w), F.lit(-(2**62))), pmax
+        ).alias("prev_max"),
+    ).select(
+        "us",
+        F.when(
+            (F.col("prev_max") > -(2**61)) & (F.col("us") < F.col("prev_max")),
+            F.col("prev_max") - F.col("us"),
+        ).alias("lateness"),
+    )
+    return lated.agg(
+        F.count("*").alias("n_events"),
+        F.count("lateness").alias("late_events"),
+        F.expr("count(lateness) * 10000 div count(*)").alias("late_bp"),
+        F.max("lateness").alias("max_lateness_us"),
+        F.coalesce(F.sum("lateness"), F.lit(0)).alias("sum_lateness_us"),
+        F.expr(
+            "CASE WHEN count(lateness) > 0 THEN sum(lateness) div "
+            "count(lateness) ELSE NULL END"
+        ).alias("mean_lateness_us"),
+    )
+
+
+CDC_OUT_OF_ORDER_SQL = f"""
+WITH feed AS ({{feed}}),
+arrs AS (
+  SELECT seq, epoch_us(ts) AS us,
+         seq + CAST(('0x' || substr(md5('ooo-v1' || '|' ||
+                     CAST(seq AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {_OOO_JITTER_MOD} AS arr
+  FROM feed
+),
+lated AS (
+  SELECT us,
+         MAX(us) OVER (ORDER BY arr, seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM arrs
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(CASE WHEN us < prev_max THEN 1 END) AS BIGINT)
+         AS late_events,
+       CAST(COUNT(CASE WHEN us < prev_max THEN 1 END) * 10000 // COUNT(*)
+            AS BIGINT) AS late_bp,
+       CAST(MAX(CASE WHEN us < prev_max THEN prev_max - us END) AS BIGINT)
+         AS max_lateness_us,
+       CAST(COALESCE(SUM(CASE WHEN us < prev_max THEN prev_max - us END), 0)
+            AS BIGINT) AS sum_lateness_us,
+       CAST(CASE WHEN COUNT(CASE WHEN us < prev_max THEN 1 END) > 0
+            THEN SUM(CASE WHEN us < prev_max THEN prev_max - us END)
+                 // COUNT(CASE WHEN us < prev_max THEN 1 END)
+            ELSE NULL END AS BIGINT) AS mean_lateness_us
+FROM lated
+""".format(feed="__FEED__").replace("__FEED__", "SELECT user_id AS pk, ts, event_id AS seq, CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op, value, event_type FROM events")

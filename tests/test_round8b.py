@@ -1293,3 +1293,43 @@ class TestReturnRateTrend:
             else:
                 assert r["rate_delta_bp"] is None
             prev[r["p_brand"]] = rate
+
+
+class TestCdcOutOfOrderAudit:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """A49: the distributed prefix-max construction equals a full
+        python replay of the jittered arrival schedule; the audit is
+        non-vacuous (the jitter produces genuine inversions)."""
+        import hashlib
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.cdc_queries import (
+            _OOO_JITTER_MOD,
+            cdc_out_of_order_audit,
+        )
+
+        evs = []
+        for r in load_table(spark, sf_dir, "events").select(
+            "event_id", "ts"
+        ).collect():
+            seq = r["event_id"]
+            j = int(
+                hashlib.md5(f"ooo-v1|{seq}".encode()).hexdigest()[:15], 16
+            ) % _OOO_JITTER_MOD
+            evs.append((seq + j, seq, int(r["ts"].timestamp() * 1e6)))
+        evs.sort()
+        prev_max = None
+        late, lats = 0, []
+        for _arr, _seq, us in evs:
+            if prev_max is not None and us < prev_max:
+                late += 1
+                lats.append(prev_max - us)
+            prev_max = us if prev_max is None else max(prev_max, us)
+        r = cdc_out_of_order_audit(spark, sf_dir).collect()[0]
+        assert r["n_events"] == len(evs)
+        assert r["late_events"] == late
+        assert late > 0  # the jitter model must exercise the audit
+        assert r["late_bp"] == late * 10000 // len(evs)
+        assert r["max_lateness_us"] == max(lats)
+        assert r["sum_lateness_us"] == sum(lats)
+        assert r["mean_lateness_us"] == sum(lats) // late

@@ -356,6 +356,7 @@ def _late_ops():
         "dedup_threshold_sweep": dedup.dedup_threshold_sweep,
         "concurrent_sessions_peak": timeseries.concurrent_sessions_peak,
         "return_rate_trend": _tpch().return_rate_trend,
+        "cdc_out_of_order_audit": __import__("greenplum_cdc_spark.plans.cdc_queries", fromlist=["cdc_queries"]).cdc_out_of_order_audit,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
     }
