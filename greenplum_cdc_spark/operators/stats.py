@@ -2254,3 +2254,233 @@ FROM ranked r CROSS JOIN q
 GROUP BY q.quantile_pct
 ORDER BY quantile_pct
 """
+
+
+def segment_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B127 (round-8 addition): audience-segment overlap matrix — the
+    set-algebra readout behind every targeting/attribution dashboard
+    (and the roaring-bitmap workload warehouses ship bitmap indexes
+    for): for every unordered pair of event types, how many distinct
+    users did BOTH, the Jaccard overlap of the two audiences in basis
+    points, and each side's containment share — B41's
+    corr_value_props correlates VALUES on co-occurrence, this counts
+    the audience sets themselves (the "users who viewed AND
+    purchased" number).
+
+    Plan: one distinct (user, event_type) rollup collapses the feed
+    to at most |users| x |types| rows — THAT is the only
+    data-proportional shuffle; the pair join is a self-join
+    co-partitioned on user_id (both sides the SAME reduced relation,
+    one exchange, never a cross product — the type_a < type_b
+    predicate keeps pairs unordered), the pair rollup is bounded by
+    |types|^2 (~25 rows), and per-type audience totals ride a
+    |types|-row broadcast joined twice. All counts exact BIGINTs,
+    shares integer floor division — no doubles anywhere. At 100 TB
+    the distinct rollup is map-side combined (users x types is the
+    reduced cardinality) and everything after it is dimension-sized.
+    """
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    totals = ut.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    ta = totals.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    tb = totals.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.expr("n_both * 10000 div (n_a + n_b - n_both)").alias(
+                "jaccard_bp"
+            ),
+            F.expr("n_both * 10000 div n_a").alias("containment_a_bp"),
+            F.expr("n_both * 10000 div n_b").alias("containment_b_bp"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SEGMENT_OVERLAP_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+totals AS (
+  SELECT event_type, COUNT(*) AS n_users FROM ut GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b,
+       CAST(ta.n_users AS BIGINT) AS n_a,
+       CAST(tb.n_users AS BIGINT) AS n_b,
+       CAST(p.n_both AS BIGINT) AS n_both,
+       CAST(p.n_both * 10000 // (ta.n_users + tb.n_users - p.n_both)
+            AS BIGINT) AS jaccard_bp,
+       CAST(p.n_both * 10000 // ta.n_users AS BIGINT) AS containment_a_bp,
+       CAST(p.n_both * 10000 // tb.n_users AS BIGINT) AS containment_b_bp
+FROM pairs p
+JOIN totals ta ON ta.event_type = p.type_a
+JOIN totals tb ON tb.event_type = p.type_b
+ORDER BY p.type_a, p.type_b
+"""
+
+
+_KM_CENSOR_W = 6  # months: last-activity within W of feed end = still alive
+_KM_S0 = 1_000_000  # survival scale (ppm)
+
+
+def survival_curve_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B129 (round-8 addition): Kaplan-Meier customer-survival curve
+    (Kaplan & Meier 1958) — the churn-analytics standard B35's
+    retention triangle approximates from above: per tenure month the
+    at-risk count, churn events, right-censorings, and the product-
+    limit survival estimate. Right-censoring is what the naive
+    "share still active" curve gets wrong: a customer first seen
+    near the feed end hasn't had TIME to churn and must leave the
+    risk set, not count as a survivor.
+
+    Event model (stated): a customer enters at their first order
+    month m0; churned customers (last order m1 older than the
+    {w}-month censor window before the feed's last month M) die at
+    tenure m1 - m0; the rest are censored at M - m0 (alive when
+    observation ended — the standard convention). Censored leave
+    the risk set AFTER their month: n_(j+1) = n_j - d_j - c_j, and
+    the factor at j is (n_j - d_j) / n_j.
+
+    Exactness: the product limit is a sequential floor recurrence
+    s_j = s_(j-1) * (n_j - d_j) div n_j at ppm scale (s*n <= 1e6 *
+    |customers| — int64 through 100x with 10^6 headroom) — stated as
+    the SAME recurrence in both engines: Spark folds the tenure
+    spine with ONE `aggregate` lambda (the spine is
+    calendar-bounded — <= span months at ANY corpus size — so the
+    single collapsed row is the documented bounded-codebook idiom,
+    like B118's histogram walk), DuckDB walks it with a RECURSIVE
+    CTE. The data-proportional work — one custkey rollup, one
+    1-row global-max scalar broadcast, one tenure rollup — is all
+    map-side-combinable shuffles of the feed.
+    """.format(w=_KM_CENSOR_W)
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.expr(
+                "year(o_orderdate) * 12 + month(o_orderdate) - 1"
+            ).alias("m"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.min("m").alias("m0"), F.max("m").alias("m1"))
+    )
+    end = cust.agg(F.max("m1").alias("big_m"))
+    classified = cust.crossJoin(F.broadcast(end)).select(
+        F.when(
+            F.col("m1") < F.col("big_m") - _KM_CENSOR_W,
+            F.col("m1") - F.col("m0"),
+        )
+        .otherwise(F.col("big_m") - F.col("m0"))
+        .alias("t"),
+        (F.col("m1") < F.col("big_m") - _KM_CENSOR_W).cast("long").alias(
+            "churn"
+        ),
+    )
+    spine = classified.groupBy("t").agg(
+        F.sum("churn").alias("d"),
+        F.sum(F.lit(1) - F.col("churn")).alias("c"),
+    )
+    folded = spine.agg(
+        F.expr(
+            """
+            aggregate(
+              array_sort(collect_list(named_struct('t', t, 'd', d, 'c', c))),
+              named_struct(
+                'n', aggregate(collect_list(d + c), 0L, (a, x) -> a + x),
+                's', CAST({s0} AS BIGINT),
+                'out', CAST(array() AS
+                  ARRAY<STRUCT<t BIGINT, n_at_risk BIGINT, d BIGINT,
+                               c BIGINT, s BIGINT>>)),
+              (acc, x) -> named_struct(
+                'n', acc.n - x.d - x.c,
+                's', acc.s * (acc.n - x.d) div acc.n,
+                'out', array_append(acc.out, named_struct(
+                  't', x.t, 'n_at_risk', acc.n, 'd', x.d, 'c', x.c,
+                  's', acc.s * (acc.n - x.d) div acc.n))),
+              acc -> acc.out) AS curve
+            """.format(s0=_KM_S0)
+        )
+    )
+    return (
+        folded.select(F.explode("curve").alias("r"))
+        .select(
+            F.col("r.t").cast("long").alias("tenure_months"),
+            F.col("r.n_at_risk").alias("n_at_risk"),
+            F.col("r.d").alias("n_churned"),
+            F.col("r.c").alias("n_censored"),
+            F.col("r.s").alias("survival_ppm"),
+        )
+        .orderBy("tenure_months")
+    )
+
+
+SURVIVAL_KM_SQL = f"""
+WITH RECURSIVE cust AS (
+  SELECT o_custkey,
+         MIN(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m0,
+         MAX(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS m1
+  FROM orders GROUP BY o_custkey
+),
+fend AS (SELECT MAX(m1) AS big_m FROM cust),
+classified AS (
+  SELECT CASE WHEN m1 < (SELECT big_m FROM fend) - {_KM_CENSOR_W}
+              THEN m1 - m0 ELSE (SELECT big_m FROM fend) - m0 END AS t,
+         CASE WHEN m1 < (SELECT big_m FROM fend) - {_KM_CENSOR_W}
+              THEN 1 ELSE 0 END AS churn
+  FROM cust
+),
+spine AS (
+  SELECT t, SUM(churn) AS d, SUM(1 - churn) AS c,
+         ROW_NUMBER() OVER (ORDER BY t) AS rn
+  FROM classified GROUP BY t
+),
+km AS (
+  SELECT CAST(0 AS BIGINT) AS rn,
+         (SELECT SUM(d + c) FROM spine) AS n,
+         CAST({_KM_S0} AS BIGINT) AS s,
+         CAST(NULL AS BIGINT) AS t,
+         CAST(NULL AS BIGINT) AS d,
+         CAST(NULL AS BIGINT) AS c,
+         CAST(NULL AS BIGINT) AS n_at_risk
+  UNION ALL
+  SELECT sp.rn, km.n - sp.d - sp.c,
+         km.s * (km.n - sp.d) // km.n,
+         sp.t, sp.d, sp.c, km.n
+  FROM km JOIN spine sp ON sp.rn = km.rn + 1
+)
+SELECT CAST(t AS BIGINT) AS tenure_months,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_churned,
+       CAST(c AS BIGINT) AS n_censored,
+       CAST(s AS BIGINT) AS survival_ppm
+FROM km WHERE rn > 0
+ORDER BY tenure_months
+"""

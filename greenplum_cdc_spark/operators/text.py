@@ -3793,3 +3793,122 @@ SELECT a.source,
 FROM avail a CROSS JOIN level l CROSS JOIN totals t
 ORDER BY a.source
 """
+
+
+_HEAPS_CHECKPOINTS = 10
+
+
+def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C113 (round-8 addition): vocabulary-growth (Heaps-law) curve —
+    the curve that sizes every tokenizer/vocab build: how many
+    DISTINCT tokens the corpus has yielded after each tenth of it,
+    and the marginal type/token ratio, the number that says whether
+    more data still buys vocabulary. C21's coverage curve ranks an
+    EXISTING vocab by frequency; this measures discovery order over
+    the corpus itself.
+
+    Ingestion order is the doc_id axis (the corpus's stable id — the
+    same discipline as C49's version diff), cut at 10 equal-width id
+    checkpoints cp_k = mn - 1 + (span * k) div 10 from one min/max
+    scalar (1-row broadcast, the whitelisted idiom). The curve needs
+    CUMULATIVE counts, which the plan gets WITHOUT any running-sum
+    window: each per-token first-occurrence row (groupBy token ->
+    min(doc_id), the only corpus-wide shuffle) joins the 10-row
+    checkpoint spine on fd <= cp_k — a broadcast nested-loop against
+    a CONSTANT 10-row side (<= 10 integer compares per row,
+    map-side), so each token lands in every checkpoint that has seen
+    it and one |checkpoints|-row rollup IS the cumulative curve. Doc
+    and token totals take the same join over the per-doc rollup. All
+    counts exact BIGINTs; type/token ratio is floor-div ppm.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+            "n_tok"
+        ),
+    )
+    span = docs.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    spine = (
+        spark.range(1, _HEAPS_CHECKPOINTS + 1)
+        .withColumnRenamed("id", "k")
+        .crossJoin(F.broadcast(span))
+        .select(
+            "k",
+            F.expr(
+                f"mn - 1 + ((mx - mn + 1) * k) div {_HEAPS_CHECKPOINTS}"
+            ).alias("cp"),
+        )
+    )
+    first = (
+        _tok(load_table(spark, sf_dir, "documents"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("fd"))
+    )
+    vocab = (
+        first.join(F.broadcast(spine), F.col("fd") <= F.col("cp"))
+        .groupBy("k", "cp")
+        .agg(F.count("*").alias("vocab_cum"))
+    )
+    sizes = (
+        docs.join(F.broadcast(spine), F.col("doc_id") <= F.col("cp"))
+        .groupBy("k", "cp")
+        .agg(
+            F.count("*").alias("docs_cum"),
+            F.sum("n_tok").alias("tokens_cum"),
+        )
+    )
+    return (
+        sizes.join(vocab, ["k", "cp"])
+        .select(
+            "k",
+            F.col("cp").alias("cp_doc_id"),
+            "docs_cum",
+            "tokens_cum",
+            "vocab_cum",
+            F.expr("vocab_cum * 1000000 div tokens_cum").alias("ttr_ppm"),
+        )
+        .orderBy("k")
+    )
+
+
+HEAPS_LAW_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok
+  FROM documents
+),
+span AS (SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM docs),
+spine AS (
+  SELECT k, mn - 1 + ((mx - mn + 1) * k) // {_HEAPS_CHECKPOINTS} AS cp
+  FROM span, unnest(generate_series(1, {_HEAPS_CHECKPOINTS})) AS t(k)
+),
+first AS (
+  SELECT w, MIN(doc_id) AS fd
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS w
+    FROM documents
+  )
+  GROUP BY w
+),
+vocab AS (
+  SELECT s.k, s.cp, COUNT(*) AS vocab_cum
+  FROM first f JOIN spine s ON f.fd <= s.cp
+  GROUP BY s.k, s.cp
+),
+sizes AS (
+  SELECT s.k, s.cp, COUNT(*) AS docs_cum, SUM(d.n_tok) AS tokens_cum
+  FROM docs d JOIN spine s ON d.doc_id <= s.cp
+  GROUP BY s.k, s.cp
+)
+SELECT z.k AS k,
+       CAST(z.cp AS BIGINT) AS cp_doc_id,
+       CAST(z.docs_cum AS BIGINT) AS docs_cum,
+       CAST(z.tokens_cum AS BIGINT) AS tokens_cum,
+       CAST(v.vocab_cum AS BIGINT) AS vocab_cum,
+       CAST(v.vocab_cum * 1000000 // z.tokens_cum AS BIGINT) AS ttr_ppm
+FROM sizes z JOIN vocab v ON v.k = z.k AND v.cp = z.cp
+ORDER BY z.k
+"""

@@ -2975,3 +2975,117 @@ LEFT JOIN carry c ON c.day = t.day
 LEFT JOIN within w ON w.day = t.day
 ORDER BY t.day
 """
+
+
+_EWMA_K = 16  # truncation depth; dyadic alpha = 1/2
+_EWMA_WSUM = 2 ** _EWMA_K - 1  # sum_{i=1..K} 2^(K-i) = 65535
+
+
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B128 (round-8 addition): EWMA control chart over the per-type
+    daily revenue series — the third classic of the anomaly-screen
+    trio (B21 z-score flags level outliers, B61 CUSUM flags small
+    persistent shifts; the EWMA chart is the standard middle ground:
+    a geometrically-forgetting baseline that flags TODAY vs the
+    recent past, Roberts 1959 / NIST e-handbook 6.3.2.4).
+
+    Exactness: the classic chart is the recursion s_t = alpha*x_t +
+    (1-alpha)*s_{t-1} on doubles — order-dependent and engine-unsafe.
+    With dyadic alpha = 1/2 truncated at K = 16 observations the
+    prediction-form baseline is the EXACT integer numerator
+    num_t = sum_{i=1..16} x_(t-i) * 2^(16-i) over the exact weight
+    sum 65535 (the truncated tail is 2^-16 ~ 15 ppm, STATED, not
+    drifting): sixteen lag() terms, every product int64-safe at any
+    realistic scale (num <= 65535 * max daily cents). Flags are
+    integer cross-multiplications — spike iff x*65535 > 2*num, dip
+    iff 2*x*65535 < num — and the deviation is floor-div basis
+    points; no doubles anywhere. Rows without the full 16-day
+    history report NULL baseline and no flag (the chart's burn-in,
+    stated) — row_number over the same sort, zero extra shuffles.
+
+    Plan: one (type, day) rollup (map-side combined, the only
+    data-proportional shuffle — the series is calendar-bounded after
+    it), then ONE sort window per type partition carrying all 16
+    O(1)/row lags + row_number; output |types| x |days| rows.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = None
+    for i in range(1, _EWMA_K + 1):
+        term = F.coalesce(F.lag("cents", i).over(w), F.lit(0)) * F.lit(
+            2 ** (_EWMA_K - i)
+        )
+        num = term if num is None else num + term
+    out = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        num.alias("num"),
+        F.row_number().over(w).alias("rn"),
+    )
+    full = F.col("rn") > _EWMA_K
+    return out.select(
+        "event_type",
+        "day",
+        "cents",
+        F.when(full, F.expr(f"num * 1000 div {_EWMA_WSUM}"))
+        .alias("ewma_cents_milli"),
+        F.when(
+            full & (F.col("num") > 0),
+            F.expr(f"(cents * {_EWMA_WSUM} - num) * 10000 div num"),
+        ).alias("deviation_bp"),
+        F.when(
+            full, (F.col("cents") * _EWMA_WSUM > 2 * F.col("num")).cast("int")
+        ).otherwise(F.lit(None).cast("int")).alias("spike_flag"),
+        F.when(
+            full, (2 * F.col("cents") * _EWMA_WSUM < F.col("num")).cast("int")
+        ).otherwise(F.lit(None).cast("int")).alias("dip_flag"),
+    ).orderBy("event_type", "day")
+
+
+def _ewma_sql() -> str:
+    terms = " + ".join(
+        f"COALESCE(LAG(cents, {i}) OVER w, 0) * {2 ** (_EWMA_K - i)}"
+        for i in range(1, _EWMA_K + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, day, cents,
+         {terms} AS num,
+         ROW_NUMBER() OVER w AS rn
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+)
+SELECT event_type, day, CAST(cents AS BIGINT) AS cents,
+       CASE WHEN rn > {_EWMA_K}
+            THEN CAST(num * 1000 // {_EWMA_WSUM} AS BIGINT) END
+         AS ewma_cents_milli,
+       CASE WHEN rn > {_EWMA_K} AND num > 0
+            THEN CAST((cents * {_EWMA_WSUM} - num) * 10000 // num AS BIGINT)
+       END AS deviation_bp,
+       CASE WHEN rn > {_EWMA_K}
+            THEN CAST(CASE WHEN cents * {_EWMA_WSUM} > 2 * num
+                           THEN 1 ELSE 0 END AS INT) END AS spike_flag,
+       CASE WHEN rn > {_EWMA_K}
+            THEN CAST(CASE WHEN 2 * cents * {_EWMA_WSUM} < num
+                           THEN 1 ELSE 0 END AS INT) END AS dip_flag
+FROM lagged
+ORDER BY event_type, day
+"""
+
+
+EWMA_CONTROL_SQL = _ewma_sql()

@@ -3525,3 +3525,185 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
             ELSE NULL END AS BIGINT) AS mean_lateness_us
 FROM lated
 """.format(feed="__FEED__").replace("__FEED__", "SELECT user_id AS pk, ts, event_id AS seq, CASE WHEN event_type = 'error' THEN 'delete' ELSE 'insert' END AS op, value, event_type FROM events")
+
+
+# --- round 8: Debezium envelope source (A50/A51) -----------------------
+
+_DBZ_TXN = 25  # events per synthesized transaction
+
+
+def _debezium_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialize `events` into genuine Debezium change-event envelopes
+    (sources/debezium.py header): op letters c/u/d/r, deletes carrying
+    the row image in `before` with `after` null, updates carrying BOTH
+    images (the synthesized before-image is value - 1.0 — arbitrary but
+    deterministic, so the oracle states it too), commit metadata in the
+    nested `source` struct (lsn = event_id, the WAL total order; txId =
+    event_id div 25; ts_ms = the commit clock at Debezium's ms
+    precision). Numbers render unquoted via format_string (NOT to_json,
+    which would stringify them). Every branch of the envelope grammar
+    is exercised: error -> d, click -> u, event_id % 7 == 3 -> r (the
+    initial-snapshot read op), else c.
+
+    Map-side projection only — the feed synthesizer adds no shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    img = F.format_string(
+        '{"user_id": %s, "value": %s, "event_type": "%s"}',
+        F.col("user_id").cast("string"),
+        F.col("value").cast("string"),
+        F.col("event_type"),
+    )
+    before_img = F.format_string(
+        '{"user_id": %s, "value": %s, "event_type": "%s"}',
+        F.col("user_id").cast("string"),
+        (F.col("value") - F.lit(1.0)).cast("string"),
+        F.col("event_type"),
+    )
+    op_code = (
+        F.when(F.col("event_type") == "error", F.lit("d"))
+        .when(F.col("event_type") == "click", F.lit("u"))
+        .when(F.col("event_id") % 7 == 3, F.lit("r"))
+        .otherwise(F.lit("c"))
+    )
+    before = (
+        F.when(op_code == "d", img)
+        .when(op_code == "u", before_img)
+        .otherwise(F.lit("null"))
+    )
+    after = F.when(op_code == "d", F.lit("null")).otherwise(img)
+    ts_ms = F.expr("unix_micros(ts) div 1000")
+    return ev.select(
+        F.format_string(
+            '{"before": %s, "after": %s,'
+            ' "source": {"version": "2.5.0.Final",'
+            ' "connector": "postgresql", "name": "app", "ts_ms": %s,'
+            ' "db": "appdb", "schema": "public", "table": "events",'
+            ' "lsn": %s, "txId": %s}, "op": "%s", "ts_ms": %s}',
+            before,
+            after,
+            ts_ms.cast("string"),
+            F.col("event_id").cast("string"),
+            F.expr(f"event_id div {_DBZ_TXN}").cast("string"),
+            op_code,
+            ts_ms.cast("string"),
+        ).alias("line")
+    )
+
+
+def debezium_parse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A50 (round-8 addition): events → genuine Debezium change-event
+    envelopes → parse_debezium → typed row-level CDC events.
+
+    The third wire format the pipeline ingests (Maxwell A1, wal2json
+    v1/v2 A38/A43) and the de-facto public CDC standard; the adapter
+    proves the plug-the-parser contract a third time: same typed
+    frame, zero downstream changes. The oracle states the expected
+    round trip directly from the source columns, so any parser defect
+    (op-letter mapping, before/after image routing, ms commit clock,
+    lsn/txId extraction) breaks the hash match.
+    """
+    from ..sources import debezium as dbz
+
+    lines = _synth_feed(
+        "debezium_parse_events", _debezium_lines(spark, sf_dir), sf_dir
+    )
+    parsed = dbz.parse_debezium(lines)
+    return parsed.select(
+        "lsn",
+        "xid",
+        "ts",
+        "database_name",
+        "table_name",
+        "op_code",
+        "op",
+        F.col("data")["user_id"].cast("bigint").alias("user_id"),
+        F.col("data")["value"].cast("double").alias("value"),
+        F.col("data")["event_type"].alias("event_type"),
+        F.col("old")["value"].cast("double").alias("old_value"),
+    ).orderBy("lsn")
+
+
+DEBEZIUM_PARSE_SQL = f"""
+WITH base AS (
+  SELECT event_id AS lsn, event_id // {_DBZ_TXN} AS xid,
+         make_timestamp((epoch_us(ts) // 1000) * 1000) AS ts,
+         user_id, value, event_type,
+         CASE WHEN event_type = 'error' THEN 'd'
+              WHEN event_type = 'click' THEN 'u'
+              WHEN event_id % 7 = 3 THEN 'r'
+              ELSE 'c' END AS op_code
+  FROM events
+)
+SELECT lsn, xid, ts,
+       'appdb' AS database_name,
+       'events' AS table_name,
+       op_code,
+       CASE op_code WHEN 'c' THEN 'insert' WHEN 'r' THEN 'insert'
+                    WHEN 'u' THEN 'update' ELSE 'delete' END AS op,
+       user_id,
+       value,
+       event_type,
+       CASE WHEN op_code = 'u' THEN value - 1.0 END AS old_value
+FROM base
+ORDER BY lsn
+"""
+
+
+def debezium_snapshot_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A51 (round-8 addition): the Debezium feed replayed through the
+    UNCHANGED downstream (snapshot_latest) — the same zero-touch
+    equivalence proof as wal2json's A39, over the third wire format:
+    replay order is the WAL total order (ts, lsn), deletes tombstone
+    (their row image arrives in `before` and lands in `data` — the
+    parser's routing keeps the key visible to the merge), and the
+    surviving state per user is bit-identical to the Maxwell feed's
+    latest-wins snapshot.
+    """
+    from ..sources import debezium as dbz
+
+    lines = _synth_feed(
+        "debezium_snapshot_equivalence", _debezium_lines(spark, sf_dir), sf_dir
+    )
+    parsed = dbz.parse_debezium(lines)
+    feed = parsed.filter(F.col("op").isin(*maxwell.DML_OPS)).select(
+        F.col("data")["user_id"].cast("bigint").alias("pk"),
+        "ts",
+        "lsn",
+        "op",
+        F.col("data")["value"].cast("double").alias("value"),
+        F.col("data")["event_type"].alias("event_type"),
+    )
+    snap = cdc_ops.snapshot_latest(
+        feed, key_cols=("pk",), order_cols=("ts", "lsn")
+    )
+    return snap.select(
+        "pk",
+        F.col("ts").alias("last_ts"),
+        F.col("lsn").alias("last_lsn"),
+        F.col("value").alias("last_value"),
+        F.col("event_type").alias("last_event_type"),
+    ).orderBy("pk")
+
+
+DEBEZIUM_SNAPSHOT_SQL = """
+WITH base AS (
+  SELECT event_id AS lsn,
+         make_timestamp((epoch_us(ts) // 1000) * 1000) AS ts,
+         user_id AS pk, value, event_type,
+         CASE WHEN event_type = 'error' THEN 'delete'
+              WHEN event_type = 'click' THEN 'update'
+              ELSE 'insert' END AS op
+  FROM events
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY pk ORDER BY ts DESC, lsn DESC) AS rn
+  FROM base
+)
+SELECT pk, ts AS last_ts, lsn AS last_lsn, value AS last_value,
+       event_type AS last_event_type
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+ORDER BY pk
+"""

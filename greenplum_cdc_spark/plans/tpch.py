@@ -3016,3 +3016,123 @@ SELECT p_brand,
 FROM rated
 ORDER BY p_brand, year, month
 """
+
+
+def discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B126 (round-8 addition): discount elasticity of demand per part
+    brand — the pricing-analytics readout behind every promo decision
+    (Q19 prices a FIXED discount band; this measures how quantity
+    RESPONDS to discount): per brand an OLS regression of line
+    quantity on discount depth over all its line items, reported as
+    the slope in micro-units of quantity per discount basis point,
+    the intercept (the zero-discount baseline demand), and the r^2
+    variance-explained — the number that says whether discounting
+    moves volume for that brand at all.
+
+    Determinism discipline (the B117 CUPED precedent): x = discount
+    in basis points via the DECIMAL(6,4) cast (exact — the engines'
+    shared reading of the double 0.05 is 0.0500), y = floor(quantity)
+    BIGINT; every sufficient statistic (n, Sx, Sy, Sxy, Sxx, Syy) is
+    an exact BIGINT sum (bounds at 100x: per-brand n ~ 2.4e6 lines,
+    x <= 1000, y <= 50 -> Sxx <= 2.4e12, Sxy <= 1.2e11 — int64 with
+    >10^6 headroom); doubles appear only in the FINAL stated slope /
+    intercept / r^2 expressions with casts BEFORE any int64-overflow
+    product (Sx*Sy ~ 1.4e17 at 100x), floored to ppm — bit-identical
+    IEEE evaluation in both engines. Degenerate var(x) = 0 (a brand
+    discounted at one depth only) reports NULL slope/intercept/r2.
+
+    Plan: broadcast part dim (brand lookup); ONE (brand) rollup of
+    sufficient statistics — map-side combined, the only feed-wide
+    shuffle; output |brands| rows. Nothing wider than |brands| ever
+    leaves an executor; survives 100 TB by construction.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(CAST(l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT)")
+        .alias("x"),
+        F.floor("l_quantity").cast("long").alias("y"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    stats = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    cov = ("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))")
+    varx = ("(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")
+    vary = ("(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))")
+    slope = f"(CASE WHEN {varx} > 0 THEN {cov} / {varx} ELSE NULL END)"
+    intercept = (
+        f"(CASE WHEN {varx} > 0 THEN (CAST(sy AS DOUBLE)"
+        f" - {slope} * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
+        " ELSE NULL END)"
+    )
+    r2 = (f"(CASE WHEN {varx} > 0 AND {vary} > 0 THEN"
+          f" ({cov} * {cov}) / ({varx} * {vary}) ELSE NULL END)")
+    return stats.select(
+        "p_brand",
+        F.col("n").alias("n_lines"),
+        F.expr("sy * 1000000 div n").alias("mean_qty_ppm"),
+        F.expr("sx * 1000000 div n").alias("mean_disc_bp_ppm"),
+        F.expr(f"CAST(floor(1000000 * {slope}) AS BIGINT)").alias(
+            "slope_qty_per_bp_ppm"
+        ),
+        F.expr(f"CAST(floor(1000000 * {intercept}) AS BIGINT)").alias(
+            "intercept_qty_ppm"
+        ),
+        F.expr(f"CAST(floor(1000000 * {r2}) AS BIGINT)").alias("r2_ppm"),
+    ).orderBy("p_brand")
+
+
+def _discount_elasticity_sql() -> str:
+    cov = ("(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))")
+    varx = ("(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+            " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))")
+    vary = ("(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))")
+    slope = f"(CASE WHEN {varx} > 0 THEN {cov} / {varx} ELSE NULL END)"
+    intercept = (
+        f"(CASE WHEN {varx} > 0 THEN (CAST(sy AS DOUBLE)"
+        f" - {slope} * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
+        " ELSE NULL END)"
+    )
+    r2 = (f"(CASE WHEN {varx} > 0 AND {vary} > 0 THEN"
+          f" ({cov} * {cov}) / ({varx} * {vary}) ELSE NULL END)")
+    return f"""
+WITH li AS (
+  SELECT l.l_partkey,
+         CAST(CAST(l.l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT) AS x,
+         CAST(floor(l.l_quantity) AS BIGINT) AS y
+  FROM lineitem l
+),
+stats AS (
+  SELECT p.p_brand, COUNT(*) AS n, SUM(li.x) AS sx, SUM(li.y) AS sy,
+         SUM(li.x * li.y) AS sxy, SUM(li.x * li.x) AS sxx,
+         SUM(li.y * li.y) AS syy
+  FROM li JOIN part p ON p.p_partkey = li.l_partkey
+  GROUP BY p.p_brand
+)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n_lines,
+       CAST(sy * 1000000 // n AS BIGINT) AS mean_qty_ppm,
+       CAST(sx * 1000000 // n AS BIGINT) AS mean_disc_bp_ppm,
+       CAST(floor(1000000 * {slope}) AS BIGINT) AS slope_qty_per_bp_ppm,
+       CAST(floor(1000000 * {intercept}) AS BIGINT) AS intercept_qty_ppm,
+       CAST(floor(1000000 * {r2}) AS BIGINT) AS r2_ppm
+FROM stats
+ORDER BY p_brand
+"""
+
+
+DISCOUNT_ELASTICITY_SQL = _discount_elasticity_sql()

@@ -62,6 +62,8 @@ _SKIP = {
 # broadcast (documented in their docstrings)
 _BNLJ_OK = {
     "dp_histogram_release",  # broadcast |langs|-row domain spine (C106)
+    "heaps_law_curve",  # 10-row checkpoint spine, fd <= cp join (C113)
+    "survival_curve_km",  # one-row feed-end scalar (B32/C34 idiom)
     "compression_advisor",  # 9x one-row dict-table-bytes scalars (B108)
     "langid_calibration",  # one-row ECE scalar (B32/C34 idiom)
     "tokenizer_fertility",  # one-row corpus-totals scalar

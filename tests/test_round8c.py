@@ -1,0 +1,564 @@
+"""Round-8 continuation session (part 3): new-operator semantics tests.
+
+Each operator added in this session slice gets an exact python
+re-derivation on the real sf0.001 corpus, plus crafted inputs where
+the corpus cannot exercise a branch (degenerate variance, spike
+flags, burn-in).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+class TestDiscountElasticity:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B126: slope/intercept/r2 match an IEEE-twin python OLS over
+        exact integer sufficient statistics."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.tpch import discount_elasticity
+
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_partkey", "l_discount", "l_quantity")
+            .collect()
+        )
+        part = {
+            r["p_partkey"]: r["p_brand"]
+            for r in load_table(spark, sf_dir, "part")
+            .select("p_partkey", "p_brand")
+            .collect()
+        }
+        stats = {}
+        for r in li:
+            brand = part[r["l_partkey"]]
+            # DECIMAL(6,4) cast of the double then *10000: round the
+            # double to 4 places half-up — for the discrete 0.00-0.10
+            # grid this is exactly round(d * 10000).
+            x = int(round(r["l_discount"] * 10000))
+            y = int(math.floor(r["l_quantity"]))
+            n, sx, sy, sxy, sxx, syy = stats.get(brand, (0, 0, 0, 0, 0, 0))
+            stats[brand] = (
+                n + 1, sx + x, sy + y, sxy + x * y, sxx + x * x, syy + y * y
+            )
+        got = {r["p_brand"]: r for r in discount_elasticity(spark, sf_dir).collect()}
+        assert set(got) == set(stats)
+        for brand, (n, sx, sy, sxy, sxx, syy) in stats.items():
+            row = got[brand]
+            assert row["n_lines"] == n
+            assert row["mean_qty_ppm"] == sy * 1000000 // n
+            assert row["mean_disc_bp_ppm"] == sx * 1000000 // n
+            cov = float(n) * float(sxy) - float(sx) * float(sy)
+            varx = float(n) * float(sxx) - float(sx) * float(sx)
+            vary = float(n) * float(syy) - float(sy) * float(sy)
+            if varx > 0:
+                slope = cov / varx
+                intercept = (float(sy) - slope * float(sx)) / float(n)
+                assert row["slope_qty_per_bp_ppm"] == math.floor(1e6 * slope)
+                assert row["intercept_qty_ppm"] == math.floor(1e6 * intercept)
+            else:
+                assert row["slope_qty_per_bp_ppm"] is None
+            if varx > 0 and vary > 0:
+                r2 = (cov * cov) / (varx * vary)
+                assert row["r2_ppm"] == math.floor(1e6 * r2)
+                assert 0 <= row["r2_ppm"] <= 1000000
+
+    def test_degenerate_variance_reports_null(self, spark, tmp_path):
+        """A brand discounted at exactly one depth has var(x)=0 and
+        must report NULL slope/intercept/r2, not a crash or a 0."""
+        import pyspark.sql.functions as F  # noqa: F401
+        from greenplum_cdc_spark.plans.tpch import discount_elasticity
+
+        li = spark.createDataFrame(
+            [(1, 0.05, 10.0), (1, 0.05, 20.0), (2, 0.02, 5.0), (2, 0.08, 9.0)],
+            "l_partkey long, l_discount double, l_quantity double",
+        )
+        part = spark.createDataFrame(
+            [(1, "B#1"), (2, "B#2")], "p_partkey long, p_brand string"
+        )
+        li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        part.write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+        rows = {r["p_brand"]: r for r in
+                discount_elasticity(spark, str(tmp_path)).collect()}
+        assert rows["B#1"]["slope_qty_per_bp_ppm"] is None
+        assert rows["B#1"]["intercept_qty_ppm"] is None
+        assert rows["B#1"]["r2_ppm"] is None
+        # B#2: two points define the line exactly; r2 == 1
+        assert rows["B#2"]["r2_ppm"] == 1000000
+        # slope = (9-5)/(800-200) qty per bp
+        assert rows["B#2"]["slope_qty_per_bp_ppm"] == math.floor(
+            1e6 * (9 - 5) / (800 - 200)
+        )
+
+
+class TestSegmentOverlapMatrix:
+    def test_exact_set_rederivation(self, spark, sf_dir):
+        """B127: every pair row equals python set algebra over the
+        (user, type) distinct sets."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.stats import segment_overlap_matrix
+
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select("user_id", "event_type")
+            .distinct()
+            .collect()
+        )
+        aud = {}
+        for r in ev:
+            aud.setdefault(r["event_type"], set()).add(r["user_id"])
+        types = sorted(aud)
+        got = {(r["type_a"], r["type_b"]): r
+               for r in segment_overlap_matrix(spark, sf_dir).collect()}
+        expected_pairs = {
+            (a, b) for i, a in enumerate(types) for b in types[i + 1:]
+            if aud[a] & aud[b]
+        }
+        assert set(got) == expected_pairs
+        for (a, b), row in got.items():
+            inter = len(aud[a] & aud[b])
+            union = len(aud[a] | aud[b])
+            assert row["n_a"] == len(aud[a])
+            assert row["n_b"] == len(aud[b])
+            assert row["n_both"] == inter
+            assert row["jaccard_bp"] == inter * 10000 // union
+            assert row["containment_a_bp"] == inter * 10000 // len(aud[a])
+            assert row["containment_b_bp"] == inter * 10000 // len(aud[b])
+
+    def test_disjoint_pair_absent(self, spark, tmp_path):
+        """Pairs with an empty intersection produce NO row (the join
+        is the intersection); jaccard of a full overlap reads 10000."""
+        from greenplum_cdc_spark.operators.stats import segment_overlap_matrix
+
+        ev = spark.createDataFrame(
+            [(1, 1, "a"), (2, 1, "b"), (3, 2, "a"), (4, 3, "c")],
+            "event_id long, user_id long, event_type string",
+        ).selectExpr(
+            "event_id", "timestamp'2024-01-01' as ts", "user_id",
+            "event_type", "cast(1.0 as double) as value",
+            "'{}' as props",
+        )
+        ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = {(r["type_a"], r["type_b"]): r
+               for r in segment_overlap_matrix(spark, str(tmp_path)).collect()}
+        assert set(got) == {("a", "b")}  # a∩c and b∩c are empty
+        assert got[("a", "b")]["jaccard_bp"] == 5000  # {1} over {1,2}
+
+
+class TestEwmaControlChart:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B128: the 16-term dyadic numerator, deviation, and flags
+        match a literal python replay of the daily series."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.timeseries import (
+            _EWMA_K,
+            _EWMA_WSUM,
+            ewma_control_chart,
+        )
+        import pyspark.sql.functions as F
+
+        daily = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+            .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("c"))
+            .collect()
+        )
+        series = {}
+        for r in daily:
+            series.setdefault(r["event_type"], []).append((r["day"], r["c"]))
+        got = {(r["event_type"], r["day"]): r
+               for r in ewma_control_chart(spark, sf_dir).collect()}
+        n_flagged = 0
+        for et, pts in series.items():
+            pts.sort()
+            for t, (day, cents) in enumerate(pts):
+                row = got[(et, day)]
+                assert row["cents"] == cents
+                if t < _EWMA_K:  # burn-in: rn = t+1 <= K
+                    assert row["ewma_cents_milli"] is None
+                    assert row["spike_flag"] is None
+                    continue
+                num = sum(
+                    pts[t - i][1] * 2 ** (_EWMA_K - i)
+                    for i in range(1, _EWMA_K + 1)
+                )
+                def tdiv(a, b):  # Spark `div` / DuckDB `//`: truncate to zero
+                    q = abs(a) // abs(b)
+                    return q if (a >= 0) == (b >= 0) else -q
+
+                assert row["ewma_cents_milli"] == num * 1000 // _EWMA_WSUM
+                assert row["deviation_bp"] == (
+                    tdiv((cents * _EWMA_WSUM - num) * 10000, num)
+                    if num > 0 else None
+                )
+                assert row["spike_flag"] == int(cents * _EWMA_WSUM > 2 * num)
+                assert row["dip_flag"] == int(2 * cents * _EWMA_WSUM < num)
+                n_flagged += row["spike_flag"] + row["dip_flag"]
+        assert got  # non-empty
+
+    def test_crafted_spike_fires(self, spark, tmp_path):
+        """A flat series with one 2.5x day flags exactly that day as a
+        spike, and the next day does NOT dip (baseline rises to ~175,
+        and 2*100 = 200 > 175; a 3x spike WOULD dip the next day
+        because alpha = 1/2 puts half the weight on yesterday)."""
+        import datetime
+
+        from greenplum_cdc_spark.operators.timeseries import (
+            _EWMA_K,
+            ewma_control_chart,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+        rows = []
+        for d in range(2 * _EWMA_K):
+            v = 250.0 if d == 24 else 100.0
+            rows.append((d, base + datetime.timedelta(days=d), 7, "t", v, "{}"))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        out = ewma_control_chart(spark, str(tmp_path)).collect()
+        flagged = [r for r in out if r["spike_flag"] == 1]
+        assert [r["day"].day for r in flagged] == [25]  # Jan 25 = day idx 24
+        assert not [r for r in out if r["dip_flag"] == 1]
+
+
+class TestReadabilityScore:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """C112: all counts and both scores match a literal python
+        replay of the stated counting rules."""
+        import re
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.quality import readability_score
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "source", "text"
+        ).collect()
+        agg = {}
+        for r in docs:
+            words = [w for w in r["text"].split(" ") if w]
+            sents = max(1, len(re.findall(r"[.!?]+", r["text"])))
+            syls = [max(1, len(re.findall(r"[aeiouy]+", w))) for w in words]
+            d, wn, sn, yn, cn = agg.get(r["source"], (0, 0, 0, 0, 0))
+            agg[r["source"]] = (
+                d + 1, wn + len(words), sn + sents, yn + sum(syls),
+                cn + sum(1 for s in syls if s >= 3),
+            )
+        got = {r["source"]: r
+               for r in readability_score(spark, sf_dir).collect()}
+        assert set(got) == set(agg)
+        for src, (d, wn, sn, yn, cn) in agg.items():
+            row = got[src]
+            assert (row["n_docs"], row["n_words"], row["n_sentences"],
+                    row["n_syllables"], row["n_complex"]) == (d, wn, sn, yn, cn)
+            assert row["words_per_sentence_ppm"] == wn * 1000000 // sn
+            assert row["syllables_per_word_ppm"] == yn * 1000000 // wn
+            assert row["complex_bp"] == cn * 10000 // wn
+            wps, spw, cwr = wn / sn, yn / wn, cn / wn
+            assert row["flesch_x1000"] == math.floor(
+                1000 * (206.835 - 1.015 * wps - 84.6 * spw)
+            )
+            assert row["fog_x1000"] == math.floor(
+                1000 * 0.4 * (wps + 100 * cwr)
+            )
+
+    def test_crafted_sentences_and_syllables(self, spark, tmp_path):
+        """The corpus has no sentence punctuation, so a crafted doc
+        carries the [.!?]+ run semantics: '...' is ONE boundary run,
+        vowel-less tokens floor at 1 syllable, 'beautiful' has 4
+        vowel groups (eau-i-u + trailing? -> e,a,u,i,u runs: eau,i,u
+        = 3) — pinned literally below."""
+        from greenplum_cdc_spark.operators.quality import readability_score
+
+        spark.createDataFrame(
+            [(1, "beautiful xyz stop. twice!! and... done", "en", "s", 5)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        row = readability_score(spark, str(tmp_path)).collect()[0]
+        # runs: '.', '!!', '...' -> 3 sentences
+        assert row["n_sentences"] == 3
+        assert row["n_words"] == 6
+        # syllable groups: beautiful eau|i|u = 3, xyz -> y = 1,
+        # stop = 1, twice = 2 (i, e), and = 1, done = 2 (o, e)
+        assert row["n_syllables"] == 3 + 1 + 1 + 2 + 1 + 2
+        assert row["n_complex"] == 1  # only 'beautiful'
+
+
+class TestHeapsLawCurve:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """C113: every checkpoint row equals a python first-occurrence
+        sweep in doc_id order."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.text import (
+            _HEAPS_CHECKPOINTS,
+            heaps_law_curve,
+        )
+
+        docs = sorted(
+            (r["doc_id"], [w for w in r["text"].split(" ") if w])
+            for r in load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text").collect()
+        )
+        mn, mx = docs[0][0], docs[-1][0]
+        got = {r["k"]: r for r in heaps_law_curve(spark, sf_dir).collect()}
+        assert set(got) == set(range(1, _HEAPS_CHECKPOINTS + 1))
+        for k in range(1, _HEAPS_CHECKPOINTS + 1):
+            cp = mn - 1 + ((mx - mn + 1) * k) // _HEAPS_CHECKPOINTS
+            seen = set()
+            n_docs = n_toks = 0
+            for did, toks in docs:
+                if did <= cp:
+                    n_docs += 1
+                    n_toks += len(toks)
+                    seen.update(toks)
+            row = got[k]
+            assert row["cp_doc_id"] == cp
+            assert row["docs_cum"] == n_docs
+            assert row["tokens_cum"] == n_toks
+            assert row["vocab_cum"] == len(seen)
+            assert row["ttr_ppm"] == len(seen) * 1000000 // n_toks
+        # the curve is monotone and the last checkpoint covers all docs
+        assert got[_HEAPS_CHECKPOINTS]["docs_cum"] == len(docs)
+        for k in range(2, _HEAPS_CHECKPOINTS + 1):
+            assert got[k]["vocab_cum"] >= got[k - 1]["vocab_cum"]
+
+
+class TestSurvivalCurveKm:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B129: the full KM table (risk set, events, censors, floor
+        product-limit) matches an independent python replay."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.stats import (
+            _KM_CENSOR_W,
+            _KM_S0,
+            survival_curve_km,
+        )
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderdate"
+        ).collect()
+        span = {}
+        for r in orders:
+            m = r["o_orderdate"].year * 12 + r["o_orderdate"].month - 1
+            lo, hi = span.get(r["o_custkey"], (m, m))
+            span[r["o_custkey"]] = (min(lo, m), max(hi, m))
+        big_m = max(h for _, h in span.values())
+        events = {}
+        for m0, m1 in span.values():
+            churn = m1 < big_m - _KM_CENSOR_W
+            t = (m1 - m0) if churn else (big_m - m0)
+            d, c = events.get(t, (0, 0))
+            events[t] = (d + churn, c + (not churn))
+        got = survival_curve_km(spark, sf_dir).collect()
+        assert [r["tenure_months"] for r in got] == sorted(events)
+        n, s = len(span), _KM_S0
+        for row in got:
+            d, c = events[row["tenure_months"]]
+            assert row["n_at_risk"] == n
+            assert (row["n_churned"], row["n_censored"]) == (d, c)
+            s = s * (n - d) // n
+            assert row["survival_ppm"] == s
+            n -= d + c
+        assert n == 0  # every customer leaves the risk set exactly once
+
+    def test_crafted_censoring_semantics(self, spark, tmp_path):
+        """A customer active near the feed end is censored (leaves the
+        risk set without a death), and survival only drops on churn
+        months."""
+        import datetime
+
+        from greenplum_cdc_spark.operators.stats import survival_curve_km
+
+        def o(key, cust, y, m):
+            return (key, cust, "O", 10.0,
+                    datetime.datetime(y, m, 1), "1-URGENT")
+
+        rows = [
+            # cust 1: one order long ago -> churned at tenure 0
+            o(1, 1, 2020, 1),
+            # cust 2: 2020-01 .. 2020-06 -> churned at tenure 5
+            o(2, 2, 2020, 1), o(3, 2, 2020, 6),
+            # cust 3: active at the end -> censored at big_m - m0
+            o(4, 3, 2020, 1), o(5, 3, 2021, 12),
+        ]
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp,"
+            " o_orderpriority string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        got = {r["tenure_months"]: r
+               for r in survival_curve_km(spark, str(tmp_path)).collect()}
+        # big_m = 2021-12; censor window 6 months
+        assert got[0]["n_churned"] == 1 and got[0]["n_at_risk"] == 3
+        assert got[0]["survival_ppm"] == 1_000_000 * 2 // 3
+        assert got[5]["n_churned"] == 1 and got[5]["n_at_risk"] == 2
+        # floor(666666 * 1/2) after the tenure-5 churn
+        assert got[5]["survival_ppm"] == got[0]["survival_ppm"] * 1 // 2
+        assert got[23]["n_censored"] == 1 and got[23]["n_churned"] == 0
+        # censoring does not move the estimate
+        assert got[23]["survival_ppm"] == got[5]["survival_ppm"]
+
+
+class TestDebeziumSource:
+    def _mk(self, spark, lines):
+        return spark.createDataFrame([(ln,) for ln in lines], "line string")
+
+    def test_parse_envelope_branches(self, spark):
+        """A50: all four op letters parse; images route per spec
+        (delete -> before into data, update -> both, create/read ->
+        after); source metadata lands typed."""
+        from greenplum_cdc_spark.sources.debezium import parse_debezium
+
+        lines = [
+            '{"before": null, "after": {"user_id": 7, "value": 1.5,'
+            ' "event_type": "view"}, "source": {"version": "2.5",'
+            ' "connector": "postgresql", "name": "app", "ts_ms": 1700000000123,'
+            ' "db": "appdb", "schema": "public", "table": "events",'
+            ' "lsn": 11, "txId": 3}, "op": "c", "ts_ms": 1700000000123}',
+            '{"before": {"user_id": 7, "value": 0.5, "event_type": "view"},'
+            ' "after": {"user_id": 7, "value": 1.5, "event_type": "view"},'
+            ' "source": {"version": "2.5", "connector": "postgresql",'
+            ' "name": "app", "ts_ms": 1700000001000, "db": "appdb",'
+            ' "schema": "public", "table": "events", "lsn": 12, "txId": 3},'
+            ' "op": "u", "ts_ms": 1700000001000}',
+            '{"before": {"user_id": 7, "value": 1.5, "event_type": "view"},'
+            ' "after": null, "source": {"version": "2.5", "connector":'
+            ' "postgresql", "name": "app", "ts_ms": 1700000002000,'
+            ' "db": "appdb", "schema": "public", "table": "events",'
+            ' "lsn": 13, "txId": 4}, "op": "d", "ts_ms": 1700000002000}',
+            '{"before": null, "after": {"user_id": 9, "value": 2.0,'
+            ' "event_type": "signup"}, "source": {"version": "2.5",'
+            ' "connector": "postgresql", "name": "app", "ts_ms": 1700000003000,'
+            ' "db": "appdb", "schema": "public", "table": "events",'
+            ' "lsn": 14, "txId": 5}, "op": "r", "ts_ms": 1700000003000}',
+            "not json at all",
+        ]
+        rows = {r["lsn"]: r
+                for r in parse_debezium(self._mk(spark, lines)).collect()}
+        assert rows[11]["op"] == "insert" and rows[11]["op_code"] == "c"
+        assert rows[11]["data"]["user_id"] == "7"
+        assert rows[11]["old"] is None
+        assert rows[12]["op"] == "update"
+        assert rows[12]["data"]["value"] == "1.5"
+        assert rows[12]["old"]["value"] == "0.5"
+        assert rows[13]["op"] == "delete"
+        # delete: the row image survives in data (Maxwell convention)
+        assert rows[13]["data"]["user_id"] == "7"
+        assert rows[14]["op"] == "insert" and rows[14]["op_code"] == "r"
+        assert rows[11]["xid"] == 3 and rows[13]["xid"] == 4
+        assert rows[11]["ts"].isoformat().startswith("2023-11-1")
+        # malformed line quarantines as NULL op
+        bad = [r for r in rows.values() if r["op"] is None]
+        assert len(bad) == 1 and bad[0]["event_json"] == "not json at all"
+
+    def test_feed_roundtrip_counts(self, spark, sf_dir):
+        """A50 gate row: op mix matches the stated synthesis rule and
+        the typed payload round-trips exactly."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.cdc_queries import debezium_parse_events
+
+        ev = load_table(spark, sf_dir, "events").collect()
+        want = {}
+        for r in ev:
+            if r["event_type"] == "error":
+                code = "d"
+            elif r["event_type"] == "click":
+                code = "u"
+            elif r["event_id"] % 7 == 3:
+                code = "r"
+            else:
+                code = "c"
+            want[r["event_id"]] = (code, r["user_id"], r["value"])
+        got = debezium_parse_events(spark, sf_dir).collect()
+        assert len(got) == len(want)
+        for r in got:
+            code, uid, val = want[r["lsn"]]
+            assert r["op_code"] == code
+            assert r["user_id"] == uid
+            assert r["value"] == val
+            assert (r["old_value"] == val - 1.0) == (code == "u")
+            assert r["xid"] == r["lsn"] // 25
+
+
+class TestMmrDiverseTopk:
+    def test_greedy_python_rederivation(self, spark, sf_dir):
+        """C114: the selection sequence equals an independent python
+        greedy over exact quantized-integer dot products."""
+        import math as _math
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.similarity import (
+            _MMR_K,
+            _MMR_POOL,
+            _MMR_QUERIES,
+            mmr_diverse_topk,
+        )
+
+        vecs = {
+            r["vec_id"]: [int(_math.floor(float(x) * 1000))
+                          for x in r["embedding"]]
+            for r in load_table(spark, sf_dir, "embeddings").collect()
+        }
+
+        def dot(a, b):
+            return sum(x * y for x, y in zip(a, b))
+
+        got = mmr_diverse_topk(spark, sf_dir).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert set(by_q) == set(range(_MMR_QUERIES))
+        for qid, rows in by_q.items():
+            qq = vecs[qid]
+            rel = {vid: dot(qq, v) for vid, v in vecs.items() if vid != qid}
+            pool = sorted(rel, key=lambda v: (-rel[v], v))[:_MMR_POOL]
+            ms = {v: 0 for v in pool}
+            picked = []
+            for step in range(1, _MMR_K + 1):
+                remaining = [v for v in pool if v not in {p[0] for p in picked}]
+                if not remaining:
+                    break
+                best = min(
+                    remaining,
+                    key=lambda v: (-(7 * rel[v] - 3 * ms[v]), v),
+                )
+                picked.append((best, rel[best], ms[best],
+                               7 * rel[best] - 3 * ms[best]))
+                for v in remaining:
+                    if v != best:
+                        ms[v] = max(ms[v], dot(vecs[v], vecs[best]))
+            assert [(r["vec_id"], r["rel"], r["max_sim"], r["mmr_score_x10"])
+                    for r in sorted(rows, key=lambda r: r["rank"])] == picked
+
+    def test_diversity_property(self, spark, sf_dir):
+        """MMR's point: the selected set is NOT the plain relevance
+        top-k (on this corpus the pools contain near-dup directions),
+        and every pick's max_sim is below its own relevance."""
+        from greenplum_cdc_spark.operators.similarity import (
+            _MMR_K,
+            mmr_diverse_topk,
+        )
+
+        rows = mmr_diverse_topk(spark, sf_dir).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(r)
+        diverged = 0
+        for qid, rs in by_q.items():
+            rs.sort(key=lambda r: r["rank"])
+            assert len(rs) == _MMR_K
+            rels = [r["rel"] for r in rs]
+            # relevance order within the picked set is NOT monotone
+            # unless MMR degenerated to plain top-k
+            if rels != sorted(rels, reverse=True):
+                diverged += 1
+            # scores are non-increasing (greedy invariant)
+            scores = [r["mmr_score_x10"] for r in rs]
+            assert scores == sorted(scores, reverse=True)
+        assert diverged > 0

@@ -359,6 +359,15 @@ def _late_ops():
         "cdc_out_of_order_audit": __import__("greenplum_cdc_spark.plans.cdc_queries", fromlist=["cdc_queries"]).cdc_out_of_order_audit,
         # round 7: streaming nearest-neighbor temporal join
         "stream_nearest_join": _streaming_stateful().stream_nearest_join_query,
+        "discount_elasticity": _tpch().discount_elasticity,
+        "segment_overlap_matrix": _stats().segment_overlap_matrix,
+        "ewma_control_chart": timeseries.ewma_control_chart,
+        "readability_score": _quality().readability_score,
+        "debezium_parse_events": __import__("greenplum_cdc_spark.plans.cdc_queries", fromlist=["cdc_queries"]).debezium_parse_events,
+        "debezium_snapshot_equivalence": __import__("greenplum_cdc_spark.plans.cdc_queries", fromlist=["cdc_queries"]).debezium_snapshot_equivalence,
+        "heaps_law_curve": text.heaps_law_curve,
+        "survival_curve_km": _stats().survival_curve_km,
+        "mmr_diverse_topk": similarity.mmr_diverse_topk,
     }
 
 
