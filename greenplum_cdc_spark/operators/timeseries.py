@@ -3089,3 +3089,149 @@ ORDER BY event_type, day
 
 
 EWMA_CONTROL_SQL = _ewma_sql()
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B133 (round-8 addition): Theil-Sen robust trend of the per-type
+    daily revenue series — the median of all pairwise slopes (Theil
+    1950 / Sen 1968), the robust complement to B20's OLS trend_slope:
+    a single corrupted day moves OLS arbitrarily but moves the median
+    slope not at all (29% breakdown point). The pair enumeration is
+    the textbook O(days^2) — legitimate here and at ANY corpus size
+    because the series is CALENDAR-bounded after the daily rollup
+    (10^3-10^4 rows forever, the B123 argument); the data-proportional
+    work is only the rollup itself.
+
+    Exactness: slopes are rationals dy/dx whose exact median would
+    need a cross-multiplication comparator no SQL ORDER BY states, so
+    the op medians the STATED scaled-integer slope dy * 1000 div dx
+    (milli-cents/day, truncating division in both engines) — a
+    deterministic, engine-exact statement of the estimator at fixed
+    resolution. Median = the B105 ceil-rank order statistic over
+    (slope, day pair) — a unique total order, no interpolation. The
+    OLS slope over the same series rides along (exact BIGINT
+    sufficient statistics, doubles only in the final stated
+    expression) so the readout shows robust-vs-classical side by
+    side.
+
+    Plan: one (type, day) rollup (the only feed-wide shuffle), a
+    type-co-partitioned self-join of the bounded series (equi on
+    type, day1 < day2), one per-type sort window for the ceil-rank
+    median. Output |types| rows.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.expr("CAST(unix_micros(date_trunc('day', ts))"
+                   " div 86400000000 AS BIGINT)").alias("d"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("cents").alias("c1")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("cents").alias("c2")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            "d1",
+            "d2",
+            F.expr("(c2 - c1) * 1000 div (d2 - d1)").alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n_pairs"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) div 2")
+    ).select(
+        "event_type",
+        F.col("n_pairs"),
+        F.col("slope").alias("theil_sen_slope_milli"),
+    )
+    ols_stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("d").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum(F.col("d") * F.col("cents")).alias("sxy"),
+        F.sum(F.col("d") * F.col("d")).alias("sxx"),
+    )
+    ols = ("((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+           " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))")
+    return (
+        med.join(
+            ols_stats.select(
+                "event_type",
+                F.col("n").alias("n_days"),
+                F.expr(f"CAST(floor(1000 * {ols}) AS BIGINT)").alias(
+                    "ols_slope_milli"
+                ),
+            ),
+            "event_type",
+        )
+        .select(
+            "event_type", "n_days", "n_pairs",
+            "theil_sen_slope_milli", "ols_slope_milli",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _theil_sen_sql() -> str:
+    ols = ("((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+           " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+           " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))")
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         epoch_us(date_trunc('day', ts)) // 86400000000 AS d,
+         SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type, a.d AS d1, b.d AS d2,
+         (b.cents - a.cents) * 1000 // (b.d - a.d) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d < b.d
+),
+ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY slope, d1, d2) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM pairs
+),
+med AS (
+  SELECT event_type, n_pairs, slope AS theil_sen_slope_milli
+  FROM ranked WHERE rn = (n_pairs + 1) // 2
+),
+ols AS (
+  SELECT event_type, COUNT(*) AS n, SUM(d) AS sx, SUM(cents) AS sy,
+         SUM(d * cents) AS sxy, SUM(d * d) AS sxx
+  FROM daily GROUP BY event_type
+)
+SELECT m.event_type,
+       CAST(o.n AS BIGINT) AS n_days,
+       CAST(m.n_pairs AS BIGINT) AS n_pairs,
+       CAST(m.theil_sen_slope_milli AS BIGINT) AS theil_sen_slope_milli,
+       CAST(floor(1000 * {ols}) AS BIGINT) AS ols_slope_milli
+FROM med m JOIN ols o ON o.event_type = m.event_type
+ORDER BY m.event_type
+"""
+
+
+THEIL_SEN_SQL = _theil_sen_sql()

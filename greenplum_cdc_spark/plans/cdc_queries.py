@@ -3707,3 +3707,155 @@ FROM ranked
 WHERE rn = 1 AND op <> 'delete'
 ORDER BY pk
 """
+
+
+# --- round 8: allowed-lateness sizing audit (B132) ---------------------
+
+_LATE_WINDOW_US = 3_600_000_000  # 1-hour tumbling windows
+_LATE_ALLOWED_S = (0, 60, 600, 3600)  # candidate allowed-lateness knobs
+
+
+def late_data_impact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B132 (round-8 addition): allowed-lateness sizing audit — A49
+    measures HOW disordered the bus is; this turns that measurement
+    into the decision every streaming job actually makes: at
+    watermark delay W, which events would a 1-hour tumbling windowed
+    aggregation DROP (arrive after the event-time watermark passed
+    their window's end + W), and how many window results are touched.
+    Emits one row per candidate W in {w}: events dropped, share in
+    bp, distinct windows affected, and the worst overshoot — read it
+    top-down and pick the smallest W with acceptable loss.
+
+    Semantics (the engine rule, stated): the watermark at an event's
+    arrival is the max event time over STRICTLY PRIOR arrivals
+    (Spark's per-batch watermark is a coarsening of this per-event
+    form — the per-event form upper-bounds the drop set of any
+    batching). Arrival order is A49's deterministic keyed-md5 jitter
+    (seed late-v1), a stated total order. The running max is the A26
+    DISTRIBUTED construction: approxQuantile range buckets, a
+    |buckets|-row driver-stitched prefix-max table, parallel
+    within-bucket exclusive windows — never a single-partition global
+    window. The 4-knob fan-out is a broadcast of a CONSTANT 4-row
+    spine (whitelisted BNLJ class); one |knobs|-row rollup ends the
+    plan. All arithmetic integer micros.
+    """.format(w=_LATE_ALLOWED_S)
+    from pyspark.sql import Window
+
+    feed = _feed(spark, sf_dir).select(
+        "seq",
+        F.unix_micros("ts").alias("us"),
+        (
+            F.col("seq")
+            + F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("late-v1"),
+                                      F.col("seq").cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % _OOO_JITTER_MOD
+        ).alias("arr"),
+    )
+    spark_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
+    probs = [i / spark_parts for i in range(1, spark_parts)]
+    bounds = sorted(
+        set(feed.stat.approxQuantile("arr", probs, 1.0 / (4 * spark_parts)))
+    )
+    if bounds:
+        arms = " ".join(
+            f"WHEN arr <= {int(b)} THEN {i}" for i, b in enumerate(bounds)
+        )
+        pid = F.expr(f"CASE {arms} ELSE {len(bounds)} END")
+    else:
+        pid = F.lit(0)
+    part = feed.withColumn("_pid", pid)
+    rows = part.groupBy("_pid").agg(F.max("us").alias("mx")).collect()
+    prefix, acc = [], None
+    for r in sorted(rows, key=lambda r: r["_pid"]):
+        prefix.extend(
+            [F.lit(r["_pid"]),
+             F.lit(-(2**62)) if acc is None else F.lit(acc)]
+        )
+        acc = r["mx"] if acc is None else max(acc, r["mx"])
+    pmax = F.create_map(*prefix)[F.col("_pid")]
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("arr", "seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = part.select(
+        "us",
+        F.expr(
+            f"(us div {_LATE_WINDOW_US} + 1) * {_LATE_WINDOW_US}"
+        ).alias("we"),
+        F.greatest(
+            F.coalesce(F.max("us").over(w), F.lit(-(2**62))), pmax
+        ).alias("wm"),
+    )
+    knobs = spark.createDataFrame(
+        [(s,) for s in _LATE_ALLOWED_S], "allowed_lateness_s long"
+    )
+    fanned = marked.crossJoin(F.broadcast(knobs)).withColumn(
+        "dropped",
+        (F.col("wm") > F.col("we") + F.col("allowed_lateness_s") * 1_000_000)
+        .cast("long"),
+    )
+    return (
+        fanned.groupBy("allowed_lateness_s")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("dropped").alias("n_dropped"),
+            F.expr("sum(dropped) * 10000 div count(*)").alias("dropped_bp"),
+            F.countDistinct(
+                F.when(F.col("dropped") == 1, F.col("we"))
+            ).alias("n_windows_affected"),
+            F.max(
+                F.when(
+                    F.col("dropped") == 1,
+                    F.col("wm") - F.col("we")
+                    - F.col("allowed_lateness_s") * 1_000_000,
+                )
+            ).alias("worst_overshoot_us"),
+        )
+        .orderBy("allowed_lateness_s")
+    )
+
+
+LATE_DATA_IMPACT_SQL = f"""
+WITH arrs AS (
+  SELECT event_id AS seq, epoch_us(ts) AS us,
+         event_id + CAST(('0x' || substr(md5('late-v1' || '|' ||
+                     CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {_OOO_JITTER_MOD} AS arr
+  FROM events
+),
+marked AS (
+  SELECT us,
+         (us // {_LATE_WINDOW_US} + 1) * {_LATE_WINDOW_US} AS we,
+         COALESCE(MAX(us) OVER (ORDER BY arr, seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -4611686018427387904) AS wm
+  FROM arrs
+),
+knobs AS (SELECT CAST(unnest(ARRAY{list(_LATE_ALLOWED_S)}) AS BIGINT)
+            AS allowed_lateness_s),
+fanned AS (
+  SELECT k.allowed_lateness_s, m.us, m.we, m.wm,
+         CASE WHEN m.wm > m.we + k.allowed_lateness_s * 1000000
+              THEN 1 ELSE 0 END AS dropped
+  FROM marked m CROSS JOIN knobs k
+)
+SELECT CAST(allowed_lateness_s AS BIGINT) AS allowed_lateness_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+       CAST(SUM(dropped) * 10000 // COUNT(*) AS BIGINT) AS dropped_bp,
+       CAST(COUNT(DISTINCT CASE WHEN dropped = 1 THEN we END) AS BIGINT)
+         AS n_windows_affected,
+       CAST(MAX(CASE WHEN dropped = 1
+                THEN wm - we - allowed_lateness_s * 1000000 END) AS BIGINT)
+         AS worst_overshoot_us
+FROM fanned
+GROUP BY allowed_lateness_s
+ORDER BY allowed_lateness_s
+"""

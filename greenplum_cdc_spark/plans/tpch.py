@@ -3136,3 +3136,95 @@ ORDER BY p_brand
 
 
 DISCOUNT_ELASTICITY_SQL = _discount_elasticity_sql()
+
+
+def price_index_laspeyres(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B131 (round-8 addition): monthly Laspeyres and Paasche price
+    indexes over the part catalog — the inflation/price-tracking
+    readout (CPI methodology) no single-month rollup gives: how the
+    price LEVEL moved against the feed's first calendar month, holding
+    the basket fixed at base-month quantities (Laspeyres) or at
+    current-month quantities (Paasche). Only parts traded in BOTH
+    months enter (the matched-model rule, stated).
+
+    Exactness: per (part, month) the exact BIGINT cents and quantity
+    sums; the unit price is the STATED floor division cents div qty
+    (both engines); index = sum(up_m * q_weight) * 10000 div
+    sum(up_b * q_weight) — all-integer, no doubles anywhere.
+    Headroom at 100x: up ~ 1e7 cents, q ~ 1e5 per part-month,
+    sum over ~2e5 parts ~ 1e7*1e5*2e5 = 2e17 < 2^63.
+
+    Plan: ONE (part, month) rollup is the only feed-wide shuffle; the
+    base-month slice re-joins it co-partitioned on partkey (same
+    exchange reused); per-month rollup is months-bounded. Output
+    |months| rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("year(l_shipdate) * 12 + month(l_shipdate) - 1").alias("m"),
+        F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        F.floor("l_quantity").cast("long").alias("qty"),
+    )
+    pm = li.groupBy("l_partkey", "m").agg(
+        F.sum("cents").alias("cents"), F.sum("qty").alias("qty")
+    ).withColumn("up", F.expr("cents div qty"))
+    base_m = pm.agg(F.min("m").alias("mb"))
+    base = (
+        pm.crossJoin(F.broadcast(base_m))
+        .filter(F.col("m") == F.col("mb"))
+        .select(
+            "l_partkey",
+            F.col("up").alias("up_b"),
+            F.col("qty").alias("q_b"),
+        )
+    )
+    joined = pm.join(base, "l_partkey")
+    out = joined.groupBy("m").agg(
+        F.count("*").alias("parts_matched"),
+        F.sum(F.col("up") * F.col("q_b")).alias("lx"),
+        F.sum(F.col("up_b") * F.col("q_b")).alias("lb"),
+        F.sum(F.col("up") * F.col("qty")).alias("px"),
+        F.sum(F.col("up_b") * F.col("qty")).alias("pb"),
+    )
+    return out.select(
+        F.expr("m div 12").alias("year"),
+        F.expr("m % 12 + 1").alias("month"),
+        "parts_matched",
+        F.expr("lx * 10000 div lb").alias("laspeyres_bp"),
+        F.expr("px * 10000 div pb").alias("paasche_bp"),
+    ).orderBy("year", "month")
+
+
+PRICE_INDEX_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+         year(l_shipdate) * 12 + month(l_shipdate) - 1 AS m,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(floor(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+),
+pm AS (
+  SELECT l_partkey, m, SUM(cents) AS cents, SUM(qty) AS qty,
+         SUM(cents) // SUM(qty) AS up
+  FROM li GROUP BY l_partkey, m
+),
+mb AS (SELECT MIN(m) AS mb FROM pm),
+base AS (
+  SELECT l_partkey, up AS up_b, qty AS q_b
+  FROM pm WHERE m = (SELECT mb FROM mb)
+),
+joined AS (
+  SELECT p.m, p.up, p.qty, b.up_b, b.q_b
+  FROM pm p JOIN base b USING (l_partkey)
+)
+SELECT CAST(m // 12 AS BIGINT) AS year,
+       CAST(m % 12 + 1 AS BIGINT) AS month,
+       CAST(COUNT(*) AS BIGINT) AS parts_matched,
+       CAST(SUM(up * q_b) * 10000 // SUM(up_b * q_b) AS BIGINT)
+         AS laspeyres_bp,
+       CAST(SUM(up * qty) * 10000 // SUM(up_b * qty) AS BIGINT)
+         AS paasche_bp
+FROM joined
+GROUP BY m
+ORDER BY year, month
+"""

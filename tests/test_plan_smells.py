@@ -63,6 +63,8 @@ _SKIP = {
 _BNLJ_OK = {
     "dp_histogram_release",  # broadcast |langs|-row domain spine (C106)
     "heaps_law_curve",  # 10-row checkpoint spine, fd <= cp join (C113)
+    "price_index_laspeyres",  # one-row base-month scalar (B32/C34 idiom)
+    "late_data_impact_audit",  # 4-row lateness-knob spine (B132)
     "survival_curve_km",  # one-row feed-end scalar (B32/C34 idiom)
     "compression_advisor",  # 9x one-row dict-table-bytes scalars (B108)
     "langid_calibration",  # one-row ECE scalar (B32/C34 idiom)

@@ -562,3 +562,190 @@ class TestMmrDiverseTopk:
             scores = [r["mmr_score_x10"] for r in rs]
             assert scores == sorted(scores, reverse=True)
         assert diverged > 0
+
+
+class TestPriceIndexLaspeyres:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B131: both indexes match a python replay of the stated
+        matched-model floor-unit-price rule."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.tpch import price_index_laspeyres
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_shipdate", "l_extendedprice", "l_quantity"
+        ).collect()
+        pm = {}
+        for r in li:
+            m = r["l_shipdate"].year * 12 + r["l_shipdate"].month - 1
+            cents = int(math.floor(r["l_extendedprice"] * 100))
+            qty = int(math.floor(r["l_quantity"]))
+            c, q = pm.get((r["l_partkey"], m), (0, 0))
+            pm[(r["l_partkey"], m)] = (c + cents, q + qty)
+        up = {k: c // q for k, (c, q) in pm.items()}
+        mb = min(m for _, m in pm)
+        base = {p: (up[(p, m)], pm[(p, m)][1])
+                for (p, m) in pm if m == mb}
+        got = {(r["year"], r["month"]): r
+               for r in price_index_laspeyres(spark, sf_dir).collect()}
+        months = sorted({m for _, m in pm})
+        for m in months:
+            matched = [p for (p, mm) in pm if mm == m and p in base]
+            if not matched:
+                assert (m // 12, m % 12 + 1) not in got
+                continue
+            lx = sum(up[(p, m)] * base[p][1] for p in matched)
+            lb = sum(base[p][0] * base[p][1] for p in matched)
+            px = sum(up[(p, m)] * pm[(p, m)][1] for p in matched)
+            pb = sum(base[p][0] * pm[(p, m)][1] for p in matched)
+            row = got[(m // 12, m % 12 + 1)]
+            assert row["parts_matched"] == len(matched)
+            assert row["laspeyres_bp"] == lx * 10000 // lb
+            assert row["paasche_bp"] == px * 10000 // pb
+        # base month reads 10000 by construction
+        assert got[(mb // 12, mb % 12 + 1)]["laspeyres_bp"] == 10000
+        assert got[(mb // 12, mb % 12 + 1)]["paasche_bp"] == 10000
+
+
+class TestTheilSenTrend:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B133: the ceil-rank median of scaled pair slopes and the
+        OLS slope both match a python replay."""
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.timeseries import theil_sen_trend
+
+        daily = (
+            load_table(spark, sf_dir, "events")
+            .groupBy(
+                "event_type",
+                F.expr("CAST(unix_micros(date_trunc('day', ts))"
+                       " div 86400000000 AS BIGINT)").alias("d"),
+            )
+            .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("c"))
+            .collect()
+        )
+        series = {}
+        for r in daily:
+            series.setdefault(r["event_type"], []).append((r["d"], r["c"]))
+
+        def tdiv(a, b):
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b >= 0) else -q
+
+        got = {r["event_type"]: r
+               for r in theil_sen_trend(spark, sf_dir).collect()}
+        for et, pts in series.items():
+            pts.sort()
+            slopes = []
+            for i in range(len(pts)):
+                for j in range(i + 1, len(pts)):
+                    (d1, c1), (d2, c2) = pts[i], pts[j]
+                    slopes.append((tdiv((c2 - c1) * 1000, d2 - d1), d1, d2))
+            slopes.sort()
+            n = len(slopes)
+            med = slopes[(n + 1) // 2 - 1][0]
+            row = got[et]
+            assert row["n_days"] == len(pts)
+            assert row["n_pairs"] == n
+            assert row["theil_sen_slope_milli"] == med
+            sx = sum(d for d, _ in pts)
+            sy = sum(c for _, c in pts)
+            sxy = sum(d * c for d, c in pts)
+            sxx = sum(d * d for d, _ in pts)
+            k = len(pts)
+            ols = (float(k) * float(sxy) - float(sx) * float(sy)) / (
+                float(k) * float(sxx) - float(sx) * float(sx)
+            )
+            assert row["ols_slope_milli"] == math.floor(1000 * ols)
+
+    def test_robustness_property(self, spark, tmp_path):
+        """One corrupted day swings OLS but leaves the Theil-Sen
+        median unchanged — the estimator's reason to exist."""
+        import datetime
+
+        from greenplum_cdc_spark.operators.timeseries import theil_sen_trend
+
+        base = datetime.datetime(2024, 1, 1)
+
+        def mk(tag, corrupt):
+            rows = []
+            for d in range(21):
+                v = 100.0 + 10.0 * d
+                if corrupt and d == 20:
+                    v = 1e6
+                rows.append(
+                    (d, base + datetime.timedelta(days=d), 1, tag, v, "{}")
+                )
+            return rows
+
+        spark.createDataFrame(
+            mk("clean", False) + mk("dirty", True),
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = {r["event_type"]: r
+               for r in theil_sen_trend(spark, str(tmp_path)).collect()}
+        # clean: exact 1000 cents/day -> 1,000,000 milli
+        assert got["clean"]["theil_sen_slope_milli"] == 1000 * 1000
+        assert got["dirty"]["theil_sen_slope_milli"] == 1000 * 1000
+        assert abs(got["dirty"]["ols_slope_milli"]
+                   - got["clean"]["ols_slope_milli"]) > 10 ** 6
+
+
+class TestLateDataImpactAudit:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B132: every knob row matches a sequential python replay of
+        the per-event watermark rule over the stated arrival order."""
+        import hashlib
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.cdc_queries import (
+            _LATE_ALLOWED_S,
+            _LATE_WINDOW_US,
+            _OOO_JITTER_MOD,
+            late_data_impact_audit,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts"
+        ).collect()
+        rows = []
+        for r in ev:
+            seq = r["event_id"]
+            h = hashlib.md5(f"ooo-v1|{seq}".encode()).hexdigest()  # noqa: F841
+            h2 = hashlib.md5(f"late-v1|{seq}".encode()).hexdigest()
+            jitter = int(h2[:15], 16) % _OOO_JITTER_MOD
+            us = int(r["ts"].timestamp() * 1_000_000)
+            # exact micros: datetime holds microsecond precision
+            us = (int(r["ts"].replace(tzinfo=None).timestamp()) * 1_000_000
+                  + r["ts"].microsecond) if False else us
+            rows.append((seq + jitter, seq, us))
+        rows.sort()
+        expect = {w: [0, 0, set(), None] for w in _LATE_ALLOWED_S}
+        wm = None
+        for _, seq, us in rows:
+            we = (us // _LATE_WINDOW_US + 1) * _LATE_WINDOW_US
+            for w in _LATE_ALLOWED_S:
+                expect[w][0] += 1
+                if wm is not None and wm > we + w * 1_000_000:
+                    expect[w][1] += 1
+                    expect[w][2].add(we)
+                    over = wm - we - w * 1_000_000
+                    if expect[w][3] is None or over > expect[w][3]:
+                        expect[w][3] = over
+            wm = us if wm is None else max(wm, us)
+        got = {r["allowed_lateness_s"]: r
+               for r in late_data_impact_audit(spark, sf_dir).collect()}
+        assert set(got) == set(_LATE_ALLOWED_S)
+        for w, (n, nd, wins, worst) in expect.items():
+            row = got[w]
+            assert row["n_events"] == n
+            assert row["n_dropped"] == nd
+            assert row["dropped_bp"] == nd * 10000 // n
+            assert row["n_windows_affected"] == len(wins)
+            assert row["worst_overshoot_us"] == worst
+        # monotone: a larger allowance never drops more
+        ws = sorted(_LATE_ALLOWED_S)
+        for a, b in zip(ws, ws[1:]):
+            assert got[b]["n_dropped"] <= got[a]["n_dropped"]

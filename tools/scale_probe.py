@@ -368,6 +368,9 @@ def _late_ops():
         "heaps_law_curve": text.heaps_law_curve,
         "survival_curve_km": _stats().survival_curve_km,
         "mmr_diverse_topk": similarity.mmr_diverse_topk,
+        "price_index_laspeyres": _tpch().price_index_laspeyres,
+        "theil_sen_trend": timeseries.theil_sen_trend,
+        "late_data_impact_audit": cdc_queries.late_data_impact_audit,
     }
 
 
