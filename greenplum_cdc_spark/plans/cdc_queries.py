@@ -3859,3 +3859,140 @@ FROM fanned
 GROUP BY allowed_lateness_s
 ORDER BY allowed_lateness_s
 """
+
+
+# --- round 8: DBLog-style chunked incremental snapshot (A52) -----------
+
+_CHUNK_KEYS = 10  # pk-range width of one snapshot chunk
+
+
+def cdc_snapshot_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A52 (round-8 addition): chunked incremental snapshot — the
+    DBLog algorithm (Andreadakis et al., Netflix 2019; Debezium's
+    incremental snapshot): bootstrapping a replica WITHOUT stopping
+    the WAL stream by reading the table in key-range chunks
+    interleaved with the stream, each chunk select bracketed by
+    watermarks so later WAL events SUPERSEDE the (possibly stale)
+    chunk image. The reference bootstraps with a blocking
+    full-table load (Maxwell's bootstrap-* ops); this is the
+    zero-downtime upgrade every production CDC deployment runs.
+
+    Simulation (stated, both engines): chunk k covers pk range
+    [k*{ck}, (k+1)*{ck}); its select runs at WAL position s_k =
+    (k+1) * max_seq div (n_chunks) — the bootstrap PACED across the
+    whole stream, finishing with it — so the image of key pk is the latest-wins state over
+    events with seq <= s_k (what the DB held when the select ran —
+    including absent-if-deleted), and every event with seq > s_k
+    replays on top. Emits the converged replica with PROVENANCE: per
+    live key the chunk, its watermark s_k, whether the surviving row
+    came from the chunk image or the WAL tail, and the tail-event
+    count — the columns an operator dashboards during a real
+    bootstrap. The DBLog consistency theorem (image-then-tail ==
+    latest-wins over everything) is pinned by the pytest; the oracle
+    states the chunked construction itself.
+
+    Plan: chunk/watermark assignment is a map-side expression; the
+    image pass and the tail replay share ONE pk-partitioned shuffle
+    (two window ranks over the same exchange); output |keys| rows.
+    """.format(ck=_CHUNK_KEYS)
+    from pyspark.sql import Window
+
+    marked = _feed(spark, sf_dir).withColumn(
+        "chunk", F.expr(f"pk div {_CHUNK_KEYS}")
+    )
+    # chunk selects are PACED across the WAL: chunk k's select runs at
+    # s_k = (k+1) * max_seq div (max_chunk + 1), so the last chunk
+    # finishes exactly when the stream position does — one 1-row scalar
+    # broadcast (the B32/C34 idiom; whitelisted)
+    span = marked.agg(
+        F.max("seq").alias("mx_seq"), F.max("chunk").alias("mx_chunk")
+    )
+    feed = marked.crossJoin(F.broadcast(span)).withColumn(
+        "s_k", F.expr("((chunk + 1) * mx_seq) div (mx_chunk + 1)")
+    )
+    w = Window.partitionBy("pk").orderBy(F.desc("ts"), F.desc("seq"))
+    # chunk image: latest state at the select's WAL position
+    image = (
+        feed.filter(F.col("seq") <= F.col("s_k"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "pk", "chunk", "s_k", "ts", "seq", "op", "value", "event_type",
+            F.lit("chunk").alias("src"),
+        )
+    )
+    tail = feed.filter(F.col("seq") > F.col("s_k")).select(
+        "pk", "chunk", "s_k", "ts", "seq", "op", "value", "event_type",
+        F.lit("wal").alias("src"),
+    )
+    tail_counts = tail.groupBy("pk").agg(F.count("*").alias("n_tail_events"))
+    merged = (
+        image.unionByName(tail)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col("op") != "delete")
+    )
+    return (
+        merged.join(tail_counts, "pk", "left")
+        .select(
+            "pk",
+            "chunk",
+            F.col("s_k").alias("watermark_seq"),
+            "src",
+            F.coalesce("n_tail_events", F.lit(0)).alias("n_tail_events"),
+            F.col("ts").alias("last_ts"),
+            F.col("seq").alias("last_seq"),
+            F.col("value").alias("last_value"),
+            F.col("event_type").alias("last_event_type"),
+        )
+        .orderBy("pk")
+    )
+
+
+CDC_SNAPSHOT_CHUNKED_SQL = f"""
+WITH feed AS ({maxwell.EVENTS_AS_CDC_SQL.strip()}),
+chunked AS (SELECT *, pk // {_CHUNK_KEYS} AS chunk FROM feed),
+span AS (SELECT MAX(seq) AS mx_seq, MAX(chunk) AS mx_chunk FROM chunked),
+marked AS (
+  SELECT c.*,
+         ((c.chunk + 1) * s.mx_seq) // (s.mx_chunk + 1) AS s_k
+  FROM chunked c CROSS JOIN span s
+),
+image AS (
+  SELECT * FROM (
+    SELECT pk, chunk, s_k, ts, seq, op, value, event_type, 'chunk' AS src,
+           ROW_NUMBER() OVER (PARTITION BY pk
+                              ORDER BY ts DESC, seq DESC) AS rn
+    FROM marked WHERE seq <= s_k) t
+  WHERE rn = 1
+),
+tail AS (
+  SELECT pk, chunk, s_k, ts, seq, op, value, event_type, 'wal' AS src
+  FROM marked WHERE seq > s_k
+),
+tail_counts AS (
+  SELECT pk, COUNT(*) AS n_tail_events FROM tail GROUP BY pk
+),
+merged AS (
+  SELECT * FROM (
+    SELECT u.*, ROW_NUMBER() OVER (PARTITION BY pk
+                                   ORDER BY ts DESC, seq DESC) AS rn2
+    FROM (
+      SELECT pk, chunk, s_k, ts, seq, op, value, event_type, src
+      FROM image
+      UNION ALL
+      SELECT pk, chunk, s_k, ts, seq, op, value, event_type, src
+      FROM tail) u) t
+  WHERE rn2 = 1 AND op <> 'delete'
+)
+SELECT m.pk, m.chunk,
+       CAST(m.s_k AS BIGINT) AS watermark_seq,
+       m.src,
+       CAST(COALESCE(tc.n_tail_events, 0) AS BIGINT) AS n_tail_events,
+       m.ts AS last_ts,
+       m.seq AS last_seq,
+       m.value AS last_value,
+       m.event_type AS last_event_type
+FROM merged m LEFT JOIN tail_counts tc ON tc.pk = m.pk
+ORDER BY m.pk
+"""

@@ -749,3 +749,88 @@ class TestLateDataImpactAudit:
         ws = sorted(_LATE_ALLOWED_S)
         for a, b in zip(ws, ws[1:]):
             assert got[b]["n_dropped"] <= got[a]["n_dropped"]
+
+
+class TestCdcSnapshotChunked:
+    def test_dblog_consistency_theorem(self, spark, sf_dir):
+        """A52: image-then-tail merge == plain latest-wins snapshot
+        over the full feed (the DBLog convergence property), and the
+        provenance column is exact."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.cdc_queries import (
+            _CHUNK_KEYS,
+            cdc_snapshot_chunked,
+        )
+
+        ev = load_table(spark, sf_dir, "events").collect()
+        feed = sorted(
+            (
+                (r["ts"], r["event_id"], r["user_id"],
+                 "delete" if r["event_type"] == "error" else "insert",
+                 r["value"], r["event_type"])
+            )
+            for r in ev
+        )
+        mx_seq = max(seq for _, seq, *_ in feed)
+        mx_chunk = max(pk // _CHUNK_KEYS for _, _, pk, *_ in feed)
+
+        def wm(pk):
+            return ((pk // _CHUNK_KEYS + 1) * mx_seq) // (mx_chunk + 1)
+
+        latest = {}
+        tails = {}
+        for ts, seq, pk, op, value, et in feed:
+            latest[pk] = (ts, seq, op, value, et)
+            if seq > wm(pk):
+                tails[pk] = tails.get(pk, 0) + 1
+        got = {r["pk"]: r for r in cdc_snapshot_chunked(spark, sf_dir).collect()}
+        live = {pk: v for pk, v in latest.items() if v[2] != "delete"}
+        assert set(got) == set(live)
+        for pk, (ts, seq, op, value, et) in live.items():
+            row = got[pk]
+            assert (row["last_ts"], row["last_seq"]) == (ts, seq)
+            assert (row["last_value"], row["last_event_type"]) == (value, et)
+            assert row["chunk"] == pk // _CHUNK_KEYS
+            assert row["watermark_seq"] == wm(pk)
+            assert row["n_tail_events"] == tails.get(pk, 0)
+            assert row["src"] == (
+                "wal" if seq > row["watermark_seq"] else "chunk"
+            )
+        # the simulation must actually exercise BOTH provenances
+        srcs = {r["src"] for r in got.values()}
+        assert srcs == {"chunk", "wal"}
+
+    def test_crafted_stale_image_superseded(self, spark, tmp_path):
+        """A key updated AFTER its chunk's select must surface the WAL
+        value, and a key deleted after its select must be absent —
+        the two hazards the watermark protocol exists for."""
+        import datetime
+
+        from greenplum_cdc_spark.plans.cdc_queries import cdc_snapshot_chunked
+
+        base = datetime.datetime(2024, 1, 1)
+
+        def e(seq, pk, et, v):
+            return (seq, base + datetime.timedelta(seconds=seq), pk, et, v, "{}")
+
+        rows = [
+            # two chunks: mx_seq = 160, so chunk 0 selects at s_0 = 80
+            # and chunk 1 at s_1 = 160 (the paced schedule)
+            e(1, 3, "view", 1.0),      # chunk 0: in image
+            e(150, 3, "view", 2.0),    # after s_0 = 80: supersedes
+            e(2, 4, "view", 5.0),      # in image
+            e(160, 4, "error", 0.0),   # deleted after select: absent
+            e(3, 5, "view", 7.0),      # image only, survives untouched
+            e(80, 15, "view", 9.0),    # chunk 1: within its late select
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = {r["pk"]: r
+               for r in cdc_snapshot_chunked(spark, str(tmp_path)).collect()}
+        assert set(got) == {3, 5, 15}
+        assert got[3]["last_value"] == 2.0 and got[3]["src"] == "wal"
+        assert got[5]["last_value"] == 7.0 and got[5]["src"] == "chunk"
+        assert got[15]["last_value"] == 9.0 and got[15]["src"] == "chunk"

@@ -371,6 +371,7 @@ def _late_ops():
         "price_index_laspeyres": _tpch().price_index_laspeyres,
         "theil_sen_trend": timeseries.theil_sen_trend,
         "late_data_impact_audit": cdc_queries.late_data_impact_audit,
+        "cdc_snapshot_chunked": cdc_queries.cdc_snapshot_chunked,
     }
 
 
