@@ -2100,3 +2100,97 @@ FROM versioned
 WHERE op <> 'delete'
 ORDER BY pk, valid_from, version_seq
 """
+
+
+# --- A53 (round 8): streaming Debezium pipeline -------------------------
+
+
+class DebeziumPipeline(CDCPipeline):
+    """The Debezium wire format at the STREAMING level — completing
+    the format x mode matrix (Maxwell A2/stream, wal2json A38/A41,
+    Debezium A50/here): the ONLY thing that changes is the parser and
+    the replay-order vocabulary ((ts, lsn) — Debezium's commit clock
+    plus WAL position); archive, latest-wins merge, versioned replica
+    store, and watermark commit are inherited untouched.
+
+    pk always rides `data` — parse_debezium routes the delete's
+    `before` image into `data` (sources/debezium.py), so the merge
+    sees the key without a coalesce."""
+
+    def __init__(self, spark: SparkSession, replica_path: str, **kw):
+        super().__init__(spark, replica_path, **kw)
+        self.order_cols = ("ts", "lsn")
+
+    def _typed_feed(self, parsed: DataFrame) -> DataFrame:
+        return parsed.filter(F.col("op").isin(*DML_OPS)).select(
+            F.col("data")["user_id"].cast("bigint").alias("pk"),
+            "ts",
+            "lsn",
+            "op",
+            "data",
+        )
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from ..sources.debezium import parse_debezium
+
+        parsed = parse_debezium(batch)
+        if self.archive_path:
+            write_archive(
+                parsed.filter(F.col("op").isNotNull()), self.archive_path
+            )
+        feed = self._typed_feed(parsed)
+        replica = self.store.read()
+        if replica is None:
+            merged = snapshot_latest(
+                feed, key_cols=self.key_cols, order_cols=self.order_cols
+            )
+        else:
+            merged = apply_incremental(
+                replica, feed, key_cols=self.key_cols, order_cols=self.order_cols
+            )
+        self.store.commit(merged)
+        self._commit_watermark()
+
+
+def stream_debezium_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A53 (round-8 addition): the Debezium envelope feed streamed
+    through the UNCHANGED CDC machinery — readStream text drop →
+    parse_debezium → foreachBatch latest-wins merge → versioned
+    replica. The drained replica must equal A51's closed-form WAL-order
+    snapshot (the same truth, produced by the live streaming path)."""
+    import shutil
+
+    from ..io import shuffle_partitions
+    from ..plans.cdc_queries import _debezium_lines
+
+    base = scratch_dir("dbz_stream_")
+    ckpt = os.path.join(base, "ckpt")
+    try:
+        reset("stream_debezium_pipeline")
+
+        def _write(d: str) -> None:
+            with phase("stream_debezium_pipeline", "synth"):
+                _debezium_lines(spark, sf_dir).coalesce(2).write.mode(
+                    "overwrite"
+                ).text(d)
+
+        in_dir = cached_feed(("stream_debezium_pipeline", sf_dir), _write)
+        with shuffle_partitions(spark, 2):
+            pipe = DebeziumPipeline(
+                spark, os.path.join(base, "replica"), key_cols=("pk",)
+            )
+            pipe.run_available(in_dir, ckpt)
+            from .scaffold import adopt_path
+
+            replica = ReplicaStore(
+                spark, adopt_path(pipe.store.path, "dbz_stream_out_")
+            ).read()
+            return replica.select(
+                "pk",
+                F.col("ts").alias("last_ts"),
+                F.col("lsn").alias("last_lsn"),
+                F.col("data")["value"].cast("double").alias("last_value"),
+                F.col("data")["event_type"].alias("last_event_type"),
+            ).orderBy("pk")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -47,6 +47,7 @@ _SKIP = {
     # tests in test_round5.py / the oracle gate)
     "stream_fanout_heterogeneous",
     "stream_wal2json_pipeline",
+    "stream_debezium_pipeline",
     "cdc_replica_vacuum",  # writes/vacuums real replica versions
     "cdc_ddl_apply",  # executes real catalog DDL + table writes
     "stream_heavy_hitters",  # real multi-batch stateful stream

@@ -834,3 +834,30 @@ class TestCdcSnapshotChunked:
         assert got[3]["last_value"] == 2.0 and got[3]["src"] == "wal"
         assert got[5]["last_value"] == 7.0 and got[5]["src"] == "chunk"
         assert got[15]["last_value"] == 9.0 and got[15]["src"] == "chunk"
+
+
+class TestStreamDebeziumPipeline:
+    def test_multibatch_merge_equals_closed_form(self, spark, sf_dir):
+        """A53: the drained streaming replica equals the closed-form
+        latest-wins snapshot (A51's truth) — through real micro-batches
+        and the versioned store."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.streaming.pipeline import (
+            stream_debezium_pipeline,
+        )
+
+        ev = load_table(spark, sf_dir, "events").collect()
+        latest = {}
+        for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+            op = "delete" if r["event_type"] == "error" else (
+                "update" if r["event_type"] == "click" else "insert")
+            latest[r["user_id"]] = (op, r["value"], r["event_type"],
+                                    r["event_id"])
+        live = {k: v for k, v in latest.items() if v[0] != "delete"}
+        got = {r["pk"]: r
+               for r in stream_debezium_pipeline(spark, sf_dir).collect()}
+        assert set(got) == set(live)
+        for pk, (op, value, et, lsn) in live.items():
+            assert got[pk]["last_value"] == value
+            assert got[pk]["last_event_type"] == et
+            assert got[pk]["last_lsn"] == lsn

@@ -372,6 +372,7 @@ def _late_ops():
         "theil_sen_trend": timeseries.theil_sen_trend,
         "late_data_impact_audit": cdc_queries.late_data_impact_audit,
         "cdc_snapshot_chunked": cdc_queries.cdc_snapshot_chunked,
+        "stream_debezium_pipeline": __import__("greenplum_cdc_spark.streaming.pipeline", fromlist=["pipeline"]).stream_debezium_pipeline,
     }
 
 
