@@ -1937,3 +1937,98 @@ ORDER BY s.source
 
 
 READABILITY_SQL = _readability_sql()
+
+
+_SUPP_RE = "[\\x{10000}-\\x{10FFFF}]"  # astral plane (2 UTF-16 units)
+_COMBINING_RE = "[\\x{0300}-\\x{036F}]"  # combining diacritical marks
+
+
+def text_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C115 (round-8 addition): text-width accounting audit — the
+    three lengths every pipeline conflates until one of them bills
+    wrong: UTF-8 BYTES (storage, shuffle sizing, byte-budget APIs),
+    CODEPOINTS (most tokenizer pre-processing), and UTF-16 CODE UNITS
+    (the JVM/JS `length`, and what several embedding/LLM APIs meter).
+    ASCII corpora make them equal and the bug invisible; one emoji
+    page makes byte budgets overrun 4x. Per source: exact sums of all
+    three, astral-plane codepoints (each costs 2 UTF-16 units — the
+    stated identity utf16 = codepoints + astral is how the audit
+    computes it), combining marks (the grapheme-vs-codepoint gap for
+    the Mn 0300-036F block, stated), and floor-div ratios in ppm.
+
+    Both engines state the same primitives: octet_length/strlen,
+    length (codepoints in both — verified against decomposed
+    accents), and the two verbatim codepoint-class regexes. One
+    corpus scan, one map-side source rollup — no other shuffle. The
+    sf corpora are ASCII (the audit proves it: ratios exactly 1e6),
+    so a crafted multibyte/emoji/combining pytest carries the
+    discrepancy semantics, the C102 discipline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Spark SQL string literals consume one backslash level; DuckDB's
+    # do not — escape here so BOTH engines run the identical regex
+    supp = _SUPP_RE.replace("\\", "\\\\")
+    comb = _COMBINING_RE.replace("\\", "\\\\")
+    per = docs.select(
+        "source",
+        F.expr("octet_length(text)").cast("long").alias("b"),
+        F.length("text").cast("long").alias("cp"),
+        F.size(F.expr(f"regexp_extract_all(text, '{supp}', 0)"))
+        .cast("long")
+        .alias("astral"),
+        F.size(F.expr(f"regexp_extract_all(text, '{comb}', 0)"))
+        .cast("long")
+        .alias("comb"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("b").alias("utf8_bytes"),
+            F.sum("cp").alias("codepoints"),
+            F.sum(F.col("cp") + F.col("astral")).alias("utf16_units"),
+            F.sum("astral").alias("astral_codepoints"),
+            F.sum("comb").alias("combining_marks"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "utf8_bytes",
+            "codepoints",
+            "utf16_units",
+            "astral_codepoints",
+            "combining_marks",
+            F.expr("utf8_bytes * 1000000 div codepoints").alias(
+                "bytes_per_cp_ppm"
+            ),
+            F.expr("utf16_units * 1000000 div codepoints").alias(
+                "utf16_per_cp_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_WIDTH_SQL = f"""
+WITH per AS (
+  SELECT source,
+         strlen(text) AS b,
+         length(text) AS cp,
+         len(regexp_extract_all(text, '{_SUPP_RE}')) AS astral,
+         len(regexp_extract_all(text, '{_COMBINING_RE}')) AS comb
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b) AS BIGINT) AS utf8_bytes,
+       CAST(SUM(cp) AS BIGINT) AS codepoints,
+       CAST(SUM(cp + astral) AS BIGINT) AS utf16_units,
+       CAST(SUM(astral) AS BIGINT) AS astral_codepoints,
+       CAST(SUM(comb) AS BIGINT) AS combining_marks,
+       CAST(SUM(b) * 1000000 // SUM(cp) AS BIGINT) AS bytes_per_cp_ppm,
+       CAST(SUM(cp + astral) * 1000000 // SUM(cp) AS BIGINT)
+         AS utf16_per_cp_ppm
+FROM per
+GROUP BY source
+ORDER BY source
+"""

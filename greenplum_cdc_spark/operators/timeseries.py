@@ -3235,3 +3235,110 @@ ORDER BY m.event_type
 
 
 THEIL_SEN_SQL = _theil_sen_sql()
+
+
+def wape_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B134 (round-8 addition): forecast backtest over the per-type
+    daily revenue series — the evaluation loop a demand-planning
+    stack runs BEFORE trusting any model: score the two standard
+    baselines every real forecast must beat, naive (tomorrow =
+    today) and seasonal-naive (tomorrow = same weekday last week,
+    the M-competition yardstick), by WAPE and bias. A model that
+    cannot beat seasonal-naive is noise — this op is the gate that
+    says so.
+
+    Exactness: all errors are exact integer cents (|actual -
+    forecast|, signed bias); WAPE = sum|err| * 10000 div sum(actual)
+    and bias likewise — floor division, no doubles anywhere. Scoring
+    window: only days where the lag exists (burn-in excluded by the
+    lag's NULL, stated); both methods score the SAME day set per
+    type only when their burn-ins coincide — they don't (1 vs 7) —
+    so each method row carries its own n_days_scored and the
+    comparison column is WAPE, which normalizes per-method.
+
+    Plan: one (type, day) rollup (map-side, the only feed-wide
+    shuffle — the series is calendar-bounded after it), ONE sort
+    window per type carrying both O(1)/row lags, a |types| x 2
+    rollup. Output 2 rows per type.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "cents",
+        F.lag("cents", 1).over(w).alias("f_naive"),
+        F.lag("cents", 7).over(w).alias("f_snaive"),
+    )
+    scored = None
+    for method, col in (("naive", "f_naive"), ("seasonal_naive", "f_snaive")):
+        part = lagged.filter(F.col(col).isNotNull()).select(
+            "event_type",
+            F.lit(method).alias("method"),
+            "cents",
+            (F.col("cents") - F.col(col)).alias("err"),
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    return (
+        scored.groupBy("event_type", "method")
+        .agg(
+            F.count("*").alias("n_days_scored"),
+            F.sum(F.abs("err")).alias("sum_abs_err_cents"),
+            F.sum("err").alias("bias_cents"),
+            F.sum("cents").alias("actual_cents"),
+        )
+        .select(
+            "event_type",
+            "method",
+            "n_days_scored",
+            "sum_abs_err_cents",
+            "bias_cents",
+            "actual_cents",
+            F.expr("sum_abs_err_cents * 10000 div actual_cents").alias(
+                "wape_bp"
+            ),
+            F.expr("bias_cents * 10000 div actual_cents").alias("bias_bp"),
+        )
+        .orderBy("event_type", "method")
+    )
+
+
+WAPE_BACKTEST_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, cents,
+         LAG(cents, 1) OVER w AS f_naive,
+         LAG(cents, 7) OVER w AS f_snaive
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+scored AS (
+  SELECT event_type, 'naive' AS method, cents, cents - f_naive AS err
+  FROM lagged WHERE f_naive IS NOT NULL
+  UNION ALL
+  SELECT event_type, 'seasonal_naive' AS method, cents, cents - f_snaive
+  FROM lagged WHERE f_snaive IS NOT NULL
+)
+SELECT event_type, method,
+       CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+       CAST(SUM(ABS(err)) AS BIGINT) AS sum_abs_err_cents,
+       CAST(SUM(err) AS BIGINT) AS bias_cents,
+       CAST(SUM(cents) AS BIGINT) AS actual_cents,
+       CAST(SUM(ABS(err)) * 10000 // SUM(cents) AS BIGINT) AS wape_bp,
+       CAST(SUM(err) * 10000 // SUM(cents) AS BIGINT) AS bias_bp
+FROM scored
+GROUP BY event_type, method
+ORDER BY event_type, method
+"""

@@ -3228,3 +3228,139 @@ FROM joined
 GROUP BY m
 ORDER BY year, month
 """
+
+
+def net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B135 (round-8 addition): net revenue retention by month — the
+    SaaS/growth-finance headline metric neither B115's cohort LTV
+    (acquisition-cohort cumulative) nor B60's MoM growth (total
+    revenue, mixing new and old customers) answers: of the revenue
+    from customers who paid LAST month, how much shows up THIS month
+    — split into the expansion (customers who grew), contraction
+    (shrank but stayed), and churn (disappeared) components every
+    board deck shows. NRR > 10000 bp means the existing base grows
+    without any new logos.
+
+    Exactness: per (customer, month) exact BIGINT cents rollup; the
+    month pairing is the integer index m = year*12+month-1 joined on
+    m_prev + 1 (calendar-adjacent, stated); every component an exact
+    conditional sum, shares floor-div bp of the prior-month base —
+    no doubles anywhere.
+
+    Plan: ONE (custkey, month) rollup of the feed (the only
+    feed-wide shuffle), a custkey-co-partitioned self-join pairing
+    adjacent months (LEFT join keeps churned customers visible), a
+    months-bounded rollup. Output |months|-1 rows.
+    """
+    om = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.expr(
+                "year(o_orderdate) * 12 + month(o_orderdate) - 1"
+            ).alias("m"),
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        .groupBy("o_custkey", "m")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    prev = om.select(
+        "o_custkey",
+        (F.col("m") + 1).alias("m"),
+        F.col("cents").alias("prev_cents"),
+    )
+    cur = om.select("o_custkey", "m", F.col("cents").alias("cur_cents"))
+    paired = prev.join(cur, ["o_custkey", "m"], "left").select(
+        "m",
+        "prev_cents",
+        F.coalesce("cur_cents", F.lit(0)).alias("cur_cents"),
+    )
+    return (
+        paired.groupBy("m")
+        .agg(
+            F.count("*").alias("prior_customers"),
+            F.sum(F.expr("CASE WHEN cur_cents > 0 THEN 1 ELSE 0 END")).alias(
+                "retained_customers"
+            ),
+            F.sum("prev_cents").alias("prior_cents"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN cur_cents > prev_cents"
+                    " THEN cur_cents - prev_cents ELSE 0 END"
+                )
+            ).alias("expansion_cents"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN cur_cents = 0 THEN prev_cents ELSE 0 END"
+                )
+            ).alias("churned_cents"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN cur_cents > 0 AND cur_cents < prev_cents"
+                    " THEN prev_cents - cur_cents ELSE 0 END"
+                )
+            ).alias("contraction_cents"),
+            F.sum("cur_cents").alias("retained_rev_cents"),
+        )
+        .select(
+            F.expr("m div 12").alias("year"),
+            F.expr("m % 12 + 1").alias("month"),
+            "prior_customers",
+            "retained_customers",
+            "prior_cents",
+            "retained_rev_cents",
+            "expansion_cents",
+            "contraction_cents",
+            "churned_cents",
+            F.expr("retained_rev_cents * 10000 div prior_cents").alias(
+                "nrr_bp"
+            ),
+            F.expr(
+                "(prior_cents - churned_cents - contraction_cents)"
+                " * 10000 div prior_cents"
+            ).alias("grr_bp"),
+        )
+        .orderBy("year", "month")
+    )
+
+
+NET_REVENUE_RETENTION_SQL = """
+WITH om AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+         SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1, 2
+),
+paired AS (
+  SELECT p.m + 1 AS m, p.cents AS prev_cents,
+         COALESCE(c.cents, 0) AS cur_cents
+  FROM om p LEFT JOIN om c
+    ON c.o_custkey = p.o_custkey AND c.m = p.m + 1
+)
+SELECT CAST(m // 12 AS BIGINT) AS year,
+       CAST(m % 12 + 1 AS BIGINT) AS month,
+       CAST(COUNT(*) AS BIGINT) AS prior_customers,
+       CAST(SUM(CASE WHEN cur_cents > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS retained_customers,
+       CAST(SUM(prev_cents) AS BIGINT) AS prior_cents,
+       CAST(SUM(cur_cents) AS BIGINT) AS retained_rev_cents,
+       CAST(SUM(CASE WHEN cur_cents > prev_cents
+                THEN cur_cents - prev_cents ELSE 0 END) AS BIGINT)
+         AS expansion_cents,
+       CAST(SUM(CASE WHEN cur_cents > 0 AND cur_cents < prev_cents
+                THEN prev_cents - cur_cents ELSE 0 END) AS BIGINT)
+         AS contraction_cents,
+       CAST(SUM(CASE WHEN cur_cents = 0 THEN prev_cents ELSE 0 END)
+            AS BIGINT) AS churned_cents,
+       CAST(SUM(cur_cents) * 10000 // SUM(prev_cents) AS BIGINT) AS nrr_bp,
+       CAST((SUM(prev_cents)
+             - SUM(CASE WHEN cur_cents = 0 THEN prev_cents ELSE 0 END)
+             - SUM(CASE WHEN cur_cents > 0 AND cur_cents < prev_cents
+                   THEN prev_cents - cur_cents ELSE 0 END))
+            * 10000 // SUM(prev_cents) AS BIGINT) AS grr_bp
+FROM paired
+GROUP BY m
+ORDER BY year, month
+"""

@@ -861,3 +861,132 @@ class TestStreamDebeziumPipeline:
             assert got[pk]["last_value"] == value
             assert got[pk]["last_event_type"] == et
             assert got[pk]["last_lsn"] == lsn
+
+
+class TestTextWidthAudit:
+    def test_ascii_corpus_degenerate(self, spark, sf_dir):
+        """C115: the sf corpus is ASCII — all three widths coincide
+        and the ratios read exactly 1e6 (the audit PROVES the corpus
+        property instead of assuming it)."""
+        from greenplum_cdc_spark.operators.quality import text_width_audit
+
+        rows = text_width_audit(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["utf8_bytes"] == r["codepoints"] == r["utf16_units"]
+            assert r["astral_codepoints"] == 0
+            assert r["combining_marks"] == 0
+            assert r["bytes_per_cp_ppm"] == 1000000
+            assert r["utf16_per_cp_ppm"] == 1000000
+
+    def test_crafted_multibyte_semantics(self, spark, tmp_path):
+        """Emoji cost 4 bytes / 2 UTF-16 units, combining marks are
+        counted, and the stated utf16 = codepoints + astral identity
+        holds — pinned against python's own encoders."""
+        from greenplum_cdc_spark.operators.quality import text_width_audit
+
+        texts = ["añ\U0001F600x\U0001F680", "éclair", "plain"]
+        spark.createDataFrame(
+            [(i, t, "xx", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        r = text_width_audit(spark, str(tmp_path)).collect()[0]
+        assert r["utf8_bytes"] == sum(len(t.encode("utf-8")) for t in texts)
+        assert r["codepoints"] == sum(len(t) for t in texts)
+        assert r["utf16_units"] == sum(
+            len(t.encode("utf-16-le")) // 2 for t in texts
+        )
+        assert r["astral_codepoints"] == 2
+        assert r["combining_marks"] == 1
+
+
+class TestWapeBacktest:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B134: both baselines' WAPE/bias match a python replay."""
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.timeseries import wape_backtest
+
+        daily = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+            .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("c"))
+            .collect()
+        )
+        series = {}
+        for r in daily:
+            series.setdefault(r["event_type"], []).append((r["day"], r["c"]))
+        got = {(r["event_type"], r["method"]): r
+               for r in wape_backtest(spark, sf_dir).collect()}
+
+        def tdiv(a, b):
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b >= 0) else -q
+
+        for et, pts in series.items():
+            pts.sort()
+            vals = [c for _, c in pts]
+            for method, lag in (("naive", 1), ("seasonal_naive", 7)):
+                errs = [
+                    (vals[i] - vals[i - lag], vals[i])
+                    for i in range(lag, len(vals))
+                ]
+                row = got[(et, method)]
+                assert row["n_days_scored"] == len(errs)
+                sae = sum(abs(e) for e, _ in errs)
+                bias = sum(e for e, _ in errs)
+                tot = sum(a for _, a in errs)
+                assert row["sum_abs_err_cents"] == sae
+                assert row["bias_cents"] == bias
+                assert row["actual_cents"] == tot
+                assert row["wape_bp"] == sae * 10000 // tot
+                assert row["bias_bp"] == tdiv(bias * 10000, tot)
+
+
+class TestNetRevenueRetention:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B135: every month row matches python set/sum algebra over
+        per-(customer, month) revenue, and the NRR identity
+        nrr = grr + expansion share holds exactly in bp numerators."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.tpch import net_revenue_retention
+
+        om = {}
+        for r in load_table(spark, sf_dir, "orders").collect():
+            m = r["o_orderdate"].year * 12 + r["o_orderdate"].month - 1
+            cents = int(math.floor(r["o_totalprice"] * 100))
+            om[(r["o_custkey"], m)] = om.get((r["o_custkey"], m), 0) + cents
+        got = {(r["year"], r["month"]): r
+               for r in net_revenue_retention(spark, sf_dir).collect()}
+        months = sorted({m for _, m in om})
+        for m in months:
+            prior = {c: v for (c, mm), v in om.items() if mm == m}
+            if not prior:
+                continue
+            key = ((m + 1) // 12, (m + 1) % 12 + 1)
+            cur = {c: om.get((c, m + 1), 0) for c in prior}
+            if key not in got:
+                continue
+            row = got[key]
+            assert row["prior_customers"] == len(prior)
+            assert row["retained_customers"] == sum(
+                1 for c in prior if cur[c] > 0
+            )
+            pc = sum(prior.values())
+            assert row["prior_cents"] == pc
+            exp = sum(max(cur[c] - prior[c], 0) for c in prior)
+            chn = sum(prior[c] for c in prior if cur[c] == 0)
+            ctr = sum(prior[c] - cur[c] for c in prior
+                      if 0 < cur[c] < prior[c])
+            ret = sum(cur.values())
+            assert row["expansion_cents"] == exp
+            assert row["churned_cents"] == chn
+            assert row["contraction_cents"] == ctr
+            assert row["retained_rev_cents"] == ret
+            assert row["nrr_bp"] == ret * 10000 // pc
+            assert row["grr_bp"] == (pc - chn - ctr) * 10000 // pc
+            # revenue conservation: retained = prior - churn - contraction
+            # + expansion
+            assert ret == pc - chn - ctr + exp

@@ -372,6 +372,9 @@ def _late_ops():
         "theil_sen_trend": timeseries.theil_sen_trend,
         "late_data_impact_audit": cdc_queries.late_data_impact_audit,
         "cdc_snapshot_chunked": cdc_queries.cdc_snapshot_chunked,
+        "text_width_audit": _quality().text_width_audit,
+        "wape_backtest": timeseries.wape_backtest,
+        "net_revenue_retention": _tpch().net_revenue_retention,
         "stream_debezium_pipeline": __import__("greenplum_cdc_spark.streaming.pipeline", fromlist=["pipeline"]).stream_debezium_pipeline,
     }
 
