@@ -2182,3 +2182,102 @@ ORDER BY threshold_pct
 
 
 DEDUP_THRESHOLD_SWEEP_SQL = _sweep_sql()
+
+
+def case_fold_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C116 (round-8 addition): case/punctuation-fold collision audit
+    — the near-dup class EXACT dedup (C1) provably misses and LSH
+    (C2) finds only probabilistically: documents identical after the
+    STATED canonical fold (lowercase, every non-alphanumeric run
+    collapsed to one space, trimmed) but distinct as raw bytes —
+    re-crawls that differ only in capitalization, smart quotes, or
+    whitespace. Per source of each colliding doc: collision groups
+    touched, docs involved, docs reclaimable (group size - 1 kept
+    canonical) and exact reclaimable chars.
+
+    Plan: fold map-side, md5 the folded text so ONLY 16-byte digests
+    shuffle (the C1 discipline — never the text), one digest rollup
+    keeps groups with >= 2 docs AND >= 2 distinct raw forms (all-
+    identical groups are C1's exact-dup territory, excluded so the
+    two audits partition the dup space — stated), then one source
+    rollup. Canonical = the doc with (min n_chars, min doc_id) in
+    the group — the shortest survivor, ties stable.
+
+    The sf corpora are already lowercase-normalized (the audit
+    returns zero rows and proves it); the crafted pytest carries the
+    fold semantics, the C102/C115 discipline.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(
+            F.trim(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+            )
+        ).alias("fold_key"),
+        F.md5("text").alias("raw_key"),
+    )
+    groups = (
+        docs.groupBy("fold_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("raw_key").alias("n_raw"),
+            F.sum("n_chars").alias("chars"),
+            F.min(F.struct("n_chars", "doc_id")).alias("keep"),
+        )
+        .filter((F.col("n_docs") >= 2) & (F.col("n_raw") >= 2))
+    )
+    per_doc = docs.join(groups.select("fold_key", "keep"), "fold_key").select(
+        "source",
+        "n_chars",
+        "fold_key",
+        (
+            (F.col("n_chars") != F.col("keep.n_chars"))
+            | (F.col("doc_id") != F.col("keep.doc_id"))
+        ).cast("long").alias("reclaim"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.countDistinct("fold_key").alias("collision_groups"),
+            F.count("*").alias("docs_involved"),
+            F.sum("reclaim").alias("docs_reclaimable"),
+            F.sum(F.col("n_chars") * F.col("reclaim")).alias(
+                "chars_reclaimable"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+CASE_FOLD_COLLISION_SQL = """
+WITH docs AS (
+  SELECT doc_id, source, n_chars,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS fold_key,
+         md5(text) AS raw_key
+  FROM documents
+),
+groups AS (
+  SELECT fold_key,
+         MIN(struct_pack(n_chars := n_chars, doc_id := doc_id)) AS keep
+  FROM docs GROUP BY fold_key
+  HAVING COUNT(*) >= 2 AND COUNT(DISTINCT raw_key) >= 2
+),
+per_doc AS (
+  SELECT d.source, d.n_chars, d.fold_key,
+         CASE WHEN d.n_chars <> g.keep.n_chars
+                   OR d.doc_id <> g.keep.doc_id
+              THEN 1 ELSE 0 END AS reclaim
+  FROM docs d JOIN groups g USING (fold_key)
+)
+SELECT source,
+       CAST(COUNT(DISTINCT fold_key) AS BIGINT) AS collision_groups,
+       CAST(COUNT(*) AS BIGINT) AS docs_involved,
+       CAST(SUM(reclaim) AS BIGINT) AS docs_reclaimable,
+       CAST(SUM(n_chars * reclaim) AS BIGINT) AS chars_reclaimable
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""

@@ -2484,3 +2484,112 @@ SELECT CAST(t AS BIGINT) AS tenure_months,
 FROM km WHERE rn > 0
 ORDER BY tenure_months
 """
+
+
+_SPA_TARGET = 128 * 1024 * 1024  # target shuffle/scan partition bytes
+_SPA_BROADCAST = 10 * 1024 * 1024  # autoBroadcastJoinThreshold default
+
+# stated per-row byte accounting per table: fixed 8 for 64-bit
+# numerics/timestamps, 4 for INT, octet_length + 4 for strings,
+# 4*len + 4 for float arrays — the in-memory row estimate a planner
+# works from, stated identically in both engines
+_SPA_TABLES = {
+    "lineitem": (
+        "8 + 8 + 8 + 4 + 8 + 8 + 8 + 8"
+        " + octet_length(l_returnflag) + 4 + octet_length(l_linestatus) + 4"
+        " + 8"
+    ),
+    "orders": (
+        "8 + 8 + octet_length(o_orderstatus) + 4 + 8 + 8"
+        " + octet_length(o_orderpriority) + 4"
+    ),
+    "events": (
+        "8 + 8 + 8 + octet_length(event_type) + 4 + 8"
+        " + octet_length(props) + 4"
+    ),
+    "documents": (
+        "8 + octet_length(text) + 4 + octet_length(lang) + 4"
+        " + octet_length(source) + 4 + 8"
+    ),
+    "embeddings": "8 + 4 * size(embedding) + 4 + 4",
+}
+
+
+def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B136 (round-8 addition): shuffle/scan partition sizing advisor
+    — the number every Spark job at 100 TB gets wrong first:
+    spark.sql.shuffle.partitions and files.maxPartitionBytes are set
+    per CLUSTER but should be sized per RELATION. For each fact
+    table: measured rows, the STATED per-row byte estimate summed
+    exactly (the accounting table above — strings by octet_length,
+    not an assumed average), the partition count that lands each
+    partition at the stated 128 MiB target (ceil division), rows per
+    partition at that setting, and whether the relation fits under
+    the stated 10 MiB broadcast threshold. B57/B58 profile VALUES
+    for the optimizer; this sizes the EXCHANGES — the knob the
+    plan-smell sweep and every repartition() call in this repo
+    depend on.
+
+    Plan: one column-pruned scan per table (5 parallel 1-row
+    aggregates unioned — dimension-bounded output, no joins, no
+    windows); everything integer, ceil via (b + M - 1) div M.
+    """
+    outs = []
+    for tname, width in _SPA_TABLES.items():
+        t = load_table(spark, sf_dir, tname)
+        outs.append(
+            t.agg(
+                F.count("*").alias("rows"),
+                F.sum(F.expr(width)).cast("long").alias("est_bytes"),
+            ).select(
+                F.lit(tname).alias("table_name"),
+                "rows",
+                "est_bytes",
+                F.expr(
+                    f"greatest(CAST(1 AS BIGINT),"
+                    f" (est_bytes + {_SPA_TARGET} - 1) div {_SPA_TARGET})"
+                ).alias("recommended_partitions"),
+                F.expr(
+                    f"rows div greatest(CAST(1 AS BIGINT),"
+                    f" (est_bytes + {_SPA_TARGET} - 1) div {_SPA_TARGET})"
+                ).alias("rows_per_partition"),
+                (F.col("est_bytes") <= _SPA_BROADCAST).cast("int").alias(
+                    "broadcast_ok"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("table_name")
+
+
+def _spa_sql() -> str:
+    parts = []
+    for tname, width in _SPA_TABLES.items():
+        width_sql = width.replace("size(embedding)", "len(embedding)")
+        width_sql = width_sql.replace("octet_length(", "strlen(")
+        parts.append(f"""
+  SELECT '{tname}' AS table_name,
+         CAST(COUNT(*) AS BIGINT) AS rows,
+         CAST(SUM({width_sql}) AS BIGINT) AS est_bytes
+  FROM {tname}""")
+    un = "\n  UNION ALL".join(parts)
+    return f"""
+WITH sized AS ({un}
+)
+SELECT table_name, rows, est_bytes,
+       GREATEST(CAST(1 AS BIGINT),
+                (est_bytes + {_SPA_TARGET} - 1) // {_SPA_TARGET})
+         AS recommended_partitions,
+       CAST(rows // GREATEST(CAST(1 AS BIGINT),
+                (est_bytes + {_SPA_TARGET} - 1) // {_SPA_TARGET}) AS BIGINT)
+         AS rows_per_partition,
+       CAST(CASE WHEN est_bytes <= {_SPA_BROADCAST} THEN 1 ELSE 0 END
+            AS INT) AS broadcast_ok
+FROM sized
+ORDER BY table_name
+"""
+
+
+SHUFFLE_PARTITION_SQL = _spa_sql()

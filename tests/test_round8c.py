@@ -990,3 +990,80 @@ class TestNetRevenueRetention:
             # revenue conservation: retained = prior - churn - contraction
             # + expansion
             assert ret == pc - chn - ctr + exp
+
+
+class TestShufflePartitionAdvisor:
+    def test_exact_byte_accounting(self, spark, sf_dir):
+        """B136: est_bytes matches a python replay of the stated
+        per-column width table, and the ceil-division settings
+        follow."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.stats import (
+            _SPA_BROADCAST,
+            _SPA_TARGET,
+            shuffle_partition_advisor,
+        )
+
+        got = {r["table_name"]: r
+               for r in shuffle_partition_advisor(spark, sf_dir).collect()}
+        assert set(got) == {
+            "lineitem", "orders", "events", "documents", "embeddings"
+        }
+        docs = load_table(spark, sf_dir, "documents").collect()
+        want_docs = sum(
+            8 + len(r["text"].encode()) + 4 + len(r["lang"].encode()) + 4
+            + len(r["source"].encode()) + 4 + 8
+            for r in docs
+        )
+        row = got["documents"]
+        assert row["rows"] == len(docs)
+        assert row["est_bytes"] == want_docs
+        parts = max(1, (want_docs + _SPA_TARGET - 1) // _SPA_TARGET)
+        assert row["recommended_partitions"] == parts
+        assert row["rows_per_partition"] == len(docs) // parts
+        assert row["broadcast_ok"] == int(want_docs <= _SPA_BROADCAST)
+        emb = load_table(spark, sf_dir, "embeddings").collect()
+        want_emb = sum(8 + 4 * len(r["embedding"]) + 4 + 4 for r in emb)
+        assert got["embeddings"]["est_bytes"] == want_emb
+
+
+class TestCaseFoldCollisionAudit:
+    def test_clean_corpus_zero(self, spark, sf_dir):
+        """C116: the sf corpus is already normalized — no collisions
+        (the audit proves the property)."""
+        from greenplum_cdc_spark.operators.dedup import (
+            case_fold_collision_audit,
+        )
+
+        assert case_fold_collision_audit(spark, sf_dir).collect() == []
+
+    def test_crafted_fold_semantics(self, spark, tmp_path):
+        """Case, punctuation runs, and whitespace fold together;
+        exact raw duplicates do NOT count (they are C1's territory);
+        the shortest (then lowest-id) doc is the kept canonical."""
+        from greenplum_cdc_spark.operators.dedup import (
+            case_fold_collision_audit,
+        )
+
+        docs = [
+            (1, "Hello, World!", "en", "a"),
+            (2, "hello world", "en", "a"),      # folds with 1 (canonical)
+            (3, "HELLO -- WORLD", "en", "b"),   # folds with 1, 2
+            (4, "same text", "en", "b"),
+            (5, "same text", "en", "b"),        # exact dup: excluded
+            (6, "unique here", "en", "b"),
+        ]
+        spark.createDataFrame(
+            [(i, t, lg, src, len(t)) for i, t, lg, src in docs],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        got = {r["source"]: r
+               for r in case_fold_collision_audit(spark, str(tmp_path)).collect()}
+        # group {1,2,3}: canonical = doc 2 (11 chars, shortest)
+        assert got["a"]["docs_involved"] == 2
+        assert got["a"]["docs_reclaimable"] == 1  # doc 1
+        assert got["a"]["chars_reclaimable"] == 13
+        assert got["b"]["docs_involved"] == 1  # doc 3 only
+        assert got["b"]["docs_reclaimable"] == 1
+        assert got["b"]["chars_reclaimable"] == 14

@@ -373,6 +373,8 @@ def _late_ops():
         "late_data_impact_audit": cdc_queries.late_data_impact_audit,
         "cdc_snapshot_chunked": cdc_queries.cdc_snapshot_chunked,
         "text_width_audit": _quality().text_width_audit,
+        "shuffle_partition_advisor": _stats().shuffle_partition_advisor,
+        "case_fold_collision_audit": dedup.case_fold_collision_audit,
         "wape_backtest": timeseries.wape_backtest,
         "net_revenue_retention": _tpch().net_revenue_retention,
         "stream_debezium_pipeline": __import__("greenplum_cdc_spark.streaming.pipeline", fromlist=["pipeline"]).stream_debezium_pipeline,
