@@ -3342,3 +3342,254 @@ FROM scored
 GROUP BY event_type, method
 ORDER BY event_type, method
 """
+
+
+# B137: first-order Markov removal-effect attribution.
+# Stated state indices: 0 = start, then the touch channels in sorted
+# order (1 = click, 2 = error, 3 = signup, 4 = view); 5 = conversion
+# (purchase), 6 = null (journey ends unconverted). Probabilities in
+# integer ppb; _MK_ITERS fixed-point steps (geometric convergence —
+# spectral radius < 1 for any chain with an exit path).
+_MK_CHANNELS = ("click", "error", "signup", "view")
+_MK_ITERS = 60
+_MK_SCALE = 1_000_000_000
+
+
+def _mk_fold(drop: int | None) -> str:
+    """SQL fold: fixed-point p-vector over the collapsed 5x7 count
+    matrix `mm` with per-from totals `tt`; contributions into channel
+    `drop` are redirected to null (the removal-effect chain)."""
+    drop_clause = f" AND e.ti != {drop}" if drop is not None else ""
+    chan = (
+        f"aggregate(filter(mm, e -> e.fi = s AND e.ti <= 4{drop_clause}),"
+        " CAST(0 AS BIGINT), (a, e) -> a + e.cnt * element_at(p, e.ti + 1))"
+    )
+    conv = (
+        "aggregate(filter(mm, e -> e.fi = s AND e.ti = 5),"
+        f" CAST(0 AS BIGINT), (a, e) -> a + e.cnt * CAST({_MK_SCALE} AS BIGINT))"
+    )
+    return (
+        f"aggregate(sequence(1, {_MK_ITERS}),"
+        " array_repeat(CAST(0 AS BIGINT), 5),"
+        " (p, it) -> transform(sequence(0, 4), s ->"
+        " CASE WHEN element_at(tt, s + 1) = 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE ({chan} + {conv}) div element_at(tt, s + 1) END))"
+    )
+
+
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B137 (round-8 addition): Markov removal-effect attribution
+    (Anderl et al. 2014) — the data-driven multi-touch model that
+    replaced last-touch in every serious marketing stack, and the one
+    B48's rule-based attribution_model explicitly is not: build the
+    first-order journey chain (start -> touch channels -> purchase /
+    null, journeys truncated at the FIRST purchase, stated), then for
+    each channel ask what fraction of conversions DIES if the channel
+    is removed (transitions into it redirected to null). Channel
+    credit = its removal effect normalized over all channels — a
+    causal-flavored answer no positional rule gives.
+
+    Exactness: transition counts are exact BIGINTs; conversion
+    probabilities are integer ppb via a {it}-step fixed-point fold
+    p(s) = (sum cnt[s,t]*p(t) + cnt[s,conv]*SCALE) div total[s] —
+    floor each step, geometric convergence, the SAME recurrence
+    stated in both engines (Spark: ONE aggregate lambda over the
+    collapsed 5x7 count matrix — the B129/B118 bounded-codebook
+    idiom; DuckDB: a RECURSIVE CTE over iterations carrying the
+    p-list). No doubles anywhere.
+
+    Plan: one user-partitioned sort window builds transitions
+    (lag + first-purchase truncation + terminal-null rows — O(1)/row),
+    one bounded (from, to) rollup (<= 35 cells at ANY corpus size),
+    then five folds (full chain + one per removal) on the 1-row
+    matrix. Output |channels| rows.
+    """.format(it=_MK_ITERS)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.col("event_id").alias("seq"),
+        F.col("event_type").alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "seq")
+    wp = Window.partitionBy("user_id")
+    seqd = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "fp",
+            F.min(F.when(F.col("t") == "purchase", F.col("rn"))).over(wp),
+        )
+        .withColumn("mx", F.max("rn").over(wp))
+        .filter(F.col("rn") <= F.coalesce("fp", "mx"))
+        .withColumn("prev", F.coalesce(F.lag("t").over(w), F.lit("start")))
+    )
+    chan_idx = "CASE {c} WHEN 'click' THEN 1 WHEN 'error' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4 END"
+    steps = seqd.select(
+        F.expr(
+            "CASE WHEN prev = 'start' THEN 0 ELSE "
+            + chan_idx.format(c="prev")
+            + " END"
+        ).alias("fi"),
+        F.expr(
+            "CASE WHEN t = 'purchase' THEN 5 ELSE "
+            + chan_idx.format(c="t")
+            + " END"
+        ).alias("ti"),
+    )
+    terminal = seqd.filter(
+        (F.col("rn") == F.col("mx")) & F.col("fp").isNull()
+    ).select(
+        F.expr(chan_idx.format(c="t")).alias("fi"),
+        F.lit(6).alias("ti"),
+    )
+    counts = (
+        steps.unionByName(terminal)
+        .groupBy("fi", "ti")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    folded = counts.agg(
+        F.expr(
+            "collect_list(named_struct('fi', fi, 'ti', ti, 'cnt', cnt))"
+        ).alias("mm")
+    ).withColumn(
+        "tt",
+        F.expr(
+            "transform(sequence(0, 4), s -> aggregate("
+            "filter(mm, e -> e.fi = s), CAST(0 AS BIGINT),"
+            " (a, e) -> a + e.cnt))"
+        ),
+    ).withColumn("p_full", F.expr(_mk_fold(None)))
+    for c in range(1, 5):
+        folded = folded.withColumn(f"p_rm{c}", F.expr(_mk_fold(c)))
+    out_rows = ", ".join(
+        f"named_struct('channel', '{name}', 'p_removed_ppb',"
+        f" element_at(p_rm{i}, 1))"
+        for i, name in enumerate(_MK_CHANNELS, start=1)
+    )
+    effects = folded.select(
+        F.element_at("p_full", 1).alias("p_full_ppb"),
+        F.explode(F.expr(f"array({out_rows})")).alias("r"),
+    ).select(
+        F.col("r.channel").alias("channel"),
+        "p_full_ppb",
+        F.col("r.p_removed_ppb").alias("p_removed_ppb"),
+        (F.col("p_full_ppb") - F.col("r.p_removed_ppb")).alias(
+            "removal_effect_ppb"
+        ),
+    )
+    total = effects.agg(
+        F.sum("removal_effect_ppb").alias("sum_eff")
+    )
+    return (
+        effects.crossJoin(F.broadcast(total))
+        .select(
+            "channel",
+            "p_full_ppb",
+            "p_removed_ppb",
+            "removal_effect_ppb",
+            F.expr(
+                "CASE WHEN sum_eff > 0 THEN removal_effect_ppb * 10000"
+                " div sum_eff END"
+            ).alias("attribution_bp"),
+        )
+        .orderBy("channel")
+    )
+
+
+def _mk_fold_sql(drop: int | None) -> str:
+    drop_clause = f" AND e.ti != {drop}" if drop is not None else ""
+    return f"""
+  SELECT k + 1 AS k,
+    list_transform(range(5), s ->
+      CASE WHEN tt[s + 1] = 0 THEN CAST(0 AS BIGINT) ELSE
+        (COALESCE(list_sum(list_transform(
+            list_filter(mm, e -> e.fi = s AND e.ti <= 4{drop_clause}),
+            e -> e.cnt * p[e.ti + 1])), 0)
+         + COALESCE(list_sum(list_transform(
+            list_filter(mm, e -> e.fi = s AND e.ti = 5),
+            e -> e.cnt * CAST({_MK_SCALE} AS BIGINT))), 0)) // tt[s + 1]
+      END) AS p"""
+
+
+def _markov_attribution_sql() -> str:
+    chan_idx = ("CASE {c} WHEN 'click' THEN 1 WHEN 'error' THEN 2"
+                " WHEN 'signup' THEN 3 WHEN 'view' THEN 4 END")
+    variants = []
+    for v, drop in (("full", None), ("rm1", 1), ("rm2", 2), ("rm3", 3),
+                    ("rm4", 4)):
+        variants.append(f"""
+it_{v} AS (
+  SELECT 0 AS k, [CAST(0 AS BIGINT), 0, 0, 0, 0] AS p FROM m
+  UNION ALL
+  {_mk_fold_sql(drop).strip()}
+  FROM it_{v}, m, tot WHERE k < {_MK_ITERS}
+),
+p_{v} AS (SELECT p[1] AS p0 FROM it_{v} WHERE k = {_MK_ITERS})""")
+    chans = ", ".join(
+        f"({i}, '{name}')" for i, name in enumerate(_MK_CHANNELS, start=1)
+    )
+    return f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id AS seq, event_type AS t
+  FROM events
+),
+rnd AS (
+  SELECT *, ROW_NUMBER() OVER w AS rn,
+         COALESCE(LAG(t) OVER w, 'start') AS prev
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, seq)
+),
+seqd AS (
+  SELECT *,
+         MIN(CASE WHEN t = 'purchase' THEN rn END)
+           OVER (PARTITION BY user_id) AS fp,
+         MAX(rn) OVER (PARTITION BY user_id) AS mx
+  FROM rnd
+),
+kept AS (SELECT * FROM seqd WHERE rn <= COALESCE(fp, mx)),
+steps AS (
+  SELECT CASE WHEN prev = 'start' THEN 0
+              ELSE {chan_idx.format(c='prev')} END AS fi,
+         CASE WHEN t = 'purchase' THEN 5
+              ELSE {chan_idx.format(c='t')} END AS ti
+  FROM kept
+  UNION ALL
+  SELECT {chan_idx.format(c='t')} AS fi, 6 AS ti
+  FROM kept WHERE rn = mx AND fp IS NULL
+),
+counts AS (
+  SELECT fi, ti, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM steps GROUP BY fi, ti
+),
+m AS (
+  SELECT list(struct_pack(fi := fi, ti := ti, cnt := cnt)) AS mm
+  FROM counts
+),
+tot AS (
+  SELECT list_transform(range(5), s ->
+      COALESCE(list_sum(list_transform(
+        list_filter(mm, e -> e.fi = s), e -> e.cnt)), 0)) AS tt
+  FROM m
+),{",".join(variants)},
+chans(ci, channel) AS (VALUES {chans}),
+eff AS (
+  SELECT c.channel,
+         CAST((SELECT p0 FROM p_full) AS BIGINT) AS p_full_ppb,
+         CAST(CASE c.ci WHEN 1 THEN (SELECT p0 FROM p_rm1)
+                        WHEN 2 THEN (SELECT p0 FROM p_rm2)
+                        WHEN 3 THEN (SELECT p0 FROM p_rm3)
+                        ELSE (SELECT p0 FROM p_rm4) END AS BIGINT)
+           AS p_removed_ppb
+  FROM chans c
+)
+SELECT channel, p_full_ppb, p_removed_ppb,
+       CAST(p_full_ppb - p_removed_ppb AS BIGINT) AS removal_effect_ppb,
+       CAST(CASE WHEN (SELECT SUM(p_full_ppb - p_removed_ppb) FROM eff) > 0
+            THEN (p_full_ppb - p_removed_ppb) * 10000
+                 // (SELECT SUM(p_full_ppb - p_removed_ppb) FROM eff)
+            END AS BIGINT) AS attribution_bp
+FROM eff
+ORDER BY channel
+"""
+
+
+MARKOV_ATTRIBUTION_SQL = _markov_attribution_sql()

@@ -1067,3 +1067,127 @@ class TestCaseFoldCollisionAudit:
         assert got["b"]["docs_involved"] == 1  # doc 3 only
         assert got["b"]["docs_reclaimable"] == 1
         assert got["b"]["chars_reclaimable"] == 14
+
+
+class TestMarkovAttribution:
+    @staticmethod
+    def _replay(journeys, iters=60, scale=10**9):
+        """Independent python model: journeys are lists of channel
+        indices ending implicitly in conv (True) or null (False)."""
+        counts = {}
+        for path, conv in journeys:
+            prev = 0
+            for c in path:
+                counts[(prev, c)] = counts.get((prev, c), 0) + 1
+                prev = c
+            end = 5 if conv else 6
+            counts[(prev, end)] = counts.get((prev, end), 0) + 1
+        tot = {}
+        for (f, t), c in counts.items():
+            tot[f] = tot.get(f, 0) + c
+
+        def solve(drop=None):
+            p = [0] * 5
+            for _ in range(iters):
+                p = [
+                    (
+                        sum(
+                            counts.get((s, t), 0) * p[t]
+                            for t in range(1, 5)
+                            if t != drop
+                        )
+                        + counts.get((s, 5), 0) * scale
+                    ) // tot[s]
+                    if tot.get(s, 0)
+                    else 0
+                    for s in range(5)
+                ]
+            return p
+
+        return counts, solve
+
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B137: chain counts, fixed point, removal effects, and
+        shares all match an independent python replay of the stated
+        journey model."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.timeseries import (
+            _MK_CHANNELS,
+            markov_attribution,
+        )
+
+        ev = load_table(spark, sf_dir, "events").collect()
+        by_user = {}
+        for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+            by_user.setdefault(r["user_id"], []).append(r["event_type"])
+        idx = {n: i for i, n in enumerate(_MK_CHANNELS, start=1)}
+        journeys = []
+        for types in by_user.values():
+            path, conv = [], False
+            for t in types:
+                if t == "purchase":
+                    conv = True
+                    break
+                path.append(idx[t])
+            journeys.append((path, conv))
+        _, solve = self._replay(journeys)
+        p_full = solve()
+        got = {r["channel"]: r
+               for r in markov_attribution(spark, sf_dir).collect()}
+        assert set(got) == set(_MK_CHANNELS)
+        effects = {}
+        for name, i in idx.items():
+            p_rm = solve(drop=i)
+            row = got[name]
+            assert row["p_full_ppb"] == p_full[0]
+            assert row["p_removed_ppb"] == p_rm[0]
+            effects[name] = p_full[0] - p_rm[0]
+        s_eff = sum(effects.values())
+        for name, eff in effects.items():
+            assert got[name]["removal_effect_ppb"] == eff
+            if s_eff > 0:
+                assert got[name]["attribution_bp"] == eff * 10000 // s_eff
+        # every conversion is reachable only through channels: shares
+        # sum to ~10000 (floor slack < n_channels)
+        if s_eff > 0:
+            tot_bp = sum(got[n]["attribution_bp"] for n in _MK_CHANNELS)
+            assert 10000 - len(_MK_CHANNELS) < tot_bp <= 10000
+
+    def test_crafted_closed_form(self, spark, tmp_path):
+        """A hand-built chain with a closed-form answer: all paths run
+        start -> click -> (60% purchase / 40% view -> null). Removing
+        click kills ALL conversions; removing view kills none."""
+        import datetime
+
+        from greenplum_cdc_spark.operators.timeseries import (
+            markov_attribution,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+        rows, eid = [], 0
+
+        def add(user, *types):
+            nonlocal eid
+            for i, t in enumerate(types):
+                rows.append(
+                    (eid, base + datetime.timedelta(minutes=eid), user, t,
+                     1.0, "{}")
+                )
+                eid += 1
+
+        for u in range(6):
+            add(u, "click", "purchase")
+        for u in range(6, 10):
+            add(u, "click", "view")
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = {r["channel"]: r
+               for r in markov_attribution(spark, str(tmp_path)).collect()}
+        assert got["click"]["p_full_ppb"] == 600_000_000
+        assert got["click"]["p_removed_ppb"] == 0
+        assert got["view"]["p_removed_ppb"] == 600_000_000
+        assert got["click"]["attribution_bp"] == 10000
+        assert got["view"]["attribution_bp"] == 0

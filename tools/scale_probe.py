@@ -375,6 +375,7 @@ def _late_ops():
         "text_width_audit": _quality().text_width_audit,
         "shuffle_partition_advisor": _stats().shuffle_partition_advisor,
         "case_fold_collision_audit": dedup.case_fold_collision_audit,
+        "markov_attribution": timeseries.markov_attribution,
         "wape_backtest": timeseries.wape_backtest,
         "net_revenue_retention": _tpch().net_revenue_retention,
         "stream_debezium_pipeline": __import__("greenplum_cdc_spark.streaming.pipeline", fromlist=["pipeline"]).stream_debezium_pipeline,
