@@ -3593,3 +3593,153 @@ ORDER BY channel
 
 
 MARKOV_ATTRIBUTION_SQL = _markov_attribution_sql()
+
+
+def max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B138 (round-8 addition): maximum drawdown of the cumulative
+    per-type daily revenue series — the risk metric (finance: the
+    worst peak-to-trough loss; ops: the deepest cumulative shortfall
+    vs the best day's running position) that no pointwise anomaly
+    screen (B21/B61/B128) reports because it is a property of the
+    RUNNING series: dd(t) = peak(t) - cum(t), where peak is the
+    running maximum of the cumulative sum. Emits per type the peak
+    day, the trough day realizing the maximum drawdown, its exact
+    depth in cents and in bp of the peak, plus the recovery day (the
+    first later day the series regains the old peak, NULL if never —
+    the "underwater period" every drawdown report shows).
+
+    Exactness: cents are exact BIGINTs; cum/peak are running frames
+    over the per-type CALENDAR-BOUNDED daily rollup (the B123
+    argument: the series stays 10^3-10^4 rows at any corpus size and
+    is partitioned by type — the allowed running-frame class); the
+    max-drawdown row is a ceil-rank-free argmax with the stated
+    unique tiebreak (earliest trough); recovery via the SAME sorted
+    partition re-scanned with one more running max from the trough
+    side — three windows total, one sort shuffle. Floor-div bp.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    run = (
+        daily.withColumn(
+            "cum",
+            F.sum("cents").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "peak",
+            F.max("cum").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("dd", F.col("peak") - F.col("cum"))
+    )
+    # the trough realizing the max drawdown (earliest on ties), and
+    # the peak day that preceded it (last day where cum == peak at or
+    # before the trough)
+    wt = Window.partitionBy("event_type").orderBy(
+        F.desc("dd"), F.asc("day")
+    )
+    trough = run.withColumn("rn", F.row_number().over(wt)).filter(
+        F.col("rn") == 1
+    ).select(
+        "event_type",
+        F.col("day").alias("trough_day"),
+        F.col("peak").alias("peak_cum_cents"),
+        F.col("cum").alias("trough_cum_cents"),
+        F.col("dd").alias("max_drawdown_cents"),
+    )
+    joined = run.join(trough, "event_type")
+    peak_day = (
+        joined.filter(
+            (F.col("day") <= F.col("trough_day"))
+            & (F.col("cum") == F.col("peak_cum_cents"))
+        )
+        .groupBy("event_type")
+        .agg(F.max("day").alias("peak_day"))
+    )
+    recovery = (
+        joined.filter(
+            (F.col("day") > F.col("trough_day"))
+            & (F.col("cum") >= F.col("peak_cum_cents"))
+        )
+        .groupBy("event_type")
+        .agg(F.min("day").alias("recovery_day"))
+    )
+    return (
+        trough.join(peak_day, "event_type", "left")
+        .join(recovery, "event_type", "left")
+        .select(
+            "event_type",
+            "peak_day",
+            "trough_day",
+            "recovery_day",
+            "peak_cum_cents",
+            "trough_cum_cents",
+            "max_drawdown_cents",
+            F.expr(
+                "CASE WHEN peak_cum_cents > 0 THEN max_drawdown_cents"
+                " * 10000 div peak_cum_cents END"
+            ).alias("drawdown_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MAX_DRAWDOWN_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         SUM(CAST(floor(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+cums AS (
+  SELECT event_type, day, cents,
+         SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM daily
+),
+run AS (
+  SELECT *, MAX(cum) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM cums
+),
+dded AS (SELECT *, peak - cum AS dd FROM run),
+trough AS (
+  SELECT * FROM (
+    SELECT event_type, day AS trough_day, peak AS peak_cum_cents,
+           cum AS trough_cum_cents, dd AS max_drawdown_cents,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY dd DESC, day ASC) AS rn
+    FROM dded) t WHERE rn = 1
+),
+peak_day AS (
+  SELECT d.event_type, MAX(d.day) AS peak_day
+  FROM dded d JOIN trough t ON t.event_type = d.event_type
+  WHERE d.day <= t.trough_day AND d.cum = t.peak_cum_cents
+  GROUP BY d.event_type
+),
+recovery AS (
+  SELECT d.event_type, MIN(d.day) AS recovery_day
+  FROM dded d JOIN trough t ON t.event_type = d.event_type
+  WHERE d.day > t.trough_day AND d.cum >= t.peak_cum_cents
+  GROUP BY d.event_type
+)
+SELECT t.event_type, p.peak_day, t.trough_day, r.recovery_day,
+       CAST(t.peak_cum_cents AS BIGINT) AS peak_cum_cents,
+       CAST(t.trough_cum_cents AS BIGINT) AS trough_cum_cents,
+       CAST(t.max_drawdown_cents AS BIGINT) AS max_drawdown_cents,
+       CAST(CASE WHEN t.peak_cum_cents > 0
+            THEN t.max_drawdown_cents * 10000 // t.peak_cum_cents END
+            AS BIGINT) AS drawdown_bp
+FROM trough t
+LEFT JOIN peak_day p ON p.event_type = t.event_type
+LEFT JOIN recovery r ON r.event_type = t.event_type
+ORDER BY t.event_type
+"""

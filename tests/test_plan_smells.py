@@ -79,6 +79,7 @@ _BNLJ_OK = {
     "kmeans_embeddings",  # K-row centroid table per Lloyd round
     "semantic_dedup",  # 8-row coarse-quantizer broadcast (assignment pass)
     "knn_cosine_bruteforce",  # broadcast query set, != condition
+    "mmr_diverse_topk",  # broadcast 4-row probe set, != condition (C6 shape)
     "knn_ivf",  # broadcast query set within cells
     "dedup_embedding",  # mapInPandas over broadcast matrix
     "salted_hot_key_rollup",  # scalar broadcast

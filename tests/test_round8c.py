@@ -1191,3 +1191,89 @@ class TestMarkovAttribution:
         assert got["view"]["p_removed_ppb"] == 600_000_000
         assert got["click"]["attribution_bp"] == 10000
         assert got["view"]["attribution_bp"] == 0
+
+
+class TestMaxDrawdown:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B138: peak/trough/recovery and depth match a sequential
+        python replay of the running series."""
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.timeseries import max_drawdown
+
+        daily = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+            .agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("c"))
+            .collect()
+        )
+        series = {}
+        for r in daily:
+            series.setdefault(r["event_type"], []).append((r["day"], r["c"]))
+        got = {r["event_type"]: r for r in max_drawdown(spark, sf_dir).collect()}
+        for et, pts in series.items():
+            pts.sort()
+            cum = peak = 0
+            best = (-1, None)  # (dd, trough_day) earliest-trough argmax
+            hist = []
+            for day, c in pts:
+                cum += c
+                peak = max(peak, cum)
+                hist.append((day, cum, peak))
+                dd = peak - cum
+                if dd > best[0]:
+                    best = (dd, day)
+            dd, trough_day = best
+            row = got[et]
+            assert row["trough_day"] == trough_day
+            assert row["max_drawdown_cents"] == dd
+            t_peak = next(p for d, c, p in hist if d == trough_day)
+            assert row["peak_cum_cents"] == t_peak
+            pk_day = max(d for d, c, p in hist if d <= trough_day and c == t_peak)
+            assert row["peak_day"] == pk_day
+            rec = [d for d, c, p in hist if d > trough_day and c >= t_peak]
+            assert row["recovery_day"] == (min(rec) if rec else None)
+            assert row["drawdown_bp"] == (
+                dd * 10000 // t_peak if t_peak > 0 else None
+            )
+
+    def test_crafted_underwater_period(self, spark, tmp_path):
+        """A series that dips 30% then recovers: exact depth, peak,
+        trough and recovery days; a never-recovering series reports
+        NULL recovery."""
+        import datetime
+
+        from greenplum_cdc_spark.operators.timeseries import max_drawdown
+
+        base = datetime.datetime(2024, 1, 1)
+        rows, eid = [], 0
+
+        def add(tag, vals):
+            nonlocal eid
+            for d, v in enumerate(vals):
+                rows.append(
+                    (eid, base + datetime.timedelta(days=d), 1, tag,
+                     float(v), "{}")
+                )
+                eid += 1
+
+        # cumulative: 100, 200, 170, 140, 210 -> dd 60 at day 4 (idx 3)
+        add("recovers", [100, 100, -30, -30, 70])
+        # cumulative: 100, 40 -> dd 60, never back
+        add("sinks", [100, -60])
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = {r["event_type"]: r
+               for r in max_drawdown(spark, str(tmp_path)).collect()}
+        r1 = got["recovers"]
+        assert r1["max_drawdown_cents"] == 6000
+        assert r1["peak_day"].day == 2 and r1["trough_day"].day == 4
+        assert r1["recovery_day"].day == 5
+        assert r1["drawdown_bp"] == 6000 * 10000 // 20000
+        r2 = got["sinks"]
+        assert r2["max_drawdown_cents"] == 6000
+        assert r2["recovery_day"] is None

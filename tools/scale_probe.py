@@ -376,6 +376,7 @@ def _late_ops():
         "shuffle_partition_advisor": _stats().shuffle_partition_advisor,
         "case_fold_collision_audit": dedup.case_fold_collision_audit,
         "markov_attribution": timeseries.markov_attribution,
+        "max_drawdown": timeseries.max_drawdown,
         "wape_backtest": timeseries.wape_backtest,
         "net_revenue_retention": _tpch().net_revenue_retention,
         "stream_debezium_pipeline": __import__("greenplum_cdc_spark.streaming.pipeline", fromlist=["pipeline"]).stream_debezium_pipeline,
