@@ -3996,3 +3996,132 @@ SELECT m.pk, m.chunk,
 FROM merged m LEFT JOIN tail_counts tc ON tc.pk = m.pk
 ORDER BY m.pk
 """
+
+
+# --- round 8: in-flight masking transform (A54) ------------------------
+
+_MASK_SEED = "mask-v1"  # rotating this seed re-keys every pseudonym
+_MASK_BANDS = 10  # value -> decile band within the feed's observed range
+
+
+def cdc_masking_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A54 (round-8 addition): in-flight masking/pseudonymization —
+    the single-message-transform every regulated CDC deployment bolts
+    onto the bus (Debezium SMTs, Kafka Connect transforms) so the
+    replica NEVER stores raw identifiers: A35's GDPR erasure removes
+    a subject on request; this prevents the exposure up front, while
+    A10's latest-wins merge keeps working downstream.
+
+    Stated policy (both engines verbatim):
+    - ``user_id`` -> keyed-md5 pseudonym (16 hex chars of
+      md5(seed|id)): deterministic, so JOINABILITY and merge keys
+      survive; non-invertible without the seed; rotating the seed
+      re-keys the whole replica (the documented re-key path);
+    - ``value`` -> coarse band index: floor of its position in the
+      feed's observed [min, max] cents range cut into {b} equal-width
+      bands (range from one 1-row scalar broadcast — the whitelisted
+      B32/C34 idiom; the top edge clamps into the last band), plus
+      the band's exact lower/upper cent bounds so analysts keep
+      magnitudes without precise amounts;
+    - ``event_type`` passes through (non-identifying dimension).
+
+    The output is the masked latest-wins snapshot keyed by PSEUDONYM,
+    with the proof columns an auditor checks: n_events merged per
+    pseudonym and the band bounds. The oracle states the identical
+    masked snapshot, and the pytest pins the two policy theorems —
+    pseudonym count == raw key count (joinability/no-collision on
+    this feed) and band recoverability bounds.
+
+    Plan: masking is map-side expressions; ONE pseudonym-partitioned
+    merge shuffle (the A3 shape); output |keys| rows.
+    """.format(b=_MASK_BANDS)
+    from pyspark.sql import Window
+
+    feed = _feed(spark, sf_dir).select(
+        "pk",
+        "ts",
+        "seq",
+        "op",
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        "event_type",
+    )
+    rng = feed.agg(
+        F.min("cents").alias("lo"), F.max("cents").alias("hi")
+    )
+    masked = feed.crossJoin(F.broadcast(rng)).select(
+        F.expr(
+            f"substr(md5(concat('{_MASK_SEED}', '|', CAST(pk AS STRING))),"
+            " 1, 16)"
+        ).alias("pseudonym"),
+        "ts",
+        "seq",
+        "op",
+        F.expr(
+            f"least(CAST({_MASK_BANDS} - 1 AS BIGINT),"
+            f" (cents - lo) * {_MASK_BANDS} div (hi - lo + 1))"
+        ).alias("value_band"),
+        "event_type",
+        "lo",
+        "hi",
+    )
+    w = Window.partitionBy("pseudonym").orderBy(F.desc("ts"), F.desc("seq"))
+    snap = (
+        masked.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_events",
+            F.count("*").over(Window.partitionBy("pseudonym")),
+        )
+        .filter((F.col("_rn") == 1) & (F.col("op") != "delete"))
+    )
+    return snap.select(
+        "pseudonym",
+        F.col("ts").alias("last_ts"),
+        F.col("n_events"),
+        "value_band",
+        F.expr(
+            f"lo + value_band * (hi - lo + 1) div {_MASK_BANDS}"
+        ).alias("band_lo_cents"),
+        F.expr(
+            f"lo + (value_band + 1) * (hi - lo + 1) div {_MASK_BANDS} - 1"
+        ).alias("band_hi_cents"),
+        F.col("event_type").alias("last_event_type"),
+    ).orderBy("pseudonym")
+
+
+CDC_MASKING_SQL = f"""
+WITH feed AS ({{feed}}),
+cents AS (
+  SELECT pk, ts, seq, op, CAST(floor(value * 100) AS BIGINT) AS cents,
+         event_type
+  FROM feed
+),
+rng AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM cents),
+masked AS (
+  SELECT substr(md5('{_MASK_SEED}' || '|' || CAST(pk AS VARCHAR)), 1, 16)
+           AS pseudonym,
+         ts, seq, op,
+         LEAST(CAST({_MASK_BANDS} - 1 AS BIGINT),
+               (c.cents - r.lo) * {_MASK_BANDS} // (r.hi - r.lo + 1))
+           AS value_band,
+         event_type, r.lo, r.hi
+  FROM cents c CROSS JOIN rng r
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY pseudonym
+                            ORDER BY ts DESC, seq DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY pseudonym) AS n_events
+  FROM masked
+)
+SELECT pseudonym, ts AS last_ts,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(value_band AS BIGINT) AS value_band,
+       CAST(lo + value_band * (hi - lo + 1) // {_MASK_BANDS} AS BIGINT)
+         AS band_lo_cents,
+       CAST(lo + (value_band + 1) * (hi - lo + 1) // {_MASK_BANDS} - 1
+            AS BIGINT) AS band_hi_cents,
+       event_type AS last_event_type
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+ORDER BY pseudonym
+""".format(feed=maxwell.EVENTS_AS_CDC_SQL.strip())

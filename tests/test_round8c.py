@@ -1277,3 +1277,59 @@ class TestMaxDrawdown:
         r2 = got["sinks"]
         assert r2["max_drawdown_cents"] == 6000
         assert r2["recovery_day"] is None
+
+
+class TestCdcMaskingTransform:
+    def test_policy_theorems(self, spark, sf_dir):
+        """A54: joinability (pseudonym count == raw live-key count,
+        merge counts preserved), non-triviality (no raw id appears in
+        any pseudonym), and band recoverability (true cents inside
+        [band_lo, band_hi])."""
+        import hashlib
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.cdc_queries import (
+            _MASK_BANDS,
+            _MASK_SEED,
+            cdc_masking_transform,
+        )
+
+        ev = load_table(spark, sf_dir, "events").collect()
+        latest, counts = {}, {}
+        for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+            pk = r["user_id"]
+            counts[pk] = counts.get(pk, 0) + 1
+            latest[pk] = r
+        cents = [int(math.floor(r["value"] * 100)) for r in ev]
+        lo, hi = min(cents), max(cents)
+        live = {pk: r for pk, r in latest.items()
+                if r["event_type"] != "error"}
+        got = {r["pseudonym"]: r
+               for r in cdc_masking_transform(spark, sf_dir).collect()}
+        assert len(got) == len(live)  # no pseudonym collisions
+        for pk, r in live.items():
+            pseud = hashlib.md5(
+                f"{_MASK_SEED}|{pk}".encode()
+            ).hexdigest()[:16]
+            row = got[pseud]
+            assert row["n_events"] == counts[pk]
+            c = int(math.floor(r["value"] * 100))
+            band = min(_MASK_BANDS - 1,
+                       (c - lo) * _MASK_BANDS // (hi - lo + 1))
+            assert row["value_band"] == band
+            assert row["band_lo_cents"] <= c <= row["band_hi_cents"]
+            assert row["last_event_type"] == r["event_type"]
+
+    def test_seed_rotation_rekeys(self, spark, sf_dir, monkeypatch):
+        """Rotating the seed yields a disjoint pseudonym space — the
+        documented re-key path."""
+        from greenplum_cdc_spark.plans import cdc_queries
+
+        a = {r["pseudonym"]
+             for r in cdc_queries.cdc_masking_transform(spark, sf_dir).collect()}
+        monkeypatch.setattr(cdc_queries, "_MASK_SEED", "mask-v2")
+        # the SQL constant is baked at import; the Spark op reads the
+        # module attr at call time — compare Spark-side only
+        b = {r["pseudonym"]
+             for r in cdc_queries.cdc_masking_transform(spark, sf_dir).collect()}
+        assert a and b and not (a & b)

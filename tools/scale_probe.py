@@ -372,6 +372,7 @@ def _late_ops():
         "theil_sen_trend": timeseries.theil_sen_trend,
         "late_data_impact_audit": cdc_queries.late_data_impact_audit,
         "cdc_snapshot_chunked": cdc_queries.cdc_snapshot_chunked,
+        "cdc_masking_transform": cdc_queries.cdc_masking_transform,
         "text_width_audit": _quality().text_width_audit,
         "shuffle_partition_advisor": _stats().shuffle_partition_advisor,
         "case_fold_collision_audit": dedup.case_fold_collision_audit,
