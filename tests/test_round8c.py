@@ -1333,3 +1333,87 @@ class TestCdcMaskingTransform:
         b = {r["pseudonym"]
              for r in cdc_queries.cdc_masking_transform(spark, sf_dir).collect()}
         assert a and b and not (a & b)
+
+
+class TestKcoreDecomposition:
+    def test_exact_python_fixpoint(self, spark, sf_dir):
+        """C117: the core set, both degree columns, and the adaptive k
+        match an independent python peeling to fixpoint."""
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.tpch import (
+            _KCORE_MIN_SUP,
+            kcore_decomposition,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        ).distinct().collect()
+        baskets = {}
+        for r in li:
+            baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+        sup = {}
+        for parts in baskets.values():
+            ps = sorted(parts)
+            for i, a in enumerate(ps):
+                for b in ps[i + 1:]:
+                    sup[(a, b)] = sup.get((a, b), 0) + 1
+        adj = {}
+        for (a, b), c in sup.items():
+            if c >= _KCORE_MIN_SUP:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        degs = sorted(len(v) for v in adj.values())
+        n = len(degs)
+        med = degs[(n + 1) // 2 - 1]
+        k = max(2, med // 2)
+        alive = set(adj)
+        while True:
+            nxt = {u for u in alive
+                   if sum(1 for v in adj[u] if v in alive) >= k}
+            if nxt == alive:
+                break
+            alive = nxt
+        got = {r["part_id"]: r
+               for r in kcore_decomposition(spark, sf_dir).collect()}
+        assert set(got) == alive
+        for u in alive:
+            assert got[u]["k"] == k
+            assert got[u]["initial_degree"] == len(adj[u])
+            assert got[u]["core_degree"] == sum(
+                1 for v in adj[u] if v in alive
+            )
+            assert got[u]["core_degree"] >= k  # the defining property
+        # non-vacuity on this corpus: peeling removed SOMETHING
+        assert alive and len(alive) < n
+
+    def test_crafted_pendant_peeling(self, spark, tmp_path):
+        """A triangle with a pendant chain: the 2-core is exactly the
+        triangle; the chain peels over multiple rounds (the
+        synchronous-peeling semantics, not a single degree filter)."""
+        from greenplum_cdc_spark.plans.tpch import kcore_decomposition
+
+        # baskets encode edges with support 2 (each edge = 2 orders)
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+        rows = []
+        ok = 0
+        for a, b in edges:
+            for _ in range(2):
+                ok += 1
+                rows.append((ok, a, 1, 1.0))
+                rows.append((ok, b, 2, 1.0))
+        spark.createDataFrame(
+            [(o, p, ln, q, 100.0, 0.0, 0.0, "N", "O",
+              __import__("datetime").datetime(2024, 1, 1))
+             for o, p, ln, q in rows],
+            "l_orderkey long, l_partkey long, l_linenumber int,"
+            " l_quantity double, l_extendedprice double, l_discount double,"
+            " l_tax double, l_returnflag string, l_linestatus string,"
+            " l_shipdate timestamp",
+        ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+        got = {r["part_id"]: r
+               for r in kcore_decomposition(spark, str(tmp_path)).collect()}
+        # degrees: 1:2, 2:2, 3:3, 4:2, 5:2, 6:1 -> median 2, k = max(2,1) = 2
+        # 2-core: chain 6-5-4 peels end-in (3 rounds); triangle survives
+        assert set(got) == {1, 2, 3}
+        assert all(r["core_degree"] == 2 for r in got.values())
+        assert got[3]["initial_degree"] == 3

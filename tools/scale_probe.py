@@ -378,6 +378,7 @@ def _late_ops():
         "case_fold_collision_audit": dedup.case_fold_collision_audit,
         "markov_attribution": timeseries.markov_attribution,
         "max_drawdown": timeseries.max_drawdown,
+        "kcore_decomposition": _tpch().kcore_decomposition,
         "wape_backtest": timeseries.wape_backtest,
         "net_revenue_retention": _tpch().net_revenue_retention,
         "stream_debezium_pipeline": __import__("greenplum_cdc_spark.streaming.pipeline", fromlist=["pipeline"]).stream_debezium_pipeline,
