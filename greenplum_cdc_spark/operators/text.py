@@ -3912,3 +3912,83 @@ SELECT z.k AS k,
 FROM sizes z JOIN vocab v ON v.k = z.k AND v.cp = z.cp
 ORDER BY z.k
 """
+
+
+def hapax_tail_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C118 (round-8 addition): rare-token tail audit — hapax/dis
+    legomena shares per language, the vocabulary-health signal every
+    corpus-linguistics pipeline reads before trusting frequency
+    statistics: a healthy natural-language corpus runs ~40-60% hapax
+    types (Zipf's tail); OCR garbage and boilerplate push it to the
+    extremes in opposite directions. C20's vocab_stats PRUNES below
+    min-df; this measures exactly what the pruning throws away, so
+    the two together account for the whole vocabulary (stated).
+
+    Per lang: token instances, vocabulary size, hapax types (freq 1),
+    dis types (freq 2), the hapax share of the vocabulary in bp, the
+    share of token INSTANCES carried by hapax+dis types in bp (the
+    mass the min-df cut discards), and the mean frequency in ppm.
+
+    Plan: one explode + ONE (lang, token) rollup (map-side combined,
+    the only corpus-wide shuffle), then a |langs|-bounded conditional
+    rollup — frequencies never leave the executor unaggregated. All
+    integers, floor division.
+    """
+    counts = (
+        _tok(load_table(spark, sf_dir, "documents"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("freq"))
+    )
+    return (
+        counts.groupBy("lang")
+        .agg(
+            F.sum("freq").alias("n_tokens"),
+            F.count("*").alias("vocab"),
+            F.sum((F.col("freq") == 1).cast("long")).alias("hapax_types"),
+            F.sum((F.col("freq") == 2).cast("long")).alias("dis_types"),
+            F.sum(
+                F.when(F.col("freq") <= 2, F.col("freq")).otherwise(0)
+            ).alias("tail_tokens"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "vocab",
+            "hapax_types",
+            "dis_types",
+            F.expr("hapax_types * 10000 div vocab").alias("hapax_share_bp"),
+            F.expr("tail_tokens * 10000 div n_tokens").alias(
+                "tail_mass_bp"
+            ),
+            F.expr("n_tokens * 1000000 div vocab").alias("mean_freq_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+HAPAX_TAIL_SQL = """
+WITH counts AS (
+  SELECT lang, w, COUNT(*) AS freq
+  FROM (
+    SELECT lang,
+           unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+    FROM documents
+  )
+  GROUP BY lang, w
+)
+SELECT lang,
+       CAST(SUM(freq) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hapax_types,
+       CAST(SUM(CASE WHEN freq = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dis_types,
+       CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) * 10000 // COUNT(*)
+            AS BIGINT) AS hapax_share_bp,
+       CAST(SUM(CASE WHEN freq <= 2 THEN freq ELSE 0 END) * 10000
+            // SUM(freq) AS BIGINT) AS tail_mass_bp,
+       CAST(SUM(freq) * 1000000 // COUNT(*) AS BIGINT) AS mean_freq_ppm
+FROM counts
+GROUP BY lang
+ORDER BY lang
+"""

@@ -3743,3 +3743,156 @@ LEFT JOIN peak_day p ON p.event_type = t.event_type
 LEFT JOIN recovery r ON r.event_type = t.event_type
 ORDER BY t.event_type
 """
+
+
+# B139: Google-SRE multiwindow, multi-burn-rate alert policy
+# (SRE Workbook ch.5): page when the error-budget burn exceeds the
+# threshold in BOTH the long and the short window. SLO = 99% of
+# events non-error; burn 1x = consuming exactly the budget.
+_SLO_ERR_BUDGET_BP = 100  # 1% error budget
+_SLO_POLICIES = (  # (name, long_h, short_h, burn_threshold_x)
+    ("page_fast", 1, 1, 14),  # SRE-workbook 1h@14x (5m short folded: 1h)
+    ("page_slow", 6, 1, 6),  # 6h@6x with 1h short window
+    ("ticket", 24, 6, 3),  # 24h@3x with 6h short window
+)
+
+
+def slo_burn_rate_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B139 (round-8 addition): SLO error-budget burn-rate alerting —
+    the Google SRE Workbook multiwindow multi-burn-rate policy
+    evaluated over the event feed's error share: burn rate = (error
+    share) / (budget share); an alert fires for an hour when the
+    burn exceeds the policy threshold in BOTH its long and short
+    trailing windows (the two-window AND is what kills flappy
+    alerts — a single-window policy pages on every blip). B128's
+    EWMA flags revenue anomalies; this is the RELIABILITY pane: per
+    policy the hours evaluated, hours in alert, the worst observed
+    long-window burn (in centi-x), and the total error budget
+    consumed over the feed in bp of budget.
+
+    Exactness: hourly (errors, events) rollup; trailing-window sums
+    are bounded ROWS frames over the calendar-bounded hourly spine
+    (1/6/24 observations — O(1)/row, per-policy, never a growing
+    frame); burn comparisons are integer cross-multiplications
+    (err * 10000 * thr_den vs budget * events * thr_num form —
+    here: err_long * 10000 > thr * {bp} * ev_long), and reported
+    burns are floor-div centi-x. No doubles anywhere.
+
+    Plan: one (hour) rollup of the feed (map-side) — the spine is
+    calendar-bounded forever after — then per-policy lag frames on
+    ONE sort of that spine and a |policies|-row rollup.
+    """.format(bp=_SLO_ERR_BUDGET_BP)
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.count("*").alias("ev"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias(
+                "err"
+            ),
+        )
+    )
+    w = Window.orderBy("h")
+    out = None
+    for name, long_h, short_h, thr in _SLO_POLICIES:
+        wl = w.rowsBetween(-(long_h - 1), 0)
+        ws = w.rowsBetween(-(short_h - 1), 0)
+        scored = hourly.select(
+            F.lit(name).alias("policy"),
+            "h",
+            F.sum("ev").over(wl).alias("ev_l"),
+            F.sum("err").over(wl).alias("err_l"),
+            F.sum("ev").over(ws).alias("ev_s"),
+            F.sum("err").over(ws).alias("err_s"),
+            F.count("*").over(wl).alias("n_l"),
+        ).filter(F.col("n_l") == long_h)
+        alerted = scored.select(
+            "policy",
+            "h",
+            (
+                (F.col("err_l") * 10000 > F.lit(thr * _SLO_ERR_BUDGET_BP)
+                 * F.col("ev_l"))
+                & (F.col("err_s") * 10000 > F.lit(thr * _SLO_ERR_BUDGET_BP)
+                   * F.col("ev_s"))
+            ).cast("long").alias("alert"),
+            F.expr(
+                f"err_l * 10000 * 100 div (ev_l * {_SLO_ERR_BUDGET_BP})"
+            ).alias("burn_centi"),
+        )
+        agg = alerted.groupBy("policy").agg(
+            F.count("*").alias("hours_evaluated"),
+            F.sum("alert").alias("hours_in_alert"),
+            F.max("burn_centi").alias("max_burn_centi"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    totals = (
+        hourly.agg(
+            F.sum("ev").alias("tev"), F.sum("err").alias("terr")
+        )
+    )
+    return (
+        out.crossJoin(F.broadcast(totals))
+        .select(
+            "policy",
+            "hours_evaluated",
+            "hours_in_alert",
+            "max_burn_centi",
+            F.expr(
+                f"terr * 10000 * 10000 div (tev * {_SLO_ERR_BUDGET_BP})"
+            ).alias("budget_consumed_bp"),
+        )
+        .orderBy("policy")
+    )
+
+
+def _slo_sql() -> str:
+    parts = []
+    for name, long_h, short_h, thr in _SLO_POLICIES:
+        parts.append(f"""
+  SELECT '{name}' AS policy, h,
+         SUM(ev) OVER (ORDER BY h ROWS BETWEEN {long_h - 1} PRECEDING
+                       AND CURRENT ROW) AS ev_l,
+         SUM(err) OVER (ORDER BY h ROWS BETWEEN {long_h - 1} PRECEDING
+                        AND CURRENT ROW) AS err_l,
+         SUM(ev) OVER (ORDER BY h ROWS BETWEEN {short_h - 1} PRECEDING
+                       AND CURRENT ROW) AS ev_s,
+         SUM(err) OVER (ORDER BY h ROWS BETWEEN {short_h - 1} PRECEDING
+                        AND CURRENT ROW) AS err_s,
+         COUNT(*) OVER (ORDER BY h ROWS BETWEEN {long_h - 1} PRECEDING
+                        AND CURRENT ROW) AS n_l,
+         {thr} AS thr
+  FROM hourly""")
+    un = "\n  UNION ALL".join(parts)
+    return f"""
+WITH hourly AS (
+  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+         COUNT(*) AS ev,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err
+  FROM events GROUP BY 1
+),
+scored AS ({un}
+),
+alerted AS (
+  SELECT policy, h,
+         CASE WHEN err_l * 10000 > thr * {_SLO_ERR_BUDGET_BP} * ev_l
+               AND err_s * 10000 > thr * {_SLO_ERR_BUDGET_BP} * ev_s
+              THEN 1 ELSE 0 END AS alert,
+         err_l * 10000 * 100 // (ev_l * {_SLO_ERR_BUDGET_BP}) AS burn_centi
+  FROM scored s
+  WHERE n_l = CASE policy WHEN 'page_fast' THEN 1
+                          WHEN 'page_slow' THEN 6 ELSE 24 END
+),
+totals AS (SELECT SUM(ev) AS tev, SUM(err) AS terr FROM hourly)
+SELECT a.policy,
+       CAST(COUNT(*) AS BIGINT) AS hours_evaluated,
+       CAST(SUM(a.alert) AS BIGINT) AS hours_in_alert,
+       CAST(MAX(a.burn_centi) AS BIGINT) AS max_burn_centi,
+       CAST((SELECT terr * 10000 * 10000 // (tev * {_SLO_ERR_BUDGET_BP})
+             FROM totals) AS BIGINT) AS budget_consumed_bp
+FROM alerted a
+GROUP BY a.policy
+ORDER BY a.policy
+"""
+
+
+SLO_BURN_SQL = _slo_sql()

@@ -153,6 +153,7 @@ _UNPART_WINDOW_OK = {
     "decile_lift_table",  # 10-row decile table
     "heavy_hitters",  # rank over the N survivors of a TakeOrdered limit
     "cusum_changepoint",  # running sum over the per-DAY rollup (calendar-size)
+    "slo_burn_rate_alert",  # bounded lag frames over the per-HOUR rollup
     "embedding_drift",  # rank over the per-DIM rollup (embedding dims, ~64)
     "theta_sketch_setops",  # min-K merge over <= 2K sketch rows (K=64)
     "moving_avg_daily",  # 7-day frame over the per-DAY rollup

@@ -1417,3 +1417,130 @@ class TestKcoreDecomposition:
         assert set(got) == {1, 2, 3}
         assert all(r["core_degree"] == 2 for r in got.values())
         assert got[3]["initial_degree"] == 3
+
+
+class TestHapaxTailAudit:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """C118: all tail statistics match a python counter replay."""
+        from collections import Counter
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.text import hapax_tail_audit
+
+        by_lang = {}
+        for r in load_table(spark, sf_dir, "documents").collect():
+            c = by_lang.setdefault(r["lang"], Counter())
+            c.update(w for w in r["text"].split(" ") if w)
+        got = {r["lang"]: r for r in hapax_tail_audit(spark, sf_dir).collect()}
+        assert set(got) == set(by_lang)
+        for lang, c in by_lang.items():
+            row = got[lang]
+            n_tok = sum(c.values())
+            vocab = len(c)
+            hapax = sum(1 for v in c.values() if v == 1)
+            dis = sum(1 for v in c.values() if v == 2)
+            tail = sum(v for v in c.values() if v <= 2)
+            assert row["n_tokens"] == n_tok
+            assert row["vocab"] == vocab
+            assert row["hapax_types"] == hapax
+            assert row["dis_types"] == dis
+            assert row["hapax_share_bp"] == hapax * 10000 // vocab
+            assert row["tail_mass_bp"] == tail * 10000 // n_tok
+            assert row["mean_freq_ppm"] == n_tok * 1000000 // vocab
+        # accounting with C20: hapax + dis + rest == vocab
+        for lang, c in by_lang.items():
+            rest = sum(1 for v in c.values() if v > 2)
+            assert (got[lang]["hapax_types"] + got[lang]["dis_types"]
+                    + rest) == got[lang]["vocab"]
+
+
+class TestSloBurnRateAlert:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B139: every policy row matches a python replay of the
+        two-window AND rule over the hourly spine."""
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.operators.timeseries import (
+            _SLO_ERR_BUDGET_BP,
+            _SLO_POLICIES,
+            slo_burn_rate_alert,
+        )
+
+        hourly = (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.date_trunc("hour", "ts").alias("h"))
+            .agg(
+                F.count("*").alias("ev"),
+                F.sum((F.col("event_type") == "error").cast("long")).alias(
+                    "err"
+                ),
+            )
+            .collect()
+        )
+        spine = sorted((r["h"], r["ev"], r["err"]) for r in hourly)
+        evs = [e for _, e, _ in spine]
+        errs = [x for _, _, x in spine]
+        tev, terr = sum(evs), sum(errs)
+        got = {r["policy"]: r
+               for r in slo_burn_rate_alert(spark, sf_dir).collect()}
+        for name, long_h, short_h, thr in _SLO_POLICIES:
+            n_eval = alerts = 0
+            max_burn = None
+            for i in range(len(spine)):
+                if i + 1 < long_h:
+                    continue
+                n_eval += 1
+                ev_l = sum(evs[i - long_h + 1:i + 1])
+                err_l = sum(errs[i - long_h + 1:i + 1])
+                ev_s = sum(evs[i - short_h + 1:i + 1])
+                err_s = sum(errs[i - short_h + 1:i + 1])
+                burn = err_l * 10000 * 100 // (ev_l * _SLO_ERR_BUDGET_BP)
+                max_burn = burn if max_burn is None else max(max_burn, burn)
+                if (err_l * 10000 > thr * _SLO_ERR_BUDGET_BP * ev_l
+                        and err_s * 10000 > thr * _SLO_ERR_BUDGET_BP * ev_s):
+                    alerts += 1
+            row = got[name]
+            assert row["hours_evaluated"] == n_eval
+            assert row["hours_in_alert"] == alerts
+            assert row["max_burn_centi"] == max_burn
+            assert row["budget_consumed_bp"] == (
+                terr * 10000 * 10000 // (tev * _SLO_ERR_BUDGET_BP)
+            )
+
+    def test_crafted_two_window_and(self, spark, tmp_path):
+        """The short window is what stops a page for an incident that
+        ENDED: a burst 7 hours ago still trips the 24h ticket window
+        but not page_slow's 1h short window."""
+        import datetime
+
+        from greenplum_cdc_spark.operators.timeseries import (
+            slo_burn_rate_alert,
+        )
+
+        base = datetime.datetime(2024, 1, 1)
+        rows, eid = [], 0
+        # 40 hours; hour 25 is a full outage (100% errors), rest clean
+        # (late enough that every policy's long window is already full)
+        for h in range(40):
+            for j in range(100):
+                eid += 1
+                et = "error" if h == 25 else "view"
+                rows.append(
+                    (eid, base + datetime.timedelta(hours=h, minutes=j % 60),
+                     1, et, 1.0, "{}")
+                )
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+        got = {r["policy"]: r
+               for r in slo_burn_rate_alert(spark, str(tmp_path)).collect()}
+        # page_fast (1h/1h): fires exactly during the outage hour
+        assert got["page_fast"]["hours_in_alert"] == 1
+        # page_slow (6h long, 1h short): long window stays hot for 6
+        # hours but the short window is clean after the outage -> 1
+        assert got["page_slow"]["hours_in_alert"] == 1
+        # ticket (24h long, 6h short): short window stays hot 6 hours
+        assert got["ticket"]["hours_in_alert"] == 6

@@ -379,6 +379,8 @@ def _late_ops():
         "markov_attribution": timeseries.markov_attribution,
         "max_drawdown": timeseries.max_drawdown,
         "kcore_decomposition": _tpch().kcore_decomposition,
+        "hapax_tail_audit": text.hapax_tail_audit,
+        "slo_burn_rate_alert": timeseries.slo_burn_rate_alert,
         "wape_backtest": timeseries.wape_backtest,
         "net_revenue_retention": _tpch().net_revenue_retention,
         "stream_debezium_pipeline": __import__("greenplum_cdc_spark.streaming.pipeline", fromlist=["pipeline"]).stream_debezium_pipeline,
