@@ -2185,7 +2185,7 @@ DEDUP_THRESHOLD_SWEEP_SQL = _sweep_sql()
 
 
 def case_fold_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C116 (round-8 addition): case/punctuation-fold collision audit
+    """C125 (round-8 addition): case/punctuation-fold collision audit
     — the near-dup class EXACT dedup (C1) provably misses and LSH
     (C2) finds only probabilistically: documents identical after the
     STATED canonical fold (lowercase, every non-alphanumeric run

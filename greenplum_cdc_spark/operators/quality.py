@@ -1808,7 +1808,7 @@ _READ_VOWEL_RE = "[aeiouy]+"
 
 
 def readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C112 (round-8 addition): per-source readability audit — the
+    """C121 (round-8 addition): per-source readability audit — the
     Flesch reading-ease / Gunning-fog pair every text-curation
     pipeline uses to bucket corpora by difficulty (and to screen
     degenerate sources: boilerplate reads implausibly uniform,
@@ -1944,7 +1944,7 @@ _COMBINING_RE = "[\\x{0300}-\\x{036F}]"  # combining diacritical marks
 
 
 def text_width_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C115 (round-8 addition): text-width accounting audit — the
+    """C124 (round-8 addition): text-width accounting audit — the
     three lengths every pipeline conflates until one of them bills
     wrong: UTF-8 BYTES (storage, shuffle sizing, byte-budget APIs),
     CODEPOINTS (most tokenizer pre-processing), and UTF-16 CODE UNITS

@@ -2591,7 +2591,7 @@ ORDER BY in_degree
 """
 
 
-# --- C114 (round 8): maximal-marginal-relevance diverse top-k ----------
+# --- C123 (round 8): maximal-marginal-relevance diverse top-k ----------
 
 _MMR_QUERIES = 4  # probe queries (vec_id < 4)
 _MMR_POOL = 50  # relevance candidate pool per query
@@ -2612,7 +2612,7 @@ def _mmr_argmax(rem: str) -> str:
 
 
 def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C114 (round-8 addition): maximal-marginal-relevance diverse
+    """C123 (round-8 addition): maximal-marginal-relevance diverse
     top-k (Carbonell & Goldstein, SIGIR'98) — the selection rule RAG
     retrievers and diverse-sampling curation stages run after ANN:
     from each query's relevance pool, greedily take the candidate

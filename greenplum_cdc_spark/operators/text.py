@@ -3799,7 +3799,7 @@ _HEAPS_CHECKPOINTS = 10
 
 
 def heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C113 (round-8 addition): vocabulary-growth (Heaps-law) curve —
+    """C122 (round-8 addition): vocabulary-growth (Heaps-law) curve —
     the curve that sizes every tokenizer/vocab build: how many
     DISTINCT tokens the corpus has yielded after each tenth of it,
     and the marginal type/token ratio, the number that says whether
@@ -3915,7 +3915,7 @@ ORDER BY z.k
 
 
 def hapax_tail_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C118 (round-8 addition): rare-token tail audit — hapax/dis
+    """C127 (round-8 addition): rare-token tail audit — hapax/dis
     legomena shares per language, the vocabulary-health signal every
     corpus-linguistics pipeline reads before trusting frequency
     statistics: a healthy natural-language corpus runs ~40-60% hapax

@@ -3371,7 +3371,7 @@ _KCORE_MAX_ROUNDS = 30  # loud cap; peeling depth on these graphs <= ~12
 
 
 def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C117 (round-8 addition): k-core of the co-purchase part graph —
+    """C126 (round-8 addition): k-core of the co-purchase part graph —
     the density-based community backbone the graph trio (B79
     triangles, B80 PageRank, B99 connected components) doesn't give:
     the maximal subgraph where EVERY member keeps >= k co-purchase

@@ -63,7 +63,7 @@ _SKIP = {
 # broadcast (documented in their docstrings)
 _BNLJ_OK = {
     "dp_histogram_release",  # broadcast |langs|-row domain spine (C106)
-    "heaps_law_curve",  # 10-row checkpoint spine, fd <= cp join (C113)
+    "heaps_law_curve",  # 10-row checkpoint spine, fd <= cp join (C122)
     "price_index_laspeyres",  # one-row base-month scalar (B32/C34 idiom)
     "late_data_impact_audit",  # 4-row lateness-knob spine (B132)
     "cdc_snapshot_chunked",  # 1-row span scalar (B32/C34 idiom)

@@ -228,7 +228,7 @@ class TestEwmaControlChart:
 
 class TestReadabilityScore:
     def test_exact_python_rederivation(self, spark, sf_dir):
-        """C112: all counts and both scores match a literal python
+        """C121: all counts and both scores match a literal python
         replay of the stated counting rules."""
         import re
 
@@ -291,7 +291,7 @@ class TestReadabilityScore:
 
 class TestHeapsLawCurve:
     def test_exact_python_rederivation(self, spark, sf_dir):
-        """C113: every checkpoint row equals a python first-occurrence
+        """C122: every checkpoint row equals a python first-occurrence
         sweep in doc_id order."""
         from greenplum_cdc_spark.io import load_table
         from greenplum_cdc_spark.operators.text import (
@@ -488,7 +488,7 @@ class TestDebeziumSource:
 
 class TestMmrDiverseTopk:
     def test_greedy_python_rederivation(self, spark, sf_dir):
-        """C114: the selection sequence equals an independent python
+        """C123: the selection sequence equals an independent python
         greedy over exact quantized-integer dot products."""
         import math as _math
 
@@ -865,7 +865,7 @@ class TestStreamDebeziumPipeline:
 
 class TestTextWidthAudit:
     def test_ascii_corpus_degenerate(self, spark, sf_dir):
-        """C115: the sf corpus is ASCII — all three widths coincide
+        """C124: the sf corpus is ASCII — all three widths coincide
         and the ratios read exactly 1e6 (the audit PROVES the corpus
         property instead of assuming it)."""
         from greenplum_cdc_spark.operators.quality import text_width_audit
@@ -1029,7 +1029,7 @@ class TestShufflePartitionAdvisor:
 
 class TestCaseFoldCollisionAudit:
     def test_clean_corpus_zero(self, spark, sf_dir):
-        """C116: the sf corpus is already normalized — no collisions
+        """C125: the sf corpus is already normalized — no collisions
         (the audit proves the property)."""
         from greenplum_cdc_spark.operators.dedup import (
             case_fold_collision_audit,
@@ -1337,7 +1337,7 @@ class TestCdcMaskingTransform:
 
 class TestKcoreDecomposition:
     def test_exact_python_fixpoint(self, spark, sf_dir):
-        """C117: the core set, both degree columns, and the adaptive k
+        """C126: the core set, both degree columns, and the adaptive k
         match an independent python peeling to fixpoint."""
         from greenplum_cdc_spark.io import load_table
         from greenplum_cdc_spark.plans.tpch import (
@@ -1421,7 +1421,7 @@ class TestKcoreDecomposition:
 
 class TestHapaxTailAudit:
     def test_exact_python_rederivation(self, spark, sf_dir):
-        """C118: all tail statistics match a python counter replay."""
+        """C127: all tail statistics match a python counter replay."""
         from collections import Counter
 
         from greenplum_cdc_spark.io import load_table
