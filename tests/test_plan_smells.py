@@ -69,6 +69,7 @@ _BNLJ_OK = {
     "cdc_snapshot_chunked",  # 1-row span scalar (B32/C34 idiom)
     "markov_attribution",  # 1-row effect-total scalar (B32/C34 idiom)
     "cdc_masking_transform",  # 1-row cents-range scalar (B32/C34 idiom)
+    "slo_burn_rate_alert",  # 1-row feed-totals scalar (B32/C34 idiom)
     "survival_curve_km",  # one-row feed-end scalar (B32/C34 idiom)
     "compression_advisor",  # 9x one-row dict-table-bytes scalars (B108)
     "langid_calibration",  # one-row ECE scalar (B32/C34 idiom)
