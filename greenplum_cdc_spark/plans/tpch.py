@@ -3536,3 +3536,125 @@ ORDER BY part_id
 
 
 KCORE_SQL = _kcore_sql()
+
+
+_SLS_SERVICE_PCT = 95  # target cycle service level
+
+
+def service_level_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B140 (round-8 addition): service-level stocking advisor — the
+    newsvendor/base-stock answer an inventory planner actually sets:
+    per part brand, the daily stock level that covers {p}% of demand
+    days (the critical-fractile rule with the fractile stated as a
+    cycle service level). B122's HHI says who supplies; B123's
+    backlog says what's queued; this says how much to HOLD. All
+    EXACT: the stock level is the ceil-rank {p}th-percentile order
+    statistic of the brand's daily demand (B105/B113 discipline — a
+    real observed day, never an interpolation), demand is exact
+    integer units, and the readout carries the exact consequences of
+    that choice: days short (demand above stock), their share in bp,
+    the exact unmet units over the horizon, and the unmet share of
+    total demand in bp — the fill-rate / cycle-service distinction
+    every textbook makes, here as two exact columns.
+
+    Plan: broadcast part dim; one (brand, day) rollup of the feed
+    (map-side combined, the only feed-wide shuffle — the series is
+    calendar-bounded per brand after it), ONE per-brand sort window
+    for the rank statistic, one brand rollup of the consequences.
+    Output |brands| rows.
+    """.format(p=_SLS_SERVICE_PCT)
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("day", F.col("l_shipdate")).alias("day"),
+        F.floor("l_quantity").cast("long").alias("qty"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "day")
+        .agg(F.sum("qty").alias("demand"))
+    )
+    w = Window.partitionBy("p_brand").orderBy("demand", "day")
+    ranked = daily.select(
+        "p_brand",
+        "demand",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("p_brand")).alias("n_days"),
+    )
+    stock = ranked.filter(
+        F.col("rn")
+        == F.expr(f"(n_days * {_SLS_SERVICE_PCT} + 99) div 100")
+    ).select(
+        "p_brand", F.col("demand").alias("stock_level"), "n_days"
+    )
+    return (
+        daily.join(stock, "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.max("stock_level").alias("stock_level"),
+            F.sum("demand").alias("total_demand"),
+            F.sum((F.col("demand") > F.col("stock_level")).cast("long"))
+            .alias("days_short"),
+            F.sum(
+                F.greatest(
+                    F.col("demand") - F.col("stock_level"), F.lit(0)
+                )
+            ).alias("unmet_units"),
+        )
+        .select(
+            "p_brand",
+            "n_days",
+            "stock_level",
+            "total_demand",
+            "days_short",
+            F.expr("days_short * 10000 div n_days").alias(
+                "days_short_bp"
+            ),
+            "unmet_units",
+            F.expr("unmet_units * 10000 div total_demand").alias(
+                "unmet_demand_bp"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+SERVICE_LEVEL_STOCK_SQL = f"""
+WITH daily AS (
+  SELECT p.p_brand, CAST(date_trunc('day', l.l_shipdate) AS TIMESTAMP)
+           AS day,
+         SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS demand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT p_brand, demand,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY demand, day) AS rn,
+         COUNT(*) OVER (PARTITION BY p_brand) AS n_days
+  FROM daily
+),
+stock AS (
+  SELECT p_brand, demand AS stock_level, n_days
+  FROM ranked
+  WHERE rn = (n_days * {_SLS_SERVICE_PCT} + 99) // 100
+)
+SELECT d.p_brand,
+       CAST(MAX(s.n_days) AS BIGINT) AS n_days,
+       CAST(MAX(s.stock_level) AS BIGINT) AS stock_level,
+       CAST(SUM(d.demand) AS BIGINT) AS total_demand,
+       CAST(SUM(CASE WHEN d.demand > s.stock_level THEN 1 ELSE 0 END)
+            AS BIGINT) AS days_short,
+       CAST(SUM(CASE WHEN d.demand > s.stock_level THEN 1 ELSE 0 END)
+            * 10000 // MAX(s.n_days) AS BIGINT) AS days_short_bp,
+       CAST(SUM(GREATEST(d.demand - s.stock_level, 0)) AS BIGINT)
+         AS unmet_units,
+       CAST(SUM(GREATEST(d.demand - s.stock_level, 0)) * 10000
+            // SUM(d.demand) AS BIGINT) AS unmet_demand_bp
+FROM daily d JOIN stock s ON s.p_brand = d.p_brand
+GROUP BY d.p_brand
+ORDER BY d.p_brand
+"""

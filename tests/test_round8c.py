@@ -1544,3 +1544,50 @@ class TestSloBurnRateAlert:
         assert got["page_slow"]["hours_in_alert"] == 1
         # ticket (24h long, 6h short): short window stays hot 6 hours
         assert got["ticket"]["hours_in_alert"] == 6
+
+
+class TestServiceLevelStock:
+    def test_exact_python_rederivation(self, spark, sf_dir):
+        """B140: stock level (ceil-rank p95 order statistic) and both
+        consequence columns match a python replay."""
+        import pyspark.sql.functions as F
+
+        from greenplum_cdc_spark.io import load_table
+        from greenplum_cdc_spark.plans.tpch import (
+            _SLS_SERVICE_PCT,
+            service_level_stock,
+        )
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", F.date_trunc("day", "l_shipdate").alias("day"),
+            F.floor("l_quantity").cast("long").alias("qty"),
+        ).collect()
+        brand = {r["p_partkey"]: r["p_brand"]
+                 for r in load_table(spark, sf_dir, "part").collect()}
+        daily = {}
+        for r in li:
+            k = (brand[r["l_partkey"]], r["day"])
+            daily[k] = daily.get(k, 0) + r["qty"]
+        series = {}
+        for (b, d), v in daily.items():
+            series.setdefault(b, []).append((v, d))
+        got = {r["p_brand"]: r
+               for r in service_level_stock(spark, sf_dir).collect()}
+        assert set(got) == set(series)
+        for b, pts in series.items():
+            pts.sort()
+            n = len(pts)
+            stock = pts[(n * _SLS_SERVICE_PCT + 99) // 100 - 1][0]
+            short = [v for v, _ in pts if v > stock]
+            total = sum(v for v, _ in pts)
+            row = got[b]
+            assert row["n_days"] == n
+            assert row["stock_level"] == stock
+            assert row["total_demand"] == total
+            assert row["days_short"] == len(short)
+            assert row["days_short_bp"] == len(short) * 10000 // n
+            unmet = sum(v - stock for v in short)
+            assert row["unmet_units"] == unmet
+            assert row["unmet_demand_bp"] == unmet * 10000 // total
+            # cycle-service guarantee: at most 5% of days short
+            assert row["days_short_bp"] <= (100 - _SLS_SERVICE_PCT) * 100

@@ -379,6 +379,7 @@ def _late_ops():
         "markov_attribution": timeseries.markov_attribution,
         "max_drawdown": timeseries.max_drawdown,
         "kcore_decomposition": _tpch().kcore_decomposition,
+        "service_level_stock": _tpch().service_level_stock,
         "hapax_tail_audit": text.hapax_tail_audit,
         "slo_burn_rate_alert": timeseries.slo_burn_rate_alert,
         "wape_backtest": timeseries.wape_backtest,
