@@ -63,6 +63,27 @@ def main() -> None:
     # aggregate is comparable across rounds (a cold-first-run/warm-min
     # mix is not: round-3 advice).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+    # Same-epoch canary (VERDICT r8 item 2): a fixed query
+    # (q1_pricing_summary, best-of-2) timed at bench START and END.
+    # This box re-measures identical code 20-55% slower across host
+    # epochs; the canary pins THIS run's epoch so cross-round wall
+    # comparisons can normalize by canary ratio before flagging a
+    # regression (round 8 spent a judge re-measurement session proving
+    # three "1.7x regressions" were the box). Two canaries also bound
+    # WITHIN-run drift: if end/start diverges far from 1.0 the epoch
+    # moved mid-bench and per-query comparisons need that much slack.
+    from greenplum_cdc_spark.plans.tpch import q1_pricing_summary
+
+    def _canary() -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            q1_pricing_summary(spark, sf_dir).toPandas()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    canary_start = _canary()
     timings: dict[str, float] = {}
     # per-entry synth/op sub-times (VERDICT r5 item 3): entries that
     # synthesize their input corpus report the generator's share via
@@ -102,6 +123,7 @@ def main() -> None:
                 print(f"bench error in {name}: {e}", file=sys.stderr)
                 # a failed rep never masks an earlier good timing
                 timings.setdefault(name, -1.0)
+    canary_end = _canary()
     total = round(sum(t for t in timings.values() if t >= 0), 2)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     rounded = {k: round(t, 2) for k, t in timings.items()}
@@ -115,6 +137,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(rounded),
+                "canary_s": {"start": canary_start, "end": canary_end},
                 "queries": rounded,
                 "phases": phases,
             },
@@ -135,6 +158,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(rounded),
+        "canary_s": {"start": canary_start, "end": canary_end},
         "full": "BENCH_FULL.json",
         "queries": {},
     }

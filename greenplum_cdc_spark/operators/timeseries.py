@@ -1699,19 +1699,15 @@ ORDER BY e.user_id
 """
 
 
-def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C51: the PRODUCTION percentile path — approx_percentile
-    (Greenwald-Khanna sketch, one mergeable pass, no global sort)
-    side by side with the exact rank-based percentile, plus the
-    absolute error.
+_APPROX_PCT_QPCTS = (50, 90, 99)
 
-    Rows-only gated like approx_distinct_hll (C40): the GK sketch's
-    merge order is partitioning-dependent, so no engine-independent
-    oracle exists; the pytest contract asserts the documented accuracy
-    bound (relative rank error <= 1/accuracy) against the exact value.
-    This is the swap-in named by B27/B56/B63 for the exact global-sort
-    constructions at 100 TB.
-    """
+
+def _approx_percentile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic frame for C51: per target percentile, the GK-sketch
+    estimate next to the exact rank-based value plus the absolute
+    error (pytest pins the tight n/accuracy rank bound on this frame;
+    the gate entry below hashes only the engine-independent
+    projection)."""
     ev = load_table(spark, sf_dir, "events")
     import math
 
@@ -1723,18 +1719,22 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked, n = _global_row_number(
         ev.select("value", "event_id"), "value", ["event_id"], out="rk"
     )
-    exact_pos = {q: max(1, math.ceil(q * n)) for q in (0.5, 0.9, 0.99)}
+    qs = [qp / 100 for qp in _APPROX_PCT_QPCTS]
+    exact_pos = {q: max(1, math.ceil(q * n)) for q in qs}
     exact = ranked.filter(
         F.col("rk").isin(*exact_pos.values())
     ).select("rk", F.col("value").alias("exact_value"))
     approx = ev.agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("ap")
+        F.percentile_approx("value", qs, 10000).alias("ap")
     ).select(
         F.posexplode("ap").alias("idx", "approx_value")
     ).withColumn(
-        "q", F.element_at(F.array(*[F.lit(q) for q in (0.5, 0.9, 0.99)]), F.col("idx") + 1)
+        "q", F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("idx") + 1)
     ).withColumn(
-        "rk", F.element_at(F.array(*[F.lit(r) for r in exact_pos.values()]), F.col("idx") + 1)
+        "rk",
+        F.element_at(
+            F.array(*[F.lit(r) for r in exact_pos.values()]), F.col("idx") + 1
+        ),
     )
     return (
         approx.join(exact, "rk")
@@ -1746,6 +1746,122 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C51: the PRODUCTION percentile path — approx_percentile
+    (Greenwald-Khanna sketch, one mergeable pass, no global sort) —
+    value-gated via the in-bounds verdict idiom (VERDICT r8 item 5,
+    the KMV/B56 pattern).
+
+    The sketch VALUE is engine-private (Spark runs GK, DuckDB runs a
+    t-digest; their estimates differ), so the gated row carries what
+    IS engine-independent: the exact rank-based percentile (ties
+    broken by event_id — a unique total order both engines state) and
+    an integer verdict each engine computes over ITS OWN sketch
+    against the SAME verbatim rank bound — the estimate's value-rank
+    bracket [rank_lo+1, rank_hi] must come within n div 100 rows of
+    the target rank ceil(qpct·n/100). Spark's GK at accuracy=10000
+    guarantees rank error ≤ n/10000 (100× inside the gate bound);
+    DuckDB's t-digest sits far inside 1% rank error at these shapes.
+    A broken sketch flips its engine's verdict to 0 and the hash
+    mismatches. The tight n/accuracy check on the raw estimate stays
+    pytest-pinned via ``_approx_percentile_frame``.
+
+    This is the swap-in named by B27/B56/B63 for the exact
+    global-sort constructions at 100 TB: one mergeable pass, no
+    global sort; the verdict side adds one conditional rollup over a
+    broadcast 3-row estimate table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    from .stats import _global_row_number
+
+    ranked, n = _global_row_number(
+        ev.select("value", "event_id"), "value", ["event_id"], out="rk"
+    )
+    bound = n // 100
+    targets = {qp: max(1, (qp * n + 99) // 100) for qp in _APPROX_PCT_QPCTS}
+    tgt = spark.createDataFrame(
+        [(qp, targets[qp]) for qp in _APPROX_PCT_QPCTS], "qpct int, rk long"
+    )
+    exact = ranked.join(F.broadcast(tgt), "rk").select(
+        "qpct", F.col("rk").alias("target_rk"), F.col("value").alias("exact_value")
+    )
+    qs = [qp / 100 for qp in _APPROX_PCT_QPCTS]
+    approx = (
+        ev.agg(F.percentile_approx("value", qs, 10000).alias("ap"))
+        .select(F.posexplode("ap").alias("idx", "av"))
+        .withColumn(
+            "qpct",
+            F.element_at(
+                F.array(*[F.lit(qp) for qp in _APPROX_PCT_QPCTS]),
+                F.col("idx") + 1,
+            ),
+        )
+        .select("qpct", "av")
+    )
+    # value-rank bracket of each engine's own estimate: one conditional
+    # rollup over events × (3-row broadcast) — no global sort
+    ranks = (
+        ev.select("value")
+        .crossJoin(F.broadcast(approx))
+        .groupBy("qpct")
+        .agg(
+            F.sum((F.col("value") <= F.col("av")).cast("long")).alias("rank_hi"),
+            F.sum((F.col("value") < F.col("av")).cast("long")).alias("rank_lo"),
+        )
+    )
+    return (
+        exact.join(ranks, "qpct")
+        .select(
+            "qpct",
+            "exact_value",
+            (
+                (F.col("rank_hi") + F.lit(bound) >= F.col("target_rk"))
+                & (F.col("rank_lo") + 1 <= F.col("target_rk") + F.lit(bound))
+            )
+            .cast("int")
+            .alias("within_1pct_rank"),
+        )
+        .orderBy("qpct")
+    )
+
+
+APPROX_PERCENTILE_SKETCH_SQL = """
+WITH nn AS (SELECT COUNT(*) AS n FROM events),
+ranked AS (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk
+  FROM events
+),
+q AS (SELECT * FROM (VALUES (50), (90), (99)) t(qpct)),
+tgt AS (
+  SELECT q.qpct,
+         GREATEST(1, (q.qpct * nn.n + 99) // 100) AS target_rk,
+         nn.n // 100 AS bound
+  FROM q, nn
+),
+a AS (
+  SELECT 50 AS qpct, approx_quantile(value, 0.50) AS av FROM events
+  UNION ALL SELECT 90, approx_quantile(value, 0.90) FROM events
+  UNION ALL SELECT 99, approx_quantile(value, 0.99) FROM events
+),
+r AS (
+  SELECT a.qpct,
+         SUM(CASE WHEN e.value <= a.av THEN 1 ELSE 0 END) AS rank_hi,
+         SUM(CASE WHEN e.value < a.av THEN 1 ELSE 0 END) AS rank_lo
+  FROM a, events e GROUP BY a.qpct
+)
+SELECT t.qpct,
+       x.value AS exact_value,
+       CAST(CASE WHEN r.rank_hi + t.bound >= t.target_rk
+                  AND r.rank_lo + 1 <= t.target_rk + t.bound
+                 THEN 1 ELSE 0 END AS INT) AS within_1pct_rank
+FROM tgt t
+JOIN ranked x ON x.rk = t.target_rk
+JOIN r ON r.qpct = t.qpct
+ORDER BY t.qpct
+"""
 
 
 _ISLAND_MIN_RUN = 3
@@ -2995,11 +3111,15 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     prediction-form baseline is the EXACT integer numerator
     num_t = sum_{i=1..16} x_(t-i) * 2^(16-i) over the exact weight
     sum 65535 (the truncated tail is 2^-16 ~ 15 ppm, STATED, not
-    drifting): sixteen lag() terms, every product int64-safe at any
-    realistic scale (num <= 65535 * max daily cents). Flags are
-    integer cross-multiplications — spike iff x*65535 > 2*num, dip
-    iff 2*x*65535 < num — and the deviation is floor-div basis
-    points; no doubles anywhere. Rows without the full 16-day
+    drifting): sixteen lag() terms. Flags are integer
+    cross-multiplications — spike iff x*65535 > 2*num, dip iff
+    2*x*65535 < num — and the deviation is floor-div basis points;
+    no doubles anywhere. int64 bound, stated precisely: the widest
+    product is deviation_bp's (cents*65535 - num) * 10^4, so the
+    chart requires max daily cents <= 2^63 / (65535 * 10^4)
+    ~= 1.4e13 (~$140B/day/type) — 10^4 beyond the num bound the
+    flag terms need; past it Spark would wrap while DuckDB errors,
+    so the bound is part of the operator's contract. Rows without the full 16-day
     history report NULL baseline and no flag (the chart's burn-in,
     stated) — row_number over the same sort, zero extra shuffles.
 
@@ -3860,6 +3980,7 @@ def _slo_sql() -> str:
                         AND CURRENT ROW) AS err_s,
          COUNT(*) OVER (ORDER BY h ROWS BETWEEN {long_h - 1} PRECEDING
                         AND CURRENT ROW) AS n_l,
+         {long_h} AS long_h,
          {thr} AS thr
   FROM hourly""")
     un = "\n  UNION ALL".join(parts)
@@ -3879,8 +4000,7 @@ alerted AS (
               THEN 1 ELSE 0 END AS alert,
          err_l * 10000 * 100 // (ev_l * {_SLO_ERR_BUDGET_BP}) AS burn_centi
   FROM scored s
-  WHERE n_l = CASE policy WHEN 'page_fast' THEN 1
-                          WHEN 'page_slow' THEN 6 ELSE 24 END
+  WHERE n_l = long_h
 ),
 totals AS (SELECT SUM(ev) AS tev, SUM(err) AS terr FROM hourly)
 SELECT a.policy,

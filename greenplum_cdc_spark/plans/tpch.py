@@ -3266,11 +3266,15 @@ def net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey", "m")
         .agg(F.sum("cents").alias("cents"))
     )
+    # only report months the feed actually observed: prev rows shifted
+    # to m+1 would otherwise extend one month past the last data month
+    # and report every final-month customer as churned (phantom row)
+    months = om.select("m").distinct()
     prev = om.select(
         "o_custkey",
         (F.col("m") + 1).alias("m"),
         F.col("cents").alias("prev_cents"),
-    )
+    ).join(months, "m", "left_semi")
     cur = om.select("o_custkey", "m", F.col("cents").alias("cur_cents"))
     paired = prev.join(cur, ["o_custkey", "m"], "left").select(
         "m",
@@ -3338,6 +3342,7 @@ paired AS (
          COALESCE(c.cents, 0) AS cur_cents
   FROM om p LEFT JOIN om c
     ON c.o_custkey = p.o_custkey AND c.m = p.m + 1
+  WHERE p.m + 1 IN (SELECT DISTINCT m FROM om)
 )
 SELECT CAST(m // 12 AS BIGINT) AS year,
        CAST(m % 12 + 1 AS BIGINT) AS month,
@@ -3433,6 +3438,14 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["deg0"], r["n"])
         for r in deg0.groupBy("deg0").agg(F.count("*").alias("n")).collect()
     )
+    if not hist:
+        # degenerate input: the support threshold left no edges at all
+        # (e.g. tiny scale factors) — the oracle's unrolled CTEs return
+        # empty here too, so mirror that instead of hist[-1] crashing
+        return spark.createDataFrame(
+            [],
+            "part_id long, initial_degree long, core_degree long, k long",
+        )
     n_nodes = sum(n for _, n in hist)
     rank, med = (n_nodes + 1) // 2, hist[-1][0]
     acc = 0

@@ -67,6 +67,8 @@ CONNECTION_CLOSE = (10, 50)
 CONNECTION_CLOSE_OK = (10, 51)
 CHANNEL_OPEN = (20, 10)
 CHANNEL_OPEN_OK = (20, 11)
+CHANNEL_CLOSE = (20, 40)
+CHANNEL_CLOSE_OK = (20, 41)
 EXCHANGE_DECLARE = (40, 10)
 EXCHANGE_DECLARE_OK = (40, 11)
 QUEUE_DECLARE = (50, 10)
@@ -75,6 +77,8 @@ QUEUE_BIND = (50, 20)
 QUEUE_BIND_OK = (50, 21)
 BASIC_CONSUME = (60, 20)
 BASIC_CONSUME_OK = (60, 21)
+BASIC_CANCEL = (60, 30)
+BASIC_CANCEL_OK = (60, 31)
 BASIC_DELIVER = (60, 60)
 BASIC_ACK = (60, 80)
 
@@ -216,6 +220,11 @@ class AmqpConsumer:
         self.sock: socket.socket | None = None
         self._recv_buf = b""
         self.frame_max = 131072
+        # set when the SERVER cancels this consumer mid-drain
+        # (RabbitMQ consumer-cancel-notification): the batch so far is
+        # still acked normally; the caller must re-subscribe to get
+        # the rest (consume_to_spool's retry leg does)
+        self.cancelled = False
 
     # -- frame I/O --
 
@@ -389,6 +398,7 @@ class AmqpConsumer:
     ) -> None:
         """Basic.Consume with explicit acks (noAck=false, like
         rabbitmq.go:143-151) — the deferred-ack contract depends on it."""
+        self.cancelled = False
         self._send(
             pack_method_frame(
                 1,
@@ -503,6 +513,37 @@ class AmqpConsumer:
                     f"expected Basic.Deliver, got frame {frame_type}"
                 )
             got, cur = unpack_method(payload)
+            if got == BASIC_CANCEL:
+                # server-initiated consumer cancel (RabbitMQ
+                # consumer-cancel-notification, e.g. queue deleted or
+                # rebalanced): reply Cancel-Ok unless nowait, end the
+                # batch — deliveries so far are still valid and get
+                # acked normally on the still-open channel; the caller
+                # re-subscribes for the remainder (consume_to_spool's
+                # retry leg; no duplicates, the ack stuck)
+                ctag = cur.shortstr()
+                nowait = cur.octet()
+                if not nowait:
+                    self._send(
+                        pack_method_frame(
+                            1, BASIC_CANCEL_OK, pack_shortstr(ctag)
+                        )
+                    )
+                self.cancelled = True
+                break
+            if got == CHANNEL_CLOSE:
+                # server closed the channel mid-conversation (e.g. a
+                # precondition failure racing the deferred ack): reply
+                # Close-Ok per spec, then surface the RETRIABLE loss —
+                # any in-flight ack on this channel is void, so
+                # everything unacked redelivers on the next connection
+                # (at-least-once; downstream dedup absorbs it)
+                code = cur.short()
+                text = cur.shortstr()
+                self._send(pack_method_frame(1, CHANNEL_CLOSE_OK))
+                raise AmqpConnectionLost(
+                    f"channel closed by server: {code} {text}"
+                )
             if got != BASIC_DELIVER:
                 raise AmqpProtocolError(f"expected Deliver, got {got}")
             cur.shortstr()  # consumer-tag
@@ -621,6 +662,14 @@ def consume_to_spool(
             consumer.declare(exchange, exchange_type, queue, binding_key)
             consumer.consume(queue, consumer_tag)
             consumer.drain(idle_timeout, before_ack=_land)
+            if consumer.cancelled and attempt < retries:
+                # server cancelled the consumer mid-batch: the landed
+                # portion is ACKED (channel stayed open), so a fresh
+                # subscribe cycle picks up ONLY the remainder — no
+                # duplicates, unlike the connection-lost leg below
+                attempt += 1
+                time.sleep(retry_delay)
+                continue
             return landed["n"]
         except AmqpConnectionLost:
             if attempt >= retries:

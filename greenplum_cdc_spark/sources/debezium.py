@@ -58,8 +58,9 @@ def op_to_dml(op_code):
     """Single-letter Debezium op -> insert/update/delete (else NULL)."""
     expr = None
     for code, dml in _OP_MAP.items():
-        branch = F.when(op_code == code, F.lit(dml))
-        expr = branch if expr is None else expr.when(op_code == code, F.lit(dml))
+        expr = (F if expr is None else expr).when(
+            op_code == code, F.lit(dml)
+        )
     return expr
 
 

@@ -426,10 +426,18 @@ def test_cms_never_underestimates(spark, sf_dir):
 
 
 def test_hll_error_within_bound(spark, sf_dir):
-    from greenplum_cdc_spark.operators.sketches import HLL_RSD, approx_distinct_hll
+    from greenplum_cdc_spark.operators.sketches import (
+        HLL_RSD,
+        _hll_frame,
+        approx_distinct_hll,
+    )
 
-    rows = approx_distinct_hll(spark, sf_dir).collect()
+    rows = _hll_frame(spark, sf_dir).collect()
     assert rows
     for r in rows:
         rel = abs(r["approx_users"] - r["exact_users"]) / max(1, r["exact_users"])
         assert rel <= 3 * HLL_RSD, (r["event_type"], rel)
+    # the gated projection's verdict agrees (and is all-green here)
+    gated = approx_distinct_hll(spark, sf_dir).collect()
+    assert len(gated) == len(rows)
+    assert all(g["within_3rsd"] == 1 for g in gated)

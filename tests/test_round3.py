@@ -409,7 +409,7 @@ def test_approx_percentile_error_bound(spark):
     n/accuracy; translate to a value-domain check via the exact ranks."""
     from greenplum_cdc_spark.io import load_table
 
-    rows = timeseries.approx_percentile_sketch(spark, SF).collect()
+    rows = timeseries._approx_percentile_frame(spark, SF).collect()
     assert len(rows) == 3
     values = sorted(
         r.value for r in load_table(spark, SF, "events").select("value").collect()
@@ -423,6 +423,10 @@ def test_approx_percentile_error_bound(spark):
         lo = values[max(0, pos - 1 - max_rank_err)]
         hi = values[min(n - 1, pos - 1 + max_rank_err)]
         assert lo <= r.approx_value <= hi, (r.q, lo, r.approx_value, hi)
+    # the gated projection's verdict agrees (and is all-green here)
+    gated = timeseries.approx_percentile_sketch(spark, SF).collect()
+    assert [g.qpct for g in gated] == [50, 90, 99]
+    assert all(g.within_1pct_rank == 1 for g in gated)
 
 
 def test_late_dim_pending_is_real(spark):

@@ -830,6 +830,68 @@ class TestDedupContainment:
         assert (6, 1) not in got            # below the shingle floor
         assert (4, 5) in got and (5, 4) in got  # twins, both directions
 
+    def test_heavy_tier_vs_brute_force(self, spark, tmp_path):
+        """C105 tier 2 (round 9 df-ceiling split): a corpus where the
+        qualifying pair's ENTIRE intersection is heavy shingles
+        (df > DF_CEIL, planted via DF_CEIL+6 boilerplate docs all
+        carrying the shared block), so tier 1's rare-prefix join can
+        never surface it — only the heavy-universe prefix pass can.
+        Output must still equal brute force exactly."""
+        from greenplum_cdc_spark.operators.dedup import (
+            CONTAINMENT_DEN,
+            CONTAINMENT_MIN_SHINGLES,
+            CONTAINMENT_NUM,
+            DF_CEIL,
+            SHINGLE_WORDS,
+            dedup_containment,
+        )
+
+        block = "omega sigma tau upsilon phi chi psi"  # 5 shingles
+        docs = [(1, block, "web")]  # contained: ALL its shingles heavy
+        # container: block + per-doc-unique tail (rare shingles exist,
+        # but the PAIR's intersection is exactly the heavy block)
+        docs.append((2, block + " unique container tail words two", "web"))
+        # boilerplate drivers: every block shingle appears in DF_CEIL+6
+        # docs total -> df > DF_CEIL -> heavy
+        for i in range(3, DF_CEIL + 7):
+            docs.append((i, block + f" filler{i} fillmore{i} fin{i}", "web"))
+        rows = [(i, t, "en", s, len(t)) for i, t, s in docs]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            (r["contained_id"], r["container_id"]): (
+                r["n_inter"], r["n_contained_sh"], r["containment_ppm"],
+            )
+            for r in dedup_containment(spark, str(tmp_path)).collect()
+        }
+
+        def sh(t):
+            w = [x for x in t.split(" ") if x]
+            return {
+                " ".join(w[i : i + SHINGLE_WORDS])
+                for i in range(len(w) - SHINGLE_WORDS + 1)
+            }
+
+        sets = {i: sh(t) for i, t, _s in docs}
+        want = {}
+        for ai, sa in sets.items():
+            if len(sa) < CONTAINMENT_MIN_SHINGLES:
+                continue
+            for bi, sb in sets.items():
+                if ai == bi:
+                    continue
+                inter = len(sa & sb)
+                if inter * CONTAINMENT_DEN >= len(sa) * CONTAINMENT_NUM:
+                    want[(ai, bi)] = (
+                        inter, len(sa), inter * 1000000 // len(sa),
+                    )
+        assert got == want
+        # doc 1 is wholly inside doc 2 through heavy shingles only
+        assert got[(1, 2)] == (5, 5, 1000000)
+
 
 class TestBenfordDigitAudit:
     def test_exact_python_rederivation(self, spark, sf_dir):

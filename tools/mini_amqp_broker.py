@@ -49,9 +49,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from greenplum_cdc_spark.sources.amqp import (  # noqa: E402
     BASIC_ACK,
+    BASIC_CANCEL,
+    BASIC_CANCEL_OK,
     BASIC_CONSUME,
     BASIC_CONSUME_OK,
     BASIC_DELIVER,
+    CHANNEL_CLOSE,
+    CHANNEL_CLOSE_OK,
     CHANNEL_OPEN,
     CHANNEL_OPEN_OK,
     CONNECTION_CLOSE,
@@ -120,11 +124,24 @@ def serve_connection(
     messages: list[bytes],
     state: dict,
     drop_after: int | None,
+    cancel_after: int | None = None,
+    close_channel_after: int | None = None,
 ) -> None:
     """One client session over the shared queue state
     (``state['acked']`` = messages forgotten, ``state['seen']`` =
     highest message index ever delivered — the redelivered-flag
-    watermark). ``drop_after`` (messages) hard-closes mid-batch."""
+    watermark). Fault injectors (first connection only, mutually
+    exclusive):
+
+    - ``drop_after`` (messages): hard-close (FIN) mid-batch, no ack —
+      broker restart; everything redelivers.
+    - ``cancel_after`` (messages): send Basic.Cancel to the consumer
+      (RabbitMQ consumer-cancel-notification), REQUIRE Basic.CancelOk
+      back, keep the channel open so the client's deferred ack STILL
+      APPLIES — the remainder (only) arrives on the next subscribe.
+    - ``close_channel_after`` (messages): send Channel.Close (406),
+      REQUIRE Channel.CloseOk back, and VOID any ack arriving on the
+      closed channel — everything delivered redelivers next time."""
     assert conn.read_exact(8) == PROTOCOL_HEADER, "bad protocol header"
     conn.send(
         pack_method_frame(
@@ -155,6 +172,8 @@ def serve_connection(
     # topology declares + consume, in the order the consumer sends them
     ack_base = state["acked"]  # delivery tags are 1-based past this
     delivered = 0
+    chan_closed = False  # Channel.Close sent: acks on it are VOID
+    await_cancel_ok = False
     while True:
         try:
             got, cur = conn.read_method()
@@ -183,6 +202,37 @@ def serve_connection(
             )
             # deliver everything unacked; tags restart at 1 per channel
             for i, body in enumerate(messages[ack_base:]):
+                if cancel_after is not None and delivered >= cancel_after:
+                    # consumer-cancel-notification: stop delivering,
+                    # leave the channel (and the client's pending ack)
+                    # fully valid; require CancelOk per nowait=0
+                    conn.send(
+                        pack_method_frame(
+                            1,
+                            BASIC_CANCEL,
+                            pack_shortstr(ctag) + bytes([0]),
+                        )
+                    )
+                    await_cancel_ok = True
+                    break
+                if (
+                    close_channel_after is not None
+                    and delivered >= close_channel_after
+                ):
+                    # channel-level fault racing the deferred ack:
+                    # Close(406) now; the client must CloseOk, and any
+                    # ack it had in flight lands on a DEAD channel
+                    conn.send(
+                        pack_method_frame(
+                            1,
+                            CHANNEL_CLOSE,
+                            struct.pack(">H", 406)
+                            + pack_shortstr("PRECONDITION_FAILED - test")
+                            + struct.pack(">HH", 0, 0),
+                        )
+                    )
+                    chan_closed = True
+                    break
                 if drop_after is not None and delivered >= drop_after:
                     # broker "restart": FIN mid-batch, BEFORE the ack —
                     # the in-flight deliveries reach the client (so a
@@ -214,11 +264,24 @@ def serve_connection(
                 conn.send(pack_content_header(60, len(body), 1))
                 conn.send(pack_frame(FRAME_BODY, 1, body))
                 delivered += 1
+        elif got == BASIC_CANCEL_OK:
+            assert await_cancel_ok, "unsolicited CancelOk"
+            assert cur.shortstr() == ctag, "CancelOk tag mismatch"
+            await_cancel_ok = False
+            print("CANCEL_OK", flush=True)
+        elif got == CHANNEL_CLOSE_OK:
+            assert chan_closed, "unsolicited Channel.CloseOk"
+            print("CHAN_CLOSE_OK", flush=True)
         elif got == BASIC_ACK:
             tag = cur.longlong()
             multiple = cur.octet()
             assert multiple, "consumer contract is multiple-ack"
-            state["acked"] = ack_base + tag  # tags 1-based past ack_base
+            if chan_closed:
+                # ack arrived on a closed channel: VOID per AMQP —
+                # everything it covered stays queued and redelivers
+                print("VOIDED_ACK", flush=True)
+            else:
+                state["acked"] = ack_base + tag  # tags 1-based past base
         elif got == CONNECTION_CLOSE:
             conn.send(pack_method_frame(0, CONNECTION_CLOSE_OK))
             conn.sock.close()
@@ -237,6 +300,20 @@ def main() -> None:
         default=None,
         help="hard-close the FIRST connection after N deliveries",
     )
+    ap.add_argument(
+        "--cancel-after",
+        type=int,
+        default=None,
+        help="send Basic.Cancel on the FIRST connection after N"
+        " deliveries (channel stays open; ack still applies)",
+    )
+    ap.add_argument(
+        "--close-channel-after",
+        type=int,
+        default=None,
+        help="send Channel.Close(406) on the FIRST connection after N"
+        " deliveries (acks on the closed channel are voided)",
+    )
     ap.add_argument("--max-conns", type=int, default=8)
     args = ap.parse_args()
     with open(args.messages, "rb") as f:
@@ -253,9 +330,13 @@ def main() -> None:
     for _ in range(args.max_conns):
         sock, _addr = srv.accept()
         drop = args.drop_after if first else None
+        cancel = args.cancel_after if first else None
+        close_ch = args.close_channel_after if first else None
         first = False
         try:
-            serve_connection(Conn(sock), messages, state, drop)
+            serve_connection(
+                Conn(sock), messages, state, drop, cancel, close_ch
+            )
         except (ConnectionError, AssertionError) as e:
             print(f"SESSION_ERROR {e}", flush=True)
         # fully-acked queues keep serving EMPTY sessions until
