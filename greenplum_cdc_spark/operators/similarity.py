@@ -2775,3 +2775,122 @@ SELECT query_id,
 FROM greedy WHERE step > 0
 ORDER BY query_id, rank
 """
+
+
+_MUTUAL_KS = (1, 3, 5)  # k values audited (<= TOPK)
+
+
+def knn_mutuality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C130 (round-9 addition): mutual-neighbor rate of the exact
+    cosine k-NN graph — the retrieval-quality instrument C116
+    (hubness) complements but doesn't give: for k in {ks}, what
+    fraction of directed k-NN edges are RECIPROCATED (a is in b's
+    top-k AND b in a's)? Low mutuality is the operational symptom of
+    hubness — asymmetric neighborhoods break mutual-kNN clustering,
+    kNN-graph dedup (C5's transitive closure quality), and
+    reciprocal-rank assumptions in fusion (C101). Audited over the
+    SAME stride-bounded population as C116 (vec_id % S == 0,
+    S = ceil(n/{m})), so the exact quadratic stays capped at {m}^2
+    forever; at serving scale the IVF path answers, this evaluates.
+
+    Exactness: one exact top-{t} graph (fold-dot cosine,
+    (cos DESC, vec_id) ranking — a unique total order), mutuality per
+    k by an equi-self-join on the reversed edge with rank <= k on
+    both sides; counts exact integers, rate floor-div basis points.
+
+    Plan: the C116 exchange builds the ranked edge list ONCE; each k
+    is a filter + one co-partitioned self-join on (src, dst) —
+    edge-list-sized, never re-scoring. Output |ks| rows.
+    """.format(ks=list(_MUTUAL_KS), m=_HUB_MAX_POP, t=TOPK)
+    vecs = _with_norm(load_table(spark, sf_dir, "embeddings"))
+    n = vecs.count()
+    stride = (n + _HUB_MAX_POP - 1) // _HUB_MAX_POP
+    pop = vecs.filter(F.col("vec_id") % stride == 0)
+    queries = pop.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    pairs = pop.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    )
+    cos = _dot("qe", "embedding") / (F.col("qn") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    edges = (
+        pairs.withColumn("cos_sim", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            F.col("query_id").alias("src"),
+            F.col("vec_id").alias("dst"),
+            "rank",
+        )
+        .persist()
+    )
+    out = None
+    for k in _MUTUAL_KS:
+        ek = edges.filter(F.col("rank") <= k).select("src", "dst")
+        rev = ek.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        mutual = ek.join(rev, ["src", "dst"], "left_semi")
+        row = ek.agg(F.count("*").alias("n_edges")).crossJoin(
+            mutual.agg(F.count("*").alias("n_mutual"))
+        ).select(
+            F.lit(k).alias("k"),
+            "n_edges",
+            "n_mutual",
+            F.expr("n_mutual * 10000 div n_edges").alias("mutual_bp"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("k")
+
+
+def _mutuality_sql() -> str:
+    per_k = []
+    for k in _MUTUAL_KS:
+        per_k.append(f"""
+  SELECT {k} AS k,
+         CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_mutual,
+         CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) * 10000
+              // COUNT(*) AS BIGINT) AS mutual_bp
+  FROM (SELECT src, dst FROM edges WHERE rank <= {k}) e
+  LEFT JOIN (SELECT src, dst FROM edges WHERE rank <= {k}) r
+    ON r.src = e.dst AND r.dst = e.src""")
+    un = "\n  UNION ALL".join(per_k)
+    return f"""
+WITH allv AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot_sql('embedding', 'embedding')}) AS norm
+  FROM embeddings
+),
+nn AS (SELECT COUNT(*) AS n FROM allv),
+pop AS (
+  SELECT * FROM allv
+  WHERE vec_id % (((SELECT n FROM nn) + {_HUB_MAX_POP - 1})
+                  // {_HUB_MAX_POP}) = 0
+),
+scored AS (
+  SELECT q.vec_id AS src, v.vec_id AS dst,
+         {_dot_sql('q.embedding', 'v.embedding')} / (q.norm * v.norm)
+           AS cos_sim
+  FROM pop v JOIN pop q ON v.vec_id <> q.vec_id
+),
+edges AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY cos_sim DESC, dst ASC) AS rank
+  FROM scored
+  QUALIFY rank <= {TOPK}
+)
+SELECT * FROM ({un}
+)
+ORDER BY k
+"""
+
+
+KNN_MUTUALITY_SQL = _mutuality_sql()

@@ -3992,3 +3992,165 @@ FROM counts
 GROUP BY lang
 ORDER BY lang
 """
+
+
+_ENTROPY_LOW_NATS = 2.5  # flag threshold: natural text sits ~2.9-3.3
+
+
+def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C128 (round-9 addition): per-document CHARACTER-level Shannon
+    entropy — the curation screen that catches what the word-level
+    battery misses: base64/hex blobs and key dumps score HIGH
+    (near-uniform bytes), while run-length garbage, padding floods,
+    and single-char spam score LOW; natural language sits in a narrow
+    ~2.9-3.3 nat band. C9/C37 filter on word shapes, C102 on unicode
+    classes, B85 on column value distributions; none sees byte-level
+    randomness. The flag marks docs below {th} nats (the spam/padding
+    side; the high side is a reader's percentile cut over the same
+    column).
+
+    Exactness: per-(doc, char) counts are exact integers; entropy
+    H = ln(n) − (Σ c·ln c)/n uses the C29 discipline — each c·ln(c)
+    term is rounded to 6 dp and summed as DECIMAL (order-insensitive,
+    bit-identical across engines and partitionings), the final H
+    rounded to 4 dp. The flag is derived from the ROUNDED H both
+    engines agree on, so no boundary divergence exists.
+
+    Plan: one explode + (doc, char) rollup (map-side combined — the
+    per-doc alphabet caps combiner output at |alphabet| rows/doc),
+    one per-doc rollup. Output |docs| rows.
+    """.format(th=_ENTROPY_LOW_NATS)
+    docs = load_table(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.explode(F.split("text", "")).alias("c"),
+    ).filter(F.col("c") != "")
+    counts = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
+    term = F.round(
+        F.col("cnt") * F.log(F.col("cnt").cast("double")), 6
+    ).cast("decimal(24,6)")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_chars"),
+        F.count("*").alias("n_distinct_chars"),
+        F.sum(term).alias("sum_clnc"),
+    )
+    h = F.round(
+        F.log(F.col("n_chars").cast("double"))
+        - F.col("sum_clnc").cast("double") / F.col("n_chars"),
+        4,
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        h.alias("entropy_nats"),
+        (h < _ENTROPY_LOW_NATS).cast("int").alias("low_entropy_flag"),
+    ).orderBy("doc_id")
+
+
+CHAR_ENTROPY_SQL = f"""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+counts AS (
+  SELECT doc_id, c, COUNT(*) AS cnt FROM ch WHERE c <> '' GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id,
+         SUM(cnt) AS n_chars,
+         COUNT(*) AS n_distinct_chars,
+         SUM(CAST(ROUND(cnt * ln(CAST(cnt AS DOUBLE)), 6)
+                  AS DECIMAL(24,6))) AS sum_clnc
+  FROM counts GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+       ROUND(ln(CAST(n_chars AS DOUBLE))
+             - CAST(sum_clnc AS DOUBLE) / n_chars, 4) AS entropy_nats,
+       CAST(CASE WHEN ROUND(ln(CAST(n_chars AS DOUBLE))
+                            - CAST(sum_clnc AS DOUBLE) / n_chars, 4)
+                      < {_ENTROPY_LOW_NATS}
+                 THEN 1 ELSE 0 END AS INT) AS low_entropy_flag
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+_OOV_VOCAB_SIZE = 256
+
+
+def tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C129 (round-9 addition): out-of-vocabulary rate per language
+    against the corpus's own top-{v} token vocabulary — the
+    fixed-vocab coverage question C109 (fertility: subword pieces per
+    word) and C20 (vocab_stats: global frequency shape) don't answer:
+    if a tokenizer froze THIS vocab, what fraction of each language's
+    tokens fall outside it? The classic imbalanced-multilingual
+    failure (a vocab fit on the majority language starves the rest)
+    shows up as a per-language oov_bp spread.
+
+    Exactness: the vocabulary is the top {v} tokens by (tf DESC,
+    token) — a deterministic total order, taken via orderBy+limit
+    (TakeOrdered: per-partition top-k then a k-row merge; NEVER a
+    global sort or an unpartitioned rank window). OOV counts are
+    exact integers; the rate is floor-div basis points.
+
+    Plan: one token-frequency rollup, a {v}-row broadcast, one
+    left-anti-free conditional rollup per (lang). Output |langs| rows.
+    """.format(v=_OOV_VOCAB_SIZE)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.expr(_toks_expr())).alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("w"))
+        .limit(_OOV_VOCAB_SIZE)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 10000 div n_tokens").alias("oov_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _toks_expr() -> str:
+    return "filter(split(text, ' '), w -> w != '')"
+
+
+TOKENIZER_OOV_SQL = f"""
+WITH tok AS (
+  SELECT lang, unnest(list_filter(string_split(text, ' '), w -> w <> ''))
+           AS w
+  FROM documents
+),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS tf FROM tok GROUP BY w
+  ) ORDER BY tf DESC, w LIMIT {_OOV_VOCAB_SIZE}
+)
+SELECT t.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS oov_bp
+FROM tok t LEFT JOIN vocab v ON v.w = t.w
+GROUP BY t.lang
+ORDER BY t.lang
+"""

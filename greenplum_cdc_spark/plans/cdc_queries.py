@@ -4125,3 +4125,138 @@ FROM ranked
 WHERE rn = 1 AND op <> 'delete'
 ORDER BY pseudonym
 """.format(feed=maxwell.EVENTS_AS_CDC_SQL.strip())
+
+
+def cdc_before_image_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A55 (round-9 addition): before-image consistency audit — the
+    replication-integrity check every Maxwell/Debezium consumer with
+    ``old``/``before`` images should run and the reference demo's
+    row-poll never could: does each UPDATE's claimed before-image
+    match the replica state the feed itself implies (the prior event
+    on the key)? A drifted before-image means lost events, a
+    double-applied batch, or an out-of-band write on the source — the
+    failure classes A26 (gaps) and A49 (disorder) see only partially.
+
+    Feed construction (stated, both engines): events_as_cdc classified
+    by the prior event on the pk — first event per key or
+    follows-a-delete → fresh insert (no old image); delete → delete;
+    else UPDATE carrying old_claimed = previous value, with a
+    DETERMINISTIC corruption planted on seq % 7 == 0 (old_claimed + 
+    0.01 — an IEEE add both engines perform identically) so the audit
+    has real positives to find.
+
+    The audit recomputes the implied prior state with ONE lag window
+    over (pk ORDER BY ts, seq) and compares exactly (double equality
+    is sound here: both sides are the same stored double or that
+    double plus 0.01). Output per event_type: event/update counts,
+    consistent/inconsistent splits, and the inconsistency share in
+    floor-div basis points — all integers.
+
+    At 100 TB: one keyed window over the feed (the same shuffle the
+    snapshot apply already pays); the rollup is |event_types| rows.
+    """
+    feed = _feed(spark, sf_dir)
+    w = Window.partitionBy("pk").orderBy("ts", "seq")
+    classified = feed.select(
+        "pk",
+        "ts",
+        "seq",
+        "op",
+        "value",
+        "event_type",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lag("op").over(w).alias("prev_op"),
+    ).withColumn(
+        "kind",
+        F.when(F.col("op") == "delete", F.lit("delete"))
+        .when(
+            F.col("prev_op").isNull() | (F.col("prev_op") == "delete"),
+            F.lit("insert"),
+        )
+        .otherwise(F.lit("update")),
+    ).withColumn(
+        "old_claimed",
+        F.when(
+            F.col("kind") == "update",
+            F.when(
+                F.col("seq") % 7 == 0, F.col("prev_value") + 0.01
+            ).otherwise(F.col("prev_value")),
+        ),
+    )
+    return (
+        classified.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("kind") == "update").cast("long")).alias(
+                "n_updates"
+            ),
+            F.sum(
+                (
+                    (F.col("kind") == "update")
+                    & (F.col("old_claimed") == F.col("prev_value"))
+                ).cast("long")
+            ).alias("n_consistent"),
+            F.sum(
+                (
+                    (F.col("kind") == "update")
+                    & (F.col("old_claimed") != F.col("prev_value"))
+                ).cast("long")
+            ).alias("n_inconsistent"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_updates",
+            "n_consistent",
+            "n_inconsistent",
+            F.expr(
+                "CASE WHEN n_updates > 0"
+                " THEN n_inconsistent * 10000 div n_updates"
+                " ELSE 0 END"
+            ).alias("inconsistent_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+CDC_BEFORE_IMAGE_SQL = """
+WITH cdc AS ({feed}),
+classified AS (
+  SELECT event_type, seq, op, value,
+         lag(value) OVER w AS prev_value,
+         lag(op) OVER w AS prev_op
+  FROM cdc
+  WINDOW w AS (PARTITION BY pk ORDER BY ts, seq)
+),
+kinds AS (
+  SELECT event_type, seq, value, prev_value,
+         CASE WHEN op = 'delete' THEN 'delete'
+              WHEN prev_op IS NULL OR prev_op = 'delete' THEN 'insert'
+              ELSE 'update' END AS kind
+  FROM classified
+),
+audited AS (
+  SELECT event_type, kind, prev_value,
+         CASE WHEN kind = 'update' THEN
+           CASE WHEN seq % 7 = 0 THEN prev_value + 0.01
+                ELSE prev_value END
+         END AS old_claimed
+  FROM kinds
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN kind = 'update' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_updates,
+       CAST(SUM(CASE WHEN kind = 'update' AND old_claimed = prev_value
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+       CAST(SUM(CASE WHEN kind = 'update' AND old_claimed <> prev_value
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_inconsistent,
+       CAST(CASE WHEN SUM(CASE WHEN kind = 'update' THEN 1 ELSE 0 END) > 0
+            THEN SUM(CASE WHEN kind = 'update' AND old_claimed <> prev_value
+                     THEN 1 ELSE 0 END) * 10000
+                 // SUM(CASE WHEN kind = 'update' THEN 1 ELSE 0 END)
+            ELSE 0 END AS BIGINT) AS inconsistent_bp
+FROM audited
+GROUP BY event_type
+ORDER BY event_type
+""".format(feed=maxwell.EVENTS_AS_CDC_SQL)

@@ -19,7 +19,7 @@ Scale notes (SURVEY.md §6):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..io import load_table
 
@@ -3670,4 +3670,249 @@ SELECT d.p_brand,
 FROM daily d JOIN stock s ON s.p_brand = d.p_brand
 GROUP BY d.p_brand
 ORDER BY d.p_brand
+"""
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B141 (round-9 addition): degree assortativity of the
+    co-purchase part graph — the one summary statistic the graph trio
+    (B79 triangles, B80 PageRank, B99 components, C126 k-core) leaves
+    unanswered: do well-connected parts co-occur with other
+    well-connected parts (r > 0, assortative hubs — bundle-able
+    catalogs) or with peripherals (r < 0, hub-and-spoke)? Newman 2002
+    eq. 4, computed over the SAME support-thresholded edge rule as
+    C126/B80 so the statistic describes the graph the other operators
+    analyze.
+
+    Exactness: degrees are integers; over the symmetric directed edge
+    list the Pearson moments (n, Σx, Σxy, Σx² with x the source
+    degree; marginals equal by symmetry) are exact BIGINT sums — at
+    this graph's bounds (deg ≤ ~10³, edges ≤ ~10⁶) n·Σxy ≤ ~10¹⁷,
+    inside int64. The coefficient r = (nΣxy − (Σx)²)/(nΣx² − (Σx)²)
+    is the ONLY double, derived per ROUND(·,6) from identical
+    integers in both engines — no float accumulation anywhere.
+
+    Plan: B38's one order-co-partitioned self-join builds edges, one
+    count rollup the degrees, one degree-join + single-row aggregate
+    the moments. At 100 TB every stage is the k-core preamble the
+    cluster already runs.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= _KCORE_MIN_SUP)
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = (
+        edges.join(deg, "src")
+        .withColumnRenamed("deg", "dx")
+        .join(deg.withColumnRenamed("src", "dst").withColumnRenamed("deg", "dy"), "dst")
+    )
+    m = ed.agg(
+        F.count("*").alias("n_edges_directed"),
+        F.sum("dx").alias("sum_deg"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sum_prod"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sum_sq"),
+    )
+    return m.select(
+        "n_edges_directed",
+        "sum_deg",
+        "sum_prod",
+        "sum_sq",
+        F.round(
+            (
+                F.col("n_edges_directed") * F.col("sum_prod")
+                - F.col("sum_deg") * F.col("sum_deg")
+            )
+            / (
+                F.col("n_edges_directed") * F.col("sum_sq")
+                - F.col("sum_deg") * F.col("sum_deg")
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+DEGREE_ASSORTATIVITY_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_KCORE_MIN_SUP}
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL SELECT pb, pa FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+m AS (
+  SELECT COUNT(*) AS n_edges_directed,
+         SUM(dx.deg) AS sum_deg,
+         SUM(dx.deg * dy.deg) AS sum_prod,
+         SUM(dx.deg * dx.deg) AS sum_sq
+  FROM edges e
+  JOIN deg dx ON dx.src = e.src
+  JOIN deg dy ON dy.src = e.dst
+)
+SELECT CAST(n_edges_directed AS BIGINT) AS n_edges_directed,
+       CAST(sum_deg AS BIGINT) AS sum_deg,
+       CAST(sum_prod AS BIGINT) AS sum_prod,
+       CAST(sum_sq AS BIGINT) AS sum_sq,
+       ROUND(CAST(n_edges_directed * sum_prod - sum_deg * sum_deg AS DOUBLE)
+             / CAST(n_edges_directed * sum_sq - sum_deg * sum_deg AS DOUBLE),
+             6) AS assortativity
+FROM m
+"""
+
+
+def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B142 (round-9 addition): repeat-purchase cadence per market
+    segment — the retention metric B115's cohort LTV (revenue) and
+    B63's RFM (latest state) both skip: for customers with >= 2
+    orders, the day gaps between CONSECUTIVE orders, rolled up per
+    segment as exact count / mean / median / p90. The purchasing-team
+    question it answers: how long until a live customer reorders, and
+    does that differ by segment (replenishment sizing, win-back
+    timer placement).
+
+    Exactness: gaps are integer datediffs over the per-customer
+    (o_orderdate, o_orderkey) order; mean is exact milli-days by
+    floor division; median and p90 are ceil-rank order statistics
+    computed from a (segment, gap_days) HISTOGRAM — VALUE-bounded
+    (≤ |segments| × ~2500 distinct gaps), so the rank walk is a
+    cumulative-sum window over the histogram (the C126/B118 idiom),
+    never a row-level global sort.
+
+    Plan: one (custkey) rollup-free window over orders (the only
+    customer-wide shuffle), one histogram rollup, one |histogram|-row
+    window. Output |segments| rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            F.lag("o_orderdate").over(w).alias("prev_date"),
+        )
+        .filter(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("o_orderdate", "prev_date").alias("gap_days"),
+        )
+        .join(
+            F.broadcast(
+                c.select(
+                    F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+                )
+            ),
+            "o_custkey",
+        )
+    )
+    hist = gaps.groupBy("c_mktsegment", "gap_days").agg(
+        F.count("*").alias("cnt")
+    )
+    hw = Window.partitionBy("c_mktsegment").orderBy("gap_days")
+    seg_w = Window.partitionBy("c_mktsegment")
+    ranked = hist.select(
+        "c_mktsegment",
+        "gap_days",
+        "cnt",
+        F.sum("cnt").over(hw).alias("cum"),
+        F.sum("cnt").over(seg_w).alias("n"),
+        F.sum(F.col("cnt") * F.col("gap_days")).over(seg_w).alias(
+            "total_days"
+        ),
+    )
+    # ceil-rank order statistics via integer cross-multiplication:
+    # median = smallest gap with cum*2 >= n, p90 with cum*10 >= 9n
+    med = (
+        ranked.filter((F.col("cum") - F.col("cnt")) * 2 < F.col("n"))
+        .filter(F.col("cum") * 2 >= F.col("n"))
+        .select("c_mktsegment", F.col("gap_days").alias("median_gap_days"))
+    )
+    p90 = (
+        ranked.filter(
+            (F.col("cum") - F.col("cnt")) * 10 < F.col("n") * 9
+        )
+        .filter(F.col("cum") * 10 >= F.col("n") * 9)
+        .select("c_mktsegment", F.col("gap_days").alias("p90_gap_days"))
+    )
+    base = ranked.groupBy("c_mktsegment").agg(
+        F.first("n").alias("n_gaps"),
+        F.expr("first(total_days) * 1000 div first(n)").alias(
+            "mean_gap_millidays"
+        ),
+    )
+    return (
+        base.join(med, "c_mktsegment")
+        .join(p90, "c_mktsegment")
+        .select(
+            "c_mktsegment",
+            "n_gaps",
+            "mean_gap_millidays",
+            "median_gap_days",
+            "p90_gap_days",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+REPEAT_PURCHASE_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate, o_orderkey),
+                   o_orderdate) AS gap_days
+  FROM orders
+),
+seg AS (
+  SELECT c.c_mktsegment, g.gap_days
+  FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+  WHERE g.gap_days IS NOT NULL
+),
+hist AS (
+  SELECT c_mktsegment, gap_days, COUNT(*) AS cnt
+  FROM seg GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_mktsegment, gap_days, cnt,
+         SUM(cnt) OVER (PARTITION BY c_mktsegment ORDER BY gap_days) AS cum,
+         SUM(cnt) OVER (PARTITION BY c_mktsegment) AS n,
+         SUM(cnt * gap_days) OVER (PARTITION BY c_mktsegment) AS total_days
+  FROM hist
+)
+SELECT r.c_mktsegment,
+       CAST(ANY_VALUE(r.n) AS BIGINT) AS n_gaps,
+       CAST(ANY_VALUE(r.total_days) * 1000 // ANY_VALUE(r.n) AS BIGINT)
+         AS mean_gap_millidays,
+       CAST(ANY_VALUE(m.gap_days) AS BIGINT) AS median_gap_days,
+       CAST(ANY_VALUE(p.gap_days) AS BIGINT) AS p90_gap_days
+FROM ranked r
+JOIN ranked m ON m.c_mktsegment = r.c_mktsegment
+   AND (m.cum - m.cnt) * 2 < m.n AND m.cum * 2 >= m.n
+JOIN ranked p ON p.c_mktsegment = r.c_mktsegment
+   AND (p.cum - p.cnt) * 10 < p.n * 9 AND p.cum * 10 >= p.n * 9
+GROUP BY r.c_mktsegment
+ORDER BY r.c_mktsegment
 """

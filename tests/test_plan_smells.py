@@ -140,6 +140,9 @@ _BNLJ_OK = {
     "ngram_continuation_stats",  # 1-row bigram-type-total scalar
     "token_budget_waterfill",  # 1-row totals/level scalars
     "dedup_threshold_sweep",  # 1-row per-tau flagged/total scalars
+    # round 9
+    "knn_mutuality_audit",  # C116's broadcast bounded query set + 1-row
+    # per-k edge/mutual count scalars
 }
 
 

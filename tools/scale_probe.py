@@ -385,6 +385,13 @@ def _late_ops():
         "wape_backtest": timeseries.wape_backtest,
         "net_revenue_retention": _tpch().net_revenue_retention,
         "stream_debezium_pipeline": __import__("greenplum_cdc_spark.streaming.pipeline", fromlist=["pipeline"]).stream_debezium_pipeline,
+        # round 9
+        "cdc_before_image_audit": cdc_queries.cdc_before_image_audit,
+        "degree_assortativity": _tpch().degree_assortativity,
+        "repeat_purchase_interval": _tpch().repeat_purchase_interval,
+        "char_entropy_filter": text.char_entropy_filter,
+        "tokenizer_oov_rate": text.tokenizer_oov_rate,
+        "knn_mutuality_audit": similarity.knn_mutuality_audit,
     }
 
 
