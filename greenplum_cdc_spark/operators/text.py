@@ -4019,6 +4019,14 @@ def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: one explode + (doc, char) rollup (map-side combined — the
     per-doc alphabet caps combiner output at |alphabet| rows/doc),
     one per-doc rollup. Output |docs| rows.
+
+    Stated boundary: "character" = what split(text, '') yields. For
+    BMP text (this corpus) Spark and DuckDB agree code point by code
+    point; astral-plane input (emoji, rare CJK) splits into UTF-16
+    surrogate halves on the JVM but code points in DuckDB — a corpus
+    with astral text needs a code-point normalizer in front (the
+    entropy SIGNAL is insensitive to which convention, the oracle
+    hash is not).
     """.format(th=_ENTROPY_LOW_NATS)
     docs = load_table(spark, sf_dir, "documents")
     ch = docs.select(

@@ -256,3 +256,55 @@ def test_knn_mutuality_rederived(spark):
         for r in knn_mutuality_audit(spark, SF).collect()
     }
     assert got == want
+
+
+def test_kcore_empty_edge_set_returns_empty(spark, tmp_path):
+    """ADVICE r8: when the support threshold leaves NO co-purchase
+    edges (every pair occurs once), kcore must return the typed empty
+    frame — not IndexError on the empty degree histogram — matching
+    the oracle's empty unrolled-CTE result."""
+    from greenplum_cdc_spark.plans.tpch import kcore_decomposition
+
+    # 3 orders, disjoint part pairs -> every pair support 1 < MIN_SUP 2
+    rows = [
+        (1, 101), (1, 102),
+        (2, 201), (2, 202),
+        (3, 301), (3, 302),
+    ]
+    spark.createDataFrame(
+        [(o, p, 1.0, 1) for o, p in rows],
+        "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_linenumber int",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = kcore_decomposition(spark, str(tmp_path))
+    assert out.columns == ["part_id", "initial_degree", "core_degree", "k"]
+    assert out.count() == 0
+
+
+def test_nrr_no_phantom_trailing_month(spark):
+    """ADVICE r8: net_revenue_retention must not report a month past
+    the feed's last observed order month (prev rows shifted to m+1
+    used to fabricate an all-churned final row)."""
+    from greenplum_cdc_spark.io import load_table
+    from greenplum_cdc_spark.plans.tpch import net_revenue_retention
+    import pyspark.sql.functions as F
+
+    o = load_table(spark, SF, "orders")
+    last = o.agg(
+        F.max(
+            F.expr("year(o_orderdate) * 12 + month(o_orderdate) - 1")
+        ).alias("m")
+    ).collect()[0].m
+    rows = net_revenue_retention(spark, SF).collect()
+    months = [r.year * 12 + r.month - 1 for r in rows]
+    assert max(months) <= last
+    # and every reported month is an OBSERVED order month
+    observed = {
+        r.m
+        for r in o.select(
+            F.expr("year(o_orderdate) * 12 + month(o_orderdate) - 1").alias(
+                "m"
+            )
+        ).distinct().collect()
+    }
+    assert set(months) <= observed
