@@ -2894,3 +2894,219 @@ ORDER BY k
 
 
 KNN_MUTUALITY_SQL = _mutuality_sql()
+
+
+_SD2_MIN_K = 2  # per-level fan-out floor (degenerate tiny corpora)
+
+
+def _icbrt(n: int) -> int:
+    """Exact integer cube root (smallest k with k^3 >= n) — float
+    pow(n, 1/3) is NOT correctly rounded (libm-dependent, unlike
+    sqrt), so both engines derive k by pure integer search: Spark on
+    the driver here, DuckDB over a bounded integer spine (k <= 2000
+    covers n up to 8e9; raising the spine is a constant edit)."""
+    k = 1
+    while k * k * k < n:
+        k += 1
+    return k
+
+
+def semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C131 (round-9 addition): SemDeDup with a TWO-LEVEL quantizer —
+    the stated scale path past C58's single-level N^1.5 design point
+    (round-9 100x probe measured C58 at 54.6, exactly the predicted
+    ~10x-beyond-linear of N^1.5; this is the FAISS IVF-in-IVF answer
+    built as an oracle-gated operator, not a docstring promise).
+
+    With per-level fan-out k = icbrt(N): L1 assignment costs N·k
+    dots, L2 assignment N·k within L1 cells (an equi-join on the L1
+    cell, never a global cross join), expected leaf size N/k² =
+    N^(1/3), so within-leaf pairing is ~N·N^(1/3)/2 — total N^(4/3)
+    vs the single level's N^1.5. The recall trade is the honest
+    difference and is VISIBLE, not hidden: leaves are finer than
+    C58's cells, so cross-leaf near-dups inside an L1 cell are out of
+    scope by definition (SemDeDup's recall is a function of cell
+    granularity; C58 at sqrt-cells and this at cbrt²-leaves bracket
+    the curve, pytest pins dropped(two-level) <= dropped(C58) on the
+    same corpus).
+
+    Exactness: k is an exact INTEGER cube root in both engines
+    (float pow(·,1/3) is libm-dependent — see _icbrt; DuckDB derives
+    the same k from a 2000-row integer spine, whitelisted constant
+    size). L1 seeds = vec_id < k (C58's convention), L2 seeds = the
+    first k members of each L1 cell by vec_id (one row_number
+    window); both argmins break ties (cos DESC, seed ASC); cosine is
+    the shared left-assoc fold, bit-identical across engines.
+
+    Output: per (cell_l1, cell_l2) leaf — corpus size, dropped
+    near-dups (keep-lowest-id, C58's policy), survivors.
+    """
+    vecs = _with_norm(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    n = vecs.count()
+    k = max(_SD2_MIN_K, _icbrt(n))
+    s1 = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("embedding").alias("se"),
+        F.col("norm").alias("sn"),
+    )
+    a1 = (
+        vecs.crossJoin(F.broadcast(s1))
+        .select(
+            "vec_id",
+            "embedding",
+            "norm",
+            "seed_id",
+            (_dot("embedding", "se") / (F.col("norm") * F.col("sn"))).alias(
+                "cos_seed"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cos_seed"), F.asc("seed_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("c1"), "embedding", "norm")
+    )
+    from .dedup import _swap_persist
+
+    a1 = _swap_persist("semdedup2_l1", a1)
+    s2 = (
+        a1.withColumn(
+            "srn",
+            F.row_number().over(
+                Window.partitionBy("c1").orderBy("vec_id")
+            ),
+        )
+        .filter(F.col("srn") <= k)
+        .select(
+            "c1",
+            F.col("vec_id").alias("seed2_id"),
+            F.col("embedding").alias("se2"),
+            F.col("norm").alias("sn2"),
+        )
+    )
+    a2 = (
+        a1.join(s2, "c1")
+        .select(
+            "c1",
+            "vec_id",
+            "embedding",
+            "norm",
+            "seed2_id",
+            (_dot("embedding", "se2") / (F.col("norm") * F.col("sn2"))).alias(
+                "cos2"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cos2"), F.asc("seed2_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("c1", F.col("seed2_id").alias("c2"), "vec_id", "embedding", "norm")
+    )
+    leaves = _swap_persist("semdedup2_leaves", a2)
+    pair_cos = _dot("a.embedding", "b.embedding") / (
+        F.col("a.norm") * F.col("b.norm")
+    )
+    dropped = (
+        leaves.alias("a")
+        .join(
+            leaves.alias("b"),
+            (F.col("a.c1") == F.col("b.c1"))
+            & (F.col("a.c2") == F.col("b.c2"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(pair_cos >= SEM_TAU)
+        .select(
+            F.col("b.c1").alias("c1"),
+            F.col("b.c2").alias("c2"),
+            F.col("b.vec_id").alias("vec_id"),
+        )
+        .distinct()
+        .groupBy("c1", "c2")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+    base = leaves.groupBy("c1", "c2").agg(F.count("*").alias("n_vecs"))
+    return (
+        base.join(dropped, ["c1", "c2"], "left")
+        .select(
+            F.col("c1").alias("cell_l1"),
+            F.col("c2").alias("cell_l2"),
+            "n_vecs",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            (F.col("n_vecs") - F.coalesce("n_dropped", F.lit(0))).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("cell_l1", "cell_l2")
+    )
+
+
+SEMANTIC_DEDUP_TWO_LEVEL_SQL = f"""
+WITH v AS (
+  SELECT vec_id, embedding, sqrt({_dot_sql('embedding', 'embedding')}) AS norm
+  FROM embeddings
+),
+kk AS (
+  SELECT GREATEST({_SD2_MIN_K},
+                  (SELECT MIN(i) FROM range(1, 2001) t(i)
+                   WHERE i * i * i >= (SELECT COUNT(*) FROM v))) AS k
+),
+s1 AS (
+  SELECT vec_id AS seed_id, embedding AS se, norm AS sn FROM v
+  WHERE vec_id < (SELECT k FROM kk)
+),
+a1 AS (
+  SELECT vec_id, seed_id AS c1, embedding, norm FROM (
+    SELECT v.vec_id, v.embedding, v.norm, s1.seed_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {_dot_sql('v.embedding', 's1.se')} / (v.norm * s1.sn)
+                        DESC,
+                      s1.seed_id ASC) AS rn
+    FROM v, s1
+  ) WHERE rn = 1
+),
+s2 AS (
+  SELECT c1, vec_id AS seed2_id, embedding AS se2, norm AS sn2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY c1 ORDER BY vec_id) AS srn
+    FROM a1
+  ) WHERE srn <= (SELECT k FROM kk)
+),
+leaves AS (
+  SELECT c1, seed2_id AS c2, vec_id, embedding, norm FROM (
+    SELECT a1.c1, a1.vec_id, a1.embedding, a1.norm, s2.seed2_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a1.vec_id
+             ORDER BY {_dot_sql('a1.embedding', 's2.se2')}
+                        / (a1.norm * s2.sn2) DESC,
+                      s2.seed2_id ASC) AS rn
+    FROM a1 JOIN s2 ON s2.c1 = a1.c1
+  ) WHERE rn = 1
+),
+dropped AS (
+  SELECT c1, c2, COUNT(DISTINCT vec_id) AS n_dropped FROM (
+    SELECT a.c1, a.c2, b.vec_id
+    FROM leaves a JOIN leaves b
+      ON a.c1 = b.c1 AND a.c2 = b.c2 AND a.vec_id < b.vec_id
+    WHERE {_dot_sql('a.embedding', 'b.embedding')} / (a.norm * b.norm)
+            >= {SEM_TAU}
+  ) GROUP BY c1, c2
+),
+base AS (SELECT c1, c2, COUNT(*) AS n_vecs FROM leaves GROUP BY c1, c2)
+SELECT base.c1 AS cell_l1, base.c2 AS cell_l2, n_vecs,
+       COALESCE(n_dropped, 0) AS n_dropped,
+       n_vecs - COALESCE(n_dropped, 0) AS n_kept
+FROM base LEFT JOIN dropped USING (c1, c2)
+ORDER BY cell_l1, cell_l2
+"""

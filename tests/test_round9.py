@@ -308,3 +308,81 @@ def test_nrr_no_phantom_trailing_month(spark):
         ).distinct().collect()
     }
     assert set(months) <= observed
+
+
+def test_semantic_dedup_two_level_rederived(spark):
+    """C131: exact python replay of both assignment levels and the
+    leaf-scoped drop policy, plus the stated recall bracket vs C58
+    (finer leaves can only find a subset of the dup pairs)."""
+    from greenplum_cdc_spark.io import load_table
+    from greenplum_cdc_spark.operators.similarity import (
+        _SD2_MIN_K,
+        SEM_TAU,
+        _icbrt,
+        semantic_dedup,
+        semantic_dedup_two_level,
+    )
+
+    vecs = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, SF, "embeddings").collect()
+    }
+    n = len(vecs)
+    k = max(_SD2_MIN_K, _icbrt(n))
+    assert k ** 3 >= n > (k - 1) ** 3 or k == _SD2_MIN_K
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    norm = {i: math.sqrt(dot(v, v)) for i, v in vecs.items()}
+    seeds1 = {i: vecs[i] for i in vecs if i < k}
+    c1 = {}
+    for i, v in vecs.items():
+        best = max(
+            seeds1,
+            key=lambda s: (dot(v, seeds1[s]) / (norm[i] * norm[s]), -s),
+        )
+        c1[i] = best
+    # L2 seeds: first k members of each L1 cell by vec_id
+    members = defaultdict(list)
+    for i in sorted(vecs):
+        members[c1[i]].append(i)
+    leaf = {}
+    for cell, ms in members.items():
+        s2 = ms[:k]
+        for i in ms:
+            best = max(
+                s2,
+                key=lambda s: (
+                    dot(vecs[i], vecs[s]) / (norm[i] * norm[s]),
+                    -s,
+                ),
+            )
+            leaf[i] = (cell, best)
+    by_leaf = defaultdict(list)
+    for i, lf in leaf.items():
+        by_leaf[lf].append(i)
+    want = {}
+    total_dropped = 0
+    for lf, ms in by_leaf.items():
+        dropped = set()
+        ms = sorted(ms)
+        for ai, a in enumerate(ms):
+            for b in ms[ai + 1:]:
+                if dot(vecs[a], vecs[b]) / (norm[a] * norm[b]) >= SEM_TAU:
+                    dropped.add(b)
+        want[lf] = (len(ms), len(dropped), len(ms) - len(dropped))
+        total_dropped += len(dropped)
+    got = {
+        (r.cell_l1, r.cell_l2): (r.n_vecs, r.n_dropped, r.n_kept)
+        for r in semantic_dedup_two_level(spark, SF).collect()
+    }
+    assert got == want
+    # recall bracket: finer leaves find at most what sqrt-cells find
+    c58_dropped = sum(
+        r.n_dropped for r in semantic_dedup(spark, SF).collect()
+    )
+    assert total_dropped <= c58_dropped

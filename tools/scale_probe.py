@@ -392,6 +392,9 @@ def _late_ops():
         "char_entropy_filter": text.char_entropy_filter,
         "tokenizer_oov_rate": text.tokenizer_oov_rate,
         "knn_mutuality_audit": similarity.knn_mutuality_audit,
+        "graph_triangles": dedup.graph_triangles,
+        "simhash_near_pairs": dedup.simhash_near_pairs,
+        "semantic_dedup_two_level": similarity.semantic_dedup_two_level,
     }
 
 
