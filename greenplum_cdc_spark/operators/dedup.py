@@ -133,10 +133,14 @@ def _rarity_docsets(sh: DataFrame) -> DataFrame:
     (measured: the verification join dominated the 100x containment
     probe). The 256-way md5 bucket keeps the ranking window skew-free
     (df=1 holds most distinct shingles; one window partition per df
-    value would funnel them through one task at corpus scale). Stated
-    bound: df < 2^23 (8.4M docs sharing one shingle) keeps sid inside
-    int64; past that, clamp df in the sid (order among super-heavy
-    shingles is then bucket/rank — still a valid fixed order).
+    value would funnel them through one task at corpus scale).
+    df is CLAMPED at 2^23 - 1 in the sid (8.4M docs sharing one
+    shingle saturates the field instead of wrapping int64, ADVICE r9);
+    rank is computed within the CLAMPED (df, bucket) partition so sid
+    stays bijective under the clamp — order among super-heavy clamped
+    shingles degrades to bucket/rank, still a valid fixed global
+    order, and the rare/heavy split (df <= DF_CEIL = 64) sits far
+    below the clamp so tier semantics are unaffected.
 
     ``n_rare`` = how many of the doc's shingles have df <= DF_CEIL
     — by the sid layout exactly the entries < (DF_CEIL+1)·2^40, and
@@ -145,7 +149,9 @@ def _rarity_docsets(sh: DataFrame) -> DataFrame:
     O(1) slices of ``arr`` — what the df-ceiling containment tiers
     (C105) consume. Jaccard consumers ignore the column
     (projection-pruned)."""
-    df_tbl = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    df_tbl = sh.groupBy("sh").agg(
+        F.least(F.count("*"), F.lit((1 << 23) - 1)).alias("df")
+    )
     bucket = (
         F.conv(F.substring(F.md5("sh"), 1, 2), 16, 10).cast("bigint")
     )

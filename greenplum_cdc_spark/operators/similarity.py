@@ -1003,9 +1003,15 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     products and within-cell pairing costs ~N^2/(2k), so k = sqrt(N)
     equalizes them at N^1.5 total (the probe measured a FIXED 8-cell
     variant at 27x wall on 10x data — the quadratic cliff this formula
-    removes; sqrt-cells measures ~7x). Past that, the k-means quantizer
-    stacks into multiple levels (each level's fan-out stays ~sqrt),
-    which is exactly FAISS's IVF-in-IVF answer. Seeds are the first k
+    removes; sqrt-cells measures ~7x). **For corpora ≥10x this scale,
+    use `semantic_dedup_two_level` (C131)** — the stacked-quantizer
+    successor at N^(4/3) vs this op's N^1.5: the round-9 100x cold
+    probe measured this op at 54.6 (exactly its N^1.5 envelope) vs
+    12.4 for the two-level form, a 4.4x wall gap that widens with N.
+    The recall trade (finer leaves skip cross-leaf near-dups within an
+    L1 cell) is pinned by pytest on BOTH the sf corpus and the 10x
+    corpus: dropped(C131) <= dropped(C58). Stacking each level's
+    fan-out at ~cbrt is exactly FAISS's IVF-in-IVF answer. Seeds are the first k
     corpus vectors (deterministic k-means stand-in — the trained form
     is kmeans_embeddings C45); both engines derive k from the same
     COUNT via the same IEEE sqrt, so the cells agree bit-for-bit.
@@ -2827,8 +2833,13 @@ def knn_mutuality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("dst"),
             "rank",
         )
-        .persist()
     )
+    # ADVICE r9: the named swap slot (not a bare .persist()) keeps at
+    # most ONE cached edge list alive across gate/bench invocations in
+    # a long single session
+    from .dedup import _swap_persist
+
+    edges = _swap_persist("knn_mutuality_edges", edges)
     out = None
     for k in _MUTUAL_KS:
         ek = edges.filter(F.col("rank") <= k).select("src", "dst")
@@ -2899,14 +2910,23 @@ KNN_MUTUALITY_SQL = _mutuality_sql()
 _SD2_MIN_K = 2  # per-level fan-out floor (degenerate tiny corpora)
 
 
+_SD2_MAX_K = 2000  # per-level fan-out ceiling: the broadcast L1/L2
+# codebooks stay <= 2000 rows x 64 doubles ~ 1 MB at ANY corpus size
+# (2000^3 = 8e9 docs before the cap binds; past that, fan-out freezes
+# and leaves grow linearly — still never a growing broadcast).  The
+# DuckDB oracle derives k from the same 2000-row integer spine, so the
+# cap is engine-identical, and tests/test_plan_smells.py whitelists the
+# L1 BroadcastNestedLoopJoin on exactly this bound.
+
+
 def _icbrt(n: int) -> int:
-    """Exact integer cube root (smallest k with k^3 >= n) — float
-    pow(n, 1/3) is NOT correctly rounded (libm-dependent, unlike
-    sqrt), so both engines derive k by pure integer search: Spark on
-    the driver here, DuckDB over a bounded integer spine (k <= 2000
-    covers n up to 8e9; raising the spine is a constant edit)."""
+    """Exact integer cube root (smallest k with k^3 >= n), capped at
+    _SD2_MAX_K — float pow(n, 1/3) is NOT correctly rounded
+    (libm-dependent, unlike sqrt), so both engines derive k by pure
+    integer search: Spark on the driver here, DuckDB over the bounded
+    integer spine (COALESCE to the cap when n exceeds its cube)."""
     k = 1
-    while k * k * k < n:
+    while k * k * k < n and k < _SD2_MAX_K:
         k += 1
     return k
 
@@ -3059,8 +3079,9 @@ WITH v AS (
 ),
 kk AS (
   SELECT GREATEST({_SD2_MIN_K},
-                  (SELECT MIN(i) FROM range(1, 2001) t(i)
-                   WHERE i * i * i >= (SELECT COUNT(*) FROM v))) AS k
+                  COALESCE((SELECT MIN(i) FROM range(1, {_SD2_MAX_K + 1}) t(i)
+                            WHERE i * i * i >= (SELECT COUNT(*) FROM v)),
+                           {_SD2_MAX_K})) AS k
 ),
 s1 AS (
   SELECT vec_id AS seed_id, embedding AS se, norm AS sn FROM v

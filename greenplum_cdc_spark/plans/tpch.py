@@ -3691,6 +3691,14 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside int64. The coefficient r = (nΣxy − (Σx)²)/(nΣx² − (Σx)²)
     is the ONLY double, derived per ROUND(·,6) from identical
     integers in both engines — no float accumulation anywhere.
+    A degenerate graph (regular after thresholding: every surviving
+    vertex the same degree, e.g. one surviving pair) makes the
+    denominator 0; Spark's x/0 yields NULL where DuckDB's IEEE
+    division yields NaN, so both engines state the guard explicitly:
+    denominator = 0 → NULL (r is undefined on a regular graph).  The
+    int64 bound above (n·Σxy ≤ ~10¹⁷) is an UNCHECKED precondition of
+    the stated graph bounds — Spark wraps and DuckDB errors past it,
+    so breaching it is loud in the oracle, silent here (ADVICE r9).
 
     Plan: B38's one order-co-partitioned self-join builds edges, one
     count rollup the degrees, one degree-join + single-row aggregate
@@ -3735,17 +3743,25 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_deg",
         "sum_prod",
         "sum_sq",
-        F.round(
-            (
-                F.col("n_edges_directed") * F.col("sum_prod")
-                - F.col("sum_deg") * F.col("sum_deg")
+        F.when(
+            F.col("n_edges_directed") * F.col("sum_sq")
+            == F.col("sum_deg") * F.col("sum_deg"),
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (
+                    F.col("n_edges_directed") * F.col("sum_prod")
+                    - F.col("sum_deg") * F.col("sum_deg")
+                )
+                / (
+                    F.col("n_edges_directed") * F.col("sum_sq")
+                    - F.col("sum_deg") * F.col("sum_deg")
+                ),
+                6,
             )
-            / (
-                F.col("n_edges_directed") * F.col("sum_sq")
-                - F.col("sum_deg") * F.col("sum_deg")
-            ),
-            6,
-        ).alias("assortativity"),
+        )
+        .alias("assortativity"),
     )
 
 
@@ -3775,9 +3791,13 @@ SELECT CAST(n_edges_directed AS BIGINT) AS n_edges_directed,
        CAST(sum_deg AS BIGINT) AS sum_deg,
        CAST(sum_prod AS BIGINT) AS sum_prod,
        CAST(sum_sq AS BIGINT) AS sum_sq,
-       ROUND(CAST(n_edges_directed * sum_prod - sum_deg * sum_deg AS DOUBLE)
-             / CAST(n_edges_directed * sum_sq - sum_deg * sum_deg AS DOUBLE),
-             6) AS assortativity
+       CASE WHEN n_edges_directed * sum_sq - sum_deg * sum_deg = 0
+            THEN NULL
+            ELSE ROUND(
+              CAST(n_edges_directed * sum_prod - sum_deg * sum_deg AS DOUBLE)
+              / CAST(n_edges_directed * sum_sq - sum_deg * sum_deg AS DOUBLE),
+              6)
+       END AS assortativity
 FROM m
 """
 

@@ -97,6 +97,24 @@ class AmqpConnectionLost(AmqpProtocolError):
     catch it FIRST and leave a genuinely malformed conversation loud."""
 
 
+class AmqpConsumerCancelled(AmqpProtocolError):
+    """The broker cancelled the consumer (Basic.Cancel) and the retry
+    budget is exhausted — the drained batch is PARTIAL.  Raised instead
+    of returning the partial landed count (ADVICE r9: a silent partial
+    return is indistinguishable from a complete drain; the
+    connection-lost leg already raises, this leg must too).  Carries
+    ``landed`` so callers that can tolerate truncation still know what
+    reached the spool (it is acked and will NOT be redelivered)."""
+
+    def __init__(self, landed: int):
+        super().__init__(
+            f"broker cancelled consumer with retries exhausted; "
+            f"{landed} messages landed before the cancel (acked, "
+            f"not redelivered) — the batch may be truncated"
+        )
+        self.landed = landed
+
+
 # --- wire codec --------------------------------------------------------
 
 
@@ -631,6 +649,10 @@ def consume_to_spool(
     A dial failure on a retry attempt keeps retrying (broker restart);
     a dial failure on the FIRST attempt still raises ConnectionError
     immediately (no broker at all — the env-gated skip path).
+
+    A Basic.Cancel from the broker with the retry budget exhausted
+    raises AmqpConsumerCancelled (carrying the landed count) rather
+    than returning the partial count as if the drain were complete.
     """
     import time
 
@@ -662,14 +684,21 @@ def consume_to_spool(
             consumer.declare(exchange, exchange_type, queue, binding_key)
             consumer.consume(queue, consumer_tag)
             consumer.drain(idle_timeout, before_ack=_land)
-            if consumer.cancelled and attempt < retries:
-                # server cancelled the consumer mid-batch: the landed
-                # portion is ACKED (channel stayed open), so a fresh
-                # subscribe cycle picks up ONLY the remainder — no
-                # duplicates, unlike the connection-lost leg below
-                attempt += 1
-                time.sleep(retry_delay)
-                continue
+            if consumer.cancelled:
+                if attempt < retries:
+                    # server cancelled the consumer mid-batch: the
+                    # landed portion is ACKED (channel stayed open), so
+                    # a fresh subscribe cycle picks up ONLY the
+                    # remainder — no duplicates, unlike the
+                    # connection-lost leg below
+                    attempt += 1
+                    time.sleep(retry_delay)
+                    continue
+                # retries exhausted (incl. the default retries=0): the
+                # batch is truncated — surface it like the
+                # connection-lost leg does, never a silent partial
+                # return (ADVICE r9)
+                raise AmqpConsumerCancelled(landed["n"])
             return landed["n"]
         except AmqpConnectionLost:
             if attempt >= retries:

@@ -676,9 +676,16 @@ def simulate_rate_limit(rows: list[tuple[int, int]]) -> dict[tuple[int, int], in
 
 
 def stream_rate_limit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C50 surface: 3 time-ordered micro-batches through the token
-    bucket; rows-only driver check (stateful recurrence has no SQL
-    twin), exact-simulation-checked in pytest."""
+    """C50 surface: time-ordered micro-batches through the token
+    bucket, exact-simulation-checked in pytest AND hash-gated against
+    a real oracle since round 10: the per-key recurrence IS
+    expressible in ANSI SQL as a WITH RECURSIVE walk over the
+    row-numbered per-user event sequence (STREAM_RATE_LIMIT_SQL) —
+    the batch split is a time cut and each batch folds in ascending
+    ts order, so the stream processes exactly the global per-user ts
+    order the recursion walks.  Verdicts are a deterministic multiset
+    even under ts ties (refill between ties is zero, so the k-th tie
+    sees the same token count whichever event it is)."""
     import os
     import shutil
 
@@ -733,6 +740,40 @@ def stream_rate_limit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# Round 10 (VERDICT r9 item 4): the token-bucket recurrence HAS an
+# ANSI-SQL twin after all — WITH RECURSIVE over the row-numbered
+# per-user sequence replays the exact integer recurrence (the refill
+# expression is inlined twice because the recursive member cannot
+# name it; both engines do the same LEAST/floor-div integer math).
+_RL_REFILL_SQL = (
+    f"LEAST({_RL_CAP_MILLI}, s.tokens + CASE WHEN e.ts_us > s.last_us"
+    f" THEN (e.ts_us - s.last_us) // {_RL_REFILL_US_PER_MILLI} ELSE 0 END)"
+)
+
+STREAM_RATE_LIMIT_SQL = f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+  FROM events
+),
+rl AS (
+  SELECT user_id, ts_us, rn,
+         CAST(1 AS BIGINT) AS allowed,
+         CAST({_RL_CAP_MILLI} - 1000 AS BIGINT) AS tokens,
+         ts_us AS last_us
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.ts_us, e.rn,
+         CAST(CASE WHEN {_RL_REFILL_SQL} >= 1000 THEN 1 ELSE 0 END AS BIGINT),
+         CAST(CASE WHEN {_RL_REFILL_SQL} >= 1000 THEN {_RL_REFILL_SQL} - 1000
+                   ELSE {_RL_REFILL_SQL} END AS BIGINT),
+         GREATEST(s.last_us, e.ts_us)
+  FROM rl s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+)
+SELECT user_id, ts_us, allowed FROM rl ORDER BY user_id, ts_us
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -873,9 +914,15 @@ def stream_heavy_hitters(words_stream: DataFrame) -> DataFrame:
 def stream_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C91 surface: document tokens in 2 time-ordered micro-batches
     through the Space-Saving state; the result is each bucket's FINAL
-    counter table (last emission per bucket). Rows-only driver check —
-    the SS recurrence has no SQL twin — pinned by an exact Python
-    simulation plus the ε-guarantee audit in pytest (the C50 pattern).
+    counter table (last emission per bucket). Pinned by an exact
+    Python simulation plus the ε-guarantee audit in pytest, AND
+    hash-gated against a real oracle since round 10: the SS fold IS
+    expressible in ANSI SQL — WITH RECURSIVE walks each bucket's
+    (batch, word)-ordered update sequence carrying the counter table
+    as a LIST<STRUCT(c, w, e)> (STREAM_HEAVY_HITTERS_SQL).  The
+    struct's field order (count first, word second) makes DuckDB's
+    natural list_sort the eviction rule — min count, lexicographically
+    smallest word — exactly _ss_fold's tie-total order.
     """
     import os
     import shutil
@@ -941,6 +988,74 @@ def stream_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# Round 10 (VERDICT r9 item 4): the Space-Saving fold HAS an ANSI-SQL
+# twin — WITH RECURSIVE per bucket over the (batch, word)-ordered
+# update sequence, state = LIST<STRUCT(c BIGINT, w VARCHAR, e BIGINT)>.
+# Buckets hash the RAW word (as the stream does); folds use the
+# normalized word; fold order is raw-word order (pandas sort_index =
+# DuckDB binary collation = code-point order).  Recursion depth = max
+# updates per bucket (~vocab/8), each step 8 rows x K=16 list elements.
+_SS_HEX6_SQL = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(word), {i + 1}, 1)) - 1)"
+    f" * {16 ** (5 - i)}"
+    for i in range(6)
+)
+_SS_WNORM_SQL = (
+    f"CASE WHEN length(word) <= {_SS_MAX_WORD} THEN word"
+    f" ELSE substr(word, 1, {_SS_MAX_WORD - 17}) || '#' ||"
+    f" substr(md5(word), 1, 16) END"
+)
+_SS_EVICT_SQL = "list_sort(s.tab)[1]"
+
+STREAM_HEAVY_HITTERS_SQL = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> w <> '')) AS word
+  FROM documents
+),
+half AS (SELECT COUNT(*) // 2 AS h FROM documents),
+feed AS (
+  SELECT bucket, batch, word, wnorm, cnt,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY batch, word) AS rn
+  FROM (
+    SELECT ({_SS_HEX6_SQL}) % {SS_BUCKETS} AS bucket,
+           CASE WHEN doc_id >= (SELECT h FROM half) THEN 1 ELSE 0 END AS batch,
+           word, {_SS_WNORM_SQL} AS wnorm, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY 1, 2, 3, 4
+  )
+),
+fold AS (
+  SELECT bucket, 0 AS rn,
+         CAST([] AS STRUCT(c BIGINT, w VARCHAR, e BIGINT)[]) AS tab
+  FROM (SELECT DISTINCT bucket FROM feed)
+  UNION ALL
+  SELECT s.bucket, s.rn + 1,
+    CASE
+      WHEN len(list_filter(s.tab, x -> x.w = f.wnorm)) > 0 THEN
+        list_transform(s.tab, x -> CASE WHEN x.w = f.wnorm
+          THEN {{'c': x.c + f.cnt, 'w': x.w, 'e': x.e}} ELSE x END)
+      WHEN len(s.tab) < {SS_K} THEN
+        list_append(s.tab, {{'c': f.cnt, 'w': f.wnorm,
+                             'e': CAST(0 AS BIGINT)}})
+      ELSE
+        list_append(
+          list_filter(s.tab, x -> x.w <> {_SS_EVICT_SQL}.w),
+          {{'c': {_SS_EVICT_SQL}.c + f.cnt, 'w': f.wnorm,
+            'e': {_SS_EVICT_SQL}.c}})
+    END
+  FROM fold s JOIN feed f ON f.bucket = s.bucket AND f.rn = s.rn + 1
+),
+last AS (SELECT bucket, MAX(rn) AS mx FROM feed GROUP BY bucket),
+fin AS (
+  SELECT f.bucket, unnest(f.tab) AS x
+  FROM fold f JOIN last l ON l.bucket = f.bucket AND f.rn = l.mx
+)
+SELECT bucket, x.w AS word, x.c AS est_count, x.e AS err
+FROM fin
+ORDER BY bucket, est_count DESC, word
+"""
 
 
 # --- B98 (round 7): streaming nearest-neighbor temporal join ------------

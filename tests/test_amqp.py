@@ -648,6 +648,32 @@ class TestSubprocessBroker:
             assert "CANCEL_OK" in tail, tail
             assert "SESSION_ERROR" not in tail, tail
 
+    def test_cancel_with_exhausted_retries_raises(self, tmp_path):
+        """Round 10 (ADVICE r9): Basic.Cancel after 2 deliveries with
+        retries=0 must RAISE AmqpConsumerCancelled — not silently
+        return the partial count as if the drain were complete. The 2
+        landed lines stay in the spool (acked, never redelivered) and
+        the exception carries that count."""
+        import pytest as _pytest
+
+        from greenplum_cdc_spark.sources.amqp import (
+            AmqpConsumerCancelled,
+            consume_to_spool,
+        )
+
+        proc, port = self._spawn(tmp_path, cancel_after=2)
+        spool = str(tmp_path / "spool")
+        try:
+            with _pytest.raises(AmqpConsumerCancelled) as exc:
+                consume_to_spool(
+                    spool, host="127.0.0.1", port=port,
+                    idle_timeout=0.3, retries=0,
+                )
+            assert exc.value.landed == 2
+            assert len(self._spool_lines(spool)) == 2
+        finally:
+            proc.kill()
+
     def test_channel_close_voids_ack_redelivery_dedup(
         self, spark, tmp_path
     ):

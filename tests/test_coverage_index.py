@@ -13,12 +13,38 @@ from tools import coverage_index as ci  # noqa: E402
 
 
 def test_coverage_tsv_fresh():
+    """Round-boundary-safe freshness (VERDICT r9 item 1b): the driver
+    drops CORRECTNESS_r{N}.json AFTER the end-of-round commit, so a
+    committed grade that is merely older than a regeneration is fine;
+    anything else (key set, def site, oracle kind, gate order, or a
+    committed grade NEWER than fresh) is genuine staleness."""
     text = ci.render(ci.build_rows())
     with open(ci.OUT_PATH) as fh:
         committed = fh.read()
-    assert committed == text, (
-        "COVERAGE.tsv is stale — rerun tools/coverage_index.py"
+    problems = ci.staleness(committed, text)
+    assert not problems, (
+        "COVERAGE.tsv is stale — rerun tools/coverage_index.py: "
+        + "; ".join(problems[:10])
     )
+
+
+def test_staleness_detector_fires():
+    """The tolerant compare must stay RED on every class it still
+    guards and GREEN only on the older-grade case it tolerates."""
+    fresh = ci.render(
+        [("B1", "q1", "a.py:1", "oracle", "r9", "1"),
+         ("B2", "q2", "b.py:2", "rows-only", "never", "2")]
+    )
+    assert ci.staleness(fresh, fresh) == []
+    older = fresh.replace("r9", "r3")
+    assert ci.staleness(older, fresh) == []  # round boundary: tolerated
+    never = fresh.replace("r9", "never")
+    assert ci.staleness(never, fresh) == []
+    assert ci.staleness(fresh, older)  # committed NEWER than fresh: red
+    assert ci.staleness(fresh.replace("a.py:1", "a.py:9"), fresh)
+    assert ci.staleness(fresh.replace("rows-only", "oracle"), fresh)
+    assert ci.staleness(fresh.replace("\t2\n", "\t3\n"), fresh)
+    assert ci.staleness(fresh.replace("q2", "q3"), fresh)
 
 
 def test_every_entry_has_survey_id():

@@ -143,6 +143,14 @@ _BNLJ_OK = {
     # round 9
     "knn_mutuality_audit",  # C116's broadcast bounded query set + 1-row
     # per-k edge/mutual count scalars
+    # round 10 adjudication (VERDICT r9 item 1a): the L1 coarse-codebook
+    # assignment broadcasts k1 = icbrt(N) seed rows — capped at 2000
+    # (the DuckDB oracle spine hardcodes the same cap), i.e. <= 2000 x
+    # 64 doubles ~ 1 MB for any corpus up to N = 8e9 docs.  Same
+    # bounded-codebook idiom as semantic_dedup (8 rows) and
+    # kmeans_embeddings (K rows), with the bound stated here because
+    # this one grows (sublinearly) with N instead of being constant.
+    "semantic_dedup_two_level",
 }
 
 

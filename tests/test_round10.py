@@ -1,0 +1,103 @@
+"""Round-10 pins (VERDICT r9 items 1/4/6):
+
+- the C58 -> C131 recall bracket holds on a 10x corpus, not just
+  sf-small (the probe data says the two-level op is the >=10x path —
+  this test pins the trade where the steering actually applies);
+- the semantic-dedup fan-out cap is enforced in code (the plan-smell
+  whitelist's stated bound is a real invariant, not a comment);
+- the two newly-oracle-gated streaming recurrences stay equal to
+  their WITH RECURSIVE twins when run back-to-back (guards the
+  register wiring, not just the gate run).
+"""
+
+import os
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ten_x_embeddings(spark, out_dir: str) -> str:
+    """Synthesize a 10x embeddings corpus the scale_probe way: shifted
+    ids, one dim sign-flipped per non-first copy so vectors are
+    distinct (pure duplication would make the dedup trivially easy)."""
+    from greenplum_cdc_spark.io import load_table
+
+    vecs = load_table(spark, SF, "embeddings")
+    n = vecs.count()
+    stack = None
+    for i in range(10):
+        c = vecs.withColumn("vec_id", F.col("vec_id") + F.lit(i * n))
+        if i:
+            c = c.withColumn(
+                "embedding",
+                F.expr(
+                    f"transform(embedding, (x, j) -> CASE WHEN j = {i % 64}"
+                    " THEN CAST(-x AS FLOAT) ELSE x END)"
+                ),
+            )
+        stack = c if stack is None else stack.unionByName(c)
+    stack.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    return out_dir
+
+
+def test_semantic_dedup_bracket_holds_at_10x(spark, tmp_path):
+    """dropped(two-level) <= dropped(single-level) on the 10x corpus:
+    finer leaves can only LOSE cross-leaf pairs, never invent them —
+    the recall trade the C58 docstring steers users through must hold
+    at the scale where the steering applies."""
+    from greenplum_cdc_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_two_level,
+    )
+
+    d = _ten_x_embeddings(spark, str(tmp_path))
+    two = semantic_dedup_two_level(spark, d).agg(
+        F.sum("n_dropped"), F.sum("n_vecs")
+    ).collect()[0]
+    one = semantic_dedup(spark, d).agg(
+        F.sum("n_dropped"), F.sum("n_vecs")
+    ).collect()[0]
+    assert one[1] == two[1] == 5000  # both partitions cover the corpus
+    assert two[0] <= one[0]
+
+
+def test_sd2_fanout_cap_is_enforced():
+    """_icbrt is capped at _SD2_MAX_K in CODE (the plan-smell
+    whitelist's stated broadcast bound), and exact below the cap."""
+    from greenplum_cdc_spark.operators.similarity import (
+        _SD2_MAX_K,
+        _icbrt,
+    )
+
+    assert _icbrt(27) == 3
+    assert _icbrt(28) == 4  # smallest k with k^3 >= n
+    assert _icbrt(_SD2_MAX_K**3) == _SD2_MAX_K
+    assert _icbrt(_SD2_MAX_K**3 + 1) == _SD2_MAX_K  # cap binds
+    assert _icbrt(10**18) == _SD2_MAX_K
+
+
+def test_stream_oracles_registered_and_equal(spark):
+    """stream_rate_limit / stream_heavy_hitters each have an
+    oracle_sql() twin (no rows-only residue) and the Spark result
+    multiset equals the recursive oracle at sf0.001."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    qs, osql = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{SF}/{t}.parquet')"
+        )
+    for name in ("stream_rate_limit", "stream_heavy_hitters"):
+        assert name in osql, f"{name} lost its oracle registration"
+        got = sorted(
+            tuple(r) for r in qs[name](spark, SF).collect()
+        )
+        want = sorted(tuple(r) for r in con.execute(osql[name]).fetchall())
+        assert got == want, f"{name}: spark != recursive oracle"

@@ -103,6 +103,42 @@ def render(rows: list[tuple[str, ...]]) -> str:
     return "\n".join("\t".join(r) for r in [header, *rows]) + "\n"
 
 
+def _grade_round(grade: str) -> int:
+    return -1 if grade == "never" else int(grade.lstrip("r"))
+
+
+def staleness(committed: str, fresh: str) -> list[str]:
+    """Differences that make the committed TSV genuinely stale.
+
+    Round-boundary rule (VERDICT r9 item 1b): the driver drops
+    CORRECTNESS_r{N}.json AFTER the end-of-round commit, so at judging
+    time the committed grade column is older than a regeneration by
+    construction.  A committed grade that is merely OLDER than the
+    fresh one is therefore tolerated; every other difference — key set,
+    survey id, def site, oracle kind, gate position, or a committed
+    grade NEWER than the fresh one (file corruption) — is reported.
+    """
+    problems: list[str] = []
+    c_lines = committed.splitlines()
+    f_lines = fresh.splitlines()
+    if not c_lines or c_lines[0] != f_lines[0]:
+        return ["header mismatch"]
+    c_rows = {ln.split("\t")[1]: ln.split("\t") for ln in c_lines[1:]}
+    f_rows = {ln.split("\t")[1]: ln.split("\t") for ln in f_lines[1:]}
+    for key in sorted(set(c_rows) ^ set(f_rows)):
+        problems.append(f"key set differs: {key}")
+    for key in sorted(set(c_rows) & set(f_rows)):
+        c, f = c_rows[key], f_rows[key]
+        for i, col in enumerate(("survey_id", "key", "file:line", "oracle")):
+            if c[i] != f[i]:
+                problems.append(f"{key}: {col} {c[i]!r} != {f[i]!r}")
+        if c[5] != f[5]:
+            problems.append(f"{key}: gate_pos {c[5]} != {f[5]}")
+        if _grade_round(c[4]) > _grade_round(f[4]):
+            problems.append(f"{key}: committed grade {c[4]} newer than {f[4]}")
+    return problems
+
+
 def main() -> int:
     text = render(build_rows())
     if "--check" in sys.argv:
@@ -111,8 +147,12 @@ def main() -> int:
                 committed = fh.read()
         except OSError:
             committed = ""
-        if committed != text:
-            sys.stderr.write("COVERAGE.tsv is stale — rerun tools/coverage_index.py\n")
+        problems = staleness(committed, text)
+        if problems:
+            sys.stderr.write(
+                "COVERAGE.tsv is stale — rerun tools/coverage_index.py:\n"
+                + "".join(f"  {p}\n" for p in problems[:20])
+            )
             return 1
         print("COVERAGE.tsv fresh")
         return 0
