@@ -466,10 +466,13 @@ def reset_caches(spark) -> None:
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     warm = "--warm" in sys.argv[1:]
+    keep = "--keep" in sys.argv[1:]  # keep the synthesized corpus for
+    # the next invocation (multi-batch probe sessions re-use it)
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     big_dir = f"/tmp/scale_probe_{MULT}x"
     spark = get_spark("scale-probe")
-    synthesize(spark, sf_dir, big_dir)
+    if not (os.path.isdir(big_dir) and len(os.listdir(big_dir)) >= 10):
+        synthesize(spark, sf_dir, big_dir)
     only = set(args[1:])
     mode = "warm" if warm else "cold"
     print(f"op,t_1x_s,t_{MULT}x_s,ratio  # mode={mode}")
@@ -484,7 +487,8 @@ def main() -> None:
             reset_caches(spark)
         t10 = timed(fn, spark, big_dir)
         print(f"{name},{t1},{t10},{round(t10 / max(t1, 0.01), 1)}")
-    shutil.rmtree(big_dir, ignore_errors=True)
+    if not keep:
+        shutil.rmtree(big_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
