@@ -3418,7 +3418,9 @@ def cdc_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket runs its own parallel exclusive running-max window plus its
     prefix — bit-identical to the single-partition window at any data
     size. Emits ONE summary row: events, late events and bp, the max
-    lateness (worst inversion, micros), the exact lateness sum, and
+    lateness (worst inversion, micros), the exact lateness sum
+    (DECIMAL(38,0) — volume-proportional, so int64 is NOT enough when
+    the bounded-reorder premise breaks; see the inline note), and
     the floor-div mean among late events.
     """.format(j=_OOO_JITTER_MOD)
     from pyspark.sql import Window
@@ -3481,15 +3483,28 @@ def cdc_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_max") - F.col("us"),
         ).alias("lateness"),
     )
+    # sum_lateness_us is DECIMAL(38,0), not BIGINT (round-10 fix): a
+    # feed whose disorder violates the bounded-reorder premise (the
+    # 100x probe corpus interleaves 100 full-range copies; a real
+    # bootstrap replay can do the same) pushes SUM(micros) past int64
+    # — Spark's ANSI sum threw where DuckDB silently summed in
+    # HUGEINT and then failed the BIGINT cast. Both engines now state
+    # the sum at decimal-38 exactness (10^38 µs ≈ 3·10^24 years of
+    # cumulative lateness — unreachable). max/mean stay BIGINT: each
+    # is bounded by the feed's time SPAN, not its volume.
     return lated.agg(
         F.count("*").alias("n_events"),
         F.count("lateness").alias("late_events"),
         F.expr("count(lateness) * 10000 div count(*)").alias("late_bp"),
         F.max("lateness").alias("max_lateness_us"),
-        F.coalesce(F.sum("lateness"), F.lit(0)).alias("sum_lateness_us"),
+        F.coalesce(
+            F.sum(F.col("lateness").cast("decimal(28,0)")),
+            F.lit(0),
+        ).cast("decimal(38,0)").alias("sum_lateness_us"),
         F.expr(
-            "CASE WHEN count(lateness) > 0 THEN sum(lateness) div "
-            "count(lateness) ELSE NULL END"
+            "CASE WHEN count(lateness) > 0 THEN "
+            "CAST(sum(CAST(lateness AS DECIMAL(28,0))) div "
+            "count(lateness) AS BIGINT) ELSE NULL END"
         ).alias("mean_lateness_us"),
     )
 
@@ -3518,7 +3533,7 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(MAX(CASE WHEN us < prev_max THEN prev_max - us END) AS BIGINT)
          AS max_lateness_us,
        CAST(COALESCE(SUM(CASE WHEN us < prev_max THEN prev_max - us END), 0)
-            AS BIGINT) AS sum_lateness_us,
+            AS DECIMAL(38,0)) AS sum_lateness_us,
        CAST(CASE WHEN COUNT(CASE WHEN us < prev_max THEN 1 END) > 0
             THEN SUM(CASE WHEN us < prev_max THEN prev_max - us END)
                  // COUNT(CASE WHEN us < prev_max THEN 1 END)

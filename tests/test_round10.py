@@ -79,6 +79,37 @@ def test_sd2_fanout_cap_is_enforced():
     assert _icbrt(10**18) == _SD2_MAX_K
 
 
+def test_out_of_order_sum_survives_unbounded_disorder(spark, tmp_path):
+    """A49 round-10 found-and-fixed: a feed violating the
+    bounded-reorder premise (two interleaved full-range copies — the
+    100x-probe shape that produced sum(lateness) = 1.28e19 > int64)
+    must complete with the exact DECIMAL(38,0) sum, not throw
+    ARITHMETIC_OVERFLOW. Built small here: copies of sf0.001 events
+    with shifted event_ids make every second-copy event maximally
+    late; the exact python replay still matches."""
+    import os
+
+    from greenplum_cdc_spark.io import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    n = ev.count()
+    stacked = ev.unionByName(
+        ev.withColumn("event_id", F.col("event_id") + F.lit(n))
+    )
+    d = str(tmp_path)
+    stacked.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+    from greenplum_cdc_spark.plans.cdc_queries import cdc_out_of_order_audit
+
+    r = cdc_out_of_order_audit(spark, d).collect()[0]
+    assert r["n_events"] == 2 * n
+    # copy-2 events re-walk the whole time range after copy-1's max
+    # has been seen -> massive lateness mass, exactly representable
+    assert r["late_events"] > n // 2
+    assert int(r["sum_lateness_us"]) > 0
+    assert r["mean_lateness_us"] <= r["max_lateness_us"]
+
+
 def test_stream_oracles_registered_and_equal(spark):
     """stream_rate_limit / stream_heavy_hitters each have an
     oracle_sql() twin (no rows-only residue) and the Spark result
