@@ -960,12 +960,19 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     The classic scalar-subquery HAVING: the 1-row global total broadcast
     against the per-part aggregate — both aggregates share one scan
     lineage, no second pass at scale.
+
+    The total re-sums PER-PART aggregates, so its cast is
+    DECIMAL(28,4), not the raw-money DECIMAL(12,4) (round-10
+    found-and-fixed: at 100x a single part's shipped value reaches
+    1.7e8 and the narrow cast threw NUMERIC_VALUE_OUT_OF_RANGE —
+    aggregated values grow with volume, raw money columns do not;
+    28 digits covers a 10^20-unit corpus exactly).
     """
     li = load_table(spark, sf_dir, "lineitem")
     val = _money("l_extendedprice")
     per_part = li.groupBy("l_partkey").agg(_dsum(val, "part_value"))
     total = per_part.agg(
-        F.round(F.sum(F.col("part_value").cast(_DEC)), 4)
+        F.round(F.sum(F.col("part_value").cast("decimal(28,4)")), 4)
         .cast("double")
         .alias("total_value")
     )
@@ -987,7 +994,7 @@ WITH per_part AS (
 SELECT l_partkey, part_value
 FROM per_part
 WHERE part_value > 0.0008 * (
-  SELECT CAST(ROUND(SUM(CAST(part_value AS DECIMAL(12,4))), 4) AS DOUBLE) FROM per_part
+  SELECT CAST(ROUND(SUM(CAST(part_value AS DECIMAL(28,4))), 4) AS DOUBLE) FROM per_part
 )
 ORDER BY part_value DESC, l_partkey
 """

@@ -379,6 +379,33 @@ def _late_ops():
         "markov_attribution": timeseries.markov_attribution,
         "max_drawdown": timeseries.max_drawdown,
         "kcore_decomposition": _tpch().kcore_decomposition,
+        # round 10: the flagship TPC-H join shapes + asof/island ops
+        "q1_pricing_summary": _tpch().q1_pricing_summary,
+        "q3_shipping_priority": _tpch().q3_shipping_priority,
+        "q5_supplier_volume": _tpch().q5_supplier_volume,
+        "q9_product_profit": _tpch().q9_product_profit,
+        "q18_large_volume": _tpch().q18_large_volume,
+        "q20_dominant_suppliers": _tpch().q20_dominant_suppliers,
+        "q21_suppliers_kept_waiting": _tpch().q21_suppliers_kept_waiting,
+        "asof_join_orders": timeseries.asof_join_orders,
+        "event_islands": timeseries.event_islands,
+        "q2_min_cost_supplier": _tpch().q2_min_cost_supplier,
+        "q4_order_priority": _tpch().q4_order_priority,
+        "q6_forecast_revenue": _tpch().q6_forecast_revenue,
+        "q7_volume_shipping": _tpch().q7_volume_shipping,
+        "q8_market_share": _tpch().q8_market_share,
+        "q10_returned_items": _tpch().q10_returned_items,
+        "q11_important_parts": _tpch().q11_important_parts,
+        "q12_priority_shipping": _tpch().q12_priority_shipping,
+        "q13_customer_distribution": _tpch().q13_customer_distribution,
+        "q14_promo_effect": _tpch().q14_promo_effect,
+        "q15_top_supplier": _tpch().q15_top_supplier,
+        "q16_parts_supplier_cnt": _tpch().q16_parts_supplier_cnt,
+        "q17_small_qty_revenue": _tpch().q17_small_qty_revenue,
+        "q19_discounted_revenue": _tpch().q19_discounted_revenue,
+        "q22_sales_opportunity": _tpch().q22_sales_opportunity,
+        "cube_agg": _tpch().cube_agg,
+        "grouping_sets_agg": _tpch().grouping_sets_agg,
         "service_level_stock": _tpch().service_level_stock,
         "hapax_tail_audit": text.hapax_tail_audit,
         "slo_burn_rate_alert": timeseries.slo_burn_rate_alert,
