@@ -2480,6 +2480,81 @@ _HUB_MAX_POP = 1024  # deterministic sample bound: stride = ceil(n / this)
 # indistinguishable at this sample size for a distributional diagnostic)
 
 
+def _pop_topk_edges(spark: SparkSession, pop: DataFrame, k: int) -> DataFrame:
+    """Exact cosine top-``k`` edge list over the stride-bounded
+    population shared by C116/C130 — the |pop|² scoring vectorized
+    through ``mapInPandas`` instead of |pop|² interpreted HOF fold-dots
+    (guide §4.2: hand whole batches to numpy; measured 11.8 s → <1 s on
+    the sf0.1 bench at |pop|=1000).
+
+    Bit-identity with the former ``_dot``-fold plan (and the DuckDB
+    oracle's explicit left-assoc chain) is preserved EXACTLY, not
+    approximately: the accumulation loops dimension-by-dimension
+    (``acc = acc + q_d * v_d`` per IEEE-754 double op, vectorized
+    ACROSS pairs, sequential WITHIN a pair — the same left-assoc order
+    as the fold), and norms are not recomputed — the JVM-fold ``norm``
+    column rides along.  Ranking ties break (cos DESC, vec_id ASC) via
+    lexsort, the same unique total order as the former window.
+
+    Scale shape: pop is capped at ~``_HUB_MAX_POP`` rows by the stride
+    contract, so the collected side matrix is ≤ ~0.5 MB forever (the
+    C5 codebook idiom with a far smaller bound than C5's 200k-row
+    cap); each task scores its own query rows against it, so the
+    quadratic distributes and no 1M-row exchange or rank window exists
+    at all.  The matrix rides in the pickled task closure BY VALUE
+    (not a sc.broadcast): identical inputs then pickle to identical
+    function bytes, so repeated invocations `sameResult` each other
+    and the C116/C130 pair shares ONE `_swap_persist` edge list per
+    session instead of re-scoring per caller.
+    """
+    import numpy as np
+    import pandas as pd
+
+    side = pop.select("vec_id", "embedding", "norm").toPandas()
+    ids_all = side["vec_id"].to_numpy()
+    m_all = np.stack(side["embedding"].to_numpy()).astype(np.float64)
+    norms_all = side["norm"].to_numpy()
+
+    def score(batches, ids=ids_all, m=m_all, norms=norms_all):
+        cols = [m[:, d] for d in range(DIM)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qids = pdf["vec_id"].to_numpy()
+            qnorms = pdf["norm"].to_numpy()
+            acc = np.zeros((len(q), len(ids)))
+            for d in range(DIM):  # left-assoc per pair, exactly _dot's order
+                acc = acc + q[:, d][:, None] * cols[d][None, :]
+            cos = acc / (qnorms[:, None] * norms[None, :])
+            cos[qids[:, None] == ids[None, :]] = -np.inf  # self-exclusion
+            out_q, out_n, out_r = [], [], []
+            for i in range(len(q)):
+                order = np.lexsort((ids, -cos[i]))
+                # drop the self row explicitly (it also sorts last via
+                # -inf, but pop smaller than k+1 must not emit it)
+                order = order[ids[order] != qids[i]][:k]
+                out_q.append(np.full(len(order), qids[i]))
+                out_n.append(ids[order])
+                out_r.append(np.arange(1, len(order) + 1))
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "rank": np.concatenate(out_r).astype(np.int32),
+                }
+            )
+
+    from .dedup import _swap_persist
+
+    edges = pop.select("vec_id", "embedding", "norm").mapInPandas(
+        score, schema="query_id bigint, neighbor_id bigint, rank int"
+    )
+    # one cached edge list per session, shared by C116 and C130 (the
+    # deterministic closure makes repeat plans sameResult-identical)
+    return _swap_persist("pop_topk_edges", edges)
+
+
 def embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C116 (round-8 addition): hubness diagnostic of the embedding
     space — the known high-dimensional pathology (Radovanovic et al.,
@@ -2503,35 +2578,22 @@ def embedding_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     full corpus). Exact top-k at 100 TB serving scale is C33/C63's
     IVF path; this op is the EVALUATION instrument, like C36.
 
-    Plan: the |pop|-row vector set self-joins against its own
-    broadcast (one C6-shaped exchange), the left-assoc _dot fold
-    keeps cosine bit-identical, per-query top-k window, in-degree by
-    one rollup, histogram by a second; the population scalar S is a
-    1-row bounded collect (codebook idiom).
+    Plan (round-10 optimization, guide §4.2): the |pop|² scoring runs
+    as one numpy pass per task over the ≤1024-row broadcast population
+    matrix inside ``_pop_topk_edges`` — bit-identical left-assoc
+    accumulation, identical (cos DESC, vec_id ASC) ranking — replacing
+    the former 1M-row broadcast-join + interpreted fold + rank window
+    (sf0.1 bench 11.8 s → <1 s; plan diff: BroadcastNestedLoopJoin +
+    Window exchange gone, one ArrowEvalPython over |pop| rows instead);
+    in-degree by one rollup, histogram by a second; the population
+    scalar S is a 1-row bounded collect (codebook idiom).
     """.format(k=TOPK, m=_HUB_MAX_POP)
     vecs = _with_norm(load_table(spark, sf_dir, "embeddings"))
     n = vecs.count()
     stride = (n + _HUB_MAX_POP - 1) // _HUB_MAX_POP
     pop = vecs.filter(F.col("vec_id") % stride == 0)
     n_pop = pop.count()
-    queries = pop.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("norm").alias("qn"),
-    )
-    pairs = pop.join(
-        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
-    )
-    cos = _dot("qe", "embedding") / (F.col("qn") * F.col("norm"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("vec_id")
-    )
-    edges = (
-        pairs.withColumn("cos_sim", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select(F.col("vec_id").alias("neighbor_id"))
-    )
+    edges = _pop_topk_edges(spark, pop, TOPK).select("neighbor_id")
     indeg = edges.groupBy("neighbor_id").agg(F.count("*").alias("in_degree"))
     per_vec = pop.select("vec_id").join(
         indeg, pop["vec_id"] == indeg["neighbor_id"], "left"
@@ -2804,42 +2866,24 @@ def knn_mutuality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     k by an equi-self-join on the reversed edge with rank <= k on
     both sides; counts exact integers, rate floor-div basis points.
 
-    Plan: the C116 exchange builds the ranked edge list ONCE; each k
-    is a filter + one co-partitioned self-join on (src, dst) —
-    edge-list-sized, never re-scoring. Output |ks| rows.
+    Plan (round-10 optimization, guide §4.2): the ranked edge list is
+    built ONCE by ``_pop_topk_edges`` — the C116 numpy pass, bit-
+    identical to the former fold+window plan; each k is a filter + one
+    co-partitioned self-join on (src, dst) — edge-list-sized, never
+    re-scoring. Output |ks| rows.
     """.format(ks=list(_MUTUAL_KS), m=_HUB_MAX_POP, t=TOPK)
     vecs = _with_norm(load_table(spark, sf_dir, "embeddings"))
     n = vecs.count()
     stride = (n + _HUB_MAX_POP - 1) // _HUB_MAX_POP
     pop = vecs.filter(F.col("vec_id") % stride == 0)
-    queries = pop.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("norm").alias("qn"),
+    edges = _pop_topk_edges(spark, pop, TOPK).select(
+        F.col("query_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "rank",
     )
-    pairs = pop.join(
-        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
-    )
-    cos = _dot("qe", "embedding") / (F.col("qn") * F.col("norm"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("vec_id")
-    )
-    edges = (
-        pairs.withColumn("cos_sim", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOPK)
-        .select(
-            F.col("query_id").alias("src"),
-            F.col("vec_id").alias("dst"),
-            "rank",
-        )
-    )
-    # ADVICE r9: the named swap slot (not a bare .persist()) keeps at
-    # most ONE cached edge list alive across gate/bench invocations in
-    # a long single session
-    from .dedup import _swap_persist
-
-    edges = _swap_persist("knn_mutuality_edges", edges)
+    # the ADVICE-r9 named swap slot lives INSIDE _pop_topk_edges now
+    # ("pop_topk_edges"), shared with embedding_hubness — still exactly
+    # one cached edge list alive per session
     out = None
     for k in _MUTUAL_KS:
         ek = edges.filter(F.col("rank") <= k).select("src", "dst")
