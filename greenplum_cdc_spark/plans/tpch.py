@@ -1038,6 +1038,28 @@ ORDER BY l_linestatus
 BASKET_MIN_SUP = 3
 
 
+def _basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (order, part) basket feed — the shared index of the
+    market-basket family (B38 pairs, B68 rules, B114 triples).
+
+    Persisted via the dedup-family swap-slot idiom (one cached copy per
+    session, `sameResult` dedupes identical plans): every basket op
+    re-derived this distinct independently — and consumed it 2-4x
+    inside ONE query, so the lineitem scan + distinct exchange ran up
+    to 6x per bench pass (guide §2.4: two operations keyed the same
+    way should share one exchange; here they share the materialized
+    result outright). At 100 TB this is exactly the materialized
+    basket projection a warehouse would maintain."""
+    from ..operators.dedup import _swap_persist
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    return _swap_persist("basket_items", li)
+
+
 def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B38: market-basket part-pair affinity (co-purchase counts).
 
@@ -1048,11 +1070,7 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by basket size — never |parts|^2. Min-support prunes the long tail
     before the final order.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = _basket_items(spark, sf_dir)
     pairs = li.alias("a").join(
         li.alias("b"),
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -1595,11 +1613,7 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     table; the basket total is a one-row scalar cross join. Everything
     downstream of B38's bounded self-join is dimension-sized.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = _basket_items(spark, sf_dir)
     n_baskets = li.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_baskets")
     )
@@ -1981,6 +1995,37 @@ ORDER BY p.node
 _PR_MIN_SUP = 2       # co-purchase support for a graph edge
 _PR_ITERS = 3         # fixed power iterations
 _PR_SCALE = 1_000_000  # integer PageRank unit
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized co-purchase edge list at support >= 2 (_PR_MIN_SUP
+    == _KCORE_MIN_SUP) — the ONE graph B80 (PageRank), C126 (k-core) and B141
+    (assortativity) all walk. Each op used to re-run the basket
+    self-join + support rollup itself (B80/C126 even persisted the
+    identical result under two different swap slots); one shared slot
+    builds it once per session and `sameResult` serves all three
+    (guide §2.4 — plus the B38 self-join is the widest stage of each
+    of these queries, so deduping it is the whole win)."""
+    from ..operators.dedup import _swap_persist
+
+    li = _basket_items(spark, sf_dir)
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= _PR_MIN_SUP)
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    return _swap_persist("copurchase_edges", edges)
 PR_TOPN = 50
 
 
@@ -2004,32 +2049,7 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: the same three iterations as chained CTEs in DuckDB.
     """
-    from ..operators.dedup import _swap_persist
-
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    pairs = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= _PR_MIN_SUP)
-    )
-    edges = _swap_persist(
-        "pagerank_edges",
-        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
-            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-        ),
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ranks = deg.select("src", F.lit(_PR_SCALE).cast("bigint").alias("pr"), "deg")
     for _ in range(_PR_ITERS):
@@ -2387,11 +2407,7 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-bounded and the candidate space is governed by the floor,
     not the corpus.
     """.format(s=_TRIPLE_MIN_SUP)
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = _basket_items(spark, sf_dir)
     n_baskets = li.select("l_orderkey").distinct().agg(
         F.count("*").alias("n_baskets")
     )
@@ -2412,6 +2428,13 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.o").alias("o"), F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
     )
+    # pair_inst feeds BOTH the frequent-pair rollup and the triple
+    # candidate join: unpersisted, the orderkey self-join (the widest
+    # stage of the query) executes twice — swap-persist it like the
+    # dedup family's rarity index (one cached copy per session).
+    from ..operators.dedup import _swap_persist
+
+    pair_inst = _swap_persist("triples_pair_inst", pair_inst)
     freq_pairs = (
         pair_inst.groupBy("pa", "pb")
         .agg(F.count("*").alias("c"))
@@ -3412,33 +3435,7 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     the |nodes| degree table; rounds = peeling depth, not corpus
     size.
     """.format(mx=_KCORE_MAX_ROUNDS)
-    from ..operators.dedup import _swap_persist
-
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    pairs = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= _KCORE_MIN_SUP)
-    )
-    edges = _swap_persist(
-        "kcore_edges",
-        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionAll(
-            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-        ),
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     deg0 = edges.groupBy("src").agg(F.count("*").alias("deg0"))
     # ceil-rank median from the VALUE-bounded degree histogram
     hist = sorted(
@@ -3712,27 +3709,7 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the moments. At 100 TB every stage is the k-core preamble the
     cluster already runs.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    pairs = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").alias("sup"))
-        .filter(F.col("sup") >= _KCORE_MIN_SUP)
-    )
-    edges = pairs.select(
-        F.col("pa").alias("src"), F.col("pb").alias("dst")
-    ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ed = (
         edges.join(deg, "src")

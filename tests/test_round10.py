@@ -132,3 +132,35 @@ def test_stream_oracles_registered_and_equal(spark):
         )
         want = sorted(tuple(r) for r in con.execute(osql[name]).fetchall())
         assert got == want, f"{name}: spark != recursive oracle"
+
+
+def test_graph_family_shares_one_edge_index(spark):
+    """r10 optimization pin: B38/B68/B114 share ONE persisted distinct
+    (order, part) basket feed and B80/C126/B141 share ONE persisted
+    co-purchase edge list — repeat invocations must `sameResult` into
+    the SAME cached DataFrame objects (the _swap_persist fast path),
+    not rebuild or thrash the slots."""
+    from greenplum_cdc_spark.operators.dedup import _PERSIST_CACHE
+    from greenplum_cdc_spark.plans.tpch import (
+        _basket_items,
+        _copurchase_edges,
+        basket_part_pairs,
+        degree_assortativity,
+        kcore_decomposition,
+        pagerank_parts,
+    )
+
+    basket_part_pairs(spark, SF)
+    li = _PERSIST_CACHE.get("basket_items")
+    assert li is not None, "basket_part_pairs did not register the slot"
+    # every consumer resolves to the identical cached object
+    assert _basket_items(spark, SF) is li
+    pagerank_parts(spark, SF)
+    edges = _PERSIST_CACHE.get("copurchase_edges")
+    assert edges is not None, "pagerank_parts did not register the slot"
+    assert _copurchase_edges(spark, SF) is edges
+    # building the other consumers neither rebuilds nor evicts
+    kcore_decomposition(spark, SF)
+    degree_assortativity(spark, SF)
+    assert _PERSIST_CACHE.get("basket_items") is li
+    assert _PERSIST_CACHE.get("copurchase_edges") is edges
