@@ -240,7 +240,7 @@ def _minhash_pairs(docs: DataFrame) -> DataFrame:
     unpivoted = banded.select("doc_id", F.expr(stack_expr))
     a = unpivoted.alias("a")
     b = unpivoted.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -252,6 +252,11 @@ def _minhash_pairs(docs: DataFrame) -> DataFrame:
         )
         .agg(F.count("*").alias("n_bands"))
     )
+    # r10: the pair graph is the shared input of C2/C27/C53/C54 — each
+    # re-ran the whole shingle → MinHash → band-join pipeline. One
+    # swap-persist slot builds it once per session (`sameResult` serves
+    # every caller; the dedup-index idiom, guide §2.4).
+    return _swap_persist("minhash_pairs", pairs)
 
 
 def _minhash_cte_block() -> str:
@@ -439,10 +444,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     i_num, i_den = 2 * tau_num, tau_den + tau_num
     iplen_sql = f"n - ((n * {i_num} + {i_den - 1}) div {i_den}) + 1"
     prefixes = docsets.select(
-        "doc_id", "n", F.explode(F.expr(f"slice(arr, 1, {plen_sql})")).alias("sh")
+        "doc_id",
+        "n",
+        F.posexplode(F.expr(f"slice(arr, 1, {plen_sql})")).alias("pos", "sh"),
     )
     iprefixes = docsets.select(
-        "doc_id", "n", F.explode(F.expr(f"slice(arr, 1, {iplen_sql})")).alias("sh")
+        "doc_id",
+        "n",
+        F.posexplode(F.expr(f"slice(arr, 1, {iplen_sql})")).alias("pos", "sh"),
     )
     # prefix-vs-PREFIX join: if J(A,B) >= tau, then under one global
     # rarity order the LARGER doc's probe prefix and the SMALLER doc's
@@ -451,6 +460,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # prefix x full relation) keeps common shingles out of BOTH sides,
     # so bucket cost is rare x rare. The size filter n_small >= tau *
     # n_large (J >= tau forces it) prunes before the distinct.
+    # r10, PPJoin POSITIONAL filter (Xiao et al. §3.2): for a shared
+    # element at (0-based) positions i in A and j in B, the arrays
+    # being sorted in ONE global order bounds the true intersection by
+    # ub = min(i, j) + min(nA - i, nB - j)  (commons before the shared
+    # element sit at positions < i resp. < j; commons from it onward
+    # number at most the shorter remaining suffix). J >= tau forces
+    # |A∩B| >= tau/(1+tau)·(nA+nB), so occurrences with
+    # ub·(tau_den+tau_num) < tau_num·(nA+nB) can be dropped BEFORE the
+    # pair-distinct and the array_intersect verify — every qualifying
+    # pair keeps ALL its occurrences (the bound holds for each one), so
+    # the surviving pair set is unchanged and the OUTPUT is identical.
+    ub = F.least(F.col("p.pos"), F.col("f.pos")) + F.least(
+        F.col("p.n") - F.col("p.pos"), F.col("f.n") - F.col("f.pos")
+    )
     cand = (
         prefixes.alias("p")
         .join(iprefixes.alias("f"), "sh")
@@ -459,6 +482,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("f.n") == F.col("p.n")) & (F.col("f.doc_id") != F.col("p.doc_id")))
         )
         .filter(F.col("f.n") * tau_den >= F.col("p.n") * tau_num)
+        .filter(
+            ub * (tau_den + tau_num) >= (F.col("p.n") + F.col("f.n")) * tau_num
+        )
         .select(
             F.least("p.doc_id", "f.doc_id").alias("doc_a"),
             F.greatest("p.doc_id", "f.doc_id").alias("doc_b"),
@@ -1066,8 +1092,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (3·tri·10⁴) div wedges — exact integer math.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # the pair graph itself is cached by _minhash_pairs' shared slot
+    # (r10) — a second "triangle_edges" copy of the same rows was
+    # redundant double-caching
     edges = _minhash_pairs(docs).select("doc_a", "doc_b")
-    edges = _swap_persist("triangle_edges", edges)
     ab = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     bc = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     wedges = ab.join(bc, "b").filter(F.col("a") < F.col("c"))

@@ -61,6 +61,85 @@ def _with_norm(vecs: DataFrame) -> DataFrame:
     return vecs.withColumn("norm", F.sqrt(_dot("embedding", "embedding")))
 
 
+def _np_query_scores(
+    vecs: DataFrame, n_queries: int, dims: tuple = ()
+) -> DataFrame:
+    """The C6 shape — every corpus vector scored against the broadcast
+    query set (``vec_id < n_queries``, self-pairs excluded) — with the
+    |corpus| x |queries| interpreted HOF fold-dots replaced by one
+    numpy pass per task (guide §4.2; the C116 ``_pop_topk_edges``
+    recipe). Returns (query_id, neighbor_id, cos_sim), or with
+    ``dims`` one row per prefix budget d with a ``dim_budget`` column
+    (the C93 matryoshka stack).
+
+    Bit-identity with the fold formulation is EXACT, not approximate:
+    dot products AND both norms accumulate dimension-by-dimension
+    (sequential within a pair, vectorized across pairs — the same
+    left-assoc IEEE order as ``_dot``/``_dot_pfx``), prefix snapshots
+    are taken at each budget boundary exactly where ``slice`` truncates
+    the fold, and the final expression cos = dot / (qn * cn) performs
+    the multiply-then-divide in the fold plan's order (IEEE multiply is
+    commutative, so qn*cn == cn*qn bitwise). The query matrix rides in
+    the closure by value, so identical inputs yield `sameResult` plans.
+
+    Ranking/windows stay in the JVM — this helper only replaces the
+    non-equi broadcast join + fold scoring, which is where both the
+    interpreted per-pair cost and the |queries|-wide expression trees
+    (~0.5-1 s of analysis per invocation) lived."""
+    import numpy as np
+    import pandas as pd
+
+    side = (
+        vecs.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    qids_all = side["vec_id"].to_numpy()
+    qm_all = np.stack(side["embedding"].to_numpy()).astype(np.float64)
+    budgets = tuple(dims) or (DIM,)
+    with_budget = bool(dims)
+
+    def score(batches, qids=qids_all, qm=qm_all, budgets=budgets, wb=with_budget):
+        qcols = [qm[:, d] for d in range(DIM)]
+        bset = set(budgets)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cids = pdf["vec_id"].to_numpy()
+            acc = np.zeros((len(c), len(qids)))
+            accn = np.zeros(len(c))
+            accq = np.zeros(len(qids))
+            snaps = []
+            for d in range(DIM):
+                col = c[:, d]
+                acc = acc + col[:, None] * qcols[d][None, :]
+                accn = accn + col * col
+                accq = accq + qcols[d] * qcols[d]
+                if (d + 1) in bset:
+                    cos = acc / (
+                        np.sqrt(accq)[None, :] * np.sqrt(accn)[:, None]
+                    )
+                    snaps.append((d + 1, cos))
+            ii, jj = np.nonzero(cids[:, None] != qids[None, :])
+            frames = []
+            for b, cos in snaps:
+                f = {
+                    "query_id": qids[jj],
+                    "neighbor_id": cids[ii],
+                    "cos_sim": cos[ii, jj],
+                }
+                if wb:
+                    f["dim_budget"] = np.full(len(ii), b, dtype=np.int32)
+                frames.append(pd.DataFrame(f))
+            yield pd.concat(frames, ignore_index=True)
+
+    schema = "query_id bigint, neighbor_id bigint, cos_sim double"
+    if with_budget:
+        schema += ", dim_budget int"
+    return vecs.select("vec_id", "embedding").mapInPandas(score, schema=schema)
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5: embedding-cosine near-duplicate pairs (all-pairs baseline).
 
@@ -133,21 +212,18 @@ ORDER BY vec_a, vec_b
 
 
 def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6: brute-force cosine top-k — broadcast queries, one corpus scan."""
-    vecs = _with_norm(load_table(spark, sf_dir, "embeddings"))
-    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("norm").alias("qn"),
+    """C6: brute-force cosine top-k — broadcast queries, one corpus
+    scan; scoring vectorized via `_np_query_scores` (r10), ranking in
+    the JVM window exactly as before."""
+    vecs = load_table(spark, sf_dir, "embeddings")
+    scored = _np_query_scores(vecs, N_QUERIES)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
     )
-    pairs = vecs.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
-    cos = _dot("qe", "embedding") / (F.col("qn") * F.col("norm"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        pairs.withColumn("cos_sim", cos)
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
-        .select("query_id", "rank", F.col("vec_id").alias("neighbor_id"), "cos_sim")
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
         .orderBy("query_id", "rank")
     )
 
@@ -360,21 +436,64 @@ def _cell_dists(by_cell: dict):
 
 def _ivf_assign_to(vecs: DataFrame, by_cell: dict) -> DataFrame:
     """Assignment half: score every vector against the (possibly
-    frozen) centroid set embedded as literal arrays — map-side folds,
-    zero joins; argmin ties to the smallest cell id."""
-    rv_arr, cells_sorted, dist_cols = _cell_dists(by_cell)
-    cell_ids = F.array(*[F.lit(c) for c in cells_sorted])
-    return (
-        vecs.withColumn("rv", rv_arr)
-        .withColumn("dists", F.array(*dist_cols))
-        .select(
-            "vec_id",
-            F.element_at(
-                cell_ids,
-                F.array_position(F.col("dists"), F.array_min("dists")).cast("int"),
-            ).alias("cell"),
-            "embedding",
-        )
+    frozen) centroid set — numpy int64 micro-unit distances inside
+    ``mapInPandas`` (guide §4.2), zero joins; argmin ties to the
+    smallest cell id.
+
+    r10: the former per-cell ``zip_with``/``aggregate`` literal folds
+    are higher-order functions, which are CodegenFallback — |corpus| x
+    |cells| x DIM interpreted ops per scan, plus a |cells|-sized
+    expression tree that cost ~1 s of ANALYSIS per invocation across
+    the four consumers (C25/C81/C82/C94). The exact-arithmetic contract
+    is unchanged: ``rv`` is still computed by the SAME JVM expression
+    (`_cell_dists`' 6-dp decimal x 1e6 long encoding), and from there
+    everything is INTEGER math — squared-diff sums of int64 micro-units
+    (max ~2^48, no overflow), where numpy and the JVM fold are the same
+    function (integer addition is associative; no float order to
+    preserve). ``np.argmin`` returns the FIRST minimum and the centroid
+    matrix rows are sorted by cell id, so ties break to the smallest
+    cell id exactly like the old ``array_position`` lookup. The centroid
+    matrix rides in the closure by value (the C116 `_pop_topk_edges`
+    idiom), so identical inputs pickle to identical plans and the
+    C81 `ivfpq_corpus` swap slot still `sameResult`s across calls."""
+    import numpy as np
+    import pandas as pd
+
+    cells_sorted = sorted(by_cell)
+    cents = np.array(
+        [
+            [int(by_cell[c][d].scaleb(6)) for d in range(1, DIM + 1)]
+            for c in cells_sorted
+        ],
+        dtype=np.int64,
+    )
+    cell_ids = np.array(cells_sorted, dtype=np.int64)
+    rv_arr = F.transform(
+        F.col("embedding"),
+        lambda x: (
+            F.round(x.cast("double"), 6).cast("decimal(16,6)") * F.lit(1_000_000)
+        ).cast("long"),
+    )
+    src = vecs.select("vec_id", "embedding").withColumn("rv", rv_arr)
+
+    def assign(batches, cents=cents, cell_ids=cell_ids):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rv = np.stack(pdf["rv"].to_numpy()).astype(np.int64)
+            diff = rv[:, None, :] - cents[None, :, :]
+            dist = np.einsum("ncd,ncd->nc", diff, diff)
+            idx = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cell_ids[idx].astype(np.int32),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    return src.mapInPandas(
+        assign, schema="vec_id bigint, cell int, embedding array<float>"
     )
 
 
@@ -2025,45 +2144,10 @@ def embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     vecs = load_table(spark, sf_dir, "embeddings")
     all_dims = (*ABLATION_DIMS, DIM)
-    base = vecs.select(
-        "vec_id",
-        "embedding",
-        *[
-            F.sqrt(_dot_pfx("embedding", "embedding", d)).alias(f"n{d}")
-            for d in all_dims
-        ],
-    )
-    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        *[F.col(f"n{d}").alias(f"qn{d}") for d in all_dims],
-    )
-    pairs = base.join(
-        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
-    )
-    scored = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        *[
-            (
-                _dot_pfx("qe", "embedding", d)
-                / (F.col(f"qn{d}") * F.col(f"n{d}"))
-            ).alias(f"c{d}")
-            for d in all_dims
-        ],
-    )
-    # one scored frame -> (dim_budget, cos) rows -> per-budget ranks
-    stacked = scored.select(
-        "query_id",
-        "neighbor_id",
-        F.expr(
-            "stack("
-            + str(len(all_dims))
-            + ", "
-            + ", ".join(f"{d}, c{d}" for d in all_dims)
-            + ") AS (dim_budget, cos_sim)"
-        ),
-    )
+    # one numpy pass emits the whole (dim_budget, cos) stack — prefix
+    # snapshots at each budget boundary, bit-identical to the former
+    # per-budget _dot_pfx folds (r10, see _np_query_scores)
+    stacked = _np_query_scores(vecs, N_QUERIES, dims=all_dims)
     w = Window.partitionBy("dim_budget", "query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
@@ -2079,7 +2163,9 @@ def embedding_dim_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extra build-time job every time the plan is constructed — the
     # same eager-at-build smell the round-6 double-execution fixes
     # removed elsewhere; the SQL twin's nq subquery is the same shape)
-    nq = queries.agg(F.count("*").alias("_nq"))
+    nq = vecs.filter(F.col("vec_id") < N_QUERIES).agg(
+        F.count("*").alias("_nq")
+    )
     return (
         topk.filter(F.col("dim_budget") != DIM)
         .join(truth, ["query_id", "neighbor_id"], "left_semi")
@@ -2250,28 +2336,23 @@ def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nprobe", "query_id", "neighbor_id")
     )
 
-    # exact full-scan truth (the C6 shape at the C25 constants)
-    queries = qbase.select("query_id", "qe", "qn")
-    tpairs = corpus.alias("c").join(
-        F.broadcast(queries).alias("q"),
-        F.col("c.vec_id") != F.col("q.query_id"),
-    )
-    tcos = _dot("q.qe", "c.embedding") / (F.col("q.qn") * F.col("c.norm"))
+    # exact full-scan truth (the C6 shape at the C25 constants) —
+    # scored via the vectorized `_np_query_scores` (r10): same query
+    # set (vec_id < IVF_QUERIES), same norms (bit-identical per-dim
+    # accumulation), same window
     w_truth = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )
     truth = (
-        tpairs.select(
-            F.col("q.query_id").alias("query_id"),
-            F.col("c.vec_id").alias("neighbor_id"),
-            tcos.alias("cos_sim"),
-        )
+        _np_query_scores(vecs, IVF_QUERIES)
         .withColumn("rank", F.row_number().over(w_truth))
         .filter(F.col("rank") <= IVF_TOPK)
         .select("query_id", "neighbor_id")
     )
 
-    nq = queries.agg(F.count("*").alias("_nq"))  # lazy, like the SQL twin
+    nq = vecs.filter(F.col("vec_id") < IVF_QUERIES).agg(
+        F.count("*").alias("_nq")
+    )  # lazy, like the SQL twin
     hits = (
         topk.join(truth, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("nprobe")

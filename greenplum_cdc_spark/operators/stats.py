@@ -826,6 +826,37 @@ def _hilbert_sql(xcol: str, ycol: str) -> tuple[str, str]:
     return inner, f"d{i}"
 
 
+def _hilbert_np_codes(orders: DataFrame) -> DataFrame:
+    """(o_orderkey, xd, yd) -> + curve_val: the `_hilbert_sql` xy2d
+    recurrence, vectorized in numpy int64 — bit-identical to the SQL
+    chain (pure integer +,-,*,%,compare at every level; coordinates
+    stay in [0, N) so % never sees a negative operand in either
+    formulation). Exhaustive-grid equality pytest pins the pair."""
+    import numpy as np
+
+    n = HILBERT_N
+
+    def fn(batches):
+        for pdf in batches:
+            x = pdf["xd"].to_numpy().astype(np.int64)
+            y = pdf["yd"].to_numpy().astype(np.int64)
+            d = np.zeros(len(pdf), dtype=np.int64)
+            s = n // 2
+            while s >= 1:
+                rx = ((x % (2 * s)) >= s).astype(np.int64)
+                ry = ((y % (2 * s)) >= s).astype(np.int64)
+                d += s * s * (3 * rx + ry - 2 * rx * ry)
+                xn = np.where(ry == 1, x, np.where(rx == 0, y, n - 1 - y))
+                yn = np.where(ry == 1, y, np.where(rx == 0, x, n - 1 - x))
+                x, y = xn, yn
+                s //= 2
+            yield pdf.assign(curve_val=d)
+
+    return orders.mapInPandas(
+        fn, schema="o_orderkey bigint, xd bigint, yd bigint, curve_val bigint"
+    )
+
+
 def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B88: Hilbert-curve layout vs Z-order, head to head — per-block
     zone maps for BOTH curves over the same (custkey, order-day) grid,
@@ -839,12 +870,18 @@ def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed global rank, no single-partition window) and emits
     per-(curve, block) min/max spans of both dimensions.
 
-    The 8-level xy2d Hilbert walk is generated ONCE as arithmetic-only
+    The 8-level xy2d Hilbert walk is stated ONCE as arithmetic-only
     SQL (+,-,*,%,CASE — xor over {0,1} rewritten as the polynomial
     3rx+ry-2rx·ry since DuckDB's ^ is POWER; bit tests as x%2s>=s
-    since the engines' integer-division spellings differ) and executed verbatim by
-    both engines — bit-identical by construction, like the shared
-    Morton interleave it sits beside.
+    since the engines' integer-division spellings differ) and executed
+    verbatim by the ORACLE. The Spark side computes the SAME recurrence
+    vectorized in numpy int64 inside ``mapInPandas`` (r10, guide §4.2):
+    the 8-level nested-subquery chain cost ~1.7 s of parse+analysis per
+    invocation — more than the query's whole execution — and every op
+    in the recurrence is integer arithmetic, where numpy and SQL are
+    the same function (no float rounding anywhere). Exact equality of
+    the two formulations is pinned exhaustively over the full 256x256
+    grid by test_hilbert_numpy_matches_sql_chain.
     """
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -856,11 +893,7 @@ def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("yd"),
     )
-    chain, dcol = _hilbert_sql("xd", "yd")
-    orders.createOrReplaceTempView("__hilbert_src__")
-    hil = spark.sql(chain.replace("__SRC__", "__hilbert_src__")).select(
-        "o_orderkey", "xd", "yd", F.col(dcol).alias("curve_val")
-    )
+    hil = _hilbert_np_codes(orders)
     zed = orders.select(
         "o_orderkey",
         "xd",

@@ -164,3 +164,128 @@ def test_graph_family_shares_one_edge_index(spark):
     degree_assortativity(spark, SF)
     assert _PERSIST_CACHE.get("basket_items") is li
     assert _PERSIST_CACHE.get("copurchase_edges") is edges
+
+
+def test_ivf_assignment_matches_literal_folds(spark):
+    """r10 optimization pin: the numpy int64 assignment inside
+    _ivf_assign_to is an EXACT rederivation of the former per-cell
+    zip_with/aggregate literal folds — same rv encoding, same integer
+    distance, same first-min tie rule — so every (vec_id, cell) pair
+    must be identical to the fold formulation rebuilt here."""
+    import pyspark.sql.functions as F
+
+    from greenplum_cdc_spark.io import load_table
+    from greenplum_cdc_spark.operators.similarity import (
+        _cell_dists,
+        _ivf_assign_to,
+        _ivf_train_cached,
+    )
+
+    vecs = load_table(spark, SF, "embeddings")
+    by_cell = _ivf_train_cached(spark, SF)
+    got = {
+        (r["vec_id"], r["cell"])
+        for r in _ivf_assign_to(vecs, by_cell).collect()
+    }
+    rv_arr, cells_sorted, dist_cols = _cell_dists(by_cell)
+    cell_ids = F.array(*[F.lit(c) for c in cells_sorted])
+    want = {
+        (r["vec_id"], r["cell"])
+        for r in vecs.withColumn("rv", rv_arr)
+        .withColumn("dists", F.array(*dist_cols))
+        .select(
+            "vec_id",
+            F.element_at(
+                cell_ids,
+                F.array_position(
+                    F.col("dists"), F.array_min("dists")
+                ).cast("int"),
+            ).alias("cell"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_hilbert_numpy_matches_sql_chain(spark):
+    """r10 optimization pin: the numpy xy2d recurrence that now feeds
+    hilbert_layout's Spark side equals the `_hilbert_sql` chain (the
+    oracle's formulation) on EVERY cell of the 256x256 grid — the
+    exhaustive domain, not a sample."""
+    import pyspark.sql.functions as F
+
+    from greenplum_cdc_spark.operators.stats import (
+        HILBERT_N,
+        _hilbert_np_codes,
+        _hilbert_sql,
+    )
+
+    grid = spark.range(HILBERT_N * HILBERT_N).select(
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") % HILBERT_N).alias("xd"),
+        (F.col("id") / HILBERT_N).cast("bigint").alias("yd"),
+    )
+    got = {
+        (r["xd"], r["yd"]): r["curve_val"]
+        for r in _hilbert_np_codes(grid).collect()
+    }
+    chain, dcol = _hilbert_sql("xd", "yd")
+    grid.createOrReplaceTempView("__hilbert_grid__")
+    want = {
+        (r["xd"], r["yd"]): r[dcol]
+        for r in spark.sql(
+            chain.replace("__SRC__", "__hilbert_grid__")
+        ).select("xd", "yd", dcol).collect()
+    }
+    assert got == want
+    # the walk is a bijection onto [0, N^2)
+    assert sorted(got.values()) == list(range(HILBERT_N * HILBERT_N))
+
+
+def test_np_query_scores_matches_folds(spark):
+    """r10 optimization pin: _np_query_scores (the vectorized C6
+    scorer behind C6/C93/C94-truth) equals the interpreted fold
+    formulation EXACTLY — every cosine double bit-for-bit (repr
+    compare), every prefix budget, every pair."""
+    import pyspark.sql.functions as F
+
+    from greenplum_cdc_spark.io import load_table
+    from greenplum_cdc_spark.operators.similarity import (
+        DIM,
+        N_QUERIES,
+        _dot_pfx,
+        _np_query_scores,
+    )
+
+    vecs = load_table(spark, SF, "embeddings")
+    dims = (8, DIM)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["dim_budget"]): repr(r["cos_sim"])
+        for r in _np_query_scores(vecs, N_QUERIES, dims=dims).collect()
+    }
+    base = vecs.select(
+        "vec_id",
+        "embedding",
+        *[
+            F.sqrt(_dot_pfx("embedding", "embedding", d)).alias(f"n{d}")
+            for d in dims
+        ],
+    )
+    queries = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        *[F.col(f"n{d}").alias(f"qn{d}") for d in dims],
+    )
+    pairs = base.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    want = {}
+    for r in pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        *[
+            (_dot_pfx("qe", "embedding", d) / (F.col(f"qn{d}") * F.col(f"n{d}"))).alias(f"c{d}")
+            for d in dims
+        ],
+    ).collect():
+        for d in dims:
+            want[(r["query_id"], r["neighbor_id"], d)] = repr(r[f"c{d}"])
+    assert got == want
