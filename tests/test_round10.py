@@ -289,3 +289,61 @@ def test_np_query_scores_matches_folds(spark):
         for d in dims:
             want[(r["query_id"], r["neighbor_id"], d)] = repr(r[f"c{d}"])
     assert got == want
+
+
+def test_verify_pairs_broadcast_equals_join_path(spark):
+    """r10 optimization pin: the numpy broadcast-verify that C4 uses at
+    gate scale returns EXACTLY the join formulation's (n_inter, n_a,
+    n_b) for every candidate pair, and repeat plans `sameResult` (the
+    explicit memoized sc.broadcast — an implicit >1MB closure would
+    silently rebuild every downstream swap slot)."""
+    import pyspark.sql.functions as F
+
+    from greenplum_cdc_spark.io import load_table
+    from greenplum_cdc_spark.operators.dedup import (
+        _distinct_shingles,
+        _rarity_docsets,
+        _swap_persist,
+        _verify_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    docsets = _swap_persist(
+        "jaccard_docsets", _rarity_docsets(_distinct_shingles(docs))
+    )
+    ids = docsets.select("doc_id").limit(40)
+    cand = (
+        ids.alias("a")
+        .crossJoin(ids.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_a"], r["n_b"])
+        for r in _verify_pairs(cand, docsets).collect()
+    }
+    va = docsets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n").alias("n_a"),
+    )
+    vb = docsets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n").alias("n_b"),
+    )
+    want = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_a"], r["n_b"])
+        for r in cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
+        .collect()
+    }
+    assert got == want and got
+    a = _verify_pairs(cand, docsets)
+    b = _verify_pairs(cand, docsets)
+    assert a._jdf.queryExecution().analyzed().sameResult(
+        b._jdf.queryExecution().analyzed()
+    )
