@@ -403,6 +403,15 @@ def _swap_persist(name: str, df: DataFrame) -> DataFrame:
         if same:
             return prev
         prev.unpersist()
+        # a swapped-out docsets slot may carry `_verify_pairs`' memoized
+        # broadcast — destroy it with the slot or it leaks executor
+        # memory for the session (ADVICE r10)
+        bc = getattr(prev, "_verify_bcast_side", None)
+        if bc is not None and bc is not False:
+            try:
+                bc.destroy()
+            except Exception:  # noqa: BLE001 — best-effort cleanup
+                pass
     df = df.persist()
     _PERSIST_CACHE[name] = df
     return df
@@ -450,17 +459,31 @@ def _verify_pairs(cand: DataFrame, docsets: DataFrame) -> DataFrame:
     # invocation). With the memoized broadcast captured by reference,
     # repeat plans pickle to identical commands and `sameResult` holds.
     bc = getattr(docsets, "_verify_bcast_side", None)
-    if bc is None and docsets.count() <= _VERIFY_BCAST_MAX_DOCS:
-        side = docsets.select("doc_id", "arr", "n").toPandas()
-        arrs = {
-            int(d): np.asarray(a, dtype=np.int64)
-            for d, a in zip(side["doc_id"], side["arr"])
-        }
-        ns = {int(d): int(n) for d, n in zip(side["doc_id"], side["n"])}
-        bc = docsets.sparkSession.sparkContext.broadcast((arrs, ns))
+    if bc is None:
+        # ONE bounded collect decides the strategy AND builds the side:
+        # limit(max+1) returns max+1 rows iff the corpus is over the
+        # cap (then the collect cost was bounded and we take the join
+        # path), else it IS the full side. The former shape ran a full
+        # count() job first — and re-ran it on every plan build for
+        # over-cap corpora because the negative decision was never
+        # memoized (ADVICE r10). `False` is the memoized negative.
+        side = (
+            docsets.select("doc_id", "arr", "n")
+            .limit(_VERIFY_BCAST_MAX_DOCS + 1)
+            .toPandas()
+        )
+        if len(side) > _VERIFY_BCAST_MAX_DOCS:
+            bc = False
+        else:
+            arrs = {
+                int(d): np.asarray(a, dtype=np.int64)
+                for d, a in zip(side["doc_id"], side["arr"])
+            }
+            ns = {int(d): int(n) for d, n in zip(side["doc_id"], side["n"])}
+            bc = docsets.sparkSession.sparkContext.broadcast((arrs, ns))
         docsets._verify_bcast_side = bc
 
-    if bc is not None:
+    if bc is not None and bc is not False:
 
         def verify(batches, bc=bc):
             arrs, ns = bc.value
@@ -501,9 +524,13 @@ def _verify_pairs(cand: DataFrame, docsets: DataFrame) -> DataFrame:
     vb = docsets.select(
         F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"), F.col("n").alias("n_b")
     )
+    # shuffle_hash on the docsets sides (r11): past the broadcast cap
+    # the docsets relation is exactly what must never ride an implicit
+    # AQE broadcast (multi-GiB hashed arrays at 100x) — the hint
+    # containment's verify always carried, now stated once here.
     return (
-        cand.join(va, "doc_a")
-        .join(vb, "doc_b")
+        cand.join(va.hint("shuffle_hash"), "doc_a")
+        .join(vb.hint("shuffle_hash"), "doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
         .select("doc_a", "doc_b", "n_inter", "n_a", "n_b")
     )
@@ -2255,19 +2282,26 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.least("sfx_a", "sfx_b") * den >= F.col("n_a") * num)
         .select("a_id", "b_id")
     )
-    cand = cand1.unionAll(cand2).distinct()
-    va = docsets.select(
-        F.col("doc_id").alias("a_id"), F.col("arr").alias("arr_a"), F.col("n").alias("n_a")
+    cand = (
+        cand1.unionAll(cand2)
+        .distinct()
+        .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
     )
-    vb = docsets.select(F.col("doc_id").alias("b_id"), F.col("arr").alias("arr_b"))
+    # r11 (VERDICT r10 item 2): the exact verify goes through
+    # `_verify_pairs` — the same explicit broadcast-vs-join strategy
+    # C4 adopted in r10 (corpora ≤ 200k docs: ONE memoized broadcast of
+    # the persisted docsets + numpy sorted-merge counts; larger: the
+    # join-back formulation, now shuffle_hash-hinted inside the helper
+    # exactly as this op's join always was). n_a returned by the helper
+    # IS docsets.n for doc_a, so the threshold filter and the ppm score
+    # see identical integers; ORDERED pairs (a_id≠b_id, both directions
+    # possible) are plain (doc_a, doc_b) lookups to the helper.
+    verified = _verify_pairs(cand, docsets)
     return (
-        cand.join(va.hint("shuffle_hash"), "a_id")
-        .join(vb.hint("shuffle_hash"), "b_id")
-        .withColumn("n_inter", F.size(F.array_intersect("arr_a", "arr_b")))
-        .filter(F.col("n_inter") * den >= F.col("n_a") * num)
+        verified.filter(F.col("n_inter") * den >= F.col("n_a") * num)
         .select(
-            F.col("a_id").alias("contained_id"),
-            F.col("b_id").alias("container_id"),
+            F.col("doc_a").alias("contained_id"),
+            F.col("doc_b").alias("container_id"),
             "n_inter",
             F.col("n_a").alias("n_contained_sh"),
             F.expr("n_inter * 1000000 div n_a").alias("containment_ppm"),
@@ -2326,7 +2360,11 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """.format(taus=list(_SWEEP_TAUS), mn=_SWEEP_TAU_MIN)
     docs = load_table(spark, sf_dir, "documents")
     sh = _distinct_shingles(docs)
-    docsets = _swap_persist("sweep_docsets", _rarity_docsets(sh))
+    # r11: the SAME slot as C4/C105 — the plan is byte-identical to
+    # theirs, but a separate slot name ("sweep_docsets") persisted a
+    # SECOND copy of the identical relation and built its own verify
+    # broadcast; one name, one build, one broadcast (guide §2.4).
+    docsets = _swap_persist("jaccard_docsets", _rarity_docsets(sh))
     tau_num, tau_den = _SWEEP_TAU_MIN, 100
     plen_sql = f"n - ((n * {tau_num} + {tau_den - 1}) div {tau_den}) + 1"
     i_num, i_den = 2 * tau_num, tau_den + tau_num
@@ -2356,52 +2394,88 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    a_sets = docsets.select(
-        F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"),
-        F.col("n").alias("n_a"),
-    )
-    b_sets = docsets.select(
-        F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"),
-        F.col("n").alias("n_b"),
-    )
+    # r11 (VERDICT r10 item 4): verification through `_verify_pairs`
+    # (the shared broadcast-vs-join strategy; n_inter/n_a/n_b are the
+    # same integers the a_sets/b_sets + array_intersect join produced),
+    # and the 5-tau rollup collapsed from 15 aggregation subtrees
+    # (n_pairs + flagged-distinct + crossJoins per tau, each scanning
+    # the pair table) into ONE conditional-aggregation pass: with
+    # integer tau and u > 0, i*100 >= u*tau ⟺ (i*100 div u) >= tau,
+    # so each pair's integer tier serves every threshold, and a doc is
+    # flagged at tau iff its max pair tier reaches tau. The op was
+    # overhead-bound, not data-bound (driver scaling ratio 0.75 at
+    # 8-vs-32 cores): the win is plan analysis + job count, which is
+    # exactly what conditional aggregation removes.
     chars = docs.select(F.col("doc_id").alias("doc_b"),
                         F.length("text").alias("chars_b"))
+    verified = _verify_pairs(cand, docsets)
     pairs = (
-        cand.join(a_sets, "doc_a")
-        .join(b_sets, "doc_b")
-        .withColumn("i", F.size(F.array_intersect("arr_a", "arr_b")))
-        .withColumn("u", F.col("n_a") + F.col("n_b") - F.col("i"))
+        verified.select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").alias("i"),
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("u"),
+        )
         .filter(F.col("i") * 100 >= F.col("u") * _SWEEP_TAU_MIN)
         .join(chars, "doc_b")
         .select("doc_a", "doc_b", "i", "u", "chars_b")
     )
     pairs = _swap_persist("sweep_pairs", pairs)
     total_chars = docs.agg(F.sum(F.length("text")).alias("tc"))
-    parts = []
-    for tau in _SWEEP_TAUS:
-        sel = pairs.filter(F.col("i") * 100 >= F.col("u") * tau)
-        flagged = sel.select("doc_b", "chars_b").distinct().agg(
-            F.count("*").alias("n_flagged_docs"),
-            F.coalesce(F.sum("chars_b"), F.lit(0)).alias("flagged_chars"),
-        )
-        parts.append(
-            sel.agg(F.count("*").alias("n_pairs"))
-            .crossJoin(F.broadcast(flagged))
-            .crossJoin(F.broadcast(total_chars))
-            .select(
-                F.lit(tau).alias("threshold_pct"),
-                "n_pairs",
-                "n_flagged_docs",
-                "flagged_chars",
-                F.expr("flagged_chars * 10000 div tc").alias(
-                    "removal_share_bp"
-                ),
+    tiered = pairs.select(
+        F.expr("i * 100 div u").alias("tier"), "doc_b", "chars_b"
+    )
+    pair_row = tiered.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("tier") >= tau).cast("long")), F.lit(0)
+            ).alias(f"np_{tau}")
+            for tau in _SWEEP_TAUS
+        ]
+    )
+    # chars_b is functionally dependent on doc_b (length of ONE text),
+    # so the per-doc max tier + max chars_b equals the old
+    # (doc_b, chars_b) DISTINCT at every tau
+    per_doc = tiered.groupBy("doc_b").agg(
+        F.max("tier").alias("mt"), F.max("chars_b").alias("chars_b")
+    )
+    doc_row = per_doc.agg(
+        *[
+            F.coalesce(
+                F.sum((F.col("mt") >= tau).cast("long")), F.lit(0)
+            ).alias(f"nd_{tau}")
+            for tau in _SWEEP_TAUS
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("mt") >= tau, F.col("chars_b"))),
+                F.lit(0),
+            ).alias(f"fc_{tau}")
+            for tau in _SWEEP_TAUS
+        ],
+    )
+    one = pair_row.crossJoin(F.broadcast(doc_row)).crossJoin(
+        F.broadcast(total_chars)
+    )
+    rows = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tau).alias("threshold_pct"),
+                        F.col(f"np_{tau}").alias("n_pairs"),
+                        F.col(f"nd_{tau}").alias("n_flagged_docs"),
+                        F.col(f"fc_{tau}").alias("flagged_chars"),
+                        F.expr(f"fc_{tau} * 10000 div tc").alias(
+                            "removal_share_bp"
+                        ),
+                    )
+                    for tau in _SWEEP_TAUS
+                ]
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.orderBy("threshold_pct")
+        ).alias("r")
+    ).select("r.*")
+    return rows.orderBy("threshold_pct")
 
 
 def _sweep_sql() -> str:

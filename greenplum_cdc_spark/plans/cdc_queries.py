@@ -3552,15 +3552,21 @@ def cdc_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev_max") - F.col("us"),
         ).alias("lateness"),
     )
-    # sum_lateness_us is DECIMAL(38,0), not BIGINT (round-10 fix): a
-    # feed whose disorder violates the bounded-reorder premise (the
-    # 100x probe corpus interleaves 100 full-range copies; a real
-    # bootstrap replay can do the same) pushes SUM(micros) past int64
-    # — Spark's ANSI sum threw where DuckDB silently summed in
-    # HUGEINT and then failed the BIGINT cast. Both engines now state
-    # the sum at decimal-38 exactness (10^38 µs ≈ 3·10^24 years of
-    # cumulative lateness — unreachable). max/mean stay BIGINT: each
-    # is bounded by the feed's time SPAN, not its volume.
+    # sum_lateness_us is summed at DECIMAL(38,0) exactness, not BIGINT
+    # (round-10 fix): a feed whose disorder violates the
+    # bounded-reorder premise (the 100x probe corpus interleaves 100
+    # full-range copies; a real bootstrap replay can do the same)
+    # pushes SUM(micros) past int64 — Spark's ANSI sum threw where
+    # DuckDB silently summed in HUGEINT and then failed the BIGINT
+    # cast. The DECLARED column is the decimal's digit string (round-11
+    # fix): a decimal wider than 18 digits survives neither engine's
+    # pandas conversion with a common dtype (DuckDB renders wide
+    # decimals as float64/object, Spark as Decimal objects), so the
+    # driver's pandas-based hash failed on representation while the
+    # VALUES matched (VERDICT r10 item 1). Plain digits render
+    # identically everywhere and keep the full 38-digit exactness.
+    # max/mean stay BIGINT: each is bounded by the feed's time SPAN,
+    # not its volume.
     return lated.agg(
         F.count("*").alias("n_events"),
         F.count("lateness").alias("late_events"),
@@ -3569,7 +3575,7 @@ def cdc_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(
             F.sum(F.col("lateness").cast("decimal(28,0)")),
             F.lit(0),
-        ).cast("decimal(38,0)").alias("sum_lateness_us"),
+        ).cast("decimal(38,0)").cast("string").alias("sum_lateness_us"),
         F.expr(
             "CASE WHEN count(lateness) > 0 THEN "
             "CAST(sum(CAST(lateness AS DECIMAL(28,0))) div "
@@ -3601,8 +3607,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
             AS BIGINT) AS late_bp,
        CAST(MAX(CASE WHEN us < prev_max THEN prev_max - us END) AS BIGINT)
          AS max_lateness_us,
-       CAST(COALESCE(SUM(CASE WHEN us < prev_max THEN prev_max - us END), 0)
-            AS DECIMAL(38,0)) AS sum_lateness_us,
+       CAST(CAST(COALESCE(SUM(CASE WHEN us < prev_max THEN prev_max - us END),
+                          0) AS DECIMAL(38,0)) AS VARCHAR) AS sum_lateness_us,
        CAST(CASE WHEN COUNT(CASE WHEN us < prev_max THEN 1 END) > 0
             THEN SUM(CASE WHEN us < prev_max THEN prev_max - us END)
                  // COUNT(CASE WHEN us < prev_max THEN 1 END)

@@ -2008,6 +2008,12 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     of these queries, so deduping it is the whole win)."""
     from ..operators.dedup import _swap_persist
 
+    # the slot serves B80 (threshold _PR_MIN_SUP) AND C126/B141 (whose
+    # DuckDB oracles state _KCORE_MIN_SUP, defined separately below) —
+    # sharing is only correct while the two constants agree, so a
+    # future edit to either must fail HERE, not at the gate (ADVICE r10)
+    assert _PR_MIN_SUP == _KCORE_MIN_SUP
+
     li = _basket_items(spark, sf_dir)
     pairs = (
         li.alias("a")
@@ -2026,6 +2032,8 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
     return _swap_persist("copurchase_edges", edges)
+
+
 PR_TOPN = 50
 
 

@@ -83,8 +83,8 @@ def test_out_of_order_sum_survives_unbounded_disorder(spark, tmp_path):
     """A49 round-10 found-and-fixed: a feed violating the
     bounded-reorder premise (two interleaved full-range copies — the
     100x-probe shape that produced sum(lateness) = 1.28e19 > int64)
-    must complete with the exact DECIMAL(38,0) sum, not throw
-    ARITHMETIC_OVERFLOW. Built small here: copies of sf0.001 events
+    must complete with the exact decimal-38 sum (declared as its digit
+    string since round 11), not throw ARITHMETIC_OVERFLOW. Built small here: copies of sf0.001 events
     with shifted event_ids make every second-copy event maximally
     late; the exact python replay still matches."""
     import os

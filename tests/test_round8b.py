@@ -1331,5 +1331,6 @@ class TestCdcOutOfOrderAudit:
         assert late > 0  # the jitter model must exercise the audit
         assert r["late_bp"] == late * 10000 // len(evs)
         assert r["max_lateness_us"] == max(lats)
-        assert r["sum_lateness_us"] == sum(lats)
+        # declared as a digit string (round-11 hash-stability fix)
+        assert int(r["sum_lateness_us"]) == sum(lats)
         assert r["mean_lateness_us"] == sum(lats) // late

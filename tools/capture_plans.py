@@ -1,10 +1,11 @@
 """Capture `.explain("formatted")` output for named queries() entries.
 
 Usage: python tools/capture_plans.py <suffix> <query> [<query> ...]
-Writes plans/r10/<query>_<suffix>.txt (suffix = before|after).
+Writes plans/$SPARK_GRAFT_PLAN_DIR/<query>_<suffix>.txt (suffix =
+before|after; plan dir defaults to r11).
 
-Round-10 evidence tool (guide §1.2/§7.2): the judge checks plan-shape
-claims in OPTIMIZATION_r10.md against these committed files.
+Optimization-round evidence tool (guide §1.2/§7.2): the judge checks
+plan-shape claims in OPTIMIZATION_r<N>.md against these committed files.
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r10",
+        os.environ.get("SPARK_GRAFT_PLAN_DIR", "r11"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")

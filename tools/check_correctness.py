@@ -131,6 +131,26 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        # Wide decimals (precision > 18) do not survive either engine's
+        # pandas conversion with a common dtype (DuckDB HUGEINT/decimal
+        # -> float64 or object, Spark -> Decimal objects), so the
+        # driver's pandas-based hash fails on REPRESENTATION even when
+        # the values match — the exact blind spot that cost round 10
+        # (VERDICT r10 item 1, cdc_out_of_order_audit). Flag them here
+        # so they never reach the driver.
+        from pyspark.sql.types import DecimalType  # noqa: PLC0415
+        wide = [
+            f.name for f in sdf.schema.fields
+            if isinstance(f.dataType, DecimalType) and f.dataType.precision > 18
+        ]
+        if wide:
+            print(
+                f"FAIL {name}: output schema has DECIMAL(p>18) column(s) "
+                f"{wide} — driver hash-unstable; declare digits as VARCHAR "
+                "or split into BIGINTs in BOTH engines"
+            )
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(spark_rows)} rows)")
             continue
