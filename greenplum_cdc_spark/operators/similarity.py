@@ -2367,9 +2367,6 @@ def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     vecs = load_table(spark, sf_dir, "embeddings")
     by_cell = _ivf_train_cached(spark, sf_dir)
-    corpus = _ivf_assign_to(vecs, by_cell).withColumn(
-        "norm", F.sqrt(_dot("embedding", "embedding"))
-    )
     np_max = max(IVF_NPROBES)
 
     # per-query probe-cell ranking: the SAME exact int64 distances as
@@ -2379,35 +2376,37 @@ def ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical integers, same (dist ASC, cell ASC) tie rule, the JVM
     # window unchanged (VERDICT r10 item 3).
     qvecs = vecs.filter(F.col("vec_id") < IVF_QUERIES)
-    qn = F.sqrt(_dot("embedding", "embedding"))
-    qmeta = qvecs.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        qn.alias("qn"),
-    )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.asc("dist2_u"), F.asc("cell")
     )
-    probes = (
+    probe_cells = (
         _ivf_cell_dists_np(qvecs, by_cell)
         .select(F.col("vec_id").alias("query_id"), "cell", "dist2_u")
         .withColumn("probe_rank", F.row_number().over(w_probe))
         .filter(F.col("probe_rank") <= np_max)
         .drop("dist2_u")
-        .join(qmeta, "query_id")
     )
 
-    cand = corpus.alias("c").join(
-        F.broadcast(probes).alias("p"),
-        (F.col("c.cell") == F.col("p.cell"))
-        & (F.col("c.vec_id") != F.col("p.query_id")),
+    # r11: the probe scoring reuses the SAME vectorized all-pairs frame
+    # the truth pass already computes — the sweep's query set IS the
+    # `_np_query_scores` query set, so a candidate (query, neighbor,
+    # cos) row is the all-pairs row restricted to the probed cells.
+    # This sheds the last three fold subtrees of the op (corpus norm,
+    # query norm, per-candidate cos fold — |cand| x DIM interpreted
+    # ops); cos values are bit-identical by the r10 `_np_query_scores`
+    # argument (per-dim accumulation == the fold's left-assoc IEEE
+    # order — driver-proven on C6's raw cosines), and self-pairs are
+    # excluded in both formulations.
+    scored_all = _np_query_scores(
+        vecs, IVF_QUERIES, cache_key=os.path.abspath(sf_dir)
     )
-    cos = _dot("p.qe", "c.embedding") / (F.col("p.qn") * F.col("c.norm"))
-    scored = cand.select(
-        F.col("p.query_id").alias("query_id"),
-        F.col("c.vec_id").alias("neighbor_id"),
-        F.col("p.probe_rank").alias("probe_rank"),
-        cos.alias("cos_sim"),
+    corpus_cells = _ivf_assign_to(vecs, by_cell).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    scored = (
+        scored_all.join(corpus_cells.hint("shuffle_hash"), "neighbor_id")
+        .join(F.broadcast(probe_cells), ["query_id", "cell"])
+        .select("query_id", "neighbor_id", "probe_rank", "cos_sim")
     )
     # stack budgets: a candidate serves every nprobe >= its probe_rank
     stacked = scored.select(
