@@ -131,15 +131,27 @@ def stream_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("stream_dedup_stateful", sf_dir),
             lambda d: docs.coalesce(1).write.mode("overwrite").parquet(d),
         )
+        # r11: memory sink instead of foreachBatch parquet + adopt
+        # (identical emissions; run_stream_dedup keeps the recoverable
+        # parquet form for the checkpoint-resume tests)
+        import uuid
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(
+            in_dir
+        )
+        name = f"dedup_sink_{uuid.uuid4().hex[:8]}"
         with shuffle_partitions(spark, 16):
-            run_stream_dedup(spark, in_dir, ckpt, out)
-            # adopt the foreachBatch output in place (rename, no second
-            # write) and build the projection on the adopted read
-            res = adopt_scratch(
-                spark, out, "stream_dedup_out_",
-                empty_schema="text_hash string, first_doc_id long,"
-                " n_new_in_batch long",
+            q = (
+                stream_dedup_exact(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
+            q.awaitTermination()
+            res = spark.table(name)
             return res.select(
                 "text_hash", "first_doc_id", F.col("n_new_in_batch").alias("n_copies")
             ).orderBy("first_doc_id")
@@ -299,13 +311,30 @@ def stream_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         # open/commit is cheap, so parallelizing the per-key Python work
         # wins (measured 16 > 8 > 4 > 2 at sf0.1; result is partition-
         # count invariant, property-pinned)
+        # r11: memory sink instead of foreachBatch parquet + adopt
+        # (identical emissions; saves the per-run write/rename/read —
+        # run_stream_sessionize keeps the recoverable parquet form for
+        # the resume tests)
+        import uuid
+
+        stream = (
+            spark.readStream.schema("user_id long, ts_us long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(glob)
+        )
+        name = f"sess_sink_{uuid.uuid4().hex[:8]}"
         with shuffle_partitions(spark, 16):
-            run_stream_sessionize(spark, glob, ckpt, out)
-            res = adopt_scratch(
-                spark, out, "stream_sess_out_",
-                empty_schema="user_id long, sess_idx long,"
-                " session_start long, session_end long, n_events long",
+            q = (
+                stream_sessionize(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
+            q.awaitTermination()
+            res = spark.table(name)
             return res.select(
                 "user_id",
                 "sess_idx",
@@ -718,26 +747,26 @@ def stream_rate_limit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(glob)
         )
 
-        def _sink(batch: DataFrame, batch_id: int) -> None:
-            batch.write.mode("append").parquet(out)
+        # r11: memory sink instead of foreachBatch parquet + adopt
+        # (identical emissions; saves the per-run write/rename/read —
+        # the r9 running_totals finding applied family-wide)
+        import uuid
 
+        name = f"rl_sink_{uuid.uuid4().hex[:8]}"
         with shuffle_partitions(spark, 16):
             q = (
                 stream_rate_limit(stream)
-                .writeStream.foreachBatch(_sink)
+                .writeStream.format("memory")
+                .queryName(name)
                 .outputMode("append")
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
             )
             q.awaitTermination()
-            res = adopt_scratch(
-                spark, out, "stream_rl_out_",
-                empty_schema="user_id long, ts_us long, allowed long",
-            )
-            return res.select("user_id", "ts_us", "allowed").orderBy(
-                "user_id", "ts_us"
-            )
+            return spark.table(name).select(
+                "user_id", "ts_us", "allowed"
+            ).orderBy("user_id", "ts_us")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -960,24 +989,23 @@ def stream_heavy_hitters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(glob)
         )
 
-        def _sink(batch: DataFrame, batch_id: int) -> None:
-            batch.write.mode("append").parquet(out)
+        # r11: memory sink instead of foreachBatch parquet + adopt
+        # (identical emissions; saves the per-run write/rename/read)
+        import uuid
 
+        name = f"hh_sink_{uuid.uuid4().hex[:8]}"
         with shuffle_partitions(spark, 16):
             q = (
                 stream_heavy_hitters(stream)
-                .writeStream.foreachBatch(_sink)
+                .writeStream.format("memory")
+                .queryName(name)
                 .outputMode("append")
                 .option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
             )
             q.awaitTermination()
-            emitted = adopt_scratch(
-                spark, out, "stream_hh_out_",
-                empty_schema="bucket long, n_batches long, word string,"
-                " est_count long, err long",
-            )
+            emitted = spark.table(name)
             return (
                 emitted.withColumn(
                     "_last", F.max("n_batches").over(Window.partitionBy("bucket"))
@@ -1334,13 +1362,34 @@ def stream_nearest_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         glob = (
             cached_feed(("stream_nearest_join", sf_dir), _write) + "/_b=*"
         )
+        # r11: drain into a memory sink instead of the foreachBatch
+        # parquet sink + adopt (the r9 running_totals finding: the
+        # parquet write + rename + read-back cost ~0.4 s for a result
+        # the bench materializes to the driver anyway; emissions and
+        # their order-insensitive content are identical either way —
+        # run_stream_nearest keeps the recoverable parquet form for the
+        # resume tests).
+        import uuid
+
+        schema = "k long, ts_us long, seq long, kind int"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(glob)
+        )
+        name = f"near_sink_{uuid.uuid4().hex[:8]}"
         with shuffle_partitions(spark, 16):
-            run_stream_nearest(spark, glob, ckpt, out)
-            res = adopt_scratch(
-                spark, out, "stream_near_out_",
-                empty_schema="k long, probe_id long, probe_ts long,"
-                " direction string, matched_qid long, dist_us long",
+            q = (
+                stream_nearest_join(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
+            q.awaitTermination()
+            res = spark.table(name)
             return res.select(
                 F.col("k").alias("user_id"),
                 "probe_id",
