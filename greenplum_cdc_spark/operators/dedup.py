@@ -2013,6 +2013,13 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev").isNotNull() & ((F.col("rn") - 1) % _CC_CHAIN != 0)
     ).select(F.col("doc_id").alias("src"), F.col("prev").alias("dst"))
 
+    # r11 negative result (kept as the r10-measured shape): the kcore
+    # scale-adaptive loop-partition lever was tried here too (2 vs 32
+    # shuffle partitions around the star loop) and measured a wash —
+    # per-round cost is ~0.5 s of plan analysis + 4-5 stage DAG
+    # scheduling over a checkpointed 5k-row relation, not reducer
+    # count (AQE already coalesces those); the extra sizing job only
+    # added overhead. See OPTIMIZATION_r11.md.
     cur = edges.localCheckpoint()
     rounds = 0
     while True:

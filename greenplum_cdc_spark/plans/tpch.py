@@ -3467,41 +3467,58 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             med = d
             break
     k = max(2, med // 2)
-    alive = deg0.select("src")
-    n_alive = n_nodes
-    for _ in range(_KCORE_MAX_ROUNDS):
-        deg = (
-            edges.join(alive, "src")
-            .join(alive.withColumnRenamed("src", "dst"), "dst")
-            .groupBy("src")
-            .agg(F.count("*").alias("deg"))
-        )
-        # truncate lineage AND the logical plan each round (the B99
-        # connected-components idiom): alive appears twice per round, so
-        # without this the logical tree doubles per round and Catalyst
-        # ANALYSIS alone goes exponential — measured 0.9 s -> 37 s by
-        # round 6 with a mere persist (which caches data but not plans)
-        deg = deg.localCheckpoint()
-        nxt = deg.filter(F.col("deg") >= k).select("src")
-        n_next = nxt.count()
-        if n_next == n_alive:
-            core_deg = deg.filter(F.col("deg") >= k)
-            return (
-                core_deg.join(deg0, "src")
-                .select(
-                    F.col("src").alias("part_id"),
-                    F.col("deg0").alias("initial_degree"),
-                    F.col("deg").alias("core_degree"),
-                    F.lit(k).cast("long").alias("k"),
+    # r11, scale-ADAPTIVE loop parallelism (guide §2.2/§2.6): every
+    # peel round shuffles only the |edges|-bounded degree table, so its
+    # partition count should track the DATA, not the core count — at
+    # sf0.1 the graph is 7k edge rows and 32-way shuffles made the
+    # ~12-round loop pure task-scheduling overhead (measured 5.2 s at
+    # 32 partitions vs 2.5 s at 2, and the driver's 8-vs-32-core ratio
+    # of 0.65 said the same). The edge-row count is already known from
+    # the degree histogram (sum d*n — no extra job); one partition per
+    # ~50k edge rows, floored at 2, never above the session default so
+    # a real cluster run keeps its configured width.
+    from ..io import shuffle_partitions
+
+    n_edge_rows = sum(d * n for d, n in hist)
+    cur_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(2, min(cur_parts, -(-n_edge_rows // 50_000)))
+    with shuffle_partitions(spark, loop_parts):
+        alive = deg0.select("src")
+        n_alive = n_nodes
+        for _ in range(_KCORE_MAX_ROUNDS):
+            deg = (
+                edges.join(alive, "src")
+                .join(alive.withColumnRenamed("src", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.count("*").alias("deg"))
+            )
+            # truncate lineage AND the logical plan each round (the B99
+            # connected-components idiom): alive appears twice per round, so
+            # without this the logical tree doubles per round and Catalyst
+            # ANALYSIS alone goes exponential — measured 0.9 s -> 37 s by
+            # round 6 with a mere persist (which caches data but not plans)
+            deg = deg.localCheckpoint()
+            nxt = deg.filter(F.col("deg") >= k).select("src")
+            n_next = nxt.count()
+            if n_next == n_alive:
+                core_deg = deg.filter(F.col("deg") >= k)
+                return (
+                    core_deg.join(deg0, "src")
+                    .select(
+                        F.col("src").alias("part_id"),
+                        F.col("deg0").alias("initial_degree"),
+                        F.col("deg").alias("core_degree"),
+                        F.lit(k).cast("long").alias("k"),
+                    )
+                    .orderBy("part_id")
                 )
-                .orderBy("part_id")
-            )
-        alive, n_alive = nxt, n_next
-        if n_alive == 0:
-            return spark.createDataFrame(
-                [],
-                "part_id long, initial_degree long, core_degree long, k long",
-            )
+            alive, n_alive = nxt, n_next
+            if n_alive == 0:
+                return spark.createDataFrame(
+                    [],
+                    "part_id long, initial_degree long, core_degree long,"
+                    " k long",
+                )
     raise RuntimeError(
         f"kcore_decomposition: no fixpoint in {_KCORE_MAX_ROUNDS} rounds "
         "(peeling depth exceeded the documented cap; raise "
