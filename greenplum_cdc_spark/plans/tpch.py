@@ -1460,7 +1460,6 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     REDUCED cardinality but still hundreds of millions at 100 TB).
     """
     from ..operators.dedup import _swap_persist
-    from ..operators.stats import _global_row_number
 
     orders = load_table(spark, sf_dir, "orders")
     head = orders.agg(F.max("o_orderdate").alias("head_date"))
@@ -1483,22 +1482,71 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_cust = _swap_persist("rfm_per_cust", per_cust)
 
-    def quintile(metric: str, out: str):
-        ranked, n = _global_row_number(
-            per_cust.select("o_custkey", metric), metric, ["o_custkey"], out="_rk"
+    # r11: the three per-metric `_global_row_number` calls each ran TWO
+    # eager driver jobs at plan-build (approxQuantile + per-bucket
+    # counts) and came back as a join — 6 jobs + 3 joins per
+    # invocation. The same exact-rank construction now shares ONE
+    # multi-column approxQuantile job and ONE combined (pid_r, pid_f,
+    # pid_m) count rollup (≤ parts³ cells; each metric's marginal is a
+    # driver-side sum), and the three ranks/scores are computed in
+    # place on the per-customer frame — no joins. Rank equivalence is
+    # boundary-INDEPENDENT (the bucket construction only needs
+    # monotonicity — stats.py:_global_row_number), so sharing the
+    # quantile job cannot change a single rank.
+    from collections import defaultdict
+
+    metrics = [
+        ("neg_recency", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary_d", "m_score"),
+    ]
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
+    probs = [i / n_parts for i in range(1, n_parts)]
+    bounds_all = per_cust.stat.approxQuantile(
+        [m for m, _ in metrics], probs, 1.0 / (4 * n_parts)
+    )
+    part = per_cust
+    for (m, _), bounds in zip(metrics, bounds_all):
+        bounds = sorted(set(bounds))
+        if bounds:
+            arms = " ".join(
+                f"WHEN CAST({m} AS DOUBLE) <= CAST({b!r} AS DOUBLE) THEN {i}"
+                for i, b in enumerate(bounds)
+            )
+            pid = F.expr(f"CASE {arms} ELSE {len(bounds)} END")
+        else:
+            pid = F.lit(0)
+        part = part.withColumn(f"_pid_{m}", pid)
+    cells = (
+        part.groupBy(*[f"_pid_{m}" for m, _ in metrics])
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    n = sum(r["c"] for r in cells)
+    scored = part
+    for m, out in metrics:
+        counts: dict = defaultdict(int)
+        for r_ in cells:
+            counts[r_[f"_pid_{m}"]] += r_["c"]
+        offsets, acc = [], 0
+        for b in sorted(counts):
+            offsets.extend([F.lit(b), F.lit(acc)])
+            acc += counts[b]
+        off = F.create_map(*offsets)[F.col(f"_pid_{m}")]
+        w = Window.partitionBy(f"_pid_{m}").orderBy(m, "o_custkey")
+        scored = scored.withColumn(
+            f"_rk_{m}", (F.row_number().over(w) + off).cast("bigint")
         )
         q, r = divmod(n, 5)
-        score = F.expr(
-            f"CASE WHEN _rk <= {(q + 1) * r} THEN 1 + (_rk - 1) div {q + 1} "
-            f"ELSE {r} + 1 + (_rk - 1 - {r * (q + 1)}) div {max(q, 1)} END"
-        ).cast("int")
-        return ranked.select("o_custkey", score.alias(out))
-
-    scored = (
-        per_cust.join(quintile("neg_recency", "r_score"), "o_custkey")
-        .join(quintile("frequency", "f_score"), "o_custkey")
-        .join(quintile("monetary_d", "m_score"), "o_custkey")
-    )
+        scored = scored.withColumn(
+            out,
+            F.expr(
+                f"CASE WHEN _rk_{m} <= {(q + 1) * r} THEN"
+                f" 1 + (_rk_{m} - 1) div {q + 1} "
+                f"ELSE {r} + 1 + (_rk_{m} - 1 - {r * (q + 1)})"
+                f" div {max(q, 1)} END"
+            ).cast("int"),
+        )
     return (
         scored.select(
             "o_custkey",
