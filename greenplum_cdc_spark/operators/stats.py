@@ -1726,20 +1726,29 @@ def compression_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     set), all unioned; at 100 TB each audit is a scan-local partial
     aggregate, and columns are independent parallel stages.
     """
+    # r11: ONE aggregation pass per column instead of two full scans +
+    # a distinct + a crossJoin — group by the value (NDV rows), then a
+    # single rollup derives every statistic: n = sum of group counts
+    # (the null group included, matching count(*)), ndv = count of
+    # non-null groups, raw_bytes = sum(cnt * len(v)) (null group's NULL
+    # product is skipped, matching sum over rows), dict_table_bytes =
+    # sum(len(v)) over groups (null excluded, matching the distinct
+    # sum). Halves the scans and removes a join per column; the union
+    # tree shrinks accordingly.
     parts = []
     for table, col in COMPRESSION_COLUMNS:
         tbl = load_table(spark, sf_dir, table)
-        full = tbl.agg(
-            F.count("*").alias("n"),
-            F.countDistinct(col).alias("ndv"),
-            F.sum(F.octet_length(col)).alias("raw_bytes"),
-        )
-        dsz = (
-            tbl.select(F.col(col).alias("v")).distinct()
-            .agg(F.sum(F.octet_length("v")).alias("dict_table_bytes"))
+        groups = tbl.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").alias("cnt")
         )
         parts.append(
-            full.crossJoin(F.broadcast(dsz)).select(
+            groups.agg(
+                # coalesce: count(*) over an empty table is 0, not NULL
+                F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"),
+                F.count("v").alias("ndv"),
+                F.sum(F.col("cnt") * F.octet_length("v")).alias("raw_bytes"),
+                F.sum(F.octet_length("v")).alias("dict_table_bytes"),
+            ).select(
                 F.lit(f"{table}.{col}").alias("column_ref"),
                 "n", "ndv", "raw_bytes", "dict_table_bytes",
                 F.expr(
