@@ -893,16 +893,68 @@ def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("yd"),
     )
-    hil = _hilbert_np_codes(orders)
-    zed = orders.select(
-        "o_orderkey",
-        "xd",
-        "yd",
-        _z_value(F.col("xd"), F.col("yd")).alias("curve_val"),
+    # r11 (the rfm lever): both curves ride ONE frame — the per-curve
+    # `_global_row_number` calls each ran approxQuantile + bucket-count
+    # driver jobs at plan build (4 eager jobs, each re-executing the
+    # numpy Hilbert pass). One multi-column approxQuantile and one
+    # combined (pid_h, pid_z) count rollup feed both exact-rank
+    # constructions; rank equivalence is boundary-independent (the
+    # bucket construction only needs monotonicity).
+    from collections import defaultdict
+
+    from ..operators.dedup import _swap_persist
+
+    # the frame feeds FOUR consumers (quantile job, count job, two
+    # block branches) — persist so the numpy pass runs once per session
+    both = _swap_persist(
+        "hilbert_both",
+        _hilbert_np_codes(orders)
+        .withColumnRenamed("curve_val", "curve_h")
+        .withColumn("curve_z", _z_value(F.col("xd"), F.col("yd"))),
+    )
+    curves = [("hilbert", "curve_h"), ("zorder", "curve_z")]
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 2)
+    probs = [i / n_parts for i in range(1, n_parts)]
+    bounds_all = both.stat.approxQuantile(
+        [c for _, c in curves], probs, 1.0 / (4 * n_parts)
+    )
+    part = both
+    for (_, c), bounds in zip(curves, bounds_all):
+        bounds = sorted(set(bounds))
+        if bounds:
+            arms = " ".join(
+                f"WHEN CAST({c} AS DOUBLE) <= CAST({b!r} AS DOUBLE) THEN {i}"
+                for i, b in enumerate(bounds)
+            )
+            pid = F.expr(f"CASE {arms} ELSE {len(bounds)} END")
+        else:
+            pid = F.lit(0)
+        part = part.withColumn(f"_pid_{c}", pid)
+    cells = (
+        part.groupBy(*[f"_pid_{c}" for _, c in curves])
+        .agg(F.count("*").alias("c"))
+        .collect()
     )
 
-    def blocks(df: DataFrame, curve: str) -> DataFrame:
-        ranked, _ = _global_row_number(df, "curve_val", ["o_orderkey"])
+    def blocks(curve: str, c: str) -> DataFrame:
+        counts: dict = defaultdict(int)
+        for r_ in cells:
+            counts[r_[f"_pid_{c}"]] += r_["c"]
+        offsets, acc = [], 0
+        for b in sorted(counts):
+            offsets.extend([F.lit(b), F.lit(acc)])
+            acc += counts[b]
+        # empty-relation guard (the _global_row_number one): no cells
+        # means no rows, any offset works
+        off = (
+            F.create_map(*offsets)[F.col(f"_pid_{c}")]
+            if offsets
+            else F.lit(0)
+        )
+        w = Window.partitionBy(f"_pid_{c}").orderBy(c, "o_orderkey")
+        ranked = part.withColumn(
+            "rn", (F.row_number().over(w) + off).cast("bigint")
+        )
         return (
             ranked.withColumn("blk", F.expr(f"(rn - 1) div {ZORDER_BLOCK}"))
             .groupBy("blk")
@@ -915,8 +967,8 @@ def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        blocks(hil, "hilbert")
-        .unionByName(blocks(zed, "zorder"))
+        blocks("hilbert", "curve_h")
+        .unionByName(blocks("zorder", "curve_z"))
         .select("curve", "blk", "n_rows", "span_x", "span_y")
         .orderBy("curve", "blk")
     )
